@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Gold-layer business aggregations (reference: scripts/load.py:148-280).
+  *
+  * Scale design: each is a single partial-aggregating `groupBy().agg()`
+  * (map-side combine before the shuffle); dimension joins are explicit
+  * `broadcast()` so the fact never re-shuffles for a dim. Money sums use
+  * fixed-point `moneySum` — exact and order-independent, so results are
+  * reproducible under any partitioning (and match the DuckDB oracle
+  * bit-for-bit).
+  */
+object Gold {
+
+  /** Exact, merge-safe, engine-portable sum of a money/double expression:
+    * fixed-point at 1e-4 (FLOOR is tie-free, unlike decimal-cast rounding,
+    * so Spark and DuckDB agree bit-for-bit), summed as DECIMAL(28,0) so it
+    * cannot overflow at 100 TB row counts, and order-independent. */
+  def moneySum(c: Column): Column =
+    (sum(floor(c * lit(10000)).cast(DecimalType(28, 0))).cast("double") / 10000.0)
+
+  /** The same aggregate in DuckDB SQL. */
+  def moneySumSql(expr: String): String =
+    s"CAST(SUM(CAST(FLOOR(($expr)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000"
+
+  /** Daily sales summary (load.py:148-186): per sale date, order count,
+    * item count, revenue. */
+  def dailySalesSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.sales(spark, dir)
+      .withColumn("sale_date", to_date(col("sale_ts")))
+      .where(col("sale_date").isNotNull)
+      .groupBy("sale_date")
+      .agg(
+        count(col("transaction_id")).as("total_orders"),
+        sum(col("quantity")).as("total_items"),
+        moneySum(col("unit_price") * col("quantity")).as("revenue"))
+      .orderBy("sale_date")
+
+  /** Top customers by total spend (load.py:190-221): top 10, left-joined
+    * to the customer dimension (broadcast). */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.sales(spark, dir)
+      .groupBy("customer_id")
+      .agg(
+        count(col("transaction_id")).as("order_count"),
+        sum(col("quantity")).as("total_items"),
+        moneySum(col("unit_price") * col("quantity")).as("total_spent"))
+    spend
+      .join(broadcast(Tables.customers(spark, dir)), Seq("customer_id"), "left")
+      .orderBy(col("total_spent").desc, col("customer_id"))
+      .limit(10)
+  }
+
+  /** Product performance (load.py:226-253): per product, times sold,
+    * quantity, avg unit price; joined to the product dimension. */
+  def productPerformance(spark: SparkSession, dir: String): DataFrame = {
+    val perf = Tables.sales(spark, dir)
+      .groupBy("product_id")
+      .agg(
+        count(col("transaction_id")).as("times_sold"),
+        sum(col("quantity")).as("total_quantity"),
+        (moneySum(col("unit_price"))
+          / count(col("transaction_id"))).as("avg_price"))
+    perf
+      .join(broadcast(Tables.products(spark, dir)), Seq("product_id"), "left")
+      .orderBy(col("times_sold").desc, col("product_id"))
+  }
+
+  /** Store performance (load.py:256-280): per store, transactions, items,
+    * revenue; joined to the store dimension. */
+  def storePerformance(spark: SparkSession, dir: String): DataFrame = {
+    val perf = Tables.sales(spark, dir)
+      .groupBy("store_id")
+      .agg(
+        count(col("transaction_id")).as("total_transactions"),
+        sum(col("quantity")).as("total_items"),
+        moneySum(col("unit_price") * col("quantity")).as("total_revenue"))
+    perf
+      .join(broadcast(Tables.stores(spark, dir)), Seq("store_id"), "left")
+      .orderBy(col("store_id"))
+  }
+
+  // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
+
+  val oracles: Map[String, String] = Map(
+    "gold_daily_sales_summary" ->
+      s"""WITH ${Tables.salesCte}
+         |SELECT CAST(sale_ts AS DATE) AS sale_date,
+         |       COUNT(transaction_id) AS total_orders,
+         |       CAST(SUM(quantity) AS BIGINT) AS total_items,
+         |       CAST(SUM(CAST(FLOOR((unit_price*quantity)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000 AS revenue
+         |FROM sales
+         |WHERE CAST(sale_ts AS DATE) IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gold_top_customers" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.customersCte},
+         |spend AS (
+         |  SELECT customer_id,
+         |         COUNT(transaction_id) AS order_count,
+         |         CAST(SUM(quantity) AS BIGINT) AS total_items,
+         |         CAST(SUM(CAST(FLOOR((unit_price*quantity)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000 AS total_spent
+         |  FROM sales GROUP BY 1)
+         |SELECT s.customer_id, s.order_count, s.total_items, s.total_spent,
+         |       c.customer_name, c.city, c.country, c.acctbal
+         |FROM spend s LEFT JOIN customers c USING (customer_id)
+         |ORDER BY s.total_spent DESC, s.customer_id LIMIT 10""".stripMargin,
+    "gold_product_performance" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |perf AS (
+         |  SELECT product_id,
+         |         COUNT(transaction_id) AS times_sold,
+         |         CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+         |         CAST(SUM(CAST(FLOOR(unit_price*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000
+         |           / COUNT(transaction_id) AS avg_price
+         |  FROM sales GROUP BY 1)
+         |SELECT f.product_id, f.times_sold, f.total_quantity, f.avg_price,
+         |       p.product_name, p.sku, p.category, p.price
+         |FROM perf f LEFT JOIN products p USING (product_id)
+         |ORDER BY f.times_sold DESC, f.product_id""".stripMargin,
+    "gold_store_performance" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.storesCte},
+         |perf AS (
+         |  SELECT store_id,
+         |         COUNT(transaction_id) AS total_transactions,
+         |         CAST(SUM(quantity) AS BIGINT) AS total_items,
+         |         CAST(SUM(CAST(FLOOR((unit_price*quantity)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000 AS total_revenue
+         |  FROM sales GROUP BY 1)
+         |SELECT f.store_id, f.total_transactions, f.total_items, f.total_revenue,
+         |       s.store_name, s.country
+         |FROM perf f LEFT JOIN stores s USING (store_id)
+         |ORDER BY f.store_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_daily_sales_summary" -> dailySalesSummary,
+    "gold_top_customers"       -> topCustomers,
+    "gold_product_performance" -> productPerformance,
+    "gold_store_performance"   -> storePerformance)
+}

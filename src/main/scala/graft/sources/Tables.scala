@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the testdata star schema and the retail-view mapping of
+  * SURVEY.md §3 (reference: scripts/load.py:61-130 loads silver tables
+  * by name; scripts/extract.py:99-104 lists the retail tables).
+  *
+  * Scale notes: `sales` is a fact⋈fact join (lineitem⋈orders) that
+  * shuffles on the order key — on a real cluster both sides are bucketed
+  * by orderkey so the join is co-located; dimension views (customers /
+  * stores) join tiny `nation` with a broadcast.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Reference `sale_transactions`: lineitem enriched with the customer
+    * key from orders. transaction_id is unique (linenumber ∈ [1,7]). */
+  def sales(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o  = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("transaction_id"),
+        col("o_custkey").as("customer_id"),
+        col("l_partkey").as("product_id"),
+        col("l_suppkey").as("store_id"),
+        col("l_quantity").cast("bigint").as("quantity"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_shipdate").as("sale_ts"))
+  }
+
+  /** Reference `customers` dimension (customer ⋈ nation, broadcast). */
+  def customers(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation").select("n_nationkey", "n_name")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("city"),
+        col("n_name").as("country"),
+        col("c_acctbal").as("acctbal"))
+  }
+
+  /** Reference `products` dimension. */
+  def products(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").select(
+      col("p_partkey").as("product_id"),
+      col("p_name").as("product_name"),
+      col("p_brand").as("sku"),
+      col("p_type").as("category"),
+      col("p_retailprice").as("price"))
+
+  /** Reference `stores` dimension (supplier ⋈ nation, broadcast). */
+  def stores(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "supplier")
+    val n = table(spark, dir, "nation").select("n_nationkey", "n_name")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .select(
+        col("s_suppkey").as("store_id"),
+        col("s_name").as("store_name"),
+        col("n_name").as("country"))
+  }
+
+  /** Shared oracle CTEs: the same mapping in ANSI SQL for DuckDB. */
+  val salesCte: String =
+    """sales AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS transaction_id,
+      |         o_custkey  AS customer_id,
+      |         l_partkey  AS product_id,
+      |         l_suppkey  AS store_id,
+      |         CAST(l_quantity AS BIGINT) AS quantity,
+      |         l_extendedprice / l_quantity AS unit_price,
+      |         l_shipdate AS sale_ts
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+
+  val customersCte: String =
+    """customers AS (
+      |  SELECT c_custkey AS customer_id, c_name AS customer_name,
+      |         c_mktsegment AS city, n_name AS country, c_acctbal AS acctbal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)""".stripMargin
+
+  val productsCte: String =
+    """products AS (
+      |  SELECT p_partkey AS product_id, p_name AS product_name, p_brand AS sku,
+      |         p_type AS category, p_retailprice AS price
+      |  FROM part)""".stripMargin
+
+  val storesCte: String =
+    """stores AS (
+      |  SELECT s_suppkey AS store_id, s_name AS store_name, n_name AS country
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)""".stripMargin
+}
