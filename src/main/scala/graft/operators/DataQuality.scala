@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality suite (reference: scripts/data_quality.py).
+  *
+  * Scale design: every per-table check set is ONE aggregate pass over
+  * the table (data_quality.py re-scans per metric via pandas; here
+  * row count, duplicate count and null count come out of a single
+  * groupBy-less agg). No driver loops, no collect.
+  */
+object DataQuality {
+
+  /** One row of (table_name, row_count, column_count, duplicate_rows,
+    * null_count) per table — data_quality.py:19-26's checks. */
+  def tableStats(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame =
+    tables.map { t =>
+      val df = Tables.table(spark, dir, t)
+      val nullSum: Column = df.columns.toSeq
+        .map(c => sum(col(c).isNull.cast("long")))
+        .reduce(_ + _)
+      df.agg(
+          count(lit(1)).as("row_count"),
+          countDistinct(struct(df.columns.map(col).toSeq: _*)).as("distinct_rows"),
+          nullSum.as("null_count"))
+        .select(
+          lit(t).as("table_name"),
+          col("row_count"),
+          lit(df.columns.length.toLong).as("column_count"),
+          (col("row_count") - col("distinct_rows")).as("duplicate_rows"),
+          col("null_count"))
+    }.reduce(_ unionAll _).orderBy("table_name")
+
+  val statsTables: Seq[String] = Seq("customer", "lineitem", "orders", "part", "supplier")
+
+  def tableStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    tableStats(spark, dir, statsTables)
+
+  /** Business-rule checks (data_quality.py:29-33,96-110): uniqueness,
+    * not-null, non-negative revenue, top-customers cardinality. */
+  def businessRules(spark: SparkSession, dir: String): DataFrame = {
+    def rule(name: String, table: String, observed: DataFrame,
+             pass: Column => Column = _ === 0L): DataFrame =
+      observed.select(
+        lit(name).as("check_name"),
+        lit(table).as("table_name"),
+        pass(col("observed")).as("passed"),
+        col("observed"))
+
+    val customer = Tables.table(spark, dir, "customer")
+    val lineitem = Tables.table(spark, dir, "lineitem")
+    Seq(
+      rule("customer_id_unique", "customer",
+        customer.agg((count(lit(1)) - countDistinct(col("c_custkey"))).as("observed"))),
+      rule("product_id_not_null", "lineitem",
+        lineitem.agg(sum(col("l_partkey").isNull.cast("long")).as("observed"))),
+      rule("quantity_positive", "lineitem",
+        lineitem.agg(sum((col("l_quantity") <= 0).cast("long")).as("observed"))),
+      rule("revenue_non_negative", "daily_sales_summary",
+        Gold.dailySalesSummary(spark, dir)
+          .agg(sum((col("revenue") < 0).cast("long")).as("observed"))),
+      rule("top_customers_max_10", "top_customers",
+        Gold.topCustomers(spark, dir).agg(count(lit(1)).as("observed")), _ <= 10L)
+    ).reduce(_ unionAll _).orderBy("check_name")
+  }
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val tableCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
+  private def statsSql(t: String): String = {
+    val cols = tableCols(t)
+    val nullSum = cols.map(c => s"CASE WHEN $c IS NULL THEN 1 ELSE 0 END").mkString(" + ")
+    s"""SELECT '$t' AS table_name,
+       |  (SELECT COUNT(*) FROM $t) AS row_count,
+       |  CAST(${cols.length} AS BIGINT) AS column_count,
+       |  (SELECT COUNT(*) FROM $t) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM $t)) AS duplicate_rows,
+       |  (SELECT CAST(COALESCE(SUM($nullSum), 0) AS BIGINT) FROM $t) AS null_count""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dq_table_stats" ->
+      (statsTables.map(statsSql).mkString("", "\nUNION ALL\n", "\n") +
+        "ORDER BY table_name"),
+    "dq_business_rules" ->
+      s"""WITH ${Tables.salesCte},
+         |daily AS (
+         |  SELECT CAST(sale_ts AS DATE) AS sale_date,
+         |         ${Gold.moneySumSql("unit_price*quantity")} AS revenue
+         |  FROM sales WHERE CAST(sale_ts AS DATE) IS NOT NULL GROUP BY 1),
+         |checks(check_name, table_name, observed) AS (
+         |  SELECT 'customer_id_unique', 'customer',
+         |         (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+         |  UNION ALL SELECT 'product_id_not_null', 'lineitem',
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),0) AS BIGINT) FROM lineitem)
+         |  UNION ALL SELECT 'quantity_positive', 'lineitem',
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END),0) AS BIGINT) FROM lineitem)
+         |  UNION ALL SELECT 'revenue_non_negative', 'daily_sales_summary',
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN revenue < 0 THEN 1 ELSE 0 END),0) AS BIGINT) FROM daily)
+         |  UNION ALL SELECT 'top_customers_max_10', 'top_customers',
+         |         (SELECT LEAST(COUNT(DISTINCT customer_id), 10) FROM sales))
+         |SELECT check_name, table_name,
+         |       (observed = 0 OR check_name = 'top_customers_max_10' AND observed <= 10) AS passed,
+         |       CAST(observed AS BIGINT) AS observed
+         |FROM checks ORDER BY check_name""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_table_stats"    -> tableStatsQuery,
+    "dq_business_rules" -> businessRules)
+}

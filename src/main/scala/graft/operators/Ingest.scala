@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{CsvSource, Tables}
+import graft.sinks.{CatalogRegistry, ParquetSink}
+
+/** Source / sink / catalog contract queries (SURVEY §2 rows 1-4, 17-18).
+  * Each drives the real component end-to-end (write → read back →
+  * verify against the original via the oracle), not a mock.
+  */
+object Ingest {
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_work/$name"
+
+  /** Parquet scan with filter+projection pushdown: only 4 columns reach
+    * the scan, predicates land in PushedFilters. */
+  def parquetScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp_ntz(lit("1995-01-01"))
+        && col("l_discount") > 0.05)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Gold.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** CSV bronze roundtrip: write nation as headered CSV, read it back
+    * with an explicit schema (no inferSchema pass). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("csv_nation")
+    CsvSource.write(Tables.table(spark, dir, "nation"), path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    CsvSource.read(spark, path, schema).orderBy("n_nationkey")
+  }
+
+  /** Partitioned silver sink: write the sales fact snappy-parquet
+    * partitioned by ingestion date (transform.py:47-49 partitions by
+    * load date, one partition per run), read back and aggregate. */
+  def partitionedParquetSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("silver_sales")
+    val withLoadDate = Tables.sales(spark, dir).withColumn("load_date", lit("d20260101"))
+    ParquetSink.writePartitioned(withLoadDate, path, Seq("load_date"))
+    spark.read.parquet(path)
+      .groupBy(col("load_date").cast("string").as("load_date"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Gold.moneySum(col("unit_price") * col("quantity")).as("revenue"))
+  }
+
+  /** S3-layout gold sink: write daily_sales_summary under
+    * <base>/gold/<table> (aws_upload.py layout) and read it back. */
+  def s3LayoutSink(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp("lake")
+    val path = ParquetSink.writeGold(Gold.dailySalesSummary(spark, dir), base, "daily_sales_summary")
+    spark.read.parquet(path).orderBy("sale_date")
+  }
+
+  /** Catalog registration: register the star schema + retail views, then
+    * answer an analytics question purely through catalog SQL. */
+  def catalogQuery(spark: SparkSession, dir: String): DataFrame = {
+    CatalogRegistry.registerStarSchema(spark, dir)
+    spark.sql(
+      """SELECT c.country,
+        |       COUNT(s.transaction_id) AS n_sales,
+        |       CAST(SUM(CAST(FLOOR((s.unit_price*s.quantity)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000 AS revenue
+        |FROM sales s JOIN customers c ON s.customer_id = c.customer_id
+        |GROUP BY c.country
+        |ORDER BY c.country""".stripMargin)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "src_parquet_scan" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000 AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "snk_partitioned_parquet" ->
+      s"""WITH ${Tables.salesCte}
+         |SELECT 'd20260101' AS load_date, COUNT(*) AS n_rows,
+         |       ${Gold.moneySumSql("unit_price*quantity")} AS revenue
+         |FROM sales""".stripMargin,
+    "snk_s3_layout" ->
+      s"""WITH ${Tables.salesCte}
+         |SELECT CAST(sale_ts AS DATE) AS sale_date,
+         |       COUNT(transaction_id) AS total_orders,
+         |       CAST(SUM(quantity) AS BIGINT) AS total_items,
+         |       ${Gold.moneySumSql("unit_price*quantity")} AS revenue
+         |FROM sales WHERE CAST(sale_ts AS DATE) IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cat_register_tables" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.customersCte}
+         |SELECT c.country, COUNT(s.transaction_id) AS n_sales,
+         |       ${Gold.moneySumSql("s.unit_price*s.quantity")} AS revenue
+         |FROM sales s JOIN customers c ON s.customer_id = c.customer_id
+         |GROUP BY c.country ORDER BY c.country""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_parquet_scan"        -> parquetScan,
+    "src_csv_roundtrip"       -> csvRoundtrip,
+    "snk_partitioned_parquet" -> partitionedParquetSink,
+    "snk_s3_layout"           -> s3LayoutSink,
+    "cat_register_tables"     -> catalogQuery)
+}

@@ -1,0 +1,37 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** Catalog registration (reference: scripts/glue_registry.py registers
+  * each layer's S3 location as a Glue external table so Athena can query
+  * it by name).
+  *
+  * The Spark-native equivalent: register locations in the session
+  * catalog so `spark.sql` resolves them by name. Temp views keep the
+  * scan lazy (external-table semantics: no data copy); `saveAsTable`
+  * covers the managed-table path.
+  */
+object CatalogRegistry {
+
+  val baseTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings")
+
+  /** Register every base parquet table plus the retail views
+    * (glue_registry.py:register_s3_table for each layer table). */
+  def registerStarSchema(spark: SparkSession, dir: String): Unit = {
+    baseTables.foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.sales(spark, dir).createOrReplaceTempView("sales")
+    Tables.customers(spark, dir).createOrReplaceTempView("customers")
+    Tables.products(spark, dir).createOrReplaceTempView("products")
+    Tables.stores(spark, dir).createOrReplaceTempView("stores")
+  }
+
+  /** Managed-table registration (glue create_table analog). */
+  def saveAsTable(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").saveAsTable(name)
+}

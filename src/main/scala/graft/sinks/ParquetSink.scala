@@ -1,0 +1,37 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Parquet sinks (reference: scripts/transform.py:50-60 silver writes,
+  * scripts/aws_upload.py layered S3 upload).
+  *
+  * Paths are scheme-agnostic: `s3a://bucket/...` on a cluster,
+  * `file:/...` locally — the Hadoop FS layer picks the implementation,
+  * which is exactly how the reference's S3 layout maps to Spark. Writes
+  * are snappy parquet; `partitionBy` produces the hive-style
+  * `col=value/` layout Athena/Glue expect. No coalesce(1): output
+  * parallelism follows the plan's partitioning so large writes scale.
+  */
+object ParquetSink {
+
+  /** Silver-layer write: snappy parquet partitioned by the given columns
+    * (the reference partitions by ingestion date, transform.py:47-49). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** The reference's S3 layout: <base>/<layer>/<table> (aws_upload.py
+    * uploads bronze/silver/gold trees under one bucket prefix). */
+  def layerPath(base: String, layer: String, table: String): String =
+    s"$base/$layer/$table"
+
+  /** Gold-layer write: one table per directory under <base>/gold/. */
+  def writeGold(df: DataFrame, base: String, table: String): String = {
+    val path = layerPath(base, "gold", table)
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    path
+  }
+}

@@ -17,6 +17,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as nanos-since-epoch and downcast to a µs
+    * TIMESTAMP_NTZ (all downstream window/gap logic is second-granular,
+    * so the truncation is lossless for semantics). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
   /** Reference `sale_transactions`: lineitem enriched with the customer
     * key from orders. transaction_id is unique (linenumber ∈ [1,7]). */
   def sales(spark: SparkSession, dir: String): DataFrame = {
