@@ -3,16 +3,15 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<double>` columns using codegen'd builtins
-  * (`zip_with` + `aggregate` fold — sequential, so the floating-point
-  * result is deterministic and matches DuckDB's list_dot_product,
-  * which folds in the same order). No UDFs in the hot path.
+/** Vector math over `array<double>` columns. The dot product is a
+  * native codegen expression (see [[ArrayDotProduct]]); summation is
+  * sequential, so the floating-point result is deterministic and
+  * matches DuckDB's list_dot_product. No UDFs in the hot path.
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential dot product (native codegen). */
+  def dot(a: Column, b: Column): Column = ArrayDotProduct.column(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

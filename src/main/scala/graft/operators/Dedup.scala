@@ -89,9 +89,15 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** SimHash: 64-bit signature from token-hash bit voting; pairs within
-    * Hamming distance 3 found via the pigeonhole 4×16-bit block index
-    * (a pair within distance 3 must agree exactly on ≥1 block). */
+  /** Pairs within this Hamming distance count as simhash near-dups.
+    * 7 suits short (~50-token) docs, where even 0.97-Jaccard dups flip
+    * several signature bits. */
+  val SimhashMaxHamming = 7
+  private val SimhashBlocks = 8 // pigeonhole: d<=7 pairs agree on >=1 of 8 blocks
+
+  /** SimHash: 64-bit signature from token-hash bit voting; candidate
+    * pairs via the pigeonhole block index (a pair within Hamming
+    * distance 7 must agree exactly on ≥1 of the 8 8-bit blocks). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), explode(Shingles.distinctTokens(col("text"))).as("token"))
@@ -103,10 +109,12 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 64).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val blockBits = 64 / SimhashBlocks
+    val mask = (1L << blockBits) - 1
     val blocks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until SimhashBlocks).map(b =>
         struct(lit(b).as("blk"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
+          shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.v").as("v"))
     blocks.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"), col("blk"), col("v"))
       .join(blocks.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"), col("blk"), col("v")),
@@ -115,7 +123,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         bit_count(expr("sim_a ^ sim_b")).as("hamming"))
       .distinct()
-      .where(col("hamming") <= 3)
+      .where(col("hamming") <= SimhashMaxHamming)
       .orderBy("a_id", "b_id")
   }
 

@@ -32,13 +32,18 @@ object Similarity {
     Array.fill(LshTables, LshBits, Dim)(rnd.nextGaussian())
   }
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus with the norm precomputed once per row (never per pair). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDotProduct.register(spark)
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+  }
 
   private def querySet(c: DataFrame): DataFrame =
     c.where(col("vec_id") % QueryModulus === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
 
   /** Exact top-k: broadcast the query set over the partitioned corpus,
     * cosine per (corpus row, query), per-query top-k. */
@@ -48,7 +53,9 @@ object Similarity {
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorFunctions.cosine(col("embedding"), col("q_emb")).as("cosine"))
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_nrm")).as("cosine"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
@@ -95,10 +102,14 @@ object Similarity {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cand
-      .join(c.select(col("vec_id").as("a_id"), col("embedding").as("e_a")), "a_id")
-      .join(c.select(col("vec_id").as("b_id"), col("embedding").as("e_b")), "b_id")
+      .join(c.select(col("vec_id").as("a_id"), col("embedding").as("e_a"),
+        col("nrm").as("n_a")), "a_id")
+      .join(c.select(col("vec_id").as("b_id"), col("embedding").as("e_b"),
+        col("nrm").as("n_b")), "b_id")
       .select(col("a_id"), col("b_id"),
-        VectorFunctions.cosine(col("e_a"), col("e_b")).as("cosine"))
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("e_a"), col("e_b")),
+          col("n_a"), col("n_b")).as("cosine"))
       .where(col("cosine") >= NearDupThreshold)
       .orderBy("a_id", "b_id")
   }
@@ -116,9 +127,11 @@ object Similarity {
       .select("query_id", "vec_id").distinct()
     cand
       .join(c, "vec_id")
-      .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
+      .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_nrm"))), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorFunctions.cosine(col("embedding"), col("q_emb")).as("cosine"))
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_nrm")).as("cosine"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .where(col("rn") <= TopK)

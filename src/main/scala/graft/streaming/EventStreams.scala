@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream — the
+  * incremental twins of `graft.operators.Events`. Source-agnostic:
+  * callers pass any streaming DataFrame (`readStream` from files/Kafka,
+  * or MemoryStream in tests) with the events schema.
+  *
+  * Scale design: windowed aggregation is watermark-bounded so state
+  * is evicted; sessionization keeps one small state object per user
+  * key (not the events themselves), so state size is O(active users).
+  */
+object EventStreams {
+
+  /** 5-minute tumbling windows per event type with a 10-minute
+    * watermark (late events beyond it are dropped, state is evicted). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Evt(user_id: Long, event_id: Long, es: Long)
+  final case class SessionState(
+      sessionIdx: Long, startEs: Long, lastEs: Long, nEvents: Long)
+  final case class SessionOut(
+      user_id: Long, session_idx: Long, n_events: Long,
+      session_start_es: Long, duration_sec: Long)
+
+  val GapSec = 1800L
+
+  /** Stateful sessionization: one `SessionState` per user; a gap above
+    * `GapSec` closes the session (emitted) and opens the next. Events
+    * within a micro-batch are processed in event-time order. */
+  def sessionize(events: Dataset[Evt]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup)
+  }
+
+  private[streaming] def sessionizeGroup(
+      userId: Long, events: Iterator[Evt],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.es, e.event_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      st match {
+        case null =>
+          st = SessionState(1L, e.es, e.es, 1L)
+        case s if e.es - s.lastEs > GapSec =>
+          out += SessionOut(userId, s.sessionIdx, s.nEvents, s.startEs, s.lastEs - s.startEs)
+          st = SessionState(s.sessionIdx + 1, e.es, e.es, 1L)
+        case s =>
+          st = s.copy(lastEs = e.es, nEvents = s.nEvents + 1)
+      }
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** Flush helper for tests/drains: the still-open session per state. */
+  def openSession(userId: Long, st: SessionState): SessionOut =
+    SessionOut(userId, st.sessionIdx, st.nEvents, st.startEs, st.lastEs - st.startEs)
+}

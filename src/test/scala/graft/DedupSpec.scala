@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup partitions the corpus completely") {
+    val groups = Dedup.exact(spark, sfDir)
+    val total = groups.agg(sum("n_copies")).head.getLong(0)
+    assert(total == 500)
+  }
+
+  test("ngram jaccard finds the planted near-duplicates, all above threshold") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= Dedup.JaccardThreshold))
+    assert(pairs.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
+  }
+
+  test("minhash LSH returns exactly the exact-jaccard pairs (recall 1 here)") {
+    val exact = Dedup.ngramJaccard(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs are within the hamming bound and include planted dups") {
+    val sim = Dedup.simhash(spark, sfDir).collect()
+    assert(sim.forall(_.getAs[Int]("hamming") <= Dedup.SimhashMaxHamming))
+    val simPairs = sim.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash is approximate; it should still catch most ≥0.96-jaccard dups
+    assert(planted.isEmpty || (simPairs intersect planted).size * 2 >= planted.size)
+  }
+
+  test("no crossJoin in any dedup plan") {
+    Seq(Dedup.ngramJaccard(spark, sfDir), Dedup.minhashLsh(spark, sfDir),
+        Dedup.simhash(spark, sfDir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(500))
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{DataQuality, Multimodal, Silver}
+import graft.sources.{JdbcSource, Tables}
+
+class PipelineSpec extends SparkSpec {
+
+  test("timestamp coercion nulls unparseable values and keeps good ones") {
+    import spark.implicits._
+    val df = Seq(("2024-01-02 03:04:05"), ("garbage"), (null: String))
+      .toDF("created_at")
+    val out = Silver.coerceTimestamps(df, Seq("created_at")).collect()
+    assert(out(0).getAs[java.time.LocalDateTime]("created_at") != null)
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("numeric null-fill zeroes every numeric type, leaves strings") {
+    import spark.implicits._
+    val df = Seq((Some(1.5), Some(2L), "x"), (None, None, null))
+      .toDF("d", "l", "s")
+    val out = Silver.fillNumericNulls(df).collect()
+    assert(out(1).getDouble(0) == 0.0 && out(1).getLong(1) == 0L)
+    assert(out(1).isNullAt(2))
+  }
+
+  test("jdbc reader wires partitioned-extract options") {
+    val cfg = JdbcSource.JdbcConfig(
+      url = "jdbc:postgresql://host:5432/db", table = "public.customers",
+      user = "u", password = "p",
+      partitionColumn = Some("customer_id"),
+      lowerBound = Some(0L), upperBound = Some(1000000L), numPartitions = 16)
+    // builds without connecting; load() would need a live database
+    JdbcSource.reader(spark, cfg)
+  }
+
+  test("dq business rules all pass on clean testdata") {
+    val rules = DataQuality.businessRules(spark, sfDir).collect()
+    assert(rules.length == 5)
+    assert(rules.forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("dq table stats counts match direct counts") {
+    val stats = DataQuality.tableStatsQuery(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("row_count")).toMap
+    assert(stats("lineitem") == Tables.table(spark, sfDir, "lineitem").count())
+    assert(stats("customer") == Tables.table(spark, sfDir, "customer").count())
+  }
+
+  test("stub media decoder is deterministic and length-consistent") {
+    val rec = Multimodal.MediaRecord(7L, "image", "abcdefgh".getBytes("UTF-8"))
+    val meta = Multimodal.StubDecoder.decode(rec)
+    assert(meta.byte_len == 8 && meta.magic == "61626364")
+    assert(meta.frame_count == 8 % 7 + 1)
+  }
+
+  test("media metadata schema carries binary-derived fields for all docs") {
+    val out = Multimodal.mediaMeta(spark, sfDir)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "byte_len", "magic", "frame_count", "width", "height"))
+    assert(out.count() == 500)
+  }
+
+  test("csv source reads with explicit schema only") {
+    val schema = StructType(Seq(StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType), StructField("n_regionkey", IntegerType)))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_csv"
+    graft.sources.CsvSource.write(Tables.table(spark, sfDir, "nation"), path)
+    val back = graft.sources.CsvSource.read(spark, path, schema)
+    assert(back.schema == schema)
+    assert(back.count() == 25)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("exact top-k returns k neighbors per query, sorted") {
+    val rows = Similarity.annTopKExact(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { g =>
+      assert(g.length == Similarity.TopK)
+      val cos = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      assert(cos.sameElements(cos.sortBy(-_)))
+    }
+  }
+
+  test("LSH top-k recall vs exact is usable") {
+    val exact = Similarity.annTopKExact(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.annTopKLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("embed near-dup equals brute force at this scale (recall 1)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val c = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val brute = c.select(col("vec_id").as("a_id"), col("e").as("ea"))
+      .crossJoin(c.select(col("vec_id").as("b_id"), col("e").as("eb")))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        VectorFunctions.cosine(col("ea"), col("eb")).as("cosine"))
+      .where(col("cosine") >= Similarity.NearDupThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embedNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+  }
+
+  test("ANN plans broadcast the query set, never the corpus") {
+    val plan = Similarity.annTopKExact(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Evt, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed agg matches the batch twin") {
+    import spark.implicits._
+    val batch = Events.windowedAgg(spark, sfDir)
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedAgg(streamDf)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    input.addData(rows.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("win_out")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization matches the batch twin on closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val evts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("es"))
+      .as[Evt].collect().sortBy(e => (e.es, e.event_id))
+    input.addData(evts.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("sess_out").as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_idx, s.n_events, s.session_start_es)).toSet
+    q.stop()
+
+    val batchAll = Events.sessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("session_start_es")))
+    // streaming emits only CLOSED sessions; the last session per user is
+    // still open, so batch minus its per-user last session == streamed
+    val lastPerUser = batchAll.groupBy(_._1).map { case (_, g) => g.maxBy(_._2) }.toSet
+    val closed = batchAll.toSet -- lastPerUser
+    assert(streamed == closed)
+  }
+}
