@@ -36,11 +36,17 @@ object Athena {
       .limit(5)
 
   /** product_analysis (athena_queries.py:100-112): popularity score
-    * against the global MAX(times_sold) broadcast scalar. */
+    * against the global MAX(times_sold). The max is an unpartitioned
+    * window over the product aggregate — safe because that input is
+    * dimension-sized (one row per product), and it keeps the plan to a
+    * SINGLE scan of the fact (a scalar subquery would re-derive the
+    * whole gold pipeline in a second branch). */
   def productAnalysis(spark: SparkSession, dir: String): DataFrame = {
     val perf = Gold.productPerformance(spark, dir)
-    val mx   = perf.agg(max(col("times_sold")).as("max_sold"))
-    perf.crossJoin(broadcast(mx))
+    perf
+      .withColumn("max_sold",
+        max(col("times_sold")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(
         col("product_id"), col("product_name"), col("category"),
         col("times_sold"), col("total_quantity"),

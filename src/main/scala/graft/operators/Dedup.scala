@@ -29,23 +29,33 @@ object Dedup {
     Tables.table(spark, dir, "documents")
       .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), 3)).as("shingle"))
 
-  /** Near-dup pairs by exact n-gram Jaccard: candidates from the
-    * shingle equi-join itself (docs sharing ≥1 shingle). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    sh.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
-        Seq("shingle"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+  /** Shingle sets with the per-doc set size riding along (window count
+    * instead of a separate aggregate — halves the scans of the corpus:
+    * the jaccard join then needs no extra size joins). */
+  private def shingleSetsWithSize(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir).withColumn("n_sh",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+
+  /** Exact Jaccard ≥ threshold over candidate (a,b) doc pairs carrying
+    * their set sizes: |A∩B| from one count per pair. */
+  private def jaccardFilter(pairsWithSizes: DataFrame): DataFrame =
+    pairsWithSizes
+      .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
+
+  /** Near-dup pairs by exact n-gram Jaccard: candidates from the
+    * shingle equi-join itself (docs sharing ≥1 shingle). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSetsWithSize(spark, dir)
+    jaccardFilter(
+      sh.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"), col("shingle")),
+          Seq("shingle"))
+        .where(col("a_id") < col("b_id")))
   }
 
   /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),
@@ -75,18 +85,12 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     // exact verification within candidates only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle", "b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
-      .withColumn("jaccard",
-        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
-      .where(col("jaccard") >= JaccardThreshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy("a_id", "b_id")
+    val shS = shingleSetsWithSize(spark, dir)
+    jaccardFilter(
+      cand
+        .join(shS.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle")), "a_id")
+        .join(shS.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"), col("shingle")),
+          Seq("shingle", "b_id")))
   }
 
   /** Pairs within this Hamming distance count as simhash near-dups.
