@@ -69,4 +69,20 @@ object EventStreams {
   /** Flush helper for tests/drains: the still-open session per state. */
   def openSession(userId: Long, st: SessionState): SessionOut =
     SessionOut(userId, st.sessionIdx, st.nEvents, st.startEs, st.lastEs - st.startEs)
+
+  /** File-stream source over an events directory (the deployment shape:
+    * new parquet files land, Spark incrementally processes them). */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Checkpointed parquet sink — exactly-once file output. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      outputMode: String = "append"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(outputMode)
+      .start()
 }
