@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Athena, DataQuality, Gold, Silver}
+import graft.sinks.ParquetSink
+import graft.sources.{CsvSource, Tables}
+
+/** The reference DAG as a composable library call
+  * (dags/etl_retail_pipeline.py: extract ∥3 → transform_to_silver →
+  * quality_checks → create_gold → upload_to_s3 → register_in_glue →
+  * run_athena_queries), run over a lake base directory with the
+  * medallion layout <base>/{bronze,silver,gold}/<table>.
+  *
+  * Bronze lands as headered CSV for fidelity with the reference's
+  * extract stage (extract.py dumps CSV); at 100 TB the bronze landing
+  * would go straight to parquet — swap `bronzeCsv=false` for that.
+  */
+object Pipeline {
+
+  final case class RunResult(
+      silverTables: Map[String, String],
+      goldTables: Map[String, String],
+      dqPassed: Boolean,
+      analytics: Map[String, DataFrame])
+
+  private val retailSchemas: Map[String, StructType] = Map(
+    "sales" -> StructType(Seq(
+      StructField("transaction_id", LongType), StructField("customer_id", LongType),
+      StructField("product_id", LongType), StructField("store_id", LongType),
+      StructField("quantity", LongType), StructField("unit_price", DoubleType),
+      StructField("sale_ts", StringType))),
+    "customers" -> StructType(Seq(
+      StructField("customer_id", LongType), StructField("customer_name", StringType),
+      StructField("city", StringType), StructField("country", StringType),
+      StructField("acctbal", DoubleType))),
+    "products" -> StructType(Seq(
+      StructField("product_id", LongType), StructField("product_name", StringType),
+      StructField("sku", StringType), StructField("category", StringType),
+      StructField("price", DoubleType))),
+    "stores" -> StructType(Seq(
+      StructField("store_id", LongType), StructField("store_name", StringType),
+      StructField("country", StringType))))
+
+  /** Full medallion run: returns layer paths, the DQ gate verdict, and
+    * the four analytics results computed FROM the lake's gold layer. */
+  def run(spark: SparkSession, srcDir: String, lakeBase: String,
+      loadDate: String = "d20260101"): RunResult = {
+
+    // 1. extract → bronze (reference extracts each source table to CSV)
+    val sources = Map(
+      "sales"     -> Tables.sales(spark, srcDir)
+        .withColumn("sale_ts", col("sale_ts").cast("string")),
+      "customers" -> Tables.customers(spark, srcDir),
+      "products"  -> Tables.products(spark, srcDir),
+      "stores"    -> Tables.stores(spark, srcDir))
+    sources.foreach { case (name, df) =>
+      CsvSource.write(df, ParquetSink.layerPath(lakeBase, "bronze", name))
+    }
+
+    // 2. transform → silver: explicit-schema CSV read, clean, partitioned
+    //    snappy parquet (transform.py semantics)
+    val silver = sources.keys.map { name =>
+      val cleaned = Silver
+        .clean(
+          CsvSource.read(spark, ParquetSink.layerPath(lakeBase, "bronze", name),
+            retailSchemas(name)),
+          dateCols = Seq("sale_ts"))
+        .withColumn("load_date", lit(loadDate))
+      val path = ParquetSink.layerPath(lakeBase, "silver", name)
+      ParquetSink.writePartitioned(cleaned, path, Seq("load_date"))
+      name -> path
+    }.toMap
+
+    def silverTable(name: String): DataFrame =
+      spark.read.parquet(silver(name)).drop("load_date")
+
+    // 3. quality gate on the silver layer (single-pass checks)
+    val sales = silverTable("sales")
+    val dqPassed = DataQuality
+      .genericRules(sales, silverTable("customers"), silverTable("products"))
+      .agg(min(col("passed"))).head.getBoolean(0)
+
+    // 4. gold aggregates from silver, written in the S3 layout
+    val gold = Map(
+      "daily_sales_summary" -> Gold.dailySalesSummaryOf(sales),
+      "top_customers"       -> Gold.topCustomersOf(sales, silverTable("customers")),
+      "product_performance" -> Gold.productPerformanceOf(sales, silverTable("products")),
+      "store_performance"   -> Gold.storePerformanceOf(sales, silverTable("stores")))
+    val goldPaths = gold.map { case (name, df) =>
+      name -> ParquetSink.writeGold(df, lakeBase, name)
+    }
+
+    // 5. catalog registration (Glue analog): gold tables by name
+    goldPaths.foreach { case (name, path) =>
+      spark.read.parquet(path).createOrReplaceTempView(name)
+    }
+
+    // 6. the Athena business queries over the registered gold layer
+    val analytics = Map(
+      "daily_revenue"       -> Athena.dailyRevenueOf(spark.table("daily_sales_summary")),
+      "top_performing_customers" ->
+        Athena.topPerformingCustomersOf(spark.table("top_customers")),
+      "product_analysis"    -> Athena.productAnalysisOf(spark.table("product_performance")),
+      "revenue_by_category" -> Athena.revenueByCategoryOf(spark.table("product_performance")))
+
+    RunResult(silver, goldPaths, dqPassed, analytics)
+  }
+}

@@ -16,8 +16,8 @@ import graft.sources.Tables
 object Athena {
 
   /** daily_revenue (athena_queries.py:76-85). */
-  def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
-    Gold.dailySalesSummary(spark, dir)
+  def dailyRevenueOf(daily: DataFrame): DataFrame =
+    daily
       .where(col("revenue") > 0)
       .select(
         col("sale_date"), col("total_orders"), col("total_items"), col("revenue"),
@@ -25,9 +25,12 @@ object Athena {
       .orderBy(col("sale_date").desc)
       .limit(10)
 
+  def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    dailyRevenueOf(Gold.dailySalesSummary(spark, dir))
+
   /** top_performing_customers (athena_queries.py:87-98). */
-  def topPerformingCustomers(spark: SparkSession, dir: String): DataFrame =
-    Gold.topCustomers(spark, dir)
+  def topPerformingCustomersOf(topCustomers: DataFrame): DataFrame =
+    topCustomers
       .select(
         col("customer_id"), col("total_spent"), col("order_count"), col("total_items"),
         round(col("total_spent") / col("order_count"), 2).as("avg_order_value"),
@@ -35,14 +38,16 @@ object Athena {
       .orderBy(col("total_spent").desc, col("customer_id"))
       .limit(5)
 
+  def topPerformingCustomers(spark: SparkSession, dir: String): DataFrame =
+    topPerformingCustomersOf(Gold.topCustomers(spark, dir))
+
   /** product_analysis (athena_queries.py:100-112): popularity score
     * against the global MAX(times_sold). The max is an unpartitioned
     * window over the product aggregate — safe because that input is
     * dimension-sized (one row per product), and it keeps the plan to a
     * SINGLE scan of the fact (a scalar subquery would re-derive the
     * whole gold pipeline in a second branch). */
-  def productAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    val perf = Gold.productPerformance(spark, dir)
+  def productAnalysisOf(perf: DataFrame): DataFrame =
     perf
       .withColumn("max_sold",
         max(col("times_sold")).over(
@@ -54,11 +59,13 @@ object Athena {
         round(col("times_sold") * lit(1.0) / col("max_sold"), 2).as("popularity_score"))
       .orderBy(col("times_sold").desc, col("product_id"))
       .limit(10)
-  }
+
+  def productAnalysis(spark: SparkSession, dir: String): DataFrame =
+    productAnalysisOf(Gold.productPerformance(spark, dir))
 
   /** revenue_by_category (athena_queries.py:114-122). */
-  def revenueByCategory(spark: SparkSession, dir: String): DataFrame =
-    Gold.productPerformance(spark, dir)
+  def revenueByCategoryOf(perf: DataFrame): DataFrame =
+    perf
       .groupBy("category")
       .agg(
         sum(col("times_sold")).as("total_sales"),
@@ -66,6 +73,9 @@ object Athena {
         round(Gold.moneySum(col("times_sold") * col("avg_price")), 2)
           .as("estimated_revenue"))
       .orderBy(col("estimated_revenue").desc, col("category"))
+
+  def revenueByCategory(spark: SparkSession, dir: String): DataFrame =
+    revenueByCategoryOf(Gold.productPerformance(spark, dir))
 
   // ---- DuckDB oracles ----
 

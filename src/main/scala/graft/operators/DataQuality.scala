@@ -66,6 +66,29 @@ object DataQuality {
     ).reduce(_ unionAll _).orderBy("check_name")
   }
 
+  /** Rule set over caller-provided retail tables (the Pipeline's silver
+    * gate): uniqueness, not-null, positivity — each one aggregate pass. */
+  def genericRules(sales: DataFrame, customers: DataFrame,
+      products: DataFrame): DataFrame = {
+    def rule(name: String, table: String, observed: DataFrame,
+             pass: Column => Column = _ === 0L): DataFrame =
+      observed.select(
+        lit(name).as("check_name"), lit(table).as("table_name"),
+        pass(col("observed")).as("passed"), col("observed"))
+    Seq(
+      rule("customer_id_unique", "customers",
+        customers.agg((count(lit(1)) - countDistinct(col("customer_id"))).as("observed"))),
+      rule("product_id_unique", "products",
+        products.agg((count(lit(1)) - countDistinct(col("product_id"))).as("observed"))),
+      rule("product_id_not_null", "sales",
+        sales.agg(sum(col("product_id").isNull.cast("long")).as("observed"))),
+      rule("quantity_positive", "sales",
+        sales.agg(sum((col("quantity") <= 0).cast("long")).as("observed"))),
+      rule("unit_price_non_negative", "sales",
+        sales.agg(sum((col("unit_price") < 0).cast("long")).as("observed")))
+    ).reduce(_ unionAll _).orderBy("check_name")
+  }
+
   // ---- oracles ----------------------------------------------------------
 
   private val tableCols: Map[String, Seq[String]] = Map(

@@ -29,8 +29,8 @@ object Gold {
 
   /** Daily sales summary (load.py:148-186): per sale date, order count,
     * item count, revenue. */
-  def dailySalesSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.sales(spark, dir)
+  def dailySalesSummaryOf(sales: DataFrame): DataFrame =
+    sales
       .withColumn("sale_date", to_date(col("sale_ts")))
       .where(col("sale_date").isNotNull)
       .groupBy("sale_date")
@@ -40,25 +40,31 @@ object Gold {
         moneySum(col("unit_price") * col("quantity")).as("revenue"))
       .orderBy("sale_date")
 
+  def dailySalesSummary(spark: SparkSession, dir: String): DataFrame =
+    dailySalesSummaryOf(Tables.sales(spark, dir))
+
   /** Top customers by total spend (load.py:190-221): top 10, left-joined
     * to the customer dimension (broadcast). */
-  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.sales(spark, dir)
+  def topCustomersOf(sales: DataFrame, customers: DataFrame): DataFrame = {
+    val spend = sales
       .groupBy("customer_id")
       .agg(
         count(col("transaction_id")).as("order_count"),
         sum(col("quantity")).as("total_items"),
         moneySum(col("unit_price") * col("quantity")).as("total_spent"))
     spend
-      .join(broadcast(Tables.customers(spark, dir)), Seq("customer_id"), "left")
+      .join(broadcast(customers), Seq("customer_id"), "left")
       .orderBy(col("total_spent").desc, col("customer_id"))
       .limit(10)
   }
 
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    topCustomersOf(Tables.sales(spark, dir), Tables.customers(spark, dir))
+
   /** Product performance (load.py:226-253): per product, times sold,
     * quantity, avg unit price; joined to the product dimension. */
-  def productPerformance(spark: SparkSession, dir: String): DataFrame = {
-    val perf = Tables.sales(spark, dir)
+  def productPerformanceOf(sales: DataFrame, products: DataFrame): DataFrame = {
+    val perf = sales
       .groupBy("product_id")
       .agg(
         count(col("transaction_id")).as("times_sold"),
@@ -66,23 +72,29 @@ object Gold {
         (moneySum(col("unit_price"))
           / count(col("transaction_id"))).as("avg_price"))
     perf
-      .join(broadcast(Tables.products(spark, dir)), Seq("product_id"), "left")
+      .join(broadcast(products), Seq("product_id"), "left")
       .orderBy(col("times_sold").desc, col("product_id"))
   }
 
+  def productPerformance(spark: SparkSession, dir: String): DataFrame =
+    productPerformanceOf(Tables.sales(spark, dir), Tables.products(spark, dir))
+
   /** Store performance (load.py:256-280): per store, transactions, items,
     * revenue; joined to the store dimension. */
-  def storePerformance(spark: SparkSession, dir: String): DataFrame = {
-    val perf = Tables.sales(spark, dir)
+  def storePerformanceOf(sales: DataFrame, stores: DataFrame): DataFrame = {
+    val perf = sales
       .groupBy("store_id")
       .agg(
         count(col("transaction_id")).as("total_transactions"),
         sum(col("quantity")).as("total_items"),
         moneySum(col("unit_price") * col("quantity")).as("total_revenue"))
     perf
-      .join(broadcast(Tables.stores(spark, dir)), Seq("store_id"), "left")
+      .join(broadcast(stores), Seq("store_id"), "left")
       .orderBy(col("store_id"))
   }
+
+  def storePerformance(spark: SparkSession, dir: String): DataFrame =
+    storePerformanceOf(Tables.sales(spark, dir), Tables.stores(spark, dir))
 
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
