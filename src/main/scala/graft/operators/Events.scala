@@ -48,7 +48,20 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Semi-structured props extraction: pull typed fields out of the
+    * JSON payload column (get_json_object is codegen'd; no UDF). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
   val oracles: Map[String, String] = Map(
+    "evt_json_extract" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "str_windowed_agg" ->
       s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
          |       event_type, COUNT(*) AS n_events,
@@ -70,5 +83,6 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_windowed_agg" -> windowedAgg,
-    "str_sessionize"   -> sessionize)
+    "str_sessionize"   -> sessionize,
+    "evt_json_extract" -> jsonExtract)
 }

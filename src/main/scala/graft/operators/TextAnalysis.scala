@@ -98,6 +98,18 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (words + individual punctuation marks — the shape a
+    * byte-pair pre-tokenizer produces). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprint via the custom codegen expression. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
@@ -156,6 +168,11 @@ object TextAnalysis {
         |  FROM (SELECT string_split(text,' ') AS t FROM documents)
         |  WHERE len(t) >= 2)
         |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(list_transform(generate_series(1, length(text)),
@@ -168,5 +185,6 @@ object TextAnalysis {
     "txt_lang_id"     -> langId,
     "txt_quality"     -> quality,
     "txt_top_ngrams"  -> topNgrams,
+    "txt_token_count" -> tokenCount,
     "txt_fingerprint" -> fingerprint)
 }
