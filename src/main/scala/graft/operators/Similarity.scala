@@ -138,6 +138,59 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** IVF coarse quantizer: k-means cells (MLlib, fixed seed → a
+    * deterministic codebook), corpus partitioned by nearest-centroid
+    * cell, queries probe the `IvfProbes` nearest cells, exact rerank
+    * inside the probed cells. The at-scale alternative to hyperplane
+    * LSH: one equi-join on cell id instead of a full corpus scan per
+    * query; the quantizer is trained once and reused. */
+  def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val q = querySet(c)
+
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(IvfCells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+    val trainDf = c.select(
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+    val centroids: Array[Array[Double]] =
+      km.fit(trainDf).clusterCenters.map(_.toArray)
+
+    def nearestCells(n: Int)(v: Array[Double]): Seq[Int] =
+      centroids.zipWithIndex.map { case (ct, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(n).map(_._2).toSeq
+
+    val cCells = c.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, nearestCells(1)(v).head) }
+      .toDF("vec_id", "cell")
+    val qCells = q.select(col("query_id").cast("long"), col("q_emb"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) => nearestCells(IvfProbes)(v).map(cell => (id, cell)) }
+      .toDF("query_id", "cell")
+
+    val cand = cCells.join(qCells, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    cand
+      .join(c, "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_nrm"))), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_nrm")).as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rn") <= TopK)
+      .orderBy("query_id", "rn")
+  }
+
   private val cosineSql =
     """list_dot_product(ea, eb)
       |  / (SQRT(list_dot_product(ea, ea)) * SQRT(list_dot_product(eb, eb)))""".stripMargin
@@ -173,5 +226,6 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_exact"   -> annTopKExact,
     "dd_embed_neardup" -> embedNearDup,
-    "ann_topk_lsh"     -> annTopKLsh)
+    "ann_topk_lsh"     -> annTopKLsh,
+    "ann_topk_ivf"     -> annTopKIvf)
 }

@@ -24,6 +24,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF top-k recall vs exact is usable") {
+    val exact = Similarity.annTopKExact(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.annTopKIvf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("embed near-dup equals brute force at this scale (recall 1)") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
