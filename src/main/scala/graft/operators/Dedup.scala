@@ -84,8 +84,13 @@ object Dedup {
         Seq("band", "sig"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact verification within candidates only
+    // exact verification within candidates only: first narrow the
+    // shingle table to candidate docs (semi-join) — at scale the
+    // candidate set is tiny next to the corpus shingle table
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
     val shS = shingleSetsWithSize(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
     jaccardFilter(
       cand
         .join(shS.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle")), "a_id")
