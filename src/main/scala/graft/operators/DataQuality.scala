@@ -66,6 +66,32 @@ object DataQuality {
     ).reduce(_ unionAll _).orderBy("check_name")
   }
 
+  /** Sketch-based table stats for the 100 TB path: exact
+    * `COUNT(DISTINCT struct(*))` needs a full-width distinct shuffle —
+    * prohibitive at scale — so duplicate detection drops to HLL++
+    * (`approx_count_distinct`, mergeable, one pass, ~2% error). Exact
+    * stats stay available via `tableStats` for audit-grade runs. */
+  def tableStatsApprox(spark: SparkSession, dir: String, tables: Seq[String],
+      rsd: Double = 0.02): DataFrame =
+    tables.map { t =>
+      val df = Tables.table(spark, dir, t)
+      val nullSum: Column = df.columns.toSeq
+        .map(c => sum(col(c).isNull.cast("long")))
+        .reduce(_ + _)
+      df.agg(
+          count(lit(1)).as("row_count"),
+          approx_count_distinct(struct(df.columns.map(col).toSeq: _*), rsd)
+            .as("approx_distinct_rows"),
+          nullSum.as("null_count"))
+        .select(
+          lit(t).as("table_name"),
+          col("row_count"),
+          lit(df.columns.length.toLong).as("column_count"),
+          greatest(col("row_count") - col("approx_distinct_rows"), lit(0L))
+            .as("approx_duplicate_rows"),
+          col("null_count"))
+    }.reduce(_ unionAll _).orderBy("table_name")
+
   /** Rule set over caller-provided retail tables (the Pipeline's silver
     * gate): uniqueness, not-null, positivity — each one aggregate pass. */
   def genericRules(sales: DataFrame, customers: DataFrame,

@@ -49,6 +49,20 @@ class PipelineSpec extends SparkSpec {
     assert(stats("customer") == Tables.table(spark, sfDir, "customer").count())
   }
 
+  test("approx table stats track exact stats within sketch error") {
+    val exact = DataQuality.tableStatsQuery(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("row_count"), r.getAs[Long]("duplicate_rows"))).toMap
+    val approx = DataQuality
+      .tableStatsApprox(spark, sfDir, DataQuality.statsTables).collect()
+    approx.foreach { r =>
+      val (rows, dups) = exact(r.getAs[String]("table_name"))
+      assert(r.getAs[Long]("row_count") == rows)
+      // clean testdata: no duplicates; sketch may report a few percent
+      assert(r.getAs[Long]("approx_duplicate_rows") <= (rows * 0.05).toLong + dups)
+    }
+  }
+
   test("stub media decoder is deterministic and length-consistent") {
     val rec = Multimodal.MediaRecord(7L, "image", "abcdefgh".getBytes("UTF-8"))
     val meta = Multimodal.StubDecoder.decode(rec)
