@@ -19,4 +19,12 @@ object Shingles {
 
   /** Distinct tokens of a text column. */
   def distinctTokens(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Native-codegen shingles (same semantics as [[wordShingles]]; one
+    * pass, no interpreted higher-order functions — see [[WordShingles]]). */
+  def wordShinglesNative(spark: org.apache.spark.sql.SparkSession,
+      text: Column, k: Int): Column = {
+    WordShingles.register(spark)
+    call_function("graft_word_shingles", text, lit(k))
+  }
 }

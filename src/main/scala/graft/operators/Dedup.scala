@@ -24,10 +24,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
       .orderBy("content_hash")
 
-  /** (doc_id, shingle) pairs — distinct 3-word shingles per doc. */
+  /** (doc_id, shingle) pairs — distinct 3-word shingles per doc
+    * (native codegen shingling; the interpreted HOF version is the
+    * reference semantics, asserted equal in DedupSpec). */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), explode(Shingles.wordShingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"),
+        explode(Shingles.wordShinglesNative(spark, col("text"), 3)).as("shingle"))
 
   /** Shingle sets with the per-doc set size riding along (window count
     * instead of a separate aggregate — halves the scans of the corpus:

@@ -34,6 +34,24 @@ class DedupSpec extends SparkSpec {
     assert(planted.isEmpty || (simPairs intersect planted).size * 2 >= planted.size)
   }
 
+  test("native shingles equal the declarative higher-order formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Shingles
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val both = docs.select(
+      col("doc_id"),
+      Shingles.wordShingles(col("text"), 3).as("hof"),
+      Shingles.wordShinglesNative(spark, col("text"), 3).as("native"))
+    assert(both.where(col("hof") =!= col("native")).count() == 0)
+    // edge cases: shorter than k, exactly k
+    import spark.implicits._
+    val edge = Seq("one two", "one two three", "a a a a").toDF("text")
+      .select(Shingles.wordShingles(col("text"), 3).as("hof"),
+        Shingles.wordShinglesNative(spark, col("text"), 3).as("native"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+  }
+
   test("no crossJoin in any dedup plan") {
     Seq(Dedup.ngramJaccard(spark, sfDir), Dedup.minhashLsh(spark, sfDir),
         Dedup.simhash(spark, sfDir)).foreach { df =>
