@@ -34,4 +34,16 @@ object CatalogRegistry {
   /** Managed-table registration (glue create_table analog). */
   def saveAsTable(df: DataFrame, name: String): Unit =
     df.write.mode("overwrite").saveAsTable(name)
+
+  /** Bucketed managed table: rows hash-partitioned into `numBuckets`
+    * files by `bucketCol` and sorted within buckets. Two facts bucketed
+    * on the same key join with NO shuffle on either side — the 100 TB
+    * answer for the recurring lineitem⋈orders join (asserted
+    * exchange-free in BucketingSpec). */
+  def saveAsBucketedTable(df: DataFrame, name: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
 }
