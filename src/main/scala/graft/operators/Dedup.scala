@@ -107,20 +107,14 @@ object Dedup {
   val SimhashMaxHamming = 7
   private val SimhashBlocks = 8 // pigeonhole: d<=7 pairs agree on >=1 of 8 blocks
 
-  /** SimHash: 64-bit signature from token-hash bit voting; candidate
-    * pairs via the pigeonhole block index (a pair within Hamming
-    * distance 7 must agree exactly on ≥1 of the 8 8-bit blocks). */
+  /** SimHash: 64-bit signature from token-hash bit voting (native
+    * per-row expression — a pure map, no shuffle); candidate pairs via
+    * the pigeonhole block index (a pair within Hamming distance 7 must
+    * agree exactly on ≥1 of the 8 8-bit blocks). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), explode(Shingles.distinctTokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2) - lit(1)).as(s"s$j")
-    }
-    val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    graft.functions.SimHash64.register(spark)
+    val sig = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("simhash"))
     val blockBits = 64 / SimhashBlocks
     val mask = (1L << blockBits) - 1
     val blocks = sig.select(col("doc_id"), col("simhash"),

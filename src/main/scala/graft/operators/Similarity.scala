@@ -191,10 +191,6 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  private val cosineSql =
-    """list_dot_product(ea, eb)
-      |  / (SQRT(list_dot_product(ea, ea)) * SQRT(list_dot_product(eb, eb)))""".stripMargin
-
   val oracles: Map[String, String] = Map(
     "ann_topk_exact" ->
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
