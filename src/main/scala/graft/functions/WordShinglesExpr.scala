@@ -41,7 +41,7 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 object WordShingles {
   private val Space = UTF8String.fromString(" ")
 
-  /** Called from generated code. */
+  /** Called from generated code: distinct k-shingles, first-occurrence order. */
   def shingle(text: UTF8String, k: Int): ArrayData = {
     val words = text.split(Space, -1)
     if (words.length < k) return new GenericArrayData(Array.empty[Any])
@@ -49,10 +49,7 @@ object WordShingles {
     var i = 0
     val n = words.length - k + 1
     while (i < n) {
-      var s = words(i)
-      var j = 1
-      while (j < k) { s = UTF8String.concat(s, Space, words(i + j)); j += 1 }
-      seen.add(s)
+      seen.add(gram(words, i, k))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -62,9 +59,53 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Called from generated code: ALL k-grams in position order (with
+    * repeats) — the counting variant for n-gram frequency analysis. */
+  def ngrams(text: UTF8String, k: Int): ArrayData = {
+    val words = text.split(Space, -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = words.length - k + 1
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = gram(words, i, k); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def gram(words: Array[UTF8String], i: Int, k: Int): UTF8String = {
+    var s = words(i)
+    var j = 1
+    while (j < k) { s = UTF8String.concat(s, Space, words(i + j)); j += 1 }
+    s
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_shingles",
       exprs => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams",
+      exprs => WordNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+  }
+}
+
+/** Non-distinct variant of [[WordShingles]]: every k-gram in position
+  * order, for frequency counting. */
+case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DataTypes.StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("word_ngrams requires (string, k>=1)")
+
+  override def dataType: DataType = ArrayType(DataTypes.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.ngrams(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.ngrams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
 }

@@ -84,15 +84,12 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Corpus-wide top-20 bigrams. */
+  /** Corpus-wide top-20 bigrams (native codegen n-gram expression). */
   def topNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val t = split(col("text"), " ")
-    val bigrams = transform(
-      sequence(lit(1), size(t) - lit(1)),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1))))
+    graft.functions.WordShingles.register(spark)
     Tables.table(spark, dir, "documents")
-      .where(size(t) >= 2)
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+        .as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
