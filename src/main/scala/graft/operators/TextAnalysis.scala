@@ -61,26 +61,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Quality score: distinct-token ratio, stopword ratio, length band —
-    * the length/punct/stopword heuristics of LLM-corpus filtering. */
+  /** Quality score: distinct-token ratio, stopword ratio, punctuation
+    * ratio, length band — the length/punct/stopword heuristics of
+    * LLM-corpus filtering. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val nTok   = size(t)
     val uniqRatio = size(array_distinct(t)) * lit(1.0) / nTok
     val stopHits  = size(filter(t, x => x.isInCollection(stopwords)))
     val stopRatio = stopHits * lit(1.0) / nTok
+    val punctRatio = size(regexp_extract_all(col("text"), lit("""[^\w\s]"""), lit(0))) *
+      lit(1.0) / length(col("text"))
     val lenOk  = nTok.between(20, 80)
     // raw double score (no ROUND: half-way tie rounding differs between
     // engines; the expression itself is bit-deterministic)
     val score  =
       lit(0.5) * uniqRatio +
         lit(0.3) * least(stopRatio * lit(4.0), lit(1.0)) +
-        lit(0.2) * when(lenOk, lit(1.0)).otherwise(lit(0.0))
+        lit(0.2) * when(lenOk, lit(1.0)).otherwise(lit(0.0)) -
+        lit(0.2) * least(punctRatio * lit(10.0), lit(1.0))
     Tables.table(spark, dir, "documents")
       .select(
         col("doc_id"), nTok.as("n_tokens"), uniqRatio.as("uniq_ratio"),
-        stopRatio.as("stop_ratio"), score.as("quality_score"),
-        (score >= 0.5).as("passed"))
+        stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+        score.as("quality_score"), (score >= 0.5).as("passed"))
       .orderBy("doc_id")
   }
 
@@ -148,14 +152,18 @@ object TextAnalysis {
          |           / len(string_split(text,' ')) AS uniq_ratio,
          |         len(list_filter(string_split(text,' '),
          |               x -> list_contains([$stopList], x))) * 1.0
-         |           / len(string_split(text,' ')) AS stop_ratio
+         |           / len(string_split(text,' ')) AS stop_ratio,
+         |         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+         |           / length(text) AS punct_ratio
          |  FROM documents)
-         |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio,
+         |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, punct_ratio,
          |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
          |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+         |         - 0.2*LEAST(punct_ratio*10.0, 1.0)
          |         AS quality_score,
          |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
          |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+         |         - 0.2*LEAST(punct_ratio*10.0, 1.0)
          |         >= 0.5 AS passed
          |FROM c ORDER BY doc_id""".stripMargin,
     "txt_top_ngrams" ->

@@ -70,6 +70,15 @@ object EventStreams {
   def openSession(userId: Long, st: SessionState): SessionOut =
     SessionOut(userId, st.sessionIdx, st.nEvents, st.startEs, st.lastEs - st.startEs)
 
+  /** Streaming exact dedup: drop events whose id was already seen,
+    * with state bounded by the watermark (the streaming twin of
+    * Dedup.exact — dedup state for ids older than the watermark is
+    * evicted, so state is O(events per watermark window)). */
+  def dedupStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(idCol, "ts")
+
   /** File-stream source over an events directory (the deployment shape:
     * new parquet files land, Spark incrementally processes them). */
   def fileSource(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -33,6 +33,39 @@ class StreamingSinkSpec extends SparkSpec {
     assert(out.count() <= batch)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventStreams.dedupStream(
+      input.toDF().toDF("ts", "event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(Seq((t0, 1L), (t0, 2L), (t0, 1L))) // replay of id 1
+    q.processAllAvailable()
+    input.addData(Seq((t0, 2L), (t0, 3L)))           // replay of id 2
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("partition pruning reaches the scan when filtering silver by load_date") {
+    val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Tables.table(spark, sfDir, "nation")
+    graft.sinks.ParquetSink.writePartitioned(
+      df.withColumn("load_date", lit("d1")).unionAll(
+        df.withColumn("load_date", lit("d2"))),
+      base, Seq("load_date"))
+    val pruned = spark.read.parquet(base).where(col("load_date") === "d1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(load_date"), plan.take(600))
+    assert(pruned.count() == 25)
+  }
+
   test("saveAsTable registers a queryable managed table") {
     val df = Tables.table(spark, sfDir, "nation")
     CatalogRegistry.saveAsTable(df, "graft_nation_copy")
