@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Gold.queries ++ Athena.queries ++ Silver.queries ++ Ingest.queries ++
       DataQuality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Events.queries ++ Multimodal.queries
+      Similarity.queries ++ Events.queries ++ Multimodal.queries ++
+      AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Gold.oracles ++ Athena.oracles ++ Silver.oracles ++ Ingest.oracles ++
       DataQuality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Events.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ Events.oracles ++ Multimodal.oracles ++
+      AsOfJoin.oracles
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Backward as-of join — for each left row, the latest right value with
+  * right.ts ≤ left.ts on the same key. Spark has no native ASOF
+  * operator; rather than a custom SparkPlan, this composes as the
+  * classic union+window: tag both sides, sort by (ts, side, value)
+  * within key partitions, and carry the last non-null right value
+  * forward. ONE shuffle (the window partitioning), no join explosion,
+  * no per-key subqueries — the shape that survives 100 TB.
+  */
+object AsOfJoin {
+
+  /** left keeps all its columns plus `asOfCol` = latest `rightVal`
+    * whose `rightTs` ≤ `leftTs` for the same `key` (null if none).
+    * Ties on (key, ts) resolve to the greatest `rightVal` — total
+    * ordering keeps the result deterministic. */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVal: String,
+      asOfCol: String): DataFrame = {
+    val valType = right.schema(rightVal).dataType
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_src", lit(1))
+      .withColumn("_rv", lit(null).cast(valType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_src"),
+      col(rightVal).cast(valType).as("_rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ts"), col("_src"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asOfCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_src") === 1)
+      .drop("_ts", "_src", "_rv")
+  }
+
+  /** Contract query: each event matched to that user's most recent
+    * order on or before the event time. */
+  def eventAsOfOrder(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    backward(events, orders, key = "user_id",
+      leftTs = "ts", rightTs = "o_orderdate", rightVal = "o_orderdate",
+      asOfCol = "asof_order_date")
+      .select(col("event_id"), col("user_id"), col("asof_order_date"))
+      .orderBy("event_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "evt_asof_order" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS asof_order_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_asof_order" -> eventAsOfOrder)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of picks latest right ts <= left ts, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Timestamp.valueOf("2024-01-10 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-05 00:00:00"))
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-09 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-11 00:00:00")), // after every left row
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"))  // other key
+    ).toDF("k", "rts")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", "rts", "asof")
+      .orderBy("k", "ts").collect()
+    assert(out(0).getTimestamp(1) == Timestamp.valueOf("2024-01-01 00:00:00")
+      && out(0).isNullAt(2)) // k=1 @01-01: no right <= it
+    assert(out(1).getAs[Timestamp]("asof") == Timestamp.valueOf("2024-01-09 00:00:00"))
+    assert(out(2).isNullAt(2)) // k=2: no right rows at all
+  }
+
+  test("as-of equality boundary matches (right ts == left ts)") {
+    import spark.implicits._
+    val left = Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("k", "ts")
+    val right = Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("k", "rts")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", "rts", "asof").collect()
+    assert(out(0).getAs[Timestamp]("asof") == Timestamp.valueOf("2024-01-02 00:00:00"))
+  }
+
+  test("every event gets a match on testdata (orders all precede events)") {
+    val out = AsOfJoin.eventAsOfOrder(spark, sfDir)
+    assert(out.where(col("asof_order_date").isNull).count() == 0)
+    assert(out.count() == 1000)
+  }
+}
