@@ -57,7 +57,27 @@ object Events {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Per-type value quantiles. `percentile` here is the exact
+    * sort-based aggregate (oracle-comparable); at 100 TB swap in
+    * `approx_percentile` (t-digest, mergeable, one pass) — same plan
+    * shape, bounded memory. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
   val oracles: Map[String, String] = Map(
+    "evt_quantiles" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |       ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_json_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -84,5 +104,6 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_windowed_agg" -> windowedAgg,
     "str_sessionize"   -> sessionize,
-    "evt_json_extract" -> jsonExtract)
+    "evt_json_extract" -> jsonExtract,
+    "evt_quantiles"    -> valueQuantiles)
 }
