@@ -29,7 +29,6 @@ object Events {
     * sum as session index → per-session aggregate. One shuffle on
     * user_id; everything after is window/aggregate within partitions. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val es = col("ts").cast("timestamp").as("t")
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts").cast("timestamp")).as("es"))
