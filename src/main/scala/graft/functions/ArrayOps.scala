@@ -33,9 +33,14 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 }
 
 object ArrayDotProduct {
-  /** Called from generated code. */
+  /** Called from generated code. Mismatched lengths raise (as DuckDB's
+    * list_dot_product does) — silently truncating would rank corrupted
+    * vectors with a plausible-but-wrong score instead of surfacing them. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot product requires equal-length arrays: $n vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

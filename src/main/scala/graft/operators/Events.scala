@@ -31,7 +31,10 @@ object Events {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts").cast("timestamp")).as("es"))
+        // tz-agnostic epoch seconds from the NTZ wall clock (a cast to
+        // TIMESTAMP would make gaps depend on the session time zone)
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
     val w = Window.partitionBy("user_id").orderBy("es", "event_id")
     e.withColumn("prev", lag(col("es"), 1).over(w))
       .withColumn("new_s",

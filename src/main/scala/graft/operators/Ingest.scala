@@ -12,8 +12,10 @@ import graft.sinks.{CatalogRegistry, ParquetSink}
   */
 object Ingest {
 
+  // per-process work dir: two drivers (e.g. Verify and Bench) running
+  // concurrently must not overwrite each other's staging output
   private def tmp(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_work/$name"
+    s"${sys.props("java.io.tmpdir")}/graft_work_${ProcessHandle.current.pid}/$name"
 
   /** Parquet scan with filter+projection pushdown: only 4 columns reach
     * the scan, predicates land in PushedFilters. */

@@ -32,6 +32,7 @@ object Multimodal {
   object StubDecoder extends MediaDecoder {
     def decode(r: MediaRecord): MediaMeta = {
       val len = r.payload.length.toLong
+      // first 4 BYTES (the oracle mirrors this via substring(hex(blob)))
       val magic = r.payload.take(4).map(b => f"${b & 0xFF}%02X").mkString
       MediaMeta(r.doc_id, r.media_type, len, magic,
         frame_count = len % 7 + 1,
@@ -69,7 +70,7 @@ object Multimodal {
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS media_type,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |       hex(encode(substring(text, 1, 4))) AS magic,
+        |       substring(hex(encode(text)), 1, 8) AS magic,
         |       CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS frame_count,
         |       CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |       CAST(64 + octet_length(encode(text)) % 360 AS BIGINT) AS height

@@ -120,7 +120,9 @@ object Similarity {
     val c = corpus(spark, dir)
     val q = querySet(c)
     val cSigs = signatures(spark, c, "vec_id")
-    val qSigs = signatures(spark, q.select(col("query_id").as("vec_id"), col("q_emb").as("embedding")), "vec_id")
+    // the query set is a subset of the corpus: reuse its signatures
+    // instead of a second scan + signature pass
+    val qSigs = cSigs.where(col("vec_id") % QueryModulus === 0)
       .select(col("vec_id").as("query_id"), col("tbl"), col("sig"))
     val cand = cSigs.join(qSigs, Seq("tbl", "sig"))
       .where(col("vec_id") =!= col("query_id"))

@@ -18,7 +18,10 @@ object SkewUtils {
     * then count per key. Two balanced shuffles instead of one hot one. */
   def countDistinctSpread(df: DataFrame, key: String, value: String): DataFrame =
     df.select(col(key), col(value)).distinct()
-      .groupBy(key).agg(count(lit(1)).as(s"n_distinct_$value"))
+      .groupBy(key)
+      // count(col), not count(*): COUNT(DISTINCT) ignores NULLs, so the
+      // drop-in replacement must skip the surviving (key, NULL) row too
+      .agg(count(col(value)).as(s"n_distinct_$value"))
 
   /** Salted equi-join for a skewed big side: the big side gets a
     * content-derived salt in [0, buckets); the small side is replicated

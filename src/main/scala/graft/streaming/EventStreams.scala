@@ -32,7 +32,8 @@ object EventStreams {
       user_id: Long, session_idx: Long, n_events: Long,
       session_start_es: Long, duration_sec: Long)
 
-  val GapSec = 1800L
+  /** Shared with the batch twin so the two can never drift. */
+  val GapSec: Long = graft.operators.Events.SessionGapSec
 
   /** Stateful sessionization: one `SessionState` per user; a gap above
     * `GapSec` closes the session (emitted) and opens the next. Events
@@ -72,12 +73,14 @@ object EventStreams {
 
   /** Streaming exact dedup: drop events whose id was already seen,
     * with state bounded by the watermark (the streaming twin of
-    * Dedup.exact — dedup state for ids older than the watermark is
-    * evicted, so state is O(events per watermark window)). */
+    * Dedup.exact). `dropDuplicatesWithinWatermark` keys state on the id
+    * ALONE — a replay with a re-stamped timestamp is still dropped —
+    * and evicts state past the watermark, so state is O(events per
+    * watermark window). */
   def dedupStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** File-stream source over an events directory (the deployment shape:
     * new parquet files land, Spark incrementally processes them). */

@@ -16,6 +16,15 @@ class SkewUtilsSpec extends SparkSpec {
     assert(spread == direct)
   }
 
+  test("spread count-distinct ignores NULL values like COUNT(DISTINCT)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (1L, None), (1L, Some(10L)), (2L, None))
+      .toDF("k", "v")
+    val spread = SkewUtils.countDistinctSpread(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spread == Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("salted join equals direct join") {
     val li = Tables.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val orders = Tables.table(spark, sfDir, "orders")

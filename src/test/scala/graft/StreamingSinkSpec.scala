@@ -43,9 +43,10 @@ class StreamingSinkSpec extends SparkSpec {
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:05")
     input.addData(Seq((t0, 1L), (t0, 2L), (t0, 1L))) // replay of id 1
     q.processAllAvailable()
-    input.addData(Seq((t0, 2L), (t0, 3L)))           // replay of id 2
+    input.addData(Seq((t1, 2L), (t0, 3L)))           // replay of id 2, re-stamped ts
     q.processAllAvailable()
     val out = spark.table("dedup_out").select("event_id")
       .collect().map(_.getLong(0)).sorted.toSeq
