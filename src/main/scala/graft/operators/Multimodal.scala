@@ -64,7 +64,69 @@ object Multimodal {
     extractMeta(recs, StubDecoder).toDF().orderBy("doc_id")
   }
 
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Long, frame_off: Long, feat: Array[Float])
+
+  /** Frame sampling: one row per decoded frame with a feature vector —
+    * the batch shape of a video/image feature-extraction stage
+    * (explode multiplies rows; the feature array column is the
+    * embedding schema downstream ANN expects). Frame decode + feature
+    * extraction are the deterministic stub; partitioning, schema and
+    * iterator batching are the real pipeline. */
+  def sampleFrames(ds: Dataset[MediaRecord], decoder: MediaDecoder): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { rec =>
+      val meta = decoder.decode(rec)
+      (0L until meta.frame_count).iterator.map { i =>
+        val off = i * math.max(meta.byte_len / meta.frame_count, 1L)
+        // stub feature: 4 deterministic floats derived from (len, frame)
+        val feat = Array.tabulate(4)(j =>
+          ((meta.byte_len + i * 31 + j * 7) % 997).toFloat / 997.0f)
+        FrameSample(rec.doc_id, i, off, feat)
+      }
+    })
+  }
+
+  /** Contract query: frames sampled from the synthetic media corpus;
+    * the feature vector is summarized (sum) so the oracle stays SQL. */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    sampleFrames(recs, StubDecoder)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        round(aggregate(col("feat"),
+          lit(0.0), (acc, v) => acc + v.cast("double")), 6).as("feat_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_frame_samples" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |         CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS frame_count
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, byte_len, frame_count,
+        |         CAST(unnest(generate_series(0, frame_count - 1)) AS BIGINT) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, frame_idx,
+        |       frame_idx * GREATEST(byte_len // frame_count, 1) AS frame_off,
+        |       ROUND(
+        |         CAST(CAST((byte_len + frame_idx*31 + 0) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
+        |       + CAST(CAST((byte_len + frame_idx*31 + 7) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
+        |       + CAST(CAST((byte_len + frame_idx*31 + 14) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
+        |       + CAST(CAST((byte_len + frame_idx*31 + 21) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE), 6)
+        |         AS feat_sum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -77,5 +139,6 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_media_meta" -> mediaMeta)
+    "mm_media_meta"    -> mediaMeta,
+    "mm_frame_samples" -> frameSamples)
 }
