@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions makes the native functions available to plain SQL") {
+    // getOrCreate reuses any live session and would skip the extension
+    // hook — detach the shared test session first, reattach after
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive  = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        """SELECT graft_rolling_hash('hello world')       AS rh,
+          |       graft_simhash64('a b c')                AS sh,
+          |       graft_word_shingles('a b c d', 2)       AS ws,
+          |       graft_word_ngrams('a b a b', 2)         AS ng,
+          |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+          |""".stripMargin).head()
+      assert(row.getAs[Long]("rh") ==
+        graft.functions.RollingHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+      assert(row.getSeq[String](row.fieldIndex("ws")) == Seq("a b", "b c", "c d"))
+      assert(row.getSeq[String](row.fieldIndex("ng")) == Seq("a b", "b a", "a b"))
+      assert(row.getAs[Double]("dp") == 11.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+      if (prevDefault.isEmpty) spark.stop()
+    }
+  }
+}
