@@ -45,6 +45,19 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
 
+  /** Per-query top-k via the bounded-heap aggregate (partial heaps
+    * merge map-side; a window row_number would sort every candidate). */
+  private def topKPerQuery(spark: SparkSession, scored: DataFrame): DataFrame = {
+    graft.functions.TopKByScore.register(spark)
+    scored.groupBy("query_id")
+      .agg(call_function("graft_top_k_by_score",
+        col("cosine"), col("neighbor_id"), lit(TopK)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Exact top-k: broadcast the query set over the partitioned corpus,
     * cosine per (corpus row, query), per-query top-k. */
   def annTopKExact(spark: SparkSession, dir: String): DataFrame = {
@@ -56,11 +69,7 @@ object Similarity {
         VectorFunctions.cosinePrenormed(
           VectorFunctions.dot(col("embedding"), col("q_emb")),
           col("nrm"), col("q_nrm")).as("cosine"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .where(col("rn") <= TopK)
-      .orderBy("query_id", "rn")
+    topKPerQuery(spark, scored)
   }
 
   /** LSH bucket signatures: one row per (vec, table) with the table's
@@ -127,17 +136,13 @@ object Similarity {
     val cand = cSigs.join(qSigs, Seq("tbl", "sig"))
       .where(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-    cand
+    topKPerQuery(spark, cand
       .join(c, "vec_id")
       .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_nrm"))), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosinePrenormed(
           VectorFunctions.dot(col("embedding"), col("q_emb")),
-          col("nrm"), col("q_nrm")).as("cosine"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .where(col("rn") <= TopK)
-      .orderBy("query_id", "rn")
+          col("nrm"), col("q_nrm")).as("cosine")))
   }
 
   val IvfCells = 16
@@ -180,17 +185,13 @@ object Similarity {
     val cand = cCells.join(qCells, "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-    cand
+    topKPerQuery(spark, cand
       .join(c, "vec_id")
       .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_nrm"))), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosinePrenormed(
           VectorFunctions.dot(col("embedding"), col("q_emb")),
-          col("nrm"), col("q_nrm")).as("cosine"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .where(col("rn") <= TopK)
-      .orderBy("query_id", "rn")
+          col("nrm"), col("q_nrm")).as("cosine")))
   }
 
   val oracles: Map[String, String] = Map(
