@@ -63,4 +63,34 @@ object ExpressionProps extends Properties("graft.functions") {
       SimHash64.hash(UTF8String.fromString(s)) ==
         SimHash64.hash(UTF8String.fromString(s))
     }
+
+  // ---- TopKBuffer: the hand-written bounded heap ----
+
+  private val entries: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(
+      Gen.chooseNum(-10.0, 10.0).map(x => math.rint(x * 4) / 4), // force ties
+      Gen.chooseNum(0L, 20L)))
+
+  private def naiveWithDups(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    xs.sortBy { case (s, i) => (-s, i) }.take(k)
+
+  property("TopKBuffer equals sort-take on arbitrary inserts (ties included)") =
+    Prop.forAll(entries, Gen.choose(1, 8)) { (xs, k) =>
+      val buf = new graft.functions.TopKBuffer(k)
+      xs.foreach { case (s, i) => buf.insert(s, i) }
+      buf.sortedBestFirst == naiveWithDups(xs, k)
+    }
+
+  property("TopKBuffer merge + serialize roundtrip equals single-pass") =
+    Prop.forAll(entries, entries, Gen.choose(1, 8)) { (xs, ys, k) =>
+      val a = new graft.functions.TopKBuffer(k)
+      xs.foreach { case (s, i) => a.insert(s, i) }
+      val b = graft.functions.TopKBuffer.fromBytes(k, {
+        val t = new graft.functions.TopKBuffer(k)
+        ys.foreach { case (s, i) => t.insert(s, i) }
+        t.toBytes
+      })
+      b.foreach((s, i) => a.insert(s, i))
+      a.sortedBestFirst == naiveWithDups(xs ++ ys, k)
+    }
 }
