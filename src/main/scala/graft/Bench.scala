@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkConfigs.local(SparkSession.builder(), cpus.toInt).getOrCreate()
+    val spark = SparkConfigs.local(SparkSession.builder(),
+      SparkConfigs.cpusFromEnv(32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT the scan/aggregate/noop paths so the first timed query
     // doesn't absorb compilation cost

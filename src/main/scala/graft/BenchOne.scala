@@ -2,10 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = SparkConfigs.local(SparkSession.builder(), 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       (1 to 2).foreach { it =>

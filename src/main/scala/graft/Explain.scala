@@ -3,10 +3,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev utility: print the formatted physical plan of a query. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = SparkConfigs.local(SparkSession.builder(), 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"===== $name =====")

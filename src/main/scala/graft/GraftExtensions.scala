@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, RollingHash, SimHash64, WordNgrams, WordShingles}
+import graft.functions.{ArrayDotProduct, RollingHash, SimHash64, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -24,34 +24,25 @@ import graft.functions.{ArrayDotProduct, RollingHash, SimHash64, WordNgrams, Wor
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo("graft", null, name, usage, "")
+    def inject(name: String, usage: String,
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
 
-    ext.injectFunction((
-      FunctionIdentifier("graft_rolling_hash"),
-      info("graft_rolling_hash", "polynomial rolling-hash fingerprint of a string"),
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash64"),
-      info("graft_simhash64", "64-bit SimHash of space-tokenized text"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_word_shingles"),
-      info("graft_word_shingles", "distinct k-word shingles of text"),
-      (exprs: Seq[Expression]) =>
-        WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_word_ngrams"),
-      info("graft_word_ngrams", "all k-word grams of text in position order"),
-      (exprs: Seq[Expression]) =>
-        WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Int])))
-
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      info("graft_dot", "dot product of two array<double> columns"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+    inject("graft_rolling_hash",
+      "polynomial rolling-hash fingerprint of a string", RollingHash.builder)
+    inject("graft_simhash64",
+      "64-bit SimHash of space-tokenized text", SimHash64.builder)
+    inject("graft_word_shingles",
+      "distinct k-word shingles of text", WordShingles.shinglesBuilder)
+    inject("graft_word_ngrams",
+      "all k-word grams of text in position order", WordShingles.ngramsBuilder)
+    inject("graft_dot",
+      "dot product of two array<double> columns", ArrayDotProduct.builder)
+    inject("graft_top_k_by_score",
+      "top-k (score, id) pairs per group via a bounded heap",
+      TopKByScore.builder)
   }
 }

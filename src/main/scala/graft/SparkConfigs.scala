@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkConfigs {
 
+  /** SPARK_GRAFT_CPUS as an int, tolerating unset/non-numeric values. */
+  def cpusFromEnv(default: Int): Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(default)
+
   /** Local/dev profile (what Verify/Bench use). */
   def local(builder: SparkSession.Builder, cores: Int): SparkSession.Builder =
     builder

@@ -47,10 +47,14 @@ object ArrayDotProduct {
     s
   }
 
+  /** Shared SQL builder (used by register() and GraftExtensions). */
+  val builder: Seq[Expression] => Expression =
+    exprs => ArrayDotProduct(exprs(0), exprs(1))
+
   /** Register as a SQL function; `column` then resolves at analysis. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
+      "graft_dot", builder, "scala_udf")
 
   def column(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)

@@ -50,10 +50,13 @@ object RollingHash {
     h
   }
 
+  /** Shared SQL builder (used by register() and GraftExtensions). */
+  val builder: Seq[Expression] => Expression = exprs => RollingHash(exprs.head)
+
   /** Register as a SQL function and return a builder for Column use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+      "graft_rolling_hash", builder, "scala_udf")
 
   def rollingHash(spark: SparkSession, c: Column): Column = {
     register(spark)

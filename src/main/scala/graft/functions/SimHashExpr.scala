@@ -60,7 +60,10 @@ object SimHash64 {
     sig
   }
 
+  /** Shared SQL builder (used by register() and GraftExtensions). */
+  val builder: Seq[Expression] => Expression = exprs => SimHash64(exprs.head)
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "graft_simhash64", builder, "scala_udf")
 }

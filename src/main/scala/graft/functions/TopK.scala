@@ -41,6 +41,10 @@ case class TopKByScore(
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
+  /** Null-scored candidates are EXCLUDED (a row whose similarity is
+    * unknown cannot be ranked) — a deliberate narrowing vs the window
+    * formulation's NULLS LAST; callers guaranteeing non-null scores
+    * (as graft's ANN queries do) see identical results. */
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
@@ -78,11 +82,13 @@ object TopKByScore {
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false)))
 
+  /** Shared SQL builder (used by register() and GraftExtensions). */
+  val builder: Seq[Expression] => Expression =
+    exprs => TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int])
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_top_k_by_score",
-      exprs => TopKByScore(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+      "graft_top_k_by_score", builder, "scala_udf")
 }
 
 /** Fixed-capacity worst-first binary heap over (score, id): evicts the
@@ -93,9 +99,15 @@ final class TopKBuffer(k: Int) {
   private val ids = new Array[Long](k)
   private var n = 0
 
-  /* a is WORSE than b (heap root = worst kept entry) */
-  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  /* a is WORSE than b (heap root = worst kept entry). Score comparison
+   * matches SQL engines (Spark nanSafeCompare / DuckDB ORDER BY): NaN
+   * ranks above everything, -0.0 equals 0.0; ties fall to larger id. */
+  private def cmpScore(a: Double, b: Double): Int =
+    java.lang.Double.compare(a + 0.0, b + 0.0) // +0.0 normalizes -0.0
+  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = cmpScore(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def insert(s: Double, i: Long): Unit = {
     if (n < k) {
@@ -142,7 +154,7 @@ final class TopKBuffer(k: Int) {
 
   def sortedBestFirst: Seq[(Double, Long)] =
     (0 until n).map(i => (scores(i), ids(i)))
-      .sortBy { case (s, i) => (-s, i) }
+      .sortWith { case ((sa, ia), (sb, ib)) => worse(sb, ib, sa, ia) }
 
   def toBytes: Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + n * 16)

@@ -78,15 +78,17 @@ object WordShingles {
     s
   }
 
+  /** Shared SQL builders (used by register() and GraftExtensions). */
+  val shinglesBuilder: Seq[Expression] => Expression =
+    exprs => WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int])
+  val ngramsBuilder: Seq[Expression] => Expression =
+    exprs => WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Int])
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_shingles",
-      exprs => WordShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+      "graft_word_shingles", shinglesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_ngrams",
-      exprs => WordNgrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+      "graft_word_ngrams", ngramsBuilder, "scala_udf")
   }
 }
 

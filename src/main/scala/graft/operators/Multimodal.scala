@@ -88,9 +88,12 @@ object Multimodal {
   }
 
   /** Contract query: frames sampled from the synthetic media corpus;
-    * the feature vector is summarized (sum) so the oracle stays SQL. */
+    * the feature vector is summarized (dot with a ones vector — the
+    * native codegen path; a raw double sum, no ROUND, per the repo's
+    * determinism rules) so the oracle stays SQL. */
   def frameSamples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.ArrayDotProduct.register(spark)
     val recs = Tables.table(spark, dir, "documents")
       .select(
         col("doc_id"),
@@ -99,11 +102,12 @@ object Multimodal {
           .otherwise("video").as("media_type"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
+    val ones = array(Seq.fill(4)(lit(1.0)): _*)
     sampleFrames(recs, StubDecoder)
       .toDF()
       .select(col("doc_id"), col("frame_idx"), col("frame_off"),
-        round(aggregate(col("feat"),
-          lit(0.0), (acc, v) => acc + v.cast("double")), 6).as("feat_sum"))
+        graft.functions.VectorFunctions.dot(col("feat").cast("array<double>"), ones)
+          .as("feat_sum"))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -120,11 +124,10 @@ object Multimodal {
         |  FROM m)
         |SELECT doc_id, frame_idx,
         |       frame_idx * GREATEST(byte_len // frame_count, 1) AS frame_off,
-        |       ROUND(
         |         CAST(CAST((byte_len + frame_idx*31 + 0) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
         |       + CAST(CAST((byte_len + frame_idx*31 + 7) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
         |       + CAST(CAST((byte_len + frame_idx*31 + 14) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
-        |       + CAST(CAST((byte_len + frame_idx*31 + 21) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE), 6)
+        |       + CAST(CAST((byte_len + frame_idx*31 + 21) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
         |         AS feat_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_media_meta" ->

@@ -57,11 +57,16 @@ object ExpressionProps extends Properties("graft.functions") {
       a == b
     }
 
-  property("simhash of identical docs has hamming 0; disjoint docs differ") =
+  property("simhash: identical docs collide, disjoint vocabularies differ") =
     Prop.forAll(Gen.choose(5, 20).flatMap(n => Gen.listOfN(n, word))) { ws =>
       val s = ws.mkString(" ")
-      SimHash64.hash(UTF8String.fromString(s)) ==
+      val same = SimHash64.hash(UTF8String.fromString(s)) ==
         SimHash64.hash(UTF8String.fromString(s))
+      // disjoint vocabulary (suffix makes every token distinct from ws's)
+      val other = ws.map(_ + "qx9").mkString(" ")
+      val differ = SimHash64.hash(UTF8String.fromString(s)) !=
+        SimHash64.hash(UTF8String.fromString(other))
+      same && differ
     }
 
   // ---- TopKBuffer: the hand-written bounded heap ----

@@ -33,6 +33,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[String](row.fieldIndex("ws")) == Seq("a b", "b c", "c d"))
       assert(row.getSeq[String](row.fieldIndex("ng")) == Seq("a b", "b a", "a b"))
       assert(row.getAs[Double]("dp") == 11.0)
+      val topk = spark.sql(
+        """SELECT graft_top_k_by_score(s, i, 2) AS t
+          |FROM VALUES (CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT)),
+          |            (CAST(3.0 AS DOUBLE), CAST(2 AS BIGINT)),
+          |            (CAST(2.0 AS DOUBLE), CAST(3 AS BIGINT)) AS v(s, i)
+          |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+      assert(topk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
