@@ -77,6 +77,19 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() == 500)
   }
 
+  test("csv source is permissive on malformed rows (nulls, no crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.writeString(dir.resolve("part.csv"),
+      "n_nationkey,n_name,n_regionkey\n1,ALGERIA,0\nnot_an_int,BADROW,xx\n2,BRAZIL,1\n")
+    val schema = StructType(Seq(StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType), StructField("n_regionkey", IntegerType)))
+    val rows = graft.sources.CsvSource.read(spark, dir.toString, schema)
+      .orderBy(col("n_name")).collect()
+    assert(rows.length == 3)
+    val bad = rows.find(_.getString(1) == "BADROW").get
+    assert(bad.isNullAt(0) && bad.isNullAt(2))
+  }
+
   test("csv source reads with explicit schema only") {
     val schema = StructType(Seq(StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType), StructField("n_regionkey", IntegerType)))
