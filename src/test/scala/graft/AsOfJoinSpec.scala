@@ -35,6 +35,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getAs[Timestamp]("asof") == Timestamp.valueOf("2024-01-02 00:00:00"))
   }
 
+  test("interval pairs are within bound, ordered, and bucket-join complete") {
+    import graft.operators.IntervalJoin
+    val pairs = IntervalJoin.eventPairs(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { r =>
+      val g = r.getAs[Long]("gap_sec"); g >= 0 && g <= IntervalJoin.BoundSec
+    })
+    // no duplicates from the two-bucket explode
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("every event gets a match on testdata (orders all precede events)") {
     val out = AsOfJoin.eventAsOfOrder(spark, sfDir)
     assert(out.where(col("asof_order_date").isNull).count() == 0)
