@@ -64,6 +64,30 @@ object Multimodal {
     extractMeta(recs, StubDecoder).toDF().orderBy("doc_id")
   }
 
+  final case class ResizedMedia(
+      doc_id: Long, media_type: String, width: Long, height: Long,
+      payload: Array[Byte])
+
+  /** Resize stage: scale every record's media to fit a target box
+    * (aspect preserved) and re-encode. The pixel work is the stub (the
+    * payload is proportionally truncated — a real codec call sits in
+    * its place); the plumbing is the production shape: per-partition
+    * batch, payload bytes never touch the driver, metadata recomputed
+    * from the decode. */
+  def resizeToFit(ds: Dataset[MediaRecord], decoder: MediaDecoder,
+      maxW: Long, maxH: Long): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { rec =>
+      val meta = decoder.decode(rec)
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+      val w = math.max(1L, (meta.width * scale).toLong)
+      val h = math.max(1L, (meta.height * scale).toLong)
+      val newLen = math.max(1, (rec.payload.length * scale * scale).toInt)
+      ResizedMedia(rec.doc_id, rec.media_type, w, h, rec.payload.take(newLen))
+    })
+  }
+
   final case class FrameSample(
       doc_id: Long, frame_idx: Long, frame_off: Long, feat: Array[Float])
 

@@ -70,6 +70,19 @@ class PipelineSpec extends SparkSpec {
     assert(meta.frame_count == 8 % 7 + 1)
   }
 
+  test("resize stage fits the target box, preserves aspect, shrinks payload") {
+    import spark.implicits._
+    val recs = Seq(Multimodal.MediaRecord(1L, "image",
+      Array.fill[Byte](1000)(7))).toDS()
+    val out = Multimodal.resizeToFit(recs, Multimodal.StubDecoder, 64, 64).head()
+    val meta = Multimodal.StubDecoder.decode(recs.head())
+    assert(out.width <= 64 && out.height <= 64)
+    val aspectIn = meta.width.toDouble / meta.height
+    val aspectOut = out.width.toDouble / out.height
+    assert(math.abs(aspectIn - aspectOut) / aspectIn < 0.1)
+    assert(out.payload.length <= 1000 && out.payload.length >= 1)
+  }
+
   test("media metadata schema carries binary-derived fields for all docs") {
     val out = Multimodal.mediaMeta(spark, sfDir)
     assert(out.schema.fieldNames.toSeq ==
