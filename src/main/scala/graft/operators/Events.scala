@@ -25,16 +25,21 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** (user_id, event_id, es): tz-agnostic epoch seconds per event —
+    * computed from the NTZ wall clock (a cast to TIMESTAMP would make
+    * downstream gap/range math depend on the session time zone).
+    * Shared by sessionize and IntervalJoin. */
+  def eventsWithEpochSeconds(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+
   /** 30-minute-gap sessions per user: lag → new-session flag → running
     * sum as session index → per-session aggregate. One shuffle on
     * user_id; everything after is window/aggregate within partitions. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        // tz-agnostic epoch seconds from the NTZ wall clock (a cast to
-        // TIMESTAMP would make gaps depend on the session time zone)
-        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-          .as("es"))
+    val e = eventsWithEpochSeconds(spark, dir)
     val w = Window.partitionBy("user_id").orderBy("es", "event_id")
     e.withColumn("prev", lag(col("es"), 1).over(w))
       .withColumn("new_s",

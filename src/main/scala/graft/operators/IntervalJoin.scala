@@ -21,10 +21,7 @@ object IntervalJoin {
   /** Ordered pairs (a before b, ties by event_id) of same-user events
     * within `BoundSec` seconds. */
   def eventPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-          .as("es"))
+    val e = Events.eventsWithEpochSeconds(spark, dir)
       .withColumn("bucket", floor(col("es") / BoundSec))
     val a = e.select(
         col("user_id"), col("event_id").as("a_id"), col("es").as("a_es"),

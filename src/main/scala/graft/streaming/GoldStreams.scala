@@ -18,8 +18,17 @@ import graft.operators.Gold
 object GoldStreams {
 
   /** Watermarked per-day aggregation over a sales stream with the
-    * gold daily_sales_summary schema. */
-  def dailySalesSummaryStream(sales: DataFrame): DataFrame =
+    * gold daily_sales_summary schema. Watermarks require a zoned
+    * TIMESTAMP event-time column, whose day windows are epoch-aligned —
+    * they only coincide with the batch twin's `to_date(sale_ts)` when
+    * the session time zone is UTC, so a non-UTC session fails fast here
+    * rather than silently mis-bucketing rows near midnight. */
+  def dailySalesSummaryStream(sales: DataFrame): DataFrame = {
+    require(
+      sales.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "dailySalesSummaryStream requires spark.sql.session.timeZone=UTC " +
+        "(day windows over a zoned event-time column shift with the " +
+        "session time zone and would diverge from the batch gold table)")
     sales
       .withWatermark("sale_ts", "1 day")
       .groupBy(window(col("sale_ts"), "1 day").as("w"))
@@ -29,6 +38,7 @@ object GoldStreams {
         Gold.moneySum(col("unit_price") * col("quantity")).as("revenue"))
       .select(to_date(col("w.start")).as("sale_date"),
         col("total_orders"), col("total_items"), col("revenue"))
+  }
 
   /** Maintain a date-partitioned parquet gold table from the streaming
     * aggregate: update-mode emits each changed day, foreachBatch
@@ -36,15 +46,20 @@ object GoldStreams {
   def maintainDailySummary(agg: DataFrame, path: String,
       checkpoint: String): StreamingQuery = {
     val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      if (!batch.isEmpty) {
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write
-          .mode("overwrite")
-          .option("compression", "snappy")
-          .partitionBy("sale_date")
-          .parquet(path)
-      }
+      // persist: isEmpty and write are both actions on the same
+      // incremental plan — without caching it would execute twice
+      val b = batch.persist()
+      try {
+        if (!b.isEmpty) {
+          b.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          b.write
+            .mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("sale_date")
+            .parquet(path)
+        }
+      } finally b.unpersist()
     }
     agg.writeStream
       .outputMode("update")

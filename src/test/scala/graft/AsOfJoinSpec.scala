@@ -45,6 +45,17 @@ class AsOfJoinSpec extends SparkSpec {
     // no duplicates from the two-bucket explode
     val keys = pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(keys.distinct.length == keys.length)
+    // completeness: the bucket join finds every pair the naive
+    // same-user range filter finds (incl. pairs straddling a bucket edge)
+    val e = graft.operators.Events.eventsWithEpochSeconds(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = (for {
+      (u1, id1, es1) <- e
+      (u2, id2, es2) <- e
+      if u1 == u2 && es2 - es1 >= 0 && es2 - es1 <= IntervalJoin.BoundSec &&
+        (es1 < es2 || (es1 == es2 && id1 < id2))
+    } yield (u1, id1, id2)).toSet
+    assert(keys.toSet == naive)
   }
 
   test("every event gets a match on testdata (orders all precede events)") {

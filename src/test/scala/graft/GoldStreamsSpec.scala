@@ -1,7 +1,6 @@
 package graft
 
 import java.nio.file.Files
-import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.Gold
@@ -18,11 +17,11 @@ class GoldStreamsSpec extends SparkSpec {
     val sales = Tables.sales(spark, sfDir)
       .select(col("transaction_id"), col("quantity"), col("unit_price"),
         col("sale_ts").cast("timestamp").as("sale_ts"))
-      .as[(Long, Long, Double, Timestamp)]
+      .as[(Long, Long, Double, java.sql.Timestamp)]
       .collect()
       .sortBy(_._4.getTime)
 
-    val input = MemoryStream[(Long, Long, Double, Timestamp)]
+    val input = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
     val streamDf = input.toDF()
       .toDF("transaction_id", "quantity", "unit_price", "sale_ts")
     val q = GoldStreams.maintainDailySummary(
