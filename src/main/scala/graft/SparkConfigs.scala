@@ -34,6 +34,9 @@ object SparkConfigs {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime bloom-filter join pruning: the selective side of a join
+      // filters the big side's scan before the shuffle.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // Start high: ~2-3x total cores. AQE coalesces down; an
       // under-partitioned shuffle spills and cannot be split after the
       // fact (except by skew-join handling).
