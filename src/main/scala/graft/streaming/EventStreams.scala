@@ -82,6 +82,28 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval self-join: pairs of same-user events within
+    * `boundSec` seconds (the streaming twin of
+    * operators.IntervalJoin.eventPairs). Both sides carry watermarks and
+    * the join condition bounds event time on both ends, so Spark can
+    * evict join state once the watermark passes — state is O(events per
+    * watermark window), the requirement for an unbounded stream. */
+  def intervalPairsStream(events: DataFrame, boundSec: Long): DataFrame = {
+    val a = events.select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val b = events.select(col("user_id"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    a.join(b,
+      expr(s"""a_id != b_id AND
+              |b_ts >= a_ts AND b_ts <= a_ts + INTERVAL $boundSec SECONDS AND
+              |(a_ts < b_ts OR (a_ts = b_ts AND a_id < b_id))""".stripMargin)
+        && a("user_id") === b("user_id"))
+      .select(a("user_id"), col("a_id"), col("b_id"),
+        expr("timestampdiff(SECOND, a_ts, b_ts)").as("gap_sec"))
+  }
+
   /** File-stream source over an events directory (the deployment shape:
     * new parquet files land, Spark incrementally processes them). */
   def fileSource(spark: org.apache.spark.sql.SparkSession, path: String,

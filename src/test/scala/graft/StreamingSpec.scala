@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch bucket join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val streamDf = input.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams
+      .intervalPairsStream(streamDf, graft.operators.IntervalJoin.BoundSec)
+      .writeStream.format("memory").queryName("ival_out")
+      .outputMode("append").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    input.addData(rows.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("ival_out")
+      .select("user_id", "a_id", "b_id", "gap_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    val batch = graft.operators.IntervalJoin.eventPairs(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
