@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, RollingHash, SimHash64, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -44,5 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_top_k_by_score",
       "top-k (score, id) pairs per group via a bounded heap",
       TopKByScore.builder)
+    inject("graft_hyperplane_sigs",
+      "per-table hyperplane-LSH sign-bit signatures of an embedding",
+      HyperplaneSigs.builder)
+    inject("graft_token_set_hits",
+      "count of space-tokens present in a literal token set (duplicates counted)",
+      TokenSetHits.builder)
+    inject("graft_nearest_cells",
+      "indices of the n nearest centroids to a vector (IVF assign/probe)",
+      NearestCells.builder)
   }
 }

@@ -53,8 +53,7 @@ object ArrayDotProduct {
 
   /** Register as a SQL function; `column` then resolves at analysis. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", builder, "scala_udf")
+    Registration.ensure(spark, "graft_dot", builder)
 
   def column(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)

@@ -53,10 +53,9 @@ object RollingHash {
   /** Shared SQL builder (used by register() and GraftExtensions). */
   val builder: Seq[Expression] => Expression = exprs => RollingHash(exprs.head)
 
-  /** Register as a SQL function and return a builder for Column use. */
+  /** Register as a SQL function (no-op when already registered). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash", builder, "scala_udf")
+    Registration.ensure(spark, "graft_rolling_hash", builder)
 
   def rollingHash(spark: SparkSession, c: Column): Column = {
     register(spark)

@@ -64,6 +64,5 @@ object SimHash64 {
   val builder: Seq[Expression] => Expression = exprs => SimHash64(exprs.head)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64", builder, "scala_udf")
+    Registration.ensure(spark, "graft_simhash64", builder)
 }

@@ -87,8 +87,7 @@ object TopKByScore {
     exprs => TopKByScore(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int])
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_top_k_by_score", builder, "scala_udf")
+    Registration.ensure(spark, "graft_top_k_by_score", builder)
 }
 
 /** Fixed-capacity worst-first binary heap over (score, id): evicts the

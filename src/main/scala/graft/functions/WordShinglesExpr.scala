@@ -85,10 +85,8 @@ object WordShingles {
     exprs => WordNgrams(exprs.head, exprs(1).eval().asInstanceOf[Int])
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_shingles", shinglesBuilder, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_ngrams", ngramsBuilder, "scala_udf")
+    Registration.ensure(spark, "graft_word_shingles", shinglesBuilder)
+    Registration.ensure(spark, "graft_word_ngrams", ngramsBuilder)
   }
 }
 

@@ -42,16 +42,15 @@ object Athena {
     topPerformingCustomersOf(Gold.topCustomers(spark, dir))
 
   /** product_analysis (athena_queries.py:100-112): popularity score
-    * against the global MAX(times_sold). The max is an unpartitioned
-    * window over the product aggregate — safe because that input is
-    * dimension-sized (one row per product), and it keeps the plan to a
-    * SINGLE scan of the fact (a scalar subquery would re-derive the
-    * whole gold pipeline in a second branch). */
+    * against the global MAX(times_sold). The max is a 1-row aggregate
+    * cross-joined back via `broadcast` — a BroadcastNestedLoopJoin of a
+    * single row, so the product aggregate is never funneled through a
+    * single-partition window exchange (which would bottleneck a wide
+    * product dimension at 100 TB). The aggregate branch shares the same
+    * gold subplan, so ReuseExchange keeps the fact scan single. */
   def productAnalysisOf(perf: DataFrame): DataFrame =
     perf
-      .withColumn("max_sold",
-        max(col("times_sold")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .crossJoin(broadcast(perf.agg(max(col("times_sold")).as("max_sold"))))
       .select(
         col("product_id"), col("product_name"), col("category"),
         col("times_sold"), col("total_quantity"),

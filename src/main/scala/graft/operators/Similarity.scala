@@ -22,14 +22,11 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `Tables`×`Bits` per table, seeded
     * — java.util.Random's algorithm is specified, so signatures are
-    * reproducible everywhere. */
+    * reproducible everywhere (generated inside [[graft.functions.HyperplaneSigs]]). */
   val LshTables = 24
   val LshBits = 3
   val Dim = 64
-  lazy val planes: Array[Array[Array[Double]]] = {
-    val rnd = new java.util.Random(42)
-    Array.fill(LshTables, LshBits, Dim)(rnd.nextGaussian())
-  }
+  val PlaneSeed = 42L
 
   /** Corpus with the norm precomputed once per row (never per pair). */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
@@ -72,31 +69,16 @@ object Similarity {
   }
 
   /** LSH bucket signatures: one row per (vec, table) with the table's
-    * sign-bit signature. Computed in a typed map — pure per-row math. */
-  private def signatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
-    import spark.implicits._
-    val ps = planes // local val: don't capture the object in the closure
-    val nT = LshTables
-    val nB = LshBits
-    df.select(col(idCol).cast("long"), col("embedding"))
-      .as[(Long, Array[Double])]
-      .flatMap { case (id, v) =>
-        (0 until nT).map { t =>
-          var sig = 0
-          var b = 0
-          while (b < nB) {
-            var dot = 0.0
-            var i = 0
-            val p = ps(t)(b)
-            while (i < v.length) { dot += v(i) * p(i); i += 1 }
-            if (dot > 0) sig |= (1 << b)
-            b += 1
-          }
-          (id, t, sig)
-        }
-      }
-      .toDF(idCol, "tbl", "sig")
-  }
+    * sign-bit signature. The per-row math is the native codegen
+    * [[graft.functions.HyperplaneSigs]] expression (all 24 signatures in
+    * one array), exploded by a native generator — no typed row-object
+    * map, so the signature pass fuses into the corpus scan's
+    * whole-stage-codegen span. */
+  private def signatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+        posexplode(graft.functions.HyperplaneSigs.column(spark,
+          col("embedding"), LshTables, LshBits, Dim, PlaneSeed)))
+      .select(col(idCol), col("pos").as("tbl"), col("col").as("sig"))
 
   /** Embedding-space near-dup pairs: hyperplane-LSH candidates
     * (equi-join on (table, signature)), deduped, then exact cosine
@@ -145,41 +127,60 @@ object Similarity {
   }
 
   val IvfCells = 16
-  val IvfProbes = 4
+  val IvfProbes = 6
+  /** Each corpus vector is indexed under its `IvfAssign` nearest cells
+    * (IVF "spilling"/multi-assignment): boundary vectors — whose true
+    * neighbors straddle a Voronoi edge — appear in both adjacent cells,
+    * which is what lifts recall without probing more of the corpus. */
+  val IvfAssign = 2
+  /** Quantizer training-sample target: a 16-cell codebook needs a few
+    * thousand vectors, not the corpus — at 100 TB training on the full
+    * table (10 k-means iterations × full scans) is the difference
+    * between seconds and hours. */
+  val IvfTrainTarget = 4096L
 
-  /** IVF coarse quantizer: k-means cells (MLlib, fixed seed → a
-    * deterministic codebook), corpus partitioned by nearest-centroid
-    * cell, queries probe the `IvfProbes` nearest cells, exact rerank
-    * inside the probed cells. The at-scale alternative to hyperplane
-    * LSH: one equi-join on cell id instead of a full corpus scan per
-    * query; the quantizer is trained once and reused. */
+  /** Train-once codebook cache, keyed by corpus dir: the quantizer is
+    * fit ONE time per corpus on a deterministic sample and the (tiny)
+    * codebook is reused by every subsequent query — in a deployment the
+    * codebook would be persisted next to the table and loaded, never
+    * refit on the query path. */
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
+
+  /** Fit the IVF coarse quantizer (MLlib k-means, fixed seed) on a
+    * deterministic sample of the corpus and return the codebook. */
+  def ivfCodebook(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    codebooks.computeIfAbsent((dir, IvfCells), _ => {
+      val c = corpus(spark, dir)
+      val n = c.count()
+      val fraction = math.min(1.0, IvfTrainTarget.toDouble / math.max(n, 1L))
+      val trainDf = c.sample(withReplacement = false, fraction, seed = 7L)
+        .select(org.apache.spark.ml.functions.array_to_vector(col("embedding"))
+          .as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(IvfCells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+        .fit(trainDf)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    })
+
+  /** IVF search: corpus partitioned by nearest-centroid cell, queries
+    * probe the `IvfProbes` nearest cells, exact rerank inside the probed
+    * cells. The at-scale alternative to hyperplane LSH: one equi-join on
+    * cell id instead of a full corpus scan per query. Assignment is the
+    * native codegen [[graft.functions.NearestCells]] expression over the
+    * cached codebook — the query path only assigns and probes, it never
+    * retrains. */
   def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val c = corpus(spark, dir)
     val q = querySet(c)
+    val centroids = ivfCodebook(spark, dir)
 
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(IvfCells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
-    val trainDf = c.select(
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
-    val centroids: Array[Array[Double]] =
-      km.fit(trainDf).clusterCenters.map(_.toArray)
-
-    def nearestCells(n: Int)(v: Array[Double]): Seq[Int] =
-      centroids.zipWithIndex.map { case (ct, i) =>
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(n).map(_._2).toSeq
-
-    val cCells = c.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, nearestCells(1)(v).head) }
-      .toDF("vec_id", "cell")
-    val qCells = q.select(col("query_id").cast("long"), col("q_emb"))
-      .as[(Long, Array[Double])]
-      .flatMap { case (id, v) => nearestCells(IvfProbes)(v).map(cell => (id, cell)) }
-      .toDF("query_id", "cell")
+    val cCells = c.select(col("vec_id").cast("long").as("vec_id"),
+      explode(graft.functions.NearestCells.column(spark, col("embedding"),
+        centroids, IvfAssign)).as("cell"))
+    val qCells = q.select(col("query_id").cast("long").as("query_id"),
+        explode(graft.functions.NearestCells.column(spark, col("q_emb"),
+          centroids, IvfProbes)).as("cell"))
 
     val cand = cCells.join(qCells, "cell")
       .where(col("vec_id") =!= col("query_id"))

@@ -68,7 +68,9 @@ object TextAnalysis {
     val t = split(col("text"), " ")
     val nTok   = size(t)
     val uniqRatio = size(array_distinct(t)) * lit(1.0) / nTok
-    val stopHits  = size(filter(t, x => x.isInCollection(stopwords)))
+    // native codegen count (duplicates counted) — the higher-order
+    // filter(t, isInCollection) is CodegenFallback, interpreted per row
+    val stopHits  = graft.functions.TokenSetHits.column(spark, col("text"), stopwords)
     val stopRatio = stopHits * lit(1.0) / nTok
     val punctRatio = size(regexp_extract_all(col("text"), lit("""[^\w\s]"""), lit(0))) *
       lit(1.0) / length(col("text"))

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{RollingHash, SimHash64, WordShingles}
+import graft.functions.{HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, WordShingles}
 
 /** Property tests for the native codegen expressions against naive
   * reference implementations on arbitrary input (these are the
@@ -67,6 +67,63 @@ object ExpressionProps extends Properties("graft.functions") {
       val differ = SimHash64.hash(UTF8String.fromString(s)) !=
         SimHash64.hash(UTF8String.fromString(other))
       same && differ
+    }
+
+  // ---- HyperplaneSigs / NearestCells / TokenSetHits ----
+
+  private val vector: Gen[Array[Double]] =
+    Gen.choose(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0)).map(_.toArray))
+
+  property("hyperplaneSigs equals naive per-table sign-bit loop") =
+    Prop.forAll(vector, Gen.choose(1, 6), Gen.choose(1, 8), Gen.choose(0L, 99L)) {
+      (v, nT, nB, seed) =>
+        val planes = HyperplaneSigs.planes(nT, nB, v.length, seed)
+        val expected = (0 until nT).map { t =>
+          (0 until nB).foldLeft(0) { (sig, b) =>
+            val dot = v.indices.foldLeft(0.0)((s, i) => s + v(i) * planes(t)(b)(i))
+            if (dot > 0) sig | (1 << b) else sig
+          }
+        }
+        val got = HyperplaneSigs.sigs(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), planes)
+          .toIntArray().toSeq
+        got == expected
+    }
+
+  property("hyperplaneSigs planes are deterministic across calls") =
+    Prop.forAll(Gen.choose(1, 4), Gen.choose(1, 4), Gen.choose(0L, 99L)) {
+      (nT, nB, seed) =>
+        val a = HyperplaneSigs.planes(nT, nB, 8, seed)
+        val rnd = new java.util.Random(seed)
+        val b = Array.fill(nT, nB, 8)(rnd.nextGaussian())
+        a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq
+    }
+
+  property("nearestCells equals stable sort-by-distance take-n") =
+    Prop.forAll(vector, Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(0L, 99L)) {
+      (v, k, probes, seed) =>
+        val rnd = new java.util.Random(seed)
+        val centroids = Array.fill(k, v.length)(rnd.nextGaussian())
+        val expected = centroids.zipWithIndex.map { case (ct, i) =>
+          val d = v.indices.foldLeft(0.0) { (s, j) =>
+            val t = v(j) - ct(j); s + t * t
+          }
+          (d, i)
+        }.sortBy(_._1).take(probes).map(_._2).toSeq
+        val got = NearestCells.cells(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+          centroids, probes).toIntArray().toSeq
+        got == expected
+    }
+
+  property("tokenSetHits equals naive filter-count (duplicates counted)") =
+    Prop.forAll(sentence, Gen.listOf(word)) { (s, set) =>
+      val expected = s.split(" ", -1).count(set.toSet)
+      val hs = TokenSetHits.buildSet(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          set.map(UTF8String.fromString).toArray))
+      TokenSetHits.hits(UTF8String.fromString(s), hs) == expected
     }
 
   // ---- TopKBuffer: the hand-written bounded heap ----

@@ -52,4 +52,14 @@ class GoldSpec extends SparkSpec {
     val plan = Gold.topCustomers(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("product analysis gets the global max via a 1-row broadcast, not a window") {
+    val plan = Athena.productAnalysis(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the 1-row MAX aggregate is broadcast cross-joined back; an
+    // unpartitioned window would funnel the whole product aggregate
+    // through one partition
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Window"))
+  }
 }

@@ -15,22 +15,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH top-k recall vs exact is usable") {
+  test("LSH top-k recall vs exact is 1.0 at this scale") {
     val exact = Similarity.annTopKExact(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val lsh = Similarity.annTopKLsh(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (lsh intersect exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+    info(s"LSH top-k recall = $recall")
+    // measured 1.0 at sf0.001/0.01/0.1 — assert the measured value so a
+    // recall regression fails CI instead of slipping under a low bar
+    assert(recall == 1.0, s"recall $recall")
   }
 
-  test("IVF top-k recall vs exact is usable") {
+  test("IVF top-k recall vs exact is >= 0.9 (measured 0.94 at sf0.001)") {
     val exact = Similarity.annTopKExact(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val ivf = Similarity.annTopKIvf(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (ivf intersect exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall")
+    info(s"IVF top-k recall = $recall")
+    // these synthetic embeddings are near-uniform (no cluster structure),
+    // the hard case for IVF: 0.94 with 2-way assignment + 6/16 probes is
+    // the measured value — asserted so a regression fails CI
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("embed near-dup equals brute force at this scale (recall 1)") {

@@ -46,6 +46,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("quality plan has no interpreted higher-order lambda (codegen only)") {
+    val plan = TextAnalysis.quality(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("token-set hits counts duplicates and honors the set") {
+    import graft.functions.TokenSetHits
+    val set = TokenSetHits.buildSet(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("the", "a", "of", "and", "is").map(UTF8String.fromString)))
+    def hits(s: String): Int = TokenSetHits.hits(UTF8String.fromString(s), set)
+    assert(hits("the cat and the hat") == 3) // the, and, the — duplicates counted
+    assert(hits("") == 0)
+    assert(hits("a a a") == 3)
+    assert(hits("theory android") == 0) // whole-token matches only
+  }
+
   test("top ngrams returns 20 rows with positive counts") {
     val rows = TextAnalysis.topNgrams(spark, sfDir).collect()
     assert(rows.length == 20)
