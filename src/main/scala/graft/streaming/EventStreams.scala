@@ -16,12 +16,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** 5-minute tumbling windows per event type with a 10-minute
-    * watermark (late events beyond it are dropped, state is evicted). */
+    * watermark (late events beyond it are dropped, state is evicted).
+    * The money sum is `Gold.moneySum` — the same fixed-point decimal
+    * aggregate as the batch twin, so sum_value is order-independent
+    * across micro-batches/partitions and can never drift from batch. */
   def windowedAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Gold.moneySum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -60,7 +64,12 @@ object EventStreams {
           out += SessionOut(userId, s.sessionIdx, s.nEvents, s.startEs, s.lastEs - s.startEs)
           st = SessionState(s.sessionIdx + 1, e.es, e.es, 1L)
         case s =>
-          st = s.copy(lastEs = e.es, nEvents = s.nEvents + 1)
+          // events are only sorted WITHIN a micro-batch: a cross-batch
+          // late event may carry es < lastEs (or < startEs). Merge with
+          // min/max so the open session can never shrink its gap window
+          // or emit a negative duration.
+          st = s.copy(startEs = math.min(s.startEs, e.es),
+            lastEs = math.max(s.lastEs, e.es), nEvents = s.nEvents + 1)
       }
     }
     if (st != null) state.update(st)
@@ -89,10 +98,16 @@ object EventStreams {
     * evict join state once the watermark passes — state is O(events per
     * watermark window), the requirement for an unbounded stream. */
   def intervalPairsStream(events: DataFrame, boundSec: Long): DataFrame = {
-    val a = events.select(col("user_id"), col("event_id").as("a_id"),
+    // second-truncate INSIDE the operator (the repo-wide rule for
+    // gap/window math): raw µs-precision timestamps would flip pair
+    // membership at the bound and diverge from the batch twin, which
+    // works on epoch seconds
+    val e = events.select(col("user_id"), col("event_id"),
+      date_trunc("second", col("ts")).as("ts"))
+    val a = e.select(col("user_id"), col("event_id").as("a_id"),
         col("ts").as("a_ts"))
       .withWatermark("a_ts", "10 minutes")
-    val b = events.select(col("user_id"), col("event_id").as("b_id"),
+    val b = e.select(col("user_id"), col("event_id").as("b_id"),
         col("ts").as("b_ts"))
       .withWatermark("b_ts", "10 minutes")
     a.join(b,

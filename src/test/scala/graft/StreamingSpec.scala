@@ -9,11 +9,13 @@ import graft.streaming.EventStreams.{Evt, SessionOut}
 
 class StreamingSpec extends SparkSpec {
 
-  test("streaming windowed agg matches the batch twin") {
+  test("streaming windowed agg matches the batch twin (counts AND money sums)") {
     import spark.implicits._
     val batch = Events.windowedAgg(spark, sfDir)
-      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -27,9 +29,13 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
     input.addData(rows.toSeq)
     q.processAllAvailable()
+    // sum_value included: the fixed-point moneySum must be bit-identical
+    // between the streaming and batch twins, not just the counts
     val streamed = spark.table("win_out")
-      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     q.stop()
     assert(streamed == batch)
   }
@@ -43,9 +49,10 @@ class StreamingSpec extends SparkSpec {
       .intervalPairsStream(streamDf, graft.operators.IntervalJoin.BoundSec)
       .writeStream.format("memory").queryName("ival_out")
       .outputMode("append").start()
+    // feed RAW µs-precision timestamps: the operator itself
+    // second-truncates, so the stream must match batch on arbitrary input
     val rows = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"),
-        date_trunc("second", col("ts")).cast("timestamp").as("ts"))
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
     input.addData(rows.toSeq)
     q.processAllAvailable()
