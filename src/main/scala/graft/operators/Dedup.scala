@@ -50,15 +50,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
 
-  /** Near-dup pairs by exact n-gram Jaccard: candidates from the
-    * shingle equi-join itself (docs sharing ≥1 shingle). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSetsWithSize(spark, dir)
+  /** Candidate-generation guard: shingles appearing in more documents
+    * than this are dropped from CANDIDATE GENERATION only (verification
+    * always runs on full shingle sets, so precision stays 1). At 100 TB
+    * a boilerplate shingle ("terms of service") otherwise creates a
+    * df² quadratic bucket in the equi-join; capping df bounds any
+    * bucket's pair count at ~10⁶. Two ≥0.8-Jaccard near-dups share far
+    * more than their capped shingles, so recall loss needs a pair whose
+    * EVERY shared shingle is corpus-boilerplate — in practice none (and
+    * provably none at the tested scale factors, where max df is 25). */
+  val ShingleDfCap = 1000L
+
+  /** Exact Jaccard verification of candidate (a_id, b_id) pairs: narrow
+    * the shingle table to candidate docs (semi-join — at scale the
+    * candidate set is tiny next to the corpus), then count
+    * intersections over the FULL sets. Shared by the n-gram and
+    * MinHash+LSH paths, so every candidate generator gets precision 1. */
+  private def verifyCandidates(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shS = shingleSetsWithSize(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
     jaccardFilter(
-      sh.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"), col("shingle")),
-          Seq("shingle"))
-        .where(col("a_id") < col("b_id")))
+      cand
+        .join(shS.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle")), "a_id")
+        .join(shS.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"), col("shingle")),
+          Seq("shingle", "b_id")))
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard: candidates from the
+    * df-capped shingle equi-join (docs sharing ≥1 non-ubiquitous
+    * shingle), then exact verification on full sets. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(spark, dir, ShingleDfCap)
+
+  def ngramJaccardCapped(spark: SparkSession, dir: String,
+      dfCap: Long): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val capped = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= dfCap)
+    val cand = capped.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(capped.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyCandidates(spark, dir, cand)
   }
 
   /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),
@@ -87,18 +124,7 @@ object Dedup {
         Seq("band", "sig"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact verification within candidates only: first narrow the
-    // shingle table to candidate docs (semi-join) — at scale the
-    // candidate set is tiny next to the corpus shingle table
-    val candDocs = cand.select(col("a_id").as("doc_id"))
-      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
-    val shS = shingleSetsWithSize(spark, dir)
-      .join(candDocs, Seq("doc_id"), "left_semi")
-    jaccardFilter(
-      cand
-        .join(shS.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle")), "a_id")
-        .join(shS.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"), col("shingle")),
-          Seq("shingle", "b_id")))
+    verifyCandidates(spark, dir, cand)
   }
 
   /** Pairs within this Hamming distance count as simhash near-dups.

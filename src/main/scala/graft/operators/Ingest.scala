@@ -76,6 +76,26 @@ object Ingest {
         |ORDER BY c.country""".stripMargin)
   }
 
+  /** External partitioned catalog: write sales hive-partitioned by sale
+    * year, register the directory as an external table with recovered
+    * partitions (glue PartitionKeys analog), then answer a
+    * year-predicated question by NAME through the catalog — the
+    * predicate prunes to the matching partition directories (asserted
+    * in CatalogSpec via PartitionFilters). */
+  def externalPartitionedCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("silver_sales_by_year")
+    val sales = Tables.sales(spark, dir)
+      .withColumn("sale_year", year(col("sale_ts")))
+    ParquetSink.writePartitioned(sales, path, Seq("sale_year"))
+    CatalogRegistry.registerExternalPartitioned(spark, "silver_sales_ext", path)
+    spark.sql(
+      """SELECT sale_year, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(FLOOR((unit_price*quantity)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000 AS revenue
+        |FROM silver_sales_ext
+        |WHERE sale_year >= 1996
+        |GROUP BY sale_year ORDER BY sale_year""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
     "src_parquet_scan" ->
       """SELECT l_returnflag,
@@ -104,12 +124,19 @@ object Ingest {
          |SELECT c.country, COUNT(s.transaction_id) AS n_sales,
          |       ${Gold.moneySumSql("s.unit_price*s.quantity")} AS revenue
          |FROM sales s JOIN customers c ON s.customer_id = c.customer_id
-         |GROUP BY c.country ORDER BY c.country""".stripMargin)
+         |GROUP BY c.country ORDER BY c.country""".stripMargin,
+    "cat_external_partitioned" ->
+      s"""WITH ${Tables.salesCte}
+         |SELECT CAST(YEAR(sale_ts) AS INT) AS sale_year, COUNT(*) AS n_rows,
+         |       ${Gold.moneySumSql("unit_price*quantity")} AS revenue
+         |FROM sales WHERE YEAR(sale_ts) >= 1996
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src_parquet_scan"        -> parquetScan,
-    "src_csv_roundtrip"       -> csvRoundtrip,
-    "snk_partitioned_parquet" -> partitionedParquetSink,
-    "snk_s3_layout"           -> s3LayoutSink,
-    "cat_register_tables"     -> catalogQuery)
+    "src_parquet_scan"         -> parquetScan,
+    "src_csv_roundtrip"        -> csvRoundtrip,
+    "snk_partitioned_parquet"  -> partitionedParquetSink,
+    "snk_s3_layout"            -> s3LayoutSink,
+    "cat_register_tables"      -> catalogQuery,
+    "cat_external_partitioned" -> externalPartitionedCatalog)
 }

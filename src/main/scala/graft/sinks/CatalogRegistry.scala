@@ -46,4 +46,20 @@ object CatalogRegistry {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(name)
+
+  /** External partitioned table over a hive-layout directory
+    * (glue_registry.py:40-64 registers a location with explicit
+    * `PartitionKeys` so Athena prunes partitions; this is the
+    * Spark-native analog for the silver layer ParquetSink writes):
+    * schema AND partition columns are discovered from the directory,
+    * then `RECOVER PARTITIONS` (the MSCK REPAIR crawler step) adds every
+    * partition to the catalog. Queries by name then hit only matching
+    * partition directories — the scan shows PartitionFilters, and at
+    * 100 TB a day-filtered query reads one day, not the lake. */
+  def registerExternalPartitioned(spark: SparkSession, name: String,
+      path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet OPTIONS (path '$path')")
+    spark.catalog.recoverPartitions(name)
+  }
 }

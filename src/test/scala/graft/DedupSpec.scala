@@ -18,6 +18,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("shingle df cap is inert at this scale and keeps precision 1 when active") {
+    val uncapped = Dedup.ngramJaccardCapped(spark, sfDir, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val default = Dedup.ngramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the production cap (1000) is far above this corpus's max df (9):
+    // identical results, so the oracle hash is unaffected
+    assert(default.sameElements(uncapped))
+    // an aggressive cap may lose candidates (recall) but every surviving
+    // pair is still exact-verified on FULL sets: a subset with the same
+    // jaccard values (precision 1)
+    val tight = Dedup.ngramJaccardCapped(spark, sfDir, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(tight.toSet.subsetOf(uncapped.toSet))
+  }
+
   test("minhash LSH returns exactly the exact-jaccard pairs (recall 1 here)") {
     val exact = Dedup.ngramJaccard(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -34,6 +34,27 @@ class PipelineSpec extends SparkSpec {
       lowerBound = Some(0L), upperBound = Some(1000000L), numPartitions = 16)
     // builds without connecting; load() would need a live database
     JdbcSource.reader(spark, cfg)
+    val opts = JdbcSource.options(cfg)
+    assert(opts("dbtable") == "public.customers")
+    assert(opts("partitionColumn") == "customer_id")
+    assert(opts("numPartitions") == "16")
+  }
+
+  test("jdbc limit and predicates push into the remote query") {
+    val base = JdbcSource.JdbcConfig(
+      url = "jdbc:postgresql://host:5432/db", table = "public.customers",
+      user = "u", password = "p")
+    assert(JdbcSource.dbtable(base.copy(limit = Some(100))) ==
+      "(SELECT * FROM public.customers LIMIT 100) graft_extract")
+    assert(JdbcSource.dbtable(base.copy(
+      predicates = Seq("status = 'active'", "balance > 0"))) ==
+      "(SELECT * FROM public.customers WHERE (status = 'active') AND (balance > 0)) graft_extract")
+    assert(JdbcSource.dbtable(base.copy(limit = Some(5),
+      predicates = Seq("id > 7"))) ==
+      "(SELECT * FROM public.customers WHERE (id > 7) LIMIT 5) graft_extract")
+    // the subquery reaches the reader's dbtable option
+    assert(JdbcSource.options(base.copy(limit = Some(100)))("dbtable")
+      .contains("LIMIT 100"))
   }
 
   test("dq business rules all pass on clean testdata") {
