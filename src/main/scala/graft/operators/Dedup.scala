@@ -39,33 +39,49 @@ object Dedup {
     shingleSets(spark, dir).withColumn("n_sh",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
 
-  /** Exact Jaccard ≥ threshold over candidate (a,b) doc pairs carrying
-    * their set sizes: |A∩B| from one count per pair. */
-  private def jaccardFilter(pairsWithSizes: DataFrame): DataFrame =
-    pairsWithSizes
-      .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("inter"))
+  /** Jaccard ≥ threshold from per-pair intersection counts
+    * (a_id, b_id, n_a, n_b, inter). */
+  private def jaccardFromInter(inter: DataFrame): DataFrame =
+    inter
       .withColumn("jaccard",
         col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
 
+  /** Exact Jaccard ≥ threshold over candidate (a,b) doc pairs carrying
+    * their set sizes: |A∩B| from one count per pair. */
+  private def jaccardFilter(pairsWithSizes: DataFrame): DataFrame =
+    jaccardFromInter(
+      pairsWithSizes.groupBy("a_id", "b_id", "n_a", "n_b")
+        .agg(count(lit(1)).as("inter")))
+
   /** Candidate-generation guard: shingles appearing in more documents
-    * than this are dropped from CANDIDATE GENERATION only (verification
-    * always runs on full shingle sets, so precision stays 1). At 100 TB
-    * a boilerplate shingle ("terms of service") otherwise creates a
-    * df² quadratic bucket in the equi-join; capping df bounds any
-    * bucket's pair count at ~10⁶. Two ≥0.8-Jaccard near-dups share far
-    * more than their capped shingles, so recall loss needs a pair whose
-    * EVERY shared shingle is corpus-boilerplate — in practice none (and
-    * provably none at the tested scale factors, where max df is 25). */
+    * than this never join on their own key — candidate pairs come only
+    * from allowed (df ≤ cap) shingles, and banned shingles re-enter the
+    * intersection count through a per-pair correction term (so reported
+    * jaccard stays EXACT; precision stays 1). At 100 TB a boilerplate
+    * shingle ("terms of service") otherwise creates a df² quadratic
+    * bucket in the equi-join; capping df bounds any bucket's pair count
+    * at ~10⁶. Two ≥0.8-Jaccard near-dups share far more than their
+    * capped shingles, so recall loss needs a pair whose EVERY shared
+    * shingle is corpus-boilerplate — in practice none (and provably
+    * none at the tested scale factors, where max df is 25). */
   val ShingleDfCap = 1000L
 
-  /** Exact Jaccard verification of candidate (a_id, b_id) pairs: narrow
-    * the shingle table to candidate docs (semi-join — at scale the
-    * candidate set is tiny next to the corpus), then count
-    * intersections over the FULL sets. Shared by the n-gram and
-    * MinHash+LSH paths, so every candidate generator gets precision 1. */
+  /** Exact Jaccard verification for a candidate (a_id, b_id) pair set:
+    * narrow the shingle table to candidate docs (semi-join — at scale
+    * the candidate set is tiny next to the corpus), then self-join the
+    * narrowed sets on shingle and count intersections over the FULL
+    * sets. Shared by the n-gram and MinHash+LSH paths, so every
+    * candidate generator gets precision 1 (verification is exact), and
+    * recall ≥ the generator's (any ≥threshold pair among candidate docs
+    * is found, even if the generator missed the pair itself).
+    *
+    * Deliberately NOT `cand ⋈ shingles(a) ⋈ shingles(b)`: that
+    * intermediate is |cand|·|set(a)| rows (pairs × full shingle sets —
+    * ~50× the pair count) before the b-side filters; the restricted
+    * self-join only ever materializes one row per SHARED shingle. */
   private def verifyCandidates(spark: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("a_id").as("doc_id"))
@@ -73,29 +89,57 @@ object Dedup {
     val shS = shingleSetsWithSize(spark, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
     jaccardFilter(
-      cand
-        .join(shS.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle")), "a_id")
+      shS.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle"))
         .join(shS.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"), col("shingle")),
-          Seq("shingle", "b_id")))
+          Seq("shingle"))
+        .where(col("a_id") < col("b_id")))
   }
 
-  /** Near-dup pairs by exact n-gram Jaccard: candidates from the
-    * df-capped shingle equi-join (docs sharing ≥1 non-ubiquitous
-    * shingle), then exact verification on full sets. */
+  /** Near-dup pairs by exact n-gram Jaccard: ONE self-join on df-capped
+    * shingles produces both the candidate pairs and their allowed-shingle
+    * intersection counts; shared BANNED shingles are then added back
+    * exactly per candidate pair. No separate verification pass — the
+    * capped join IS the verification over allowed shingles, and the
+    * correction term restores full-set exactness. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardCapped(spark, dir, ShingleDfCap)
 
   def ngramJaccardCapped(spark: SparkSession, dir: String,
       dfCap: Long): DataFrame = {
     val sh = shingleSets(spark, dir)
-    val capped = sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .where(col("df") <= dfCap)
-    val cand = capped.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(capped.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+    // Ban-list anti-join, NOT a df window: the banned set is tiny by
+    // construction (≤ shingleRows/dfCap), the groupBy partial-aggregates
+    // map-side, and an empty/small ban list lets AQE broadcast or drop
+    // the anti-join — a count().over(partitionBy(shingle)) here costs a
+    // full sort-exchange of every shingle row on EVERY recomputation of
+    // this subtree (it appears on both join sides).
+    val banned = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select("shingle")
+    // full set sizes ride along BEFORE the ban filter — jaccard's
+    // denominator needs |A|, |B| over the FULL sets
+    val allowed = shingleSetsWithSize(spark, dir)
+      .join(banned, Seq("shingle"), "left_anti")
+    val interAllowed = allowed
+      .select(col("doc_id").as("a_id"), col("n_sh").as("n_a"), col("shingle"))
+      .join(allowed.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"), col("shingle")),
+        Seq("shingle"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    verifyCandidates(spark, dir, cand)
+      .groupBy("a_id", "b_id", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter_allowed"))
+    // exact correction: shared banned shingles, counted for candidate
+    // pairs only — |cand| × banned-shingles-per-doc rows, never a df²
+    // banned bucket (the banned side is keyed by doc_id, not shingle)
+    val bannedRows = sh.join(banned, Seq("shingle"), "left_semi")
+    val interBanned = interAllowed.select("a_id", "b_id")
+      .join(bannedRows.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(bannedRows.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("shingle", "b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter_banned"))
+    jaccardFromInter(
+      interAllowed.join(interBanned, Seq("a_id", "b_id"), "left")
+        .withColumn("inter",
+          col("inter_allowed") + coalesce(col("inter_banned"), lit(0L)))
+        .select("a_id", "b_id", "n_a", "n_b", "inter"))
   }
 
   /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),

@@ -130,17 +130,23 @@ object ExpressionProps extends Properties("graft.functions") {
 
   private val entries: Gen[List[(Double, Long)]] =
     Gen.listOf(Gen.zip(
-      Gen.chooseNum(-10.0, 10.0).map(x => math.rint(x * 4) / 4), // force ties
+      Gen.chooseNum(-10.0, 10.0).map(x => math.rint(x * 4) / 4), // force ties; emits -0.0 too
       Gen.chooseNum(0L, 20L)))
 
+  /* The heap follows SQL comparison semantics (-0.0 == 0.0, ties to the
+   * smaller id); raw Ordering[Double] and Tuple2.equals both distinguish
+   * the -0.0 bit pattern, so the naive reference and the comparison must
+   * normalize — while the heap itself still receives raw -0.0 input. */
+  private def nz(s: Double): Double = s + 0.0 // -0.0 → 0.0
+
   private def naiveWithDups(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
-    xs.sortBy { case (s, i) => (-s, i) }.take(k)
+    xs.map { case (s, i) => (nz(s), i) }.sortBy { case (s, i) => (-s, i) }.take(k)
 
   property("TopKBuffer equals sort-take on arbitrary inserts (ties included)") =
     Prop.forAll(entries, Gen.choose(1, 8)) { (xs, k) =>
       val buf = new graft.functions.TopKBuffer(k)
       xs.foreach { case (s, i) => buf.insert(s, i) }
-      buf.sortedBestFirst == naiveWithDups(xs, k)
+      buf.sortedBestFirst.map { case (s, i) => (nz(s), i) } == naiveWithDups(xs, k)
     }
 
   property("TopKBuffer merge + serialize roundtrip equals single-pass") =
@@ -153,6 +159,14 @@ object ExpressionProps extends Properties("graft.functions") {
         t.toBytes
       })
       b.foreach((s, i) => a.insert(s, i))
-      a.sortedBestFirst == naiveWithDups(xs ++ ys, k)
+      a.sortedBestFirst.map { case (s, i) => (nz(s), i) } == naiveWithDups(xs ++ ys, k)
+    }
+
+  property("TopKBuffer treats -0.0 as 0.0 with ties falling to the smaller id") =
+    Prop.forAll(Gen.choose(1, 4)) { k =>
+      val buf = new graft.functions.TopKBuffer(k)
+      buf.insert(-0.0, 3); buf.insert(0.0, 5); buf.insert(-1.0, 1)
+      buf.sortedBestFirst.take(2).map { case (s, i) => (nz(s), i) } ==
+        Seq((0.0, 3L), (0.0, 5L)).take(math.min(k, 2))
     }
 }
