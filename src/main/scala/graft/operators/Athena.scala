@@ -21,7 +21,7 @@ object Athena {
       .where(col("revenue") > 0)
       .select(
         col("sale_date"), col("total_orders"), col("total_items"), col("revenue"),
-        round(col("revenue") / col("total_items"), 2).as("avg_item_value"))
+        Gold.fixedRound(col("revenue") / col("total_items"), 2).as("avg_item_value"))
       .orderBy(col("sale_date").desc)
       .limit(10)
 
@@ -33,7 +33,7 @@ object Athena {
     topCustomers
       .select(
         col("customer_id"), col("total_spent"), col("order_count"), col("total_items"),
-        round(col("total_spent") / col("order_count"), 2).as("avg_order_value"),
+        Gold.fixedRound(col("total_spent") / col("order_count"), 2).as("avg_order_value"),
         col("city"), col("country"))
       .orderBy(col("total_spent").desc, col("customer_id"))
       .limit(5)
@@ -54,8 +54,9 @@ object Athena {
       .select(
         col("product_id"), col("product_name"), col("category"),
         col("times_sold"), col("total_quantity"),
-        round(col("avg_price"), 2).as("avg_price"),
-        round(col("times_sold") * lit(1.0) / col("max_sold"), 2).as("popularity_score"))
+        Gold.fixedRound(col("avg_price"), 2).as("avg_price"),
+        Gold.fixedRound(col("times_sold") * lit(1.0) / col("max_sold"), 2)
+          .as("popularity_score"))
       .orderBy(col("times_sold").desc, col("product_id"))
       .limit(10)
 
@@ -69,7 +70,7 @@ object Athena {
       .agg(
         sum(col("times_sold")).as("total_sales"),
         sum(col("total_quantity")).as("total_units"),
-        round(Gold.moneySum(col("times_sold") * col("avg_price")), 2)
+        Gold.fixedRound(Gold.moneySum(col("times_sold") * col("avg_price")), 2)
           .as("estimated_revenue"))
       .orderBy(col("estimated_revenue").desc, col("category"))
 
@@ -112,21 +113,21 @@ object Athena {
     "ath_daily_revenue" ->
       s"""WITH $goldCtes
          |SELECT sale_date, total_orders, total_items, revenue,
-         |       ROUND(revenue / total_items, 2) AS avg_item_value
+         |       ${Gold.fixedRoundSql("revenue / total_items", 2)} AS avg_item_value
          |FROM daily WHERE revenue > 0
          |ORDER BY sale_date DESC LIMIT 10""".stripMargin,
     "ath_top_customers" ->
       s"""WITH $goldCtes
          |SELECT customer_id, total_spent, order_count, total_items,
-         |       ROUND(total_spent / order_count, 2) AS avg_order_value,
+         |       ${Gold.fixedRoundSql("total_spent / order_count", 2)} AS avg_order_value,
          |       city, country
          |FROM top_cust
          |ORDER BY total_spent DESC, customer_id LIMIT 5""".stripMargin,
     "ath_product_analysis" ->
       s"""WITH $goldCtes
          |SELECT product_id, product_name, category, times_sold, total_quantity,
-         |       ROUND(avg_price, 2) AS avg_price,
-         |       ROUND((times_sold * 1.0) / (SELECT MAX(times_sold) FROM prod_perf), 2)
+         |       ${Gold.fixedRoundSql("avg_price", 2)} AS avg_price,
+         |       ${Gold.fixedRoundSql("(times_sold * 1.0) / (SELECT MAX(times_sold) FROM prod_perf)", 2)}
          |         AS popularity_score
          |FROM prod_perf
          |ORDER BY times_sold DESC, product_id LIMIT 10""".stripMargin,
@@ -135,7 +136,7 @@ object Athena {
          |SELECT category,
          |       CAST(SUM(times_sold) AS BIGINT) AS total_sales,
          |       CAST(SUM(total_quantity) AS BIGINT) AS total_units,
-         |       ROUND(CAST(SUM(CAST(FLOOR((times_sold*avg_price)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000, 2)
+         |       ${Gold.fixedRoundSql(Gold.moneySumSql("times_sold*avg_price"), 2)}
          |         AS estimated_revenue
          |FROM prod_perf GROUP BY category
          |ORDER BY estimated_revenue DESC, category""".stripMargin)

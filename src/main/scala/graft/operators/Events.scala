@@ -73,18 +73,18 @@ object Events {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        Gold.fixedRound(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Gold.fixedRound(expr("percentile(value, 0.9)"), 4).as("p90"),
+        Gold.fixedRound(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
   val oracles: Map[String, String] = Map(
     "evt_quantiles" ->
-      """SELECT event_type, COUNT(*) AS n_events,
-        |       ROUND(quantile_cont(value, 0.5), 4) AS p50,
-        |       ROUND(quantile_cont(value, 0.9), 4) AS p90,
-        |       ROUND(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |       ${Gold.fixedRoundSql("quantile_cont(value, 0.5)", 4)} AS p50,
+         |       ${Gold.fixedRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
+         |       ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS p99
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_json_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract(props, '$.k') AS BIGINT) AS k

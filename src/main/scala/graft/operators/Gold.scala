@@ -27,6 +27,23 @@ object Gold {
   def moneySumSql(expr: String): String =
     s"CAST(SUM(CAST(FLOOR(($expr)*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000"
 
+  /** Engine-portable rounding of a non-negative double to `digits`
+    * decimals: `FLOOR(x*10^d + 0.5)/10^d` in pure IEEE double arithmetic.
+    * Spark's ROUND (BigDecimal HALF_UP on the shortest-decimal repr) and
+    * DuckDB's ROUND (libm on the binary double) disagree on tie-adjacent
+    * quotients; this formulation runs the identical float ops in both
+    * engines, so results are bit-equal by construction. */
+  def fixedRound(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits.toDouble)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** The same rounding in DuckDB SQL. */
+  def fixedRoundSql(expr: String, digits: Int): String = {
+    val p = math.pow(10, digits.toDouble).toLong
+    s"FLOOR(($expr)*$p + 0.5)/$p"
+  }
+
   /** Daily sales summary (load.py:148-186): per sale date, order count,
     * item count, revenue. */
   def dailySalesSummaryOf(sales: DataFrame): DataFrame =
