@@ -213,8 +213,11 @@ object Dedup {
     // 1.0, so the exact-Jaccard oracle applies to it too.
     "dd_minhash_lsh" -> ngramJaccardOracle)
 
-  private lazy val ngramJaccardOracle: String =
-    s"""WITH sh AS (
+  /** The exact near-dup pair set as reusable CTEs ending in
+    * `pairs(a_id, b_id, jaccard)` — shared with [[Curation]]'s
+    * connected-components oracle. */
+  private[operators] lazy val ngramPairCtes: String =
+    s"""sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |           generate_series(1, len(t)-2),
        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
@@ -224,13 +227,18 @@ object Dedup {
        |inter AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1,2)
-       |SELECT a_id, b_id,
-       |       inter*1.0/(sa.n_sh + sb.n_sh - inter) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON a_id = sa.doc_id
-       |JOIN sizes sb ON b_id = sb.doc_id
-       |WHERE inter*1.0/(sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold
+       |  GROUP BY 1,2),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |         inter*1.0/(sa.n_sh + sb.n_sh - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id
+       |  WHERE inter*1.0/(sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold)""".stripMargin
+
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH $ngramPairCtes
+       |SELECT a_id, b_id, jaccard FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Curation, Dedup}
+import graft.sources.Tables
+
+class CurationSpec extends SparkSpec {
+
+  test("split is a total deterministic partition with sane proportions") {
+    val split = Curation.trainValTestSplit(spark, sfDir)
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(split.count() == nDocs)
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == nDocs)
+    // multiplicative hash is bijective mod 2^31 — buckets equidistribute;
+    // allow generous slack at 500 docs
+    assert(byName("train") > nDocs * 80 / 100 && byName("train") < nDocs * 97 / 100)
+    assert(byName.getOrElse("val", 0L) + byName.getOrElse("test", 0L) > 0)
+    // re-run is bit-identical (pure function of doc_id)
+    val again = Curation.trainValTestSplit(spark, sfDir)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("stratified sample takes min(k, stratum size) per stratum, matching the window formulation") {
+    val sample = Curation.stratifiedSample(spark, sfDir)
+    val sizes = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sample.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (t, n) =>
+      assert(n == math.min(Curation.StratumSampleK.toLong, sizes(t)))
+    }
+    // bounded-heap result == window row_number result
+    val h = ((col("event_id") % Curation.HashMod) * Curation.HashMult) % Curation.HashMod
+    val windowed = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), h.as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("hk"), col("event_id"))))
+      .where(col("rn") <= Curation.StratumSampleK)
+      .select(col("event_type"), col("rn").cast("int").as("rn"), col("event_id"))
+    assert(sample.exceptAll(windowed).isEmpty && windowed.exceptAll(sample).isEmpty)
+  }
+
+  test("component labels equal the transitive closure min on a planted graph") {
+    import spark.implicits._
+    // two chains and a singleton edge: {1-2-3-4}, {10-11}, {20-21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val lbl = Curation.componentLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup components are consistent with the near-dup pair set") {
+    val comp = Curation.dedupComponents(spark, sfDir)
+    val cluster = comp.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every near-dup pair lands in the same cluster
+    Dedup.ngramJaccard(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is a member of its own cluster and the minimum of it
+    val members = cluster.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    members.foreach { case (c, minDoc) => assert(c == minDoc) }
+    // every document appears exactly once
+    assert(comp.count() == Tables.table(spark, sfDir, "documents").count())
+  }
+
+  test("curated corpus keeps only passing, English, canonical documents") {
+    val curated = Curation.curate(spark, sfDir)
+    val rows = curated.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("pred_lang") == "en"))
+    assert(rows.forall(_.getAs[Double]("quality_score") >= 0.5))
+    // no two curated docs share exact content
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val dupNonCanon = Dedup.exact(spark, sfDir)
+      .where(col("n_copies") > 1).collect()
+      .map(_.getAs[Long]("canonical_doc_id")).toSet
+    val allDocs = Tables.table(spark, sfDir, "documents")
+      .select(sha2(col("text"), 256).as("h"), col("doc_id")).collect()
+      .groupBy(_.getString(0)).values.filter(_.length > 1)
+      .flatMap(g => g.map(_.getLong(1)).sorted.tail) // non-canonical dups
+    assert(allDocs.forall(id => !ids.contains(id)))
+  }
+}
