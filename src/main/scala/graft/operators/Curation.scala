@@ -30,10 +30,10 @@ object Curation {
   val HashMod = 2147483648L // 2^31
   val HashMult = 2654435761L // 2^32 / golden ratio, odd
 
-  private def portableHash(id: org.apache.spark.sql.Column) =
+  private[graft] def portableHash(id: org.apache.spark.sql.Column) =
     ((id % HashMod) * HashMult) % HashMod
 
-  private def portableHashSql(idExpr: String): String =
+  private[graft] def portableHashSql(idExpr: String): String =
     s"((($idExpr) % $HashMod) * $HashMult) % $HashMod"
 
   // ---- deterministic train/val/test split --------------------------------

@@ -203,6 +203,46 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Deterministic eval-set membership: 1-in-50 hash bucket (~2% of
+    * docs stand in for a benchmark suite). */
+  val DecontamBenchMod = 50L
+
+  /** 5-word overlap window — long enough that random same-vocabulary
+    * docs rarely collide, short enough to catch paraphrase-level reuse
+    * (real pipelines use 8-13; these docs are 10-99 tokens). */
+  val DecontamShingleK = 5
+
+  /** Benchmark decontamination: for every training document, count its
+    * distinct [[DecontamShingleK]]-gram shingles that appear anywhere in
+    * the eval set — the standard "n-gram overlap with the benchmark"
+    * test-set-leakage check an LLM data pipeline runs before training.
+    *
+    * Scale shape: the eval side collapses to DISTINCT shingles of a
+    * small fixed eval set → explicitly broadcast, so the training corpus
+    * is scanned once map-side (native codegen shingling + broadcast
+    * semi-join); the only shuffle is the per-doc hit count over matching
+    * rows, which partial-aggregates before the exchange. */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val withSh = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        Shingles.wordShinglesNative(spark, col("text"), DecontamShingleK).as("shs"),
+        (Curation.portableHash(col("doc_id")) % DecontamBenchMod === 0).as("is_bench"))
+    val benchShingles = withSh.where(col("is_bench"))
+      .select(explode(col("shs")).as("shingle")).distinct()
+    val train = withSh.where(!col("is_bench"))
+    val hits = train.select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("hit_ratio", when(col("n_shingles") > 0,
+        col("n_hits") * lit(1.0) / col("n_shingles")).otherwise(lit(0.0)))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
@@ -211,7 +251,36 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
-    "dd_minhash_lsh" -> ngramJaccardOracle)
+    "dd_minhash_lsh" -> ngramJaccardOracle,
+    "dd_decontam" -> {
+      val benchHash = Curation.portableHashSql("doc_id")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           generate_series(1, len(t)-${DecontamShingleK - 1}),
+         |           i -> ${(0 until DecontamShingleK.toInt)
+                .map(j => s"t[i+$j]").mkString(" || ' ' || ")}))) AS shingle
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= $DecontamShingleK),
+         |bench AS (SELECT DISTINCT shingle FROM sh
+         |          WHERE $benchHash % $DecontamBenchMod = 0),
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |train AS (
+         |  SELECT d.doc_id, COALESCE(c.n, 0) AS n_shingles
+         |  FROM documents d LEFT JOIN counts c USING (doc_id)
+         |  WHERE $benchHash % $DecontamBenchMod <> 0),
+         |hits AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_hits
+         |  FROM sh s JOIN bench USING (shingle)
+         |  WHERE ${Curation.portableHashSql("s.doc_id")} % $DecontamBenchMod <> 0
+         |  GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+         |       CASE WHEN t.n_shingles > 0
+         |            THEN COALESCE(h.n_hits, 0)*1.0/t.n_shingles
+         |            ELSE 0.0 END AS hit_ratio,
+         |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+         |FROM train t LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** The exact near-dup pair set as reusable CTEs ending in
     * `pairs(a_id, b_id, jaccard)` — shared with [[Curation]]'s
@@ -245,5 +314,6 @@ object Dedup {
     "dd_exact"         -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_minhash_lsh"   -> minhashLsh,
-    "dd_simhash"       -> simhash)
+    "dd_simhash"       -> simhash,
+    "dd_decontam"      -> decontam)
 }

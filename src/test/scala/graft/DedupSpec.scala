@@ -68,6 +68,39 @@ class DedupSpec extends SparkSpec {
     edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
   }
 
+  test("decontam covers every train doc, flags exact copies of bench docs") {
+    val res = Dedup.decontam(spark, sfDir).collect()
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val nBench = docs.where(
+      graft.operators.Curation.portableHash(col("doc_id")) % Dedup.DecontamBenchMod === 0)
+      .count()
+    // partition: train rows + bench rows = corpus
+    assert(res.length + nBench == docs.count())
+    assert(nBench > 0, "hash bucket selected no bench docs")
+    // hit counts are bounded by shingle counts, ratio in [0,1]
+    res.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= n)
+      val ratio = r.getAs[Double]("hit_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Boolean]("contaminated") == (h > 0))
+    }
+    // the corpus has exact duplicate texts (dd_exact groups); any train doc
+    // sharing its full text with a bench doc must be 100% contaminated
+    val benchTexts = docs.where(
+        graft.operators.Curation.portableHash(col("doc_id")) % Dedup.DecontamBenchMod === 0)
+      .select("text").collect().map(_.getString(0)).toSet
+    val trainFull = docs.where(
+        graft.operators.Curation.portableHash(col("doc_id")) % Dedup.DecontamBenchMod =!= 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val copied = trainFull.filter { case (_, t) =>
+      benchTexts.contains(t) && t.split(" ").length >= Dedup.DecontamShingleK }.map(_._1).toSet
+    if (copied.nonEmpty) {
+      val flagged = res.filter(r => copied.contains(r.getAs[Long]("doc_id")))
+      assert(flagged.forall(r => r.getAs[Double]("hit_ratio") == 1.0))
+    }
+  }
+
   test("no crossJoin in any dedup plan") {
     Seq(Dedup.ngramJaccard(spark, sfDir), Dedup.minhashLsh(spark, sfDir),
         Dedup.simhash(spark, sfDir)).foreach { df =>
