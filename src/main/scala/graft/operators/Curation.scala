@@ -142,6 +142,84 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---- weighted domain mixing (epochs) -----------------------------------
+
+  /** Repetition weight per language in milli-epochs (1000 = one pass).
+    * Low-resource languages are upsampled toward balance — the standard
+    * "domain mixing" knob of an LLM pre-training data recipe. Unlisted
+    * languages default to 1000. */
+  val MixWeightsMilli: Seq[(String, Long)] = Seq(
+    "en" -> 1000L, "de" -> 2500L, "es" -> 2200L, "fr" -> 2400L, "zh" -> 1800L)
+  val DefaultMixMilli = 1000L
+
+  /** Expand the corpus into a weighted training mix: each document is
+    * emitted `floor(w)` times, plus once more for a deterministic
+    * hash-chosen `frac(w)` fraction of its language's documents — so the
+    * realized mix converges to the target weights with zero randomness.
+    * Pure per-row expression + generator: no shuffle, no state, and the
+    * epoch assignment never moves under re-runs or repartitioning. */
+  def weightedMix(spark: SparkSession, dir: String): DataFrame = {
+    val wcol = MixWeightsMilli.foldLeft(lit(DefaultMixMilli)) {
+      case (acc, (l, w)) => when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), wcol.as("w_milli"))
+      .withColumn("n_epochs",
+        expr("w_milli DIV 1000") +
+          when(portableHash(col("doc_id")) % 1000L < col("w_milli") % 1000L, 1L)
+            .otherwise(0L))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  // ---- distributed sequence packing --------------------------------------
+
+  /** Token budget of one packed training sequence. */
+  val PackBudget = 256L
+
+  /** Independent packer streams. Packing is inherently sequential
+    * (next-fit state is non-associative), so parallelism comes from
+    * hash-splitting the corpus into independent buckets — at 100 TB this
+    * is thousands of buckets, one shuffle, and each group is consumed as
+    * a streaming iterator (never materialized). */
+  val PackBuckets = 8L
+
+  private[graft] case class PackIn(bucket: Int, docId: Long, nTokens: Long)
+  private[graft] case class PackOut(
+    bucket: Int, packIdx: Int, packPos: Int, docId: Long, nTokens: Long)
+
+  /** Pack documents into fixed-token-budget sequences (next-fit): within
+    * each hash bucket documents are taken in doc_id order and appended to
+    * the current pack until the next one would exceed [[PackBudget]],
+    * which starts a new pack. The typed sorted-group pass is justified
+    * here the same way the multimodal decoder seam is: the per-row state
+    * machine cannot be expressed as an associative aggregate or window
+    * frame, and everything around it (bucketing, sort, shuffle) stays
+    * declarative. Deterministic: bucket and order depend only on doc_id. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(
+        (portableHash(col("doc_id")) % PackBuckets).cast("int").as("bucket"),
+        col("doc_id").as("docId"),
+        size(split(col("text"), " ")).cast("long").as("nTokens"))
+      .as[PackIn]
+      .groupByKey(_.bucket)
+      .flatMapSortedGroups($"docId") { (bucket: Int, docs: Iterator[PackIn]) =>
+        var packIdx = 0; var packPos = 0; var cum = 0L
+        docs.map { d =>
+          if (packPos > 0 && cum + d.nTokens > PackBudget) {
+            packIdx += 1; packPos = 0; cum = 0L
+          }
+          packPos += 1; cum += d.nTokens
+          PackOut(bucket, packIdx, packPos, d.docId, d.nTokens)
+        }
+      }
+      .toDF("bucket", "pack_idx", "pack_pos", "doc_id", "n_tokens")
+      .orderBy("bucket", "pack_idx", "pack_pos")
+  }
+
   // ---- composed corpus curation ------------------------------------------
 
   /** The end-to-end curation pass: keep documents that (a) pass quality
@@ -202,6 +280,43 @@ object Curation {
          |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |       doc_id = cluster_id AS is_canonical
          |FROM asg ORDER BY doc_id""".stripMargin,
+    "smp_weighted" -> {
+      val wValues = MixWeightsMilli
+        .map { case (l, w) => s"('$l',${w}::BIGINT)" }.mkString(", ")
+      s"""WITH w(lang, w_milli) AS (VALUES $wValues),
+         |d AS (SELECT doc_id, docs.lang,
+         |             COALESCE(w.w_milli, $DefaultMixMilli) AS wm
+         |      FROM documents docs LEFT JOIN w USING (lang)),
+         |e AS (SELECT doc_id, lang,
+         |             wm // 1000 + CASE WHEN ${portableHashSql("doc_id")} % 1000
+         |                                    < wm % 1000 THEN 1 ELSE 0 END AS n_epochs
+         |      FROM d)
+         |SELECT doc_id, lang, unnest(generate_series(1, n_epochs)) AS epoch
+         |FROM e ORDER BY doc_id, epoch""".stripMargin
+    },
+    "smp_pack" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id,
+         |         CAST((${portableHashSql("doc_id")}) % $PackBuckets AS INT) AS bucket,
+         |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+         |                                     ORDER BY doc_id) AS rn FROM base),
+         |state(bucket, rn, doc_id, n_tokens, pack_idx, pack_pos, cum) AS (
+         |  SELECT bucket, rn, doc_id, n_tokens, 0, 1, n_tokens
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+         |         CASE WHEN s.cum + o.n_tokens > $PackBudget
+         |              THEN s.pack_idx + 1 ELSE s.pack_idx END,
+         |         CASE WHEN s.cum + o.n_tokens > $PackBudget
+         |              THEN 1 ELSE s.pack_pos + 1 END,
+         |         CASE WHEN s.cum + o.n_tokens > $PackBudget
+         |              THEN o.n_tokens ELSE s.cum + o.n_tokens END
+         |  FROM state s JOIN ord o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+         |SELECT bucket, CAST(pack_idx AS INT) AS pack_idx,
+         |       CAST(pack_pos AS INT) AS pack_pos, doc_id, n_tokens
+         |FROM state ORDER BY bucket, pack_idx, pack_pos""".stripMargin,
     "txt_curate" ->
       s"""WITH q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")})),
          |l AS (SELECT * FROM (${TextAnalysis.oracles("txt_lang_id")})),
@@ -215,6 +330,8 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_split"      -> trainValTestSplit,
     "smp_stratified" -> stratifiedSample,
+    "smp_weighted"   -> weightedMix,
+    "smp_pack"       -> sequencePack,
     "dd_components"  -> dedupComponents,
     "txt_curate"     -> curate)
 }

@@ -71,6 +71,61 @@ class CurationSpec extends SparkSpec {
     assert(comp.count() == Tables.table(spark, sfDir, "documents").count())
   }
 
+  test("weighted mix realizes the target milli-epoch weights per language") {
+    val mix = Curation.weightedMix(spark, sfDir)
+    val docs = Tables.table(spark, sfDir, "documents")
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val emitted = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Curation.MixWeightsMilli.toMap
+    perLang.foreach { case (lang, n) =>
+      val w = weights.getOrElse(lang, Curation.DefaultMixMilli)
+      val (lo, hi) = (n * (w / 1000), n * (w / 1000 + (if (w % 1000 == 0) 0 else 1)))
+      assert(emitted(lang) >= lo && emitted(lang) <= hi,
+        s"$lang: emitted ${emitted(lang)} outside [$lo,$hi] for w=$w n=$n")
+      // fractional epochs track the target rate (hash is equidistributed)
+      if (w % 1000 != 0 && n >= 50) {
+        val frac = (emitted(lang) - lo).toDouble / n
+        val target = (w % 1000).toDouble / 1000
+        assert(math.abs(frac - target) < 0.15, s"$lang frac=$frac target=$target")
+      }
+    }
+    // every (doc, epoch) is unique and epochs are contiguous from 1
+    val perDoc = mix.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max("epoch").as("mx"), min("epoch").as("mn")).collect()
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n"))
+    }
+  }
+
+  test("sequence packing respects the budget and covers the corpus once") {
+    val packed = Curation.sequencePack(spark, sfDir).collect()
+    val docs = Tables.table(spark, sfDir, "documents")
+    assert(packed.length == docs.count())
+    assert(packed.map(_.getAs[Long]("doc_id")).distinct.length == packed.length)
+    val byPack = packed.groupBy(r =>
+      (r.getAs[Int]("bucket"), r.getAs[Int]("pack_idx")))
+    byPack.foreach { case ((b, p), rows) =>
+      val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+      // a pack only exceeds the budget if it holds a single oversized doc
+      assert(tot <= Curation.PackBudget || rows.length == 1,
+        s"pack ($b,$p) holds ${rows.length} docs / $tot tokens")
+      // positions are 1..n
+      assert(rows.map(_.getAs[Int]("pack_pos")).sorted.toSeq == (1 to rows.length))
+    }
+    // next-fit tightness: consecutive packs couldn't be merged — the first
+    // doc of pack p+1 must not fit in pack p
+    byPack.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq(((b1, p1), rows1), ((b2, p2), rows2)) if b1 == b2 && p2 == p1 + 1 =>
+        val tot1 = rows1.map(_.getAs[Long]("n_tokens")).sum
+        val first2 = rows2.minBy(_.getAs[Int]("pack_pos")).getAs[Long]("n_tokens")
+        assert(tot1 + first2 > Curation.PackBudget,
+          s"pack ($b1,$p1) could absorb the head of pack $p2")
+      case _ =>
+    }
+  }
+
   test("curated corpus keeps only passing, English, canonical documents") {
     val curated = Curation.curate(spark, sfDir)
     val rows = curated.collect()
