@@ -194,7 +194,44 @@ object Similarity {
           col("nrm"), col("q_nrm")).as("cosine")))
   }
 
+  /** Fixed-point scale for centroid sums: embeddings are unit-ish floats,
+    * so 1e-6 keeps six decimals while the DECIMAL(28,0) running sum stays
+    * exact and order-independent at any row count. */
+  val CentroidScale = 1000000L
+
+  /** Per-label embedding centroids in long form `(label, dim, n_vecs,
+    * centroid)` — the class-prototype/cluster-profile primitive (seed
+    * vectors for IVF, per-domain drift monitoring, label prototypes).
+    *
+    * Scale shape: posexplode to `(label, dim, value)` and one partial
+    * aggregate — 64× row expansion map-side, but the shuffle carries only
+    * `labels × dims` groups. The per-dimension sum is fixed-point decimal
+    * ([[graft.operators.Gold.moneySum]] discipline), so the centroid is
+    * bit-identical under any partitioning or cluster size. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("v").cast("double") * lit(CentroidScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 0))).as("s"))
+      .select(col("label"), col("dim").cast("int").as("dim"), col("n_vecs"),
+        (col("s").cast("double") / lit(CentroidScale.toDouble) / col("n_vecs"))
+          .as("centroid"))
+      .orderBy("label", "dim")
+
   val oracles: Map[String, String] = Map(
+    "emb_centroids" ->
+      s"""WITH ex AS (
+         |  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+         |         embedding AS e
+         |  FROM embeddings),
+         |d AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+         |             CAST(e[i] AS DOUBLE) AS v FROM ex)
+         |SELECT label, dim, COUNT(*) AS n_vecs,
+         |       CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(28,0))) AS DOUBLE)
+         |         / $CentroidScale / COUNT(*) AS centroid
+         |FROM d GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "ann_topk_exact" ->
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
@@ -226,5 +263,6 @@ object Similarity {
     "ann_topk_exact"   -> annTopKExact,
     "dd_embed_neardup" -> embedNearDup,
     "ann_topk_lsh"     -> annTopKLsh,
-    "ann_topk_ivf"     -> annTopKIvf)
+    "ann_topk_ivf"     -> annTopKIvf,
+    "emb_centroids"    -> labelCentroids)
 }

@@ -113,6 +113,49 @@ object TextAnalysis {
           .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Intra-document repetition — the duplicate-n-gram quality signal of
+    * LLM corpus filtering (a document that repeats its own 2/3-grams is
+    * boilerplate or a crawler loop): fraction of word n-grams that are
+    * repeats within the document. Native codegen n-gram expression, pure
+    * per-row arithmetic — no shuffle besides the output sort. */
+  def repRatio(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val g2 = call_function("graft_word_ngrams", col("text"), lit(2))
+    val g3 = call_function("graft_word_ngrams", col("text"), lit(3))
+    def dupRatio(g: org.apache.spark.sql.Column) =
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))) * lit(1.0) / size(g))
+        .otherwise(lit(0.0))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(g2).as("n_2grams"), dupRatio(g2).as("dup_2gram_ratio"),
+        size(g3).as("n_3grams"), dupRatio(g3).as("dup_3gram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** PII patterns shared by the Spark operator and the DuckDB oracle.
+    * Kept to constructs Java regex and RE2 parse identically (classes,
+    * bounded repeats, \b, alternation — no lookaround). */
+  val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Pat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhonePat = """\+\d{9,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+
+  /** PII redaction — scrub emails/IPv4s/phone numbers to typed tags and
+    * count detections, the pre-training privacy scrub. Counts come from
+    * the original text per pattern; replacement applies email → IP →
+    * phone so a tag never partially matches a later pattern. */
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+          .as("redacted"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprint via the custom codegen expression. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
@@ -180,6 +223,34 @@ object TextAnalysis {
         |       len(string_split(text, ' ')) AS n_ws_tokens,
         |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_rep_ratio" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+        |              i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+        |         CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+        |SELECT doc_id,
+        |       len(g2) AS n_2grams,
+        |       CASE WHEN len(g2) > 0
+        |            THEN (len(g2) - len(list_distinct(g2)))*1.0/len(g2)
+        |            ELSE 0.0 END AS dup_2gram_ratio,
+        |       len(g3) AS n_3grams,
+        |       CASE WHEN len(g3) > 0
+        |            THEN (len(g3) - len(list_distinct(g3)))*1.0/len(g3)
+        |            ELSE 0.0 END AS dup_3gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "txt_redact" ->
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '$EmailPat')) AS n_emails,
+         |       len(regexp_extract_all(text, '$Ipv4Pat')) AS n_ips,
+         |       len(regexp_extract_all(text, '$PhonePat')) AS n_phones,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$EmailPat', '<EMAIL>', 'g'),
+         |         '$Ipv4Pat', '<IP>', 'g'),
+         |         '$PhonePat', '<PHONE>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(list_transform(generate_series(1, length(text)),
@@ -193,5 +264,7 @@ object TextAnalysis {
     "txt_quality"     -> quality,
     "txt_top_ngrams"  -> topNgrams,
     "txt_token_count" -> tokenCount,
+    "txt_rep_ratio"   -> repRatio,
+    "txt_redact"      -> redact,
     "txt_fingerprint" -> fingerprint)
 }

@@ -57,6 +57,29 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("label centroids: one row per (label, dim), means within data range") {
+    import org.apache.spark.sql.functions._
+    val cents = Similarity.labelCentroids(spark, sfDir)
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val nLabels = emb.select("label").distinct().count()
+    assert(cents.count() == nLabels * Similarity.Dim)
+    val rows = cents.collect()
+    // n_vecs per (label, dim) equals the label's vector count
+    val perLabel = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == perLabel(r.getAs[Int]("label")))
+    }
+    // a mean at fixed-point 1e-6 stays within 1e-6 of the double mean
+    val byKey = emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("m")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("label"), r.getAs[Int]("dim"))
+      assert(math.abs(r.getAs[Double]("centroid") - byKey(k)) < 1e-6)
+    }
+  }
+
   test("ANN plans broadcast the query set, never the corpus") {
     val plan = Similarity.annTopKExact(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"))

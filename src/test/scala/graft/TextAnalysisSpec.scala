@@ -64,6 +64,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits("theory android") == 0) // whole-token matches only
   }
 
+  test("redaction scrubs planted PII and counts each detection") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or call 555-123-4567 now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 intl +4915112345678"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.io c.d@e-f.org one ip 8.8.8.8")).toDF("doc_id", "text")
+    val out = planted.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.Ipv4Pat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.PhonePat), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          TextAnalysis.EmailPat, "<EMAIL>"), TextAnalysis.Ipv4Pat, "<IP>"),
+          TextAnalysis.PhonePat, "<PHONE>").as("redacted"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == (1, 0, 1, "contact <EMAIL> or call <PHONE> now"))
+    assert(out(2L) == (0, 2, 1, "server at <IP> and <IP> intl <PHONE>"))
+    assert(out(3L) == (0, 0, 0, "no pii here at all"))
+    assert(out(4L) == (2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>"))
+    // operator runs clean on the real corpus and keeps every doc
+    val real = TextAnalysis.redact(spark, sfDir)
+    assert(real.count() == Tables.table(spark, sfDir, "documents").count())
+  }
+
+  test("repetition ratio identifies constructed boilerplate") {
+    import spark.implicits._
+    graft.functions.WordShingles.register(spark)
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),            // all 2-grams identical
+      (2L, "all words here are fully distinct"),   // no repeats
+      (3L, "one"),                                 // shorter than any n-gram
+      (4L, "a b a b a b")).toDF("doc_id", "text")  // period-2 loop
+    val g2 = call_function("graft_word_ngrams", col("text"), lit(2))
+    val dup2 = when(size(g2) > 0,
+      (size(g2) - size(array_distinct(g2))) * lit(1.0) / size(g2)).otherwise(lit(0.0))
+    val m = docs.select(col("doc_id"), dup2.as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 0.75)   // 4 bigrams, 1 distinct
+    assert(m(2L) == 0.0)
+    assert(m(3L) == 0.0)
+    assert(m(4L) == 0.6)    // 5 bigrams, 2 distinct
+    // corpus-wide: ratios bounded, all docs covered
+    val real = graft.operators.TextAnalysis.repRatio(spark, sfDir).collect()
+    assert(real.length == Tables.table(spark, sfDir, "documents").count())
+    real.foreach { r =>
+      assert(r.getAs[Double]("dup_2gram_ratio") >= 0.0 &&
+        r.getAs[Double]("dup_2gram_ratio") <= 1.0)
+    }
+  }
+
   test("top ngrams returns 20 rows with positive counts") {
     val rows = TextAnalysis.topNgrams(spark, sfDir).collect()
     assert(rows.length == 20)
