@@ -156,6 +156,26 @@ object TextAnalysis {
           .as("redacted"))
       .orderBy("doc_id")
 
+  /** Per-language corpus profile — the snapshot report a data pipeline
+    * publishes per ingest: document/token counts, mean quality and pass
+    * rate by language. One partial-aggregating groupBy over the quality
+    * scan; the mean uses the fixed-point money-sum discipline so it is
+    * order-independent and engine-portable. */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(quality(spark, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("passed")),
+        "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        Gold.moneySum(col("quality_score")).as("sum_q"),
+        sum(when(col("passed"), 1L).otherwise(0L)).as("n_passed"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (col("sum_q") / col("n_docs")).as("mean_quality"),
+        (col("n_passed") * lit(1.0) / col("n_docs")).as("pass_rate"))
+      .orderBy("lang")
+
   /** Rolling-hash fingerprint via the custom codegen expression. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
@@ -168,6 +188,30 @@ object TextAnalysis {
   private val lexValues =
     lexicon.map { case (t, l) => s"('$t','$l')" }.mkString(", ")
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** The txt_quality oracle, shared with the corpus-profile rollup. */
+  private[operators] val qualityOracleSql =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |         len(string_split(text,' ')) AS n_tokens,
+       |         len(list_distinct(string_split(text,' '))) * 1.0
+       |           / len(string_split(text,' ')) AS uniq_ratio,
+       |         len(list_filter(string_split(text,' '),
+       |               x -> list_contains([$stopList], x))) * 1.0
+       |           / len(string_split(text,' ')) AS stop_ratio,
+       |         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+       |           / length(text) AS punct_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, punct_ratio,
+       |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
+       |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+       |         - 0.2*LEAST(punct_ratio*10.0, 1.0)
+       |         AS quality_score,
+       |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
+       |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+       |         - 0.2*LEAST(punct_ratio*10.0, 1.0)
+       |         >= 0.5 AS passed
+       |FROM c ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
@@ -189,28 +233,7 @@ object TextAnalysis {
          |       CAST(COALESCE(b.hits,0) AS BIGINT) AS hits
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
-    "txt_quality" ->
-      s"""WITH c AS (
-         |  SELECT doc_id,
-         |         len(string_split(text,' ')) AS n_tokens,
-         |         len(list_distinct(string_split(text,' '))) * 1.0
-         |           / len(string_split(text,' ')) AS uniq_ratio,
-         |         len(list_filter(string_split(text,' '),
-         |               x -> list_contains([$stopList], x))) * 1.0
-         |           / len(string_split(text,' ')) AS stop_ratio,
-         |         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
-         |           / length(text) AS punct_ratio
-         |  FROM documents)
-         |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, punct_ratio,
-         |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
-         |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
-         |         - 0.2*LEAST(punct_ratio*10.0, 1.0)
-         |         AS quality_score,
-         |       0.5*uniq_ratio + 0.3*LEAST(stop_ratio*4.0, 1.0)
-         |         + 0.2*(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
-         |         - 0.2*LEAST(punct_ratio*10.0, 1.0)
-         |         >= 0.5 AS passed
-         |FROM c ORDER BY doc_id""".stripMargin,
+    "txt_quality" -> qualityOracleSql,
     "txt_top_ngrams" ->
       """SELECT bg AS bigram, COUNT(*) AS n FROM (
         |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
@@ -223,6 +246,16 @@ object TextAnalysis {
         |       len(string_split(text, ' ')) AS n_ws_tokens,
         |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_corpus_profile" ->
+      s"""WITH q AS (SELECT * FROM ($qualityOracleSql)),
+         |j AS (SELECT d.lang, q.n_tokens, q.quality_score, q.passed
+         |      FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       ${Gold.moneySumSql("quality_score")}/COUNT(*) AS mean_quality,
+         |       CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)*1.0/COUNT(*)
+         |         AS pass_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_rep_ratio" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -264,6 +297,7 @@ object TextAnalysis {
     "txt_quality"     -> quality,
     "txt_top_ngrams"  -> topNgrams,
     "txt_token_count" -> tokenCount,
+    "txt_corpus_profile" -> corpusProfile,
     "txt_rep_ratio"   -> repRatio,
     "txt_redact"      -> redact,
     "txt_fingerprint" -> fingerprint)

@@ -116,6 +116,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("corpus profile partitions the corpus and tracks the double mean") {
+    val prof = TextAnalysis.corpusProfile(spark, sfDir).collect()
+    val docs = Tables.table(spark, sfDir, "documents")
+    assert(prof.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val q = TextAnalysis.quality(spark, sfDir)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("quality_score").as("m"),
+        avg(when(col("passed"), 1.0).otherwise(0.0)).as("p")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    prof.foreach { r =>
+      val (m, p) = q(r.getAs[String]("lang"))
+      assert(math.abs(r.getAs[Double]("mean_quality") - m) < 1e-4)
+      assert(math.abs(r.getAs[Double]("pass_rate") - p) < 1e-12)
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("top ngrams returns 20 rows with positive counts") {
     val rows = TextAnalysis.topNgrams(spark, sfDir).collect()
     assert(rows.length == 20)
