@@ -78,7 +78,70 @@ object Events {
         Gold.fixedRound(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Conversion funnel view → click → purchase: per user, the earliest
+    * view, the earliest click strictly after that view, and the earliest
+    * purchase strictly after that click. Each stage is one
+    * partial-aggregating groupBy joined to the previous stage's
+    * 1-row-per-user aggregate — all keyed on user_id, so AQE keeps the
+    * stages co-partitioned and nothing ever broadcasts the fact. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"),
+      expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .as("es"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("es").as("view_es"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("es") > col("view_es"))
+      .groupBy("user_id").agg(min("es").as("click_es"))
+    val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("es") > col("click_es"))
+      .groupBy("user_id").agg(min("es").as("purchase_es"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .orderBy("user_id")
+  }
+
+  val WeekSec = 604800L
+
+  /** Weekly cohort retention: users bucketed by the epoch week of their
+    * first event; `n_users` counts distinct users from cohort week `c`
+    * active again `week_offset` weeks later. Week indices are pure
+    * integer arithmetic on epoch seconds — no calendar, no time zone,
+    * engine-portable by construction. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      expr(s"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV $WeekSec")
+        .as("wk"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    e.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_wk", "week_offset").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   val oracles: Map[String, String] = Map(
+    "evt_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |v AS (SELECT user_id, MIN(es) AS view_es FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT user_id, MIN(es) AS click_es FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND es > view_es GROUP BY 1),
+        |p AS (SELECT user_id, MIN(es) AS purchase_es FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND es > click_es GROUP BY 1)
+        |SELECT user_id, view_es, click_es, purchase_es
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "evt_retention" ->
+      s"""WITH e AS (SELECT user_id,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) // $WeekSec AS wk
+         |           FROM events),
+         |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, cohort_wk, wk - cohort_wk AS week_offset
+         |      FROM e JOIN c USING (user_id))
+         |SELECT cohort_wk, week_offset, COUNT(*) AS n_users
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "evt_quantiles" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.5)", 4)} AS p50,
@@ -112,5 +175,7 @@ object Events {
     "str_windowed_agg" -> windowedAgg,
     "str_sessionize"   -> sessionize,
     "evt_json_extract" -> jsonExtract,
-    "evt_quantiles"    -> valueQuantiles)
+    "evt_quantiles"    -> valueQuantiles,
+    "evt_funnel"       -> funnel,
+    "evt_retention"    -> retention)
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+import graft.sources.Tables
+
+class EventsSpec extends SparkSpec {
+
+  test("funnel stages are ordered and monotonically shrinking") {
+    val f = Events.funnel(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    // every user in the funnel had a view; stage timestamps are strictly
+    // increasing where present; a purchase implies a click
+    f.foreach { r =>
+      val v = r.getAs[Long]("view_es")
+      if (!r.isNullAt(r.fieldIndex("click_es"))) {
+        assert(r.getAs[Long]("click_es") > v)
+        if (!r.isNullAt(r.fieldIndex("purchase_es")))
+          assert(r.getAs[Long]("purchase_es") > r.getAs[Long]("click_es"))
+      } else assert(r.isNullAt(r.fieldIndex("purchase_es")))
+    }
+    val nView = f.length
+    val nClick = f.count(!_.isNullAt(2))
+    val nBuy = f.count(!_.isNullAt(3))
+    assert(nView >= nClick && nClick >= nBuy)
+    // funnel covers exactly the users with at least one view
+    val viewers = Tables.events(spark, sfDir)
+      .where(col("event_type") === "view").select("user_id").distinct().count()
+    assert(nView == viewers)
+  }
+
+  test("funnel picks the earliest valid chain on a planted sequence") {
+    import spark.implicits._
+    // user 1: view@10, click@5 (before view — ignored), click@20,
+    //         purchase@15 (before click@20 — ignored), purchase@30
+    // user 2: view@100, no click, stray purchase@110 (no click ⇒ null)
+    val planted = Seq(
+      (1L, "view", 10L), (1L, "click", 5L), (1L, "click", 20L),
+      (1L, "purchase", 15L), (1L, "purchase", 30L),
+      (2L, "view", 100L), (2L, "purchase", 110L))
+      .toDF("user_id", "event_type", "es")
+    val v = planted.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("es").as("view_es"))
+    val c = planted.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("es") > col("view_es"))
+      .groupBy("user_id").agg(min("es").as("click_es"))
+    val p = planted.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("es") > col("click_es"))
+      .groupBy("user_id").agg(min("es").as("purchase_es"))
+    val out = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L) == (10L, Some(20L), Some(30L)))
+    assert(out(2L) == (100L, None, None))
+  }
+
+  test("retention counts every user once per active week offset") {
+    val r = Events.retention(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("week_offset") >= 0L)
+      assert(row.getAs[Long]("n_users") > 0L)
+    }
+    // offset-0 cohort sizes sum to the distinct-user count (every user is
+    // active in their own first week by definition)
+    val week0 = r.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(week0 == users)
+    // no offset cell can exceed its cohort's week-0 size
+    val cohortSize = r.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(row => row.getAs[Long]("cohort_wk") -> row.getAs[Long]("n_users")).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_users") <= cohortSize(row.getAs[Long]("cohort_wk")))
+    }
+  }
+}
