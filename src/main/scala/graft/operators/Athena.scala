@@ -77,6 +77,70 @@ object Athena {
   def revenueByCategory(spark: SparkSession, dir: String): DataFrame =
     revenueByCategoryOf(Gold.productPerformance(spark, dir))
 
+  /** 7-day rolling revenue over the daily summary. Deliberately NOT a
+    * global `Window.partitionBy()` (a single-partition exchange): the
+    * daily rollup is small by construction — one row per calendar day
+    * regardless of fact size — so the window is a broadcast range
+    * self-join + partial aggregate, which stays parallel at any scale. */
+  def rollingRevenueOf(daily: DataFrame): DataFrame = {
+    val b = daily.select(col("sale_date").as("b_date"), col("revenue").as("b_rev"))
+    daily.select("sale_date", "revenue")
+      .join(broadcast(b),
+        col("b_date") >= date_sub(col("sale_date"), 6) &&
+          col("b_date") <= col("sale_date"))
+      .groupBy("sale_date", "revenue")
+      .agg(count(lit(1)).as("n_days"), Gold.moneySum(col("b_rev")).as("rev_7d_sum"))
+      .select(col("sale_date"), col("revenue"), col("n_days"), col("rev_7d_sum"),
+        (col("rev_7d_sum") / col("n_days")).as("rev_7d_avg"))
+      .orderBy("sale_date")
+  }
+
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame =
+    rollingRevenueOf(Gold.dailySalesSummary(spark, dir))
+
+  val TopPerCategory = 3
+
+  /** Top products per category by sales count — per-group top-k through
+    * the bounded-heap aggregate (map-side partial heaps; a per-category
+    * window row_number would sort every product in the category). */
+  def topProductsPerCategoryOf(spark: SparkSession, perf: DataFrame): DataFrame = {
+    graft.functions.TopKByScore.register(spark)
+    perf.where(col("category").isNotNull)
+      .groupBy("category")
+      .agg(call_function("graft_top_k_by_score",
+        col("times_sold").cast("double"), col("product_id"),
+        lit(TopPerCategory)).as("topk"))
+      .select(col("category"), posexplode(col("topk")))
+      .select(col("category"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as("product_id"),
+        col("col.score").cast("bigint").as("times_sold"))
+      .orderBy("category", "rn")
+  }
+
+  def topProductsPerCategory(spark: SparkSession, dir: String): DataFrame =
+    topProductsPerCategoryOf(spark, Gold.productPerformance(spark, dir))
+
+  /** Category × month revenue pivot — `groupBy().pivot()` with a FIXED
+    * value list (1..12), so Spark never runs the extra distinct-values
+    * job and the plan is a single partial-aggregating groupBy with 12
+    * money-sum cells. */
+  def categoryMonthPivotOf(sales: DataFrame, products: DataFrame): DataFrame = {
+    val s = sales
+      .join(broadcast(products.select("product_id", "category")), Seq("product_id"))
+      .where(col("category").isNotNull)
+      .select(col("category"), month(to_date(col("sale_ts"))).as("mth"),
+        (col("unit_price") * col("quantity")).as("rev"))
+    val piv = s.groupBy("category")
+      .pivot("mth", (1 to 12).map(m => m: Integer))
+      .agg(Gold.moneySum(col("rev")))
+    (1 to 12).foldLeft(piv) { (df, m) =>
+      df.withColumnRenamed(m.toString, f"m$m%02d")
+    }.orderBy("category")
+  }
+
+  def categoryMonthPivot(spark: SparkSession, dir: String): DataFrame =
+    categoryMonthPivotOf(Tables.sales(spark, dir), Tables.products(spark, dir))
+
   // ---- DuckDB oracles ----
 
   private val goldCtes =
@@ -131,6 +195,38 @@ object Athena {
          |         AS popularity_score
          |FROM prod_perf
          |ORDER BY times_sold DESC, product_id LIMIT 10""".stripMargin,
+    "ath_rolling_revenue" ->
+      s"""WITH $goldCtes
+         |SELECT a.sale_date, a.revenue, COUNT(*) AS n_days,
+         |       ${Gold.moneySumSql("b.revenue")} AS rev_7d_sum,
+         |       ${Gold.moneySumSql("b.revenue")}/COUNT(*) AS rev_7d_avg
+         |FROM daily a JOIN daily b
+         |  ON b.sale_date BETWEEN a.sale_date - 6 AND a.sale_date
+         |GROUP BY a.sale_date, a.revenue ORDER BY a.sale_date""".stripMargin,
+    "ath_top_products_per_category" ->
+      s"""WITH $goldCtes,
+         |r AS (SELECT category, product_id, times_sold,
+         |             ROW_NUMBER() OVER (PARTITION BY category
+         |               ORDER BY times_sold DESC, product_id) AS rn
+         |      FROM prod_perf WHERE category IS NOT NULL)
+         |SELECT category, CAST(rn AS INT) AS rn, product_id,
+         |       CAST(times_sold AS BIGINT) AS times_sold
+         |FROM r WHERE rn <= $TopPerCategory ORDER BY category, rn""".stripMargin,
+    "ath_category_month_pivot" -> {
+      val cells = (1 to 12).map { m =>
+        s"""CAST(SUM(CASE WHEN mth = $m
+           |  THEN CAST(FLOOR(rev*10000) AS DECIMAL(28,0)) END) AS DOUBLE)/10000
+           |  AS m${"%02d".format(m)}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $goldCtes,
+         |sm AS (SELECT p.category, month(CAST(sale_ts AS DATE)) AS mth,
+         |              unit_price*quantity AS rev
+         |       FROM sales JOIN products p USING (product_id)
+         |       WHERE p.category IS NOT NULL)
+         |SELECT category,
+         |$cells
+         |FROM sm GROUP BY category ORDER BY category""".stripMargin
+    },
     "ath_revenue_by_category" ->
       s"""WITH $goldCtes
          |SELECT category,
@@ -145,5 +241,8 @@ object Athena {
     "ath_daily_revenue"       -> dailyRevenue,
     "ath_top_customers"       -> topPerformingCustomers,
     "ath_product_analysis"    -> productAnalysis,
-    "ath_revenue_by_category" -> revenueByCategory)
+    "ath_revenue_by_category" -> revenueByCategory,
+    "ath_rolling_revenue"     -> rollingRevenue,
+    "ath_top_products_per_category" -> topProductsPerCategory,
+    "ath_category_month_pivot" -> categoryMonthPivot)
 }

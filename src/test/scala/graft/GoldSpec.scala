@@ -53,6 +53,59 @@ class GoldSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("rolling revenue equals the window-frame formulation, without a Window node") {
+    import org.apache.spark.sql.expressions.Window
+    val rolled = Athena.rollingRevenue(spark, sfDir)
+    // reference formulation: a global range window over the daily rollup
+    val daily = Gold.dailySalesSummary(spark, sfDir).select("sale_date", "revenue")
+      .withColumn("d", datediff(col("sale_date"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy("d").rangeBetween(-6, 0)
+    val windowed = daily
+      .select(col("sale_date"), col("revenue"),
+        count(lit(1)).over(w).as("n_days"),
+        (sum(floor(col("revenue") * 10000)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 0))).over(w)
+          .cast("double") / 10000.0).as("rev_7d_sum"))
+      .withColumn("rev_7d_avg", col("rev_7d_sum") / col("n_days"))
+      .drop("d")
+    assert(rolled.exceptAll(windowed).isEmpty && windowed.exceptAll(rolled).isEmpty)
+    val plan = rolled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rolling revenue must not use a global window")
+  }
+
+  test("top products per category match the window formulation, no window sort") {
+    import org.apache.spark.sql.expressions.Window
+    val top = Athena.topProductsPerCategory(spark, sfDir)
+    val windowed = Gold.productPerformance(spark, sfDir)
+      .where(col("category").isNotNull)
+      .withColumn("rn", row_number().over(Window.partitionBy("category")
+        .orderBy(col("times_sold").desc, col("product_id"))))
+      .where(col("rn") <= Athena.TopPerCategory)
+      .select(col("category"), col("rn").cast("int").as("rn"),
+        col("product_id"), col("times_sold"))
+    assert(top.exceptAll(windowed).isEmpty && windowed.exceptAll(top).isEmpty)
+    assert(!top.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("pivot cells reconcile with per-category revenue") {
+    val piv = Athena.categoryMonthPivot(spark, sfDir).collect()
+    val catRev = Tables.sales(spark, sfDir)
+      .join(broadcast(Tables.products(spark, sfDir).select("product_id", "category")),
+        Seq("product_id"))
+      .groupBy("category")
+      .agg(Gold.moneySum(col("unit_price") * col("quantity")).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(piv.nonEmpty)
+    piv.foreach { r =>
+      val cells = (1 to 12).map(m => f"m$m%02d").map { c =>
+        if (r.isNullAt(r.fieldIndex(c))) 0.0 else r.getAs[Double](c)
+      }
+      // cell sums were floored per-cell at 1e-4; the yearly rollup floors
+      // once — allow the accumulated flooring slack (≤ 12 cells * 1e-4)
+      assert(math.abs(cells.sum - catRev(r.getAs[String]("category"))) < 12e-4)
+    }
+  }
+
   test("product analysis gets the global max via a 1-row broadcast, not a window") {
     val plan = Athena.productAnalysis(spark, sfDir)
       .queryExecution.executedPlan.toString
