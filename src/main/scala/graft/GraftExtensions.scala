@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, ArrayScale, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "all k-word grams of text in position order", WordShingles.ngramsBuilder)
     inject("graft_dot",
       "dot product of two array<double> columns", ArrayDotProduct.builder)
+    inject("graft_scale",
+      "element-wise division of an array<double> by a scalar", ArrayScale.builder)
     inject("graft_top_k_by_score",
       "top-k (score, id) pairs per group via a bounded heap",
       TopKByScore.builder)

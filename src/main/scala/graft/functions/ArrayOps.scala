@@ -32,6 +32,50 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen element-wise division of an `array<double>` by a
+  * scalar — the unit-normalization kernel. The higher-order
+  * `transform(e, x -> x / s)` route is CodegenFallback (interpreted,
+  * boxed per element); this compiles to a primitive double loop. Each
+  * element is divided independently (no accumulation), so results are
+  * bit-identical to DuckDB's `list_transform(e, x -> x / s)`. */
+case class ArrayScale(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any, s: Any): Any =
+    ArrayScale.scale(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) =>
+      s"graft.functions.ArrayScale.scale($a, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayScale =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayScale {
+  /** Called from generated code. */
+  def scale(a: ArrayData, s: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) / s; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  val builder: Seq[Expression] => Expression =
+    exprs => ArrayScale(exprs(0), exprs(1))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registration.ensure(spark, "graft_scale", builder)
+
+  def column(a: Column, s: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_scale", a, s)
+}
+
 object ArrayDotProduct {
   /** Called from generated code. Mismatched lengths raise (as DuckDB's
     * list_dot_product does) — silently truncating would rank corrupted

@@ -220,7 +220,35 @@ object Similarity {
           .as("centroid"))
       .orderBy("label", "dim")
 
+  /** Unit-normalize every embedding (the preprocessing step that turns
+    * cosine search into dot-product search). The kernel is the native
+    * codegen [[graft.functions.ArrayScale]] — per-row, no shuffle. The
+    * query surface is the long form `(vec_id, dim, nrm, u)` so the
+    * oracle can exact-compare scalars; library callers use the array
+    * from `normalizedEmbeddings` directly. */
+  def normalizedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayScale.register(spark)
+    corpus(spark, dir)
+      .select(col("vec_id"), col("nrm"),
+        graft.functions.ArrayScale.column(col("embedding"), col("nrm")).as("unit"))
+  }
+
+  def embNorm(spark: SparkSession, dir: String): DataFrame =
+    normalizedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("nrm"), posexplode(col("unit")).as(Seq("dim", "u")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"), col("nrm"), col("u"))
+      .orderBy("vec_id", "dim")
+
   val oracles: Map[String, String] = Map(
+    "emb_norm" ->
+      """WITH c AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM c),
+        |ex AS (SELECT vec_id, nrm, e,
+        |              unnest(generate_series(1, len(e))) AS i FROM n)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS dim, nrm, e[i]/nrm AS u
+        |FROM ex ORDER BY vec_id, dim""".stripMargin,
     "emb_centroids" ->
       s"""WITH ex AS (
          |  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
@@ -264,5 +292,6 @@ object Similarity {
     "dd_embed_neardup" -> embedNearDup,
     "ann_topk_lsh"     -> annTopKLsh,
     "ann_topk_ivf"     -> annTopKIvf,
-    "emb_centroids"    -> labelCentroids)
+    "emb_centroids"    -> labelCentroids,
+    "emb_norm"         -> embNorm)
 }

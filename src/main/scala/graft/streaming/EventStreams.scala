@@ -76,6 +76,47 @@ object EventStreams {
     out.result().iterator
   }
 
+  final case class FEvt(user_id: Long, event_id: Long, event_type: String, es: Long)
+  /** Funnel stage timestamps; -1 = stage not reached. */
+  final case class FunnelState(viewEs: Long, clickEs: Long, purchaseEs: Long)
+  final case class FunnelOut(
+      user_id: Long, view_es: Long, click_es: Long, purchase_es: Long)
+
+  /** Streaming twin of `Events.funnel`: one tiny monotone state machine
+    * per user (the three stage timestamps, never the events), emitting a
+    * user's completed funnel exactly once, when the purchase lands. On
+    * event-time-ordered input the greedy first-match update equals the
+    * batch sequential-min semantics: the first click after the view IS
+    * the minimum click strictly after it. State is O(active users). */
+  def funnelStream(events: Dataset[FEvt]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        funnelGroup)
+  }
+
+  private[streaming] def funnelGroup(
+      userId: Long, events: Iterator[FEvt],
+      state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.es, e.event_id))
+    var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    val out = Seq.newBuilder[FunnelOut]
+    sorted.foreach { e =>
+      e.event_type match {
+        case "view" if st.viewEs < 0 =>
+          st = st.copy(viewEs = e.es)
+        case "click" if st.viewEs >= 0 && st.clickEs < 0 && e.es > st.viewEs =>
+          st = st.copy(clickEs = e.es)
+        case "purchase" if st.clickEs >= 0 && st.purchaseEs < 0 && e.es > st.clickEs =>
+          st = st.copy(purchaseEs = e.es)
+          out += FunnelOut(userId, st.viewEs, st.clickEs, st.purchaseEs)
+        case _ =>
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   /** Flush helper for tests/drains: the still-open session per state. */
   def openSession(userId: Long, st: SessionState): SessionOut =
     SessionOut(userId, st.sessionIdx, st.nEvents, st.startEs, st.lastEs - st.startEs)

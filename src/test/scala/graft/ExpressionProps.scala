@@ -75,6 +75,16 @@ object ExpressionProps extends Properties("graft.functions") {
     Gen.choose(1, 16).flatMap(d =>
       Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0)).map(_.toArray))
 
+  property("arrayScale equals naive per-element division (bit-exact)") =
+    Prop.forAll(vector, Gen.choose(-10.0, 10.0).suchThat(_ != 0.0)) { (v, s) =>
+      val got = graft.functions.ArrayScale.scale(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), s)
+        .toDoubleArray().toSeq
+      val expected = v.map(_ / s).toSeq
+      // exact equality: each element is one IEEE division, no reordering
+      got == expected
+    }
+
   property("hyperplaneSigs equals naive per-table sign-bit loop") =
     Prop.forAll(vector, Gen.choose(1, 6), Gen.choose(1, 8), Gen.choose(0L, 99L)) {
       (v, nT, nB, seed) =>

@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel emits exactly the batch twin's completed funnels") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{FEvt, FunnelOut}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FEvt]
+    val q = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    val evts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts").cast("timestamp")).as("es"))
+      .as[FEvt].collect().sortBy(e => (e.es, e.event_id))
+    // split across micro-batches to exercise cross-batch state
+    val (first, second) = evts.splitAt(evts.length / 2)
+    input.addData(first.toSeq); q.processAllAvailable()
+    input.addData(second.toSeq); q.processAllAvailable()
+    val streamed = spark.table("funnel_out").as[FunnelOut].collect()
+      .map(f => (f.user_id, f.view_es, f.click_es, f.purchase_es)).toSet
+    q.stop()
+    val batchComplete = Events.funnel(spark, sfDir).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batchComplete)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
