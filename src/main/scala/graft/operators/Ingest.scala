@@ -96,7 +96,37 @@ object Ingest {
         |GROUP BY sale_year ORDER BY sale_year""".stripMargin)
   }
 
+  /** JSONL roundtrip — the interchange format of LLM training corpora:
+    * write documents as line-delimited JSON, read back with an explicit
+    * schema (never an inference pass — at 100 TB schema inference is a
+    * full extra scan). Identity-oracled against the source table. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("jsonl_documents")
+    Tables.table(spark, dir, "documents").write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(schema).json(path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** ORC roundtrip: the engine's columnar-format breadth beyond
+    * parquet (both sides of a lake migration). Identity-oracled. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("orc_documents")
+    Tables.table(spark, dir, "documents").write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "src_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "snk_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "src_parquet_scan" ->
       """SELECT l_returnflag,
         |       COUNT(*) AS n_rows,
@@ -138,5 +168,7 @@ object Ingest {
     "snk_partitioned_parquet"  -> partitionedParquetSink,
     "snk_s3_layout"            -> s3LayoutSink,
     "cat_register_tables"      -> catalogQuery,
-    "cat_external_partitioned" -> externalPartitionedCatalog)
+    "cat_external_partitioned" -> externalPartitionedCatalog,
+    "src_jsonl_roundtrip"      -> jsonlRoundtrip,
+    "snk_orc_roundtrip"        -> orcRoundtrip)
 }
