@@ -76,6 +76,47 @@ object EventStreams {
     out.result().iterator
   }
 
+  /** Sessionization with EVENT-TIME TIMEOUT — the production variant:
+    * a session also closes when the watermark passes its gap deadline,
+    * not only when the same user's next event arrives. Without this, a
+    * user who goes quiet holds an open session (and its state) forever.
+    * Input must carry a `ts` watermark; es is derived tz-agnostically
+    * from the NTZ wall clock. */
+  def sessionizeWithTimeout(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      // ts must SURVIVE the projection: the event-time-timeout checker
+      // requires the watermark attribute to reach the stateful operator
+      .select(col("user_id"), col("event_id"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP_NTZ))")
+          .as("es"), col("ts"))
+      .as[Evt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionizeTimeoutGroup)
+  }
+
+  private[streaming] def sessionizeTimeoutGroup(
+      userId: Long, events: Iterator[Evt],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      // the watermark passed lastEs + GapSec with no new event: the gap
+      // is definitively exceeded — close and evict
+      val s = state.get
+      state.remove()
+      Iterator.single(openSession(userId, s))
+    } else {
+      val out = sessionizeGroup(userId, events, state)
+      state.getOption.foreach { s =>
+        // fires once the event-time watermark passes the gap deadline
+        state.setTimeoutTimestamp((s.lastEs + GapSec) * 1000L + 999L)
+      }
+      out
+    }
+  }
+
   final case class FEvt(user_id: Long, event_id: Long, event_type: String, es: Long)
   /** Funnel stage timestamps; -1 = stage not reached. */
   final case class FunnelState(viewEs: Long, clickEs: Long, purchaseEs: Long)

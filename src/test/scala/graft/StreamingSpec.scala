@@ -92,6 +92,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("timeout sessionization recovers the COMPLETE batch session set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val streamDf = input.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams.sessionizeWithTimeout(streamDf)
+      .writeStream.format("memory").queryName("sess_to_out")
+      .outputMode("append").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .sortBy(r => (r._3.getTime, r._2))
+    input.addData(rows.toSeq)
+    q.processAllAvailable()
+    // advance the watermark far past every gap deadline with a sentinel
+    // user, then one more batch so the new watermark drives the timeouts
+    val maxTs = rows.map(_._3.getTime).max
+    val far = new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L)
+    input.addData(Seq((-1L, 1L, far))); q.processAllAvailable()
+    input.addData(Seq((-1L, 2L, far))); q.processAllAvailable()
+    val streamed = spark.table("sess_to_out")
+      .where(col("user_id") =!= -1L).as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_idx, s.n_events, s.session_start_es,
+        s.duration_sec)).toSet
+    q.stop()
+    // watermark closure emits EVERY session, including each user's last —
+    // full equality with the batch twin, no subtraction
+    val batchAll = Events.sessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("session_start_es"),
+        r.getAs[Long]("duration_sec"))).toSet
+    assert(streamed == batchAll)
+  }
+
   test("stateful sessionization matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
