@@ -40,6 +40,48 @@ object AsOfJoin {
       .drop("_ts", "_src", "_rv")
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right value with
+    * right.ts ≥ left.ts on the same key — the "next scheduled event"
+    * direction. Same union+window shape scanned in descending time
+    * order: at any left row, the last right value seen is the nearest
+    * one at-or-after it (right sorts before left on ties, so ≥ is
+    * inclusive; ties among right rows resolve to the smallest value).
+    * Still ONE shuffle, no join explosion. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVal: String,
+      asOfCol: String): DataFrame = {
+    val valType = right.schema(rightVal).dataType
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_src", lit(1))
+      .withColumn("_rv", lit(null).cast(valType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_src"),
+      col(rightVal).cast(valType).as("_rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ts").desc, col("_src"), col("_rv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asOfCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_src") === 1)
+      .drop("_ts", "_src", "_rv")
+  }
+
+  /** Contract query: each event matched to that user's NEXT order on or
+    * after the event time (forward as-of). */
+  def eventAsOfNextOrder(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    forward(events, orders, key = "user_id",
+      leftTs = "ts", rightTs = "o_orderdate", rightVal = "o_orderdate",
+      asOfCol = "next_order_date")
+      .select(col("event_id"), col("user_id"), col("next_order_date"))
+      .orderBy("event_id")
+  }
+
   /** Contract query: each event matched to that user's most recent
     * order on or before the event time. */
   def eventAsOfOrder(spark: SparkSession, dir: String): DataFrame = {
@@ -59,8 +101,14 @@ object AsOfJoin {
       """SELECT e.event_id, e.user_id, o.o_orderdate AS asof_order_date
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "evt_asof_next_order" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS next_order_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "evt_asof_order" -> eventAsOfOrder)
+    "evt_asof_order" -> eventAsOfOrder,
+    "evt_asof_next_order" -> eventAsOfNextOrder)
 }

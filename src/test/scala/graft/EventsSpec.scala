@@ -56,6 +56,51 @@ class EventsSpec extends SparkSpec {
     assert(out(2L) == (100L, None, None))
   }
 
+  test("approx quantiles track the exact quantiles (the 100 TB path)") {
+    // evt_quantiles uses exact percentile for the oracle; this contract
+    // pins the documented at-scale swap-in (approx_percentile, t-digest,
+    // mergeable single pass) to the exact result within tolerance
+    // approx_percentile's guarantee is on RANK, not value: the returned
+    // value's true quantile position is within ±eps of the target. Assert
+    // each approx value lies between the exact quantiles one rank-step
+    // either side of the target.
+    val eps = 0.01
+    val targets = Seq(0.5, 0.9, 0.99)
+    val brackets = targets.flatMap(p => Seq(math.max(0, p - eps), math.min(1, p + eps)))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr(s"percentile(value, array(${brackets.mkString(",")}))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, array(${targets.mkString(",")}), 10000)").as("q"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (t, qs) =>
+      targets.indices.foreach { i =>
+        val (lo, hi) = (exact(t)(2 * i), exact(t)(2 * i + 1))
+        assert(qs(i) >= lo && qs(i) <= hi,
+          s"$t p${targets(i)}: approx ${qs(i)} outside rank bracket [$lo,$hi]")
+      }
+    }
+  }
+
+  test("forward as-of equals the per-event minimum qualifying order") {
+    import spark.implicits._
+    // planted: user 1 orders at ts 20, 40; user 2 none
+    val events = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L),
+      (4L, 1L, 50L), (5L, 2L, 10L)).toDF("event_id", "user_id", "ts")
+    val orders = Seq((1L, 20L), (1L, 40L)).toDF("user_id", "o_ts")
+    val got = graft.operators.AsOfJoin.forward(events, orders, key = "user_id",
+      leftTs = "ts", rightTs = "o_ts", rightVal = "o_ts", asOfCol = "next_o")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("next_o"))) None
+         else Some(r.getAs[Long]("next_o")))).toMap
+    assert(got == Map(1L -> Some(20L), 2L -> Some(20L), // inclusive >=
+      3L -> Some(40L), 4L -> None, 5L -> None))
+  }
+
   test("retention counts every user once per active week offset") {
     val r = Events.retention(spark, sfDir).collect()
     assert(r.nonEmpty)
