@@ -173,6 +173,19 @@ object Curation {
       .orderBy("doc_id", "epoch")
   }
 
+  // ---- deterministic corpus shuffle --------------------------------------
+
+  /** Deterministic global training order: each document keyed by its
+    * portable hash (a fixed pseudorandom permutation of sequential ids —
+    * the multiplicative hash is a bijection mod 2^31) and range-sorted.
+    * This is the TeraSort shape: sample-based range partitioning, fully
+    * parallel, no single-partition stage, and bit-reproducible across
+    * runs/cluster sizes — a resumable pre-training data order. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), portableHash(col("doc_id")).as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+
   // ---- distributed sequence packing --------------------------------------
 
   /** Token budget of one packed training sequence. */
@@ -294,6 +307,9 @@ object Curation {
          |SELECT doc_id, lang, unnest(generate_series(1, n_epochs)) AS epoch
          |FROM e ORDER BY doc_id, epoch""".stripMargin
     },
+    "smp_shuffle" ->
+      s"""SELECT doc_id, ${portableHashSql("doc_id")} AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     "smp_pack" ->
       s"""WITH RECURSIVE base AS (
          |  SELECT doc_id,
@@ -332,6 +348,7 @@ object Curation {
     "smp_stratified" -> stratifiedSample,
     "smp_weighted"   -> weightedMix,
     "smp_pack"       -> sequencePack,
+    "smp_shuffle"    -> corpusShuffle,
     "dd_components"  -> dedupComponents,
     "txt_curate"     -> curate)
 }

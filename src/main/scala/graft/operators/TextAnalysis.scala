@@ -176,6 +176,19 @@ object TextAnalysis {
         (col("n_passed") * lit(1.0) / col("n_docs")).as("pass_rate"))
       .orderBy("lang")
 
+  /** Text normalization — the canonical form computed before exact
+    * dedup/fingerprinting so trivial variants (case, runs of spaces,
+    * surrounding whitespace) collapse to one representative: lowercase,
+    * collapse whitespace runs, trim. Pure per-row codegen expressions. */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), """\s+""", " "))
+          .as("norm_text"),
+        (trim(regexp_replace(lower(col("text")), """\s+""", " "))
+          =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprint via the custom codegen expression. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
@@ -256,6 +269,11 @@ object TextAnalysis {
          |       CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)*1.0/COUNT(*)
          |         AS pass_rate
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_rep_ratio" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -300,5 +318,6 @@ object TextAnalysis {
     "txt_corpus_profile" -> corpusProfile,
     "txt_rep_ratio"   -> repRatio,
     "txt_redact"      -> redact,
+    "txt_normalize"   -> normalize,
     "txt_fingerprint" -> fingerprint)
 }
