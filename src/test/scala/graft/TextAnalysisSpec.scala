@@ -46,10 +46,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
 
-  test("quality plan has no interpreted higher-order lambda (codegen only)") {
-    val plan = TextAnalysis.quality(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("lambdafunction"), plan.linesIterator.take(5).mkString("\n"))
+  test("per-row text plans have no interpreted higher-order lambda (codegen only)") {
+    Seq(
+      "quality" -> TextAnalysis.quality(spark, sfDir),
+      "repRatio" -> TextAnalysis.repRatio(spark, sfDir),
+      "redact" -> TextAnalysis.redact(spark, sfDir),
+      "normalize" -> TextAnalysis.normalize(spark, sfDir),
+      "fingerprint" -> TextAnalysis.fingerprint(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"),
+        s"$name: " + plan.linesIterator.take(5).mkString("\n"))
+    }
   }
 
   test("token-set hits counts duplicates and honors the set") {
