@@ -126,6 +126,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packing and mixing plans keep their scale shape") {
+    // smp_pack: exactly one hash exchange (the bucket shuffle) plus the
+    // deterministic output range-sort — token counts reduce BEFORE it
+    val packPlan = Curation.sequencePack(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(packPlan).length
+    assert(exchanges <= 2, s"smp_pack has $exchanges exchanges:\n" +
+      packPlan.linesIterator.take(15).mkString("\n"))
+    // smp_weighted: pure generator — its only exchange is the output sort
+    val mixPlan = Curation.weightedMix(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(mixPlan).length <= 1, mixPlan.take(400))
+    assert(mixPlan.contains("Generate"))
+    // neither reads the text column it doesn't need
+    assert(!mixPlan.contains("text#"), "smp_weighted must prune text")
+  }
+
+  test("multiplicative hash is a bijection on sampled id ranges") {
+    // distinct ids → distinct hashes (odd multiplier mod 2^31); spot-check
+    // contiguous and strided ranges crossing the modulus
+    Seq(0L until 10000L, (1L to 500000L by 97L).map(identity),
+        (Curation.HashMod - 5000L) until (Curation.HashMod + 5000L))
+      .foreach { ids =>
+        val hs = ids.map(id =>
+          ((id % Curation.HashMod) * Curation.HashMult) % Curation.HashMod)
+        assert(hs.distinct.size == ids.map(_ % Curation.HashMod).distinct.size)
+      }
+  }
+
   test("curated corpus keeps only passing, English, canonical documents") {
     val curated = Curation.curate(spark, sfDir)
     val rows = curated.collect()

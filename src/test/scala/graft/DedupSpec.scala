@@ -101,6 +101,13 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontam broadcasts the eval shingle set, never the train corpus") {
+    val plan = Dedup.decontam(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.linesIterator.take(12).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("no crossJoin in any dedup plan") {
     Seq(Dedup.ngramJaccard(spark, sfDir), Dedup.minhashLsh(spark, sfDir),
         Dedup.simhash(spark, sfDir)).foreach { df =>
