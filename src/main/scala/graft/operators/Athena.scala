@@ -141,6 +141,37 @@ object Athena {
   def categoryMonthPivot(spark: SparkSession, dir: String): DataFrame =
     categoryMonthPivotOf(Tables.sales(spark, dir), Tables.products(spark, dir))
 
+  /** Category × year ROLLUP: per-(category, year) revenue plus per-
+    * category subtotals and a grand total in ONE aggregate pass —
+    * Catalyst plans `rollup` as a single Expand + partial-aggregating
+    * groupBy, so the fact is scanned once where three separate groupBys
+    * would scan it three times at 100 TB. Null grouping labels are
+    * replaced with sentinels so the output ordering is total and the
+    * compare engine-portable. */
+  def salesRollupOf(sales: DataFrame, products: DataFrame): DataFrame = {
+    val s = sales
+      .join(broadcast(products.select("product_id", "category")), Seq("product_id"))
+      .where(col("category").isNotNull)
+      .select(col("category"), year(col("sale_ts")).as("yr"),
+        (col("unit_price") * col("quantity")).as("rev"))
+    // the ROLLUP goes through SQL: Dataset.rollup over a join trips
+    // Spark's ambiguous-self-join check on the Expand's duplicated
+    // grouping attributes; the SQL path plans the identical single
+    // Expand + partial aggregate without the Dataset-id bookkeeping
+    s.createOrReplaceTempView("sales_rollup_input")
+    s.sparkSession.sql(
+      s"""SELECT COALESCE(category, '(all)') AS category,
+         |       COALESCE(yr, -1) AS sale_year,
+         |       COUNT(1) AS n_sales,
+         |       ${Gold.moneySumSql("rev")} AS revenue
+         |FROM sales_rollup_input
+         |GROUP BY ROLLUP (category, yr)
+         |ORDER BY 1, 2""".stripMargin)
+  }
+
+  def salesRollup(spark: SparkSession, dir: String): DataFrame =
+    salesRollupOf(Tables.sales(spark, dir), Tables.products(spark, dir))
+
   // ---- DuckDB oracles ----
 
   private val goldCtes =
@@ -235,7 +266,19 @@ object Athena {
          |       ${Gold.fixedRoundSql(Gold.moneySumSql("times_sold*avg_price"), 2)}
          |         AS estimated_revenue
          |FROM prod_perf GROUP BY category
-         |ORDER BY estimated_revenue DESC, category""".stripMargin)
+         |ORDER BY estimated_revenue DESC, category""".stripMargin,
+    "ath_sales_rollup" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |sm AS (SELECT p.category, CAST(YEAR(sale_ts) AS INT) AS yr,
+         |              unit_price*quantity AS rev
+         |       FROM sales JOIN products p USING (product_id)
+         |       WHERE p.category IS NOT NULL)
+         |SELECT COALESCE(category, '(all)') AS category,
+         |       COALESCE(yr, -1) AS sale_year,
+         |       COUNT(*) AS n_sales,
+         |       ${Gold.moneySumSql("rev")} AS revenue
+         |FROM sm GROUP BY ROLLUP (category, yr)
+         |ORDER BY category, sale_year""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ath_daily_revenue"       -> dailyRevenue,
@@ -244,5 +287,6 @@ object Athena {
     "ath_revenue_by_category" -> revenueByCategory,
     "ath_rolling_revenue"     -> rollingRevenue,
     "ath_top_products_per_category" -> topProductsPerCategory,
-    "ath_category_month_pivot" -> categoryMonthPivot)
+    "ath_category_month_pivot" -> categoryMonthPivot,
+    "ath_sales_rollup"         -> salesRollup)
 }

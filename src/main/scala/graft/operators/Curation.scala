@@ -186,6 +186,58 @@ object Curation {
       .select(col("doc_id"), portableHash(col("doc_id")).as("shuffle_key"))
       .orderBy("shuffle_key", "doc_id")
 
+  // ---- z-order (Morton) layout key ---------------------------------------
+
+  /** Bits per dimension of the z-order key (2 dims × 8 bits = 16-bit
+    * interleave — 256 ranks per dimension is plenty for file-level
+    * min/max skipping; file counts, not row counts, set the resolution). */
+  val ZBits = 8
+
+  /** Bit-interleave of two already-normalized ranks in pure integer
+    * `DIV`/`%`/`*`/`+` arithmetic — no bitwise builtins, so the SAME
+    * formula runs on any ANSI engine. `div` is the engine's integer
+    * division token (Spark `DIV`, DuckDB `//`; identical on the
+    * non-negative ranks). */
+  private[graft] def mortonSql(u: String, v: String, div: String): String =
+    (0 until ZBits).map { i =>
+      s"((($u) $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((($v) $div ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** Reference implementation on longs (unit/property-test oracle). */
+  private[graft] def mortonRef(u: Long, v: Long): Long =
+    (0 until ZBits).foldLeft(0L) { (acc, i) =>
+      acc + ((u >> i) & 1L) * (1L << (2 * i + 1)) + ((v >> i) & 1L) * (1L << (2 * i))
+    }
+
+  /** Z-order layout key over events by (user_id, day): each dimension is
+    * min/max-normalized to [0, 2^ZBits) and the ranks bit-interleaved,
+    * so sorting by `zval` co-locates rows that are close in BOTH
+    * dimensions. The 100-TB write path is
+    * `repartitionByRange($"zval").sortWithinPartitions($"zval")` → every
+    * file covers a small rectangle of (user, day) space and parquet
+    * min/max stats skip files for predicates on EITHER column — the
+    * standard multi-dimensional clustering trick a linear sort can't
+    * give. The min/max normalizer is a 1-row aggregate broadcast back
+    * (BroadcastNestedLoopJoin of one row, same shape as
+    * `ath_product_analysis`); the interleave is pure per-row integer
+    * arithmetic inside whole-stage codegen. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      expr(s"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV 86400")
+        .as("day"))
+    val bounds = e.agg(
+      min("user_id").as("min_u"), max("user_id").as("max_u"),
+      min("day").as("min_d"), max("day").as("max_d"))
+    val n = 1L << ZBits
+    e.crossJoin(broadcast(bounds))
+      .select(col("event_id"),
+        expr(s"((user_id - min_u) * $n) DIV (max_u - min_u + 1)").as("u_n"),
+        expr(s"((day - min_d) * $n) DIV (max_d - min_d + 1)").as("v_n"))
+      .select(col("event_id"), expr(mortonSql("u_n", "v_n", "DIV")).as("zval"))
+      .orderBy("zval", "event_id")
+  }
+
   // ---- distributed sequence packing --------------------------------------
 
   /** Token budget of one packed training sequence. */
@@ -310,6 +362,20 @@ object Curation {
     "smp_shuffle" ->
       s"""SELECT doc_id, ${portableHashSql("doc_id")} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    "smp_zorder" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+         |  FROM events),
+         |m AS (SELECT MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+         |             MIN(day) AS min_d, MAX(day) AS max_d FROM e),
+         |r AS (
+         |  SELECT event_id,
+         |         ((user_id - min_u) * ${1L << ZBits}) // (max_u - min_u + 1) AS u_n,
+         |         ((day - min_d) * ${1L << ZBits}) // (max_d - min_d + 1) AS v_n
+         |  FROM e, m)
+         |SELECT event_id, ${mortonSql("u_n", "v_n", "//")} AS zval
+         |FROM r ORDER BY zval, event_id""".stripMargin,
     "smp_pack" ->
       s"""WITH RECURSIVE base AS (
          |  SELECT doc_id,
@@ -349,6 +415,7 @@ object Curation {
     "smp_weighted"   -> weightedMix,
     "smp_pack"       -> sequencePack,
     "smp_shuffle"    -> corpusShuffle,
+    "smp_zorder"     -> zorderKey,
     "dd_components"  -> dedupComponents,
     "txt_curate"     -> curate)
 }

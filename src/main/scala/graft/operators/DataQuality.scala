@@ -92,6 +92,33 @@ object DataQuality {
           col("null_count"))
     }.reduce(_ unionAll _).orderBy("table_name")
 
+  /** Referential-integrity checks: orphan fact rows per foreign key
+    * (sales→customers/products/stores). Each check is one left-anti
+    * join against the (broadcast) dimension key set + a count — no
+    * distinct shuffle of the fact, no collect; at 100 TB the anti join
+    * is a map-side broadcast probe per dimension. */
+  /** One FK check row: count of fact rows whose `fkCol` has no match in
+    * `dimKeys` (single-column DataFrame). */
+  def orphanCheck(name: String, fact: DataFrame, fkCol: String,
+      dimKeys: DataFrame): DataFrame =
+    fact.select(col(fkCol).as("fkv"))
+      .join(broadcast(dimKeys.toDF("k")), col("fkv") === col("k"), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"))
+      .select(lit(name).as("fk_name"), col("orphan_rows"),
+        (col("orphan_rows") === 0L).as("passed"))
+
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val sales = Tables.sales(spark, dir)
+    Seq(
+      orphanCheck("sales_customer_fk", sales, "customer_id",
+        Tables.customers(spark, dir).select("customer_id")),
+      orphanCheck("sales_product_fk", sales, "product_id",
+        Tables.products(spark, dir).select("product_id")),
+      orphanCheck("sales_store_fk", sales, "store_id",
+        Tables.stores(spark, dir).select("store_id")))
+      .reduce(_ unionAll _).orderBy("fk_name")
+  }
+
   /** Rule set over caller-provided retail tables (the Pipeline's silver
     * gate): uniqueness, not-null, positivity — each one aggregate pass. */
   def genericRules(sales: DataFrame, customers: DataFrame,
@@ -160,9 +187,26 @@ object DataQuality {
          |SELECT check_name, table_name,
          |       (observed = 0 OR check_name = 'top_customers_max_10' AND observed <= 10) AS passed,
          |       CAST(observed AS BIGINT) AS observed
-         |FROM checks ORDER BY check_name""".stripMargin)
+         |FROM checks ORDER BY check_name""".stripMargin,
+    "dq_referential" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.customersCte}, ${Tables.productsCte},
+         |${Tables.storesCte},
+         |checks(fk_name, orphan_rows) AS (
+         |  SELECT 'sales_customer_fk',
+         |         (SELECT COUNT(*) FROM sales s WHERE NOT EXISTS
+         |            (SELECT 1 FROM customers c WHERE c.customer_id = s.customer_id))
+         |  UNION ALL SELECT 'sales_product_fk',
+         |         (SELECT COUNT(*) FROM sales s WHERE NOT EXISTS
+         |            (SELECT 1 FROM products p WHERE p.product_id = s.product_id))
+         |  UNION ALL SELECT 'sales_store_fk',
+         |         (SELECT COUNT(*) FROM sales s WHERE NOT EXISTS
+         |            (SELECT 1 FROM stores t WHERE t.store_id = s.store_id)))
+         |SELECT fk_name, CAST(orphan_rows AS BIGINT) AS orphan_rows,
+         |       orphan_rows = 0 AS passed
+         |FROM checks ORDER BY fk_name""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
-    "dq_business_rules" -> businessRules)
+    "dq_business_rules" -> businessRules,
+    "dq_referential"    -> referentialIntegrity)
 }

@@ -120,6 +120,52 @@ object Events {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** Histogram bucket width for `valueHistogram`. */
+  val HistBucketWidth = 50L
+
+  /** Per-type value histogram: fixed-width buckets via pure integer
+    * arithmetic on the floored (non-negative) value — one partial-
+    * aggregating groupBy, no shuffle beyond the aggregate, portable by
+    * construction. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (expr(s"CAST(FLOOR(value) AS BIGINT) DIV $HistBucketWidth")
+          * HistBucketWidth).as("bucket_lo"))
+      .groupBy("event_type", "bucket_lo")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bucket_lo")
+
+  val AnomalyZ = 3.0
+
+  /** Per-type z-score outliers with EXACT distributed moments: sum(x)
+    * and sum(x²) accumulate as fixed-point decimals (order-independent,
+    * merge-safe — the same trick as [[Gold.moneySum]]), so mean/stddev
+    * are bit-identical under any partitioning and the |x−μ| > 3σ flag
+    * is reproducible cross-engine. One aggregate pass over the fact +
+    * one broadcast join of the tiny per-type stats back onto it. */
+  def valueStatsOf(e: DataFrame): DataFrame =
+    e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      Gold.moneySum(col("value")).as("sx"),
+      Gold.moneySum(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), (col("sx") / col("n")).as("mean"),
+        sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("std"))
+
+  /** The scorer half, shared with the streaming twin (which joins a
+    * live stream against precomputed static stats). */
+  def anomaliesOf(e: DataFrame, stats: DataFrame): DataFrame =
+    e.join(broadcast(stats), Seq("event_type"))
+      .where(abs(col("value") - col("mean")) > lit(AnomalyZ) * col("std"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        Gold.fixedRound((col("value") - col("mean")) / col("std"), 4).as("z"))
+
+  def valueAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    anomaliesOf(e, valueStatsOf(e)).orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "evt_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
@@ -152,6 +198,27 @@ object Events {
       """SELECT event_id, event_type,
         |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "evt_value_histogram" ->
+      s"""SELECT event_type,
+         |       (CAST(FLOOR(value) AS BIGINT) // $HistBucketWidth)
+         |         * $HistBucketWidth AS bucket_lo,
+         |       COUNT(*) AS n_events
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "evt_anomaly" ->
+      s"""WITH s AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |         ${Gold.moneySumSql("value")} AS sx,
+         |         ${Gold.moneySumSql("value*value")} AS sxx
+         |  FROM events GROUP BY 1),
+         |m AS (
+         |  SELECT event_type, sx/n AS mean,
+         |         sqrt(sxx/n - (sx/n)*(sx/n)) AS std
+         |  FROM s)
+         |SELECT event_id, e.event_type, value,
+         |       ${Gold.fixedRoundSql("(value - mean)/std", 4)} AS z
+         |FROM events e JOIN m USING (event_type)
+         |WHERE abs(value - mean) > $AnomalyZ*std
+         |ORDER BY event_id""".stripMargin,
     "str_windowed_agg" ->
       s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
          |       event_type, COUNT(*) AS n_events,
@@ -176,6 +243,8 @@ object Events {
     "str_sessionize"   -> sessionize,
     "evt_json_extract" -> jsonExtract,
     "evt_quantiles"    -> valueQuantiles,
-    "evt_funnel"       -> funnel,
-    "evt_retention"    -> retention)
+    "evt_funnel"          -> funnel,
+    "evt_retention"       -> retention,
+    "evt_value_histogram" -> valueHistogram,
+    "evt_anomaly"         -> valueAnomalies)
 }

@@ -96,6 +96,25 @@ object Ingest {
         |GROUP BY sale_year ORDER BY sale_year""".stripMargin)
   }
 
+  /** Lake discovery end-to-end: write two dimension tables under a lake
+    * root, then — given only the root, not the table names — discover
+    * and register every table directory (the glue crawler analog) and
+    * answer a cross-table question purely by catalog name. */
+  def lakeDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmp("disc_lake")
+    Tables.customers(spark, dir).write.mode("overwrite").parquet(s"$root/customers_dim")
+    Tables.stores(spark, dir).write.mode("overwrite").parquet(s"$root/stores_dim")
+    CatalogRegistry.discoverAndRegister(spark, root, "lake")
+    spark.sql(
+      """SELECT c.country, n_customers, n_stores
+        |FROM (SELECT country, COUNT(*) AS n_customers
+        |      FROM lake_customers_dim GROUP BY country) c
+        |JOIN (SELECT country, COUNT(*) AS n_stores
+        |      FROM lake_stores_dim GROUP BY country) s
+        |  ON c.country = s.country
+        |ORDER BY c.country""".stripMargin)
+  }
+
   /** JSONL roundtrip — the interchange format of LLM training corpora:
     * write documents as line-delimited JSON, read back with an explicit
     * schema (never an inference pass — at 100 TB schema inference is a
@@ -112,6 +131,25 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  /** Schema evolution read: two parquet batches written with different
+    * schemas (the early batch predates the `source`/`n_chars` columns —
+    * the standard lake drift case), read back as ONE table via
+    * `mergeSchema`, missing columns null-filled. At 100 TB the merge is
+    * a footer-only operation (no data rewrite) — exactly why evolving
+    * readers beat backfills. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("evo_documents")
+    val d = Tables.table(spark, dir, "documents")
+    d.where(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$path/batch_v1")
+    d.where(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$path/batch_v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/batch_v1", s"$path/batch_v2")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** ORC roundtrip: the engine's columnar-format breadth beyond
     * parquet (both sides of a lake migration). Identity-oracled. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -123,6 +161,11 @@ object Ingest {
   }
 
   val oracles: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      """SELECT doc_id, text, lang,
+        |       CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "src_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "snk_orc_roundtrip" ->
@@ -160,7 +203,16 @@ object Ingest {
          |SELECT CAST(YEAR(sale_ts) AS INT) AS sale_year, COUNT(*) AS n_rows,
          |       ${Gold.moneySumSql("unit_price*quantity")} AS revenue
          |FROM sales WHERE YEAR(sale_ts) >= 1996
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cat_discover_lake" ->
+      s"""WITH ${Tables.customersCte}, ${Tables.storesCte}
+         |SELECT c.country, n_customers, n_stores
+         |FROM (SELECT country, COUNT(*) AS n_customers
+         |      FROM customers GROUP BY country) c
+         |JOIN (SELECT country, COUNT(*) AS n_stores
+         |      FROM stores GROUP BY country) s
+         |  ON c.country = s.country
+         |ORDER BY c.country""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_parquet_scan"         -> parquetScan,
@@ -169,6 +221,8 @@ object Ingest {
     "snk_s3_layout"            -> s3LayoutSink,
     "cat_register_tables"      -> catalogQuery,
     "cat_external_partitioned" -> externalPartitionedCatalog,
+    "cat_discover_lake"        -> lakeDiscovery,
     "src_jsonl_roundtrip"      -> jsonlRoundtrip,
+    "src_schema_evolution"     -> schemaEvolution,
     "snk_orc_roundtrip"        -> orcRoundtrip)
 }

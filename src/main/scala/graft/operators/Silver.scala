@@ -38,6 +38,78 @@ object Silver {
   def clean(df: DataFrame, dateCols: Seq[String] = defaultDateCols): DataFrame =
     fillNumericNulls(coerceTimestamps(df, dateCols))
 
+  // ---- SCD Type-2 dimension merge ----------------------------------------
+
+  /** Slowly-changing-dimension type-2 merge: apply an update batch to a
+    * dimension keeping full history — every existing row survives as
+    * version 1 (no longer current if its key was updated) and each
+    * updated key gains a version-2 row carrying the new attribute.
+    *
+    * Scale design: one keyed equi-join of dimension × updates (Spark
+    * broadcasts the update batch when it is small, shuffle-hash
+    * otherwise) plus a union — never a per-key loop, never a window
+    * over the dimension, and only the touched keys produce new rows
+    * (merge-on-read shape).
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame,
+      key: String, attr: String, newAttr: String): DataFrame = {
+    val closed = current.join(updates, Seq(key), "left")
+      .select(col(key), lit(1).as("version"), col(attr),
+        col(newAttr).isNull.as("is_current"))
+    val opened = current.join(updates, Seq(key))
+      .select(col(key), lit(2).as("version"),
+        col(newAttr).as(attr), lit(true).as("is_current"))
+    closed.unionByName(opened).orderBy(key, "version")
+  }
+
+  /** Deterministic "incoming update batch" for the SCD2 contract query:
+    * every ~10th customer (by portable hash) gets a new balance. */
+  def scd2UpdateBatch(customers: DataFrame): DataFrame =
+    customers
+      .where(Curation.portableHash(col("customer_id")) % 10 === 0)
+      .select(col("customer_id"), (col("acctbal") + 100.0).as("new_acctbal"))
+
+  def scd2Customers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customers(spark, dir).select("customer_id", "acctbal")
+    scd2Merge(cust, scd2UpdateBatch(cust), "customer_id", "acctbal", "new_acctbal")
+  }
+
+  // ---- dimension snapshot diff (CDC derivation) ---------------------------
+
+  /** Diff two dimension snapshots into a change feed: one row per key
+    * present in either snapshot, classified added / removed / changed /
+    * unchanged — how CDC is derived when the source system only hands
+    * you full snapshots. One full-outer keyed equi-join; the value
+    * compare is null-safe (`<=>`); no window, no collect. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String, attr: String): DataFrame = {
+    val o = oldSnap.select(col(key), col(attr).as("old_val"))
+    val n = newSnap.select(col(key), col(attr).as("new_val"))
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key), col("old_val"), col("new_val"),
+        when(col("old_val").isNull, "added")
+          .when(col("new_val").isNull, "removed")
+          .when(!(col("old_val") <=> col("new_val")), "changed")
+          .otherwise("unchanged").as("change"))
+      .orderBy(key)
+  }
+
+  /** Contract query: the "new" snapshot drops every hash%10==1 customer,
+    * bumps the balance of every hash%10==0 one, and adds a synthetic
+    * key-space extension — covering all four change classes. */
+  def snapshotDiffCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customers(spark, dir).select("customer_id", "acctbal")
+    val h = Curation.portableHash(col("customer_id")) % 10
+    val newSnap = cust.where(h =!= 1)
+      .select(col("customer_id"),
+        when(h === 0, col("acctbal") + 100.0).otherwise(col("acctbal"))
+          .as("acctbal"))
+      .unionByName(cust.where(h === 2)
+        .select((col("customer_id") + 1000000000L).as("customer_id"),
+          col("acctbal")))
+    snapshotDiff(cust, newSnap, "customer_id", "acctbal")
+  }
+
   // ---- contract queries -------------------------------------------------
 
   /** Date coercion demo: orders with 10% of dates corrupted to garbage;
@@ -73,9 +145,45 @@ object Silver {
     "xf_null_fill" ->
       """SELECT event_id,
         |       CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE value END AS value_filled
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "xf_scd2" ->
+      s"""WITH ${Tables.customersCte},
+         |upd AS (SELECT customer_id, acctbal + 100.0 AS new_acctbal
+         |        FROM customers
+         |        WHERE ${Curation.portableHashSql("customer_id")} % 10 = 0)
+         |SELECT c.customer_id, 1 AS version, c.acctbal AS acctbal,
+         |       u.customer_id IS NULL AS is_current
+         |FROM customers c LEFT JOIN upd u USING (customer_id)
+         |UNION ALL
+         |SELECT customer_id, 2 AS version, new_acctbal AS acctbal,
+         |       TRUE AS is_current
+         |FROM upd
+         |ORDER BY customer_id, version""".stripMargin,
+    "xf_dim_diff" -> {
+      val h = s"${Curation.portableHashSql("customer_id")} % 10"
+      s"""WITH ${Tables.customersCte},
+         |oldsnap AS (SELECT customer_id, acctbal FROM customers),
+         |newsnap AS (
+         |  SELECT customer_id,
+         |         CASE WHEN $h = 0 THEN acctbal + 100.0 ELSE acctbal END AS acctbal
+         |  FROM customers WHERE $h <> 1
+         |  UNION ALL
+         |  SELECT customer_id + 1000000000, acctbal
+         |  FROM customers WHERE $h = 2)
+         |SELECT COALESCE(o.customer_id, n.customer_id) AS customer_id,
+         |       o.acctbal AS old_val, n.acctbal AS new_val,
+         |       CASE WHEN o.customer_id IS NULL THEN 'added'
+         |            WHEN n.customer_id IS NULL THEN 'removed'
+         |            WHEN o.acctbal IS DISTINCT FROM n.acctbal THEN 'changed'
+         |            ELSE 'unchanged' END AS change
+         |FROM oldsnap o FULL OUTER JOIN newsnap n
+         |  ON o.customer_id = n.customer_id
+         |ORDER BY customer_id""".stripMargin
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "xf_date_coercion" -> dateCoercion,
-    "xf_null_fill"     -> nullFill)
+    "xf_null_fill"     -> nullFill,
+    "xf_scd2"          -> scd2Customers,
+    "xf_dim_diff"      -> snapshotDiffCustomers)
 }

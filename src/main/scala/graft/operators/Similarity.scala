@@ -194,6 +194,85 @@ object Similarity {
           col("nrm"), col("q_nrm")).as("cosine")))
   }
 
+  // ---- product quantization (PQ) -----------------------------------------
+
+  /** 16 subspaces × 4 dims × 32 codes: near-uniform synthetic
+    * embeddings are PQ's hard case (pairwise distances concentrate), so
+    * the quantization is finer than the textbook 8×8×16 — still a 16-
+    * byte code per 512-byte vector. */
+  val PqSubspaces = 16
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCodesK = 32
+  /** Candidates per query kept from the compressed-score pass for the
+    * exact rerank. */
+  val PqRerank: Int = TopK * 8
+
+  private val pqBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+
+  /** Train-once PQ codebooks (one 16-centroid k-means per 8-dim
+    * subspace, fit on the deterministic sample, cached per corpus dir —
+    * the same persist-don't-refit discipline as [[ivfCodebook]]). */
+  def pqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    pqBooks.computeIfAbsent(dir, _ => {
+      val c = corpus(spark, dir)
+      val n = c.count()
+      val fraction = math.min(1.0, IvfTrainTarget.toDouble / math.max(n, 1L))
+      val sample = c.sample(withReplacement = false, fraction, seed = 7L)
+        .select(col("embedding")).cache()
+      val books = (0 until PqSubspaces).map { m =>
+        val sub = sample.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            slice(col("embedding"), m * PqSubDim + 1, PqSubDim)).as("features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(PqCodesK).setSeed(42L + m).setMaxIter(10).setFeaturesCol("features")
+          .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+      }
+      sample.unpersist()
+      books
+    })
+
+  /** PQ ANN: each corpus vector is compressed to its per-subspace
+    * nearest sub-centroid indices (the 8-byte code that would be STORED
+    * at 100 TB — 64× smaller than the raw doubles) and decoded back
+    * through the in-plan codebook literals; the compressed-domain cosine
+    * prunes the corpus to [[PqRerank]] candidates per query
+    * (bounded-heap, map-side partial), exact rerank on the raw vectors
+    * after. Encode and decode are native expressions
+    * ([[graft.functions.NearestCells]] + `element_at` on a foldable
+    * literal), so the compress-reconstruct-score pass fuses into the
+    * corpus scan's codegen span. */
+  def annTopKPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKByScore.register(spark)
+    val books = pqCodebooks(spark, dir)
+    val recon = concat((0 until PqSubspaces).map { m =>
+      val code = element_at(graft.functions.NearestCells.column(spark,
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim), books(m), 1), 1)
+      element_at(typedLit(books(m)), code + 1)
+    }: _*)
+    val c = corpus(spark, dir)
+    val q = querySet(c)
+    val approx = c.withColumn("recon", recon)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VectorFunctions.dot(col("recon"), col("q_emb"))
+          / (VectorFunctions.norm(col("recon")) * col("q_nrm"))).as("approx"))
+    val cand = approx.groupBy("query_id")
+      .agg(call_function("graft_top_k_by_score",
+        col("approx"), col("vec_id"), lit(PqRerank)).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"))
+    topKPerQuery(spark, cand
+      .join(c, "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_nrm"))),
+        "query_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_nrm")).as("cosine")))
+  }
+
   /** Fixed-point scale for centroid sums: embeddings are unit-ish floats,
     * so 1e-6 keeps six decimals while the DECIMAL(28,0) running sum stays
     * exact and order-independent at any row count. */
@@ -292,6 +371,7 @@ object Similarity {
     "dd_embed_neardup" -> embedNearDup,
     "ann_topk_lsh"     -> annTopKLsh,
     "ann_topk_ivf"     -> annTopKIvf,
+    "ann_topk_pq"      -> annTopKPq,
     "emb_centroids"    -> labelCentroids,
     "emb_norm"         -> embNorm)
 }

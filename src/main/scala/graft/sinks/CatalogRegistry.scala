@@ -60,6 +60,28 @@ object CatalogRegistry {
       path: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"CREATE TABLE $name USING parquet OPTIONS (path '$path')")
-    spark.catalog.recoverPartitions(name)
+    // unpartitioned directories register fine but have nothing to recover
+    val partitioned = spark.catalog.listColumns(name).collect().exists(_.isPartition)
+    if (partitioned) spark.catalog.recoverPartitions(name)
+  }
+
+  /** Lake discovery (glue_registry.py:139-182 crawler analog): list the
+    * table directories under a lake prefix and register every one as an
+    * external table — schema read from parquet footers, hive partition
+    * columns discovered from the layout, partitions recovered. The only
+    * driver-side work is one listing of the lake root (O(#tables), not
+    * O(data)); each registered table stays a lazy external scan.
+    * Returns the registered names (sorted, deterministic). */
+  def discoverAndRegister(spark: SparkSession, lakeRoot: String,
+      prefix: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(lakeRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName)
+      .map { p =>
+        val name = s"${prefix}_${p.getName}"
+        registerExternalPartitioned(spark, name, p.toString)
+        name
+      }.toSeq
   }
 }

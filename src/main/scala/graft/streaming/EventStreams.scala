@@ -173,6 +173,16 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static anomaly scoring — the production monitoring shape:
+    * per-type moments are maintained by the batch layer (exact
+    * fixed-point sums, [[graft.operators.Events.valueStatsOf]]) and the
+    * live stream is scored by a stateless broadcast join + filter
+    * against them. No streaming state at all, so throughput is scan
+    * speed; the scorer column math is shared with the batch twin and
+    * can never drift from it. */
+  def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
+    graft.operators.Events.anomaliesOf(events, stats)
+
   /** Stream-stream interval self-join: pairs of same-user events within
     * `boundSec` seconds (the streaming twin of
     * operators.IntervalJoin.eventPairs). Both sides carry watermarks and

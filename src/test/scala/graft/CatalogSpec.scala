@@ -21,6 +21,25 @@ class CatalogSpec extends SparkSpec {
     assert(ext.sameElements(direct))
   }
 
+  test("lake discovery registers every table directory under the root") {
+    val out = Ingest.lakeDiscovery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // both discovered tables are queryable by name
+    assert(spark.table("lake_customers_dim").count() ==
+      Tables.customers(spark, sfDir).count())
+    assert(spark.table("lake_stores_dim").count() ==
+      Tables.stores(spark, sfDir).count())
+    // the join result matches a direct (catalog-free) computation
+    val direct = Tables.customers(spark, sfDir).groupBy("country")
+      .agg(count(lit(1)).as("n_customers"))
+      .join(Tables.stores(spark, sfDir).groupBy("country")
+        .agg(count(lit(1)).as("n_stores")), "country")
+      .orderBy("country").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sameElements(direct))
+  }
+
   test("year predicate reaches the scan as a partition filter (pruning)") {
     Ingest.externalPartitionedCatalog(spark, sfDir).collect() // registers
     val pruned = spark.table("silver_sales_ext")

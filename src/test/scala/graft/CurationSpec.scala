@@ -143,6 +143,36 @@ class CurationSpec extends SparkSpec {
     assert(!mixPlan.contains("text#"), "smp_weighted must prune text")
   }
 
+  test("morton interleave: SQL formula equals the bit-twiddling reference") {
+    import spark.implicits._
+    // known points: u bits land on odd positions, v bits on even
+    assert(Curation.mortonRef(0L, 0L) == 0L)
+    assert(Curation.mortonRef(1L, 0L) == 2L)
+    assert(Curation.mortonRef(0L, 1L) == 1L)
+    assert(Curation.mortonRef(255L, 255L) == 65535L)
+    assert(Curation.mortonRef(3L, 5L) == (2L + 8L) + (1L + 16L))
+    val grid = (for (u <- 0L until 256L by 17L; v <- 0L until 256L by 13L)
+      yield (u, v)).toDF("u", "v")
+    val got = grid.withColumn("z",
+      org.apache.spark.sql.functions.expr(Curation.mortonSql("u", "v", "DIV")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case ((u, v), z) => assert(z == Curation.mortonRef(u, v), s"($u,$v)") }
+  }
+
+  test("z-order key stays in range and keeps its scale shape") {
+    val df = Curation.zorderKey(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only non-equi join is the 1-row bounds broadcast
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val rows = df.collect()
+    assert(rows.length == graft.sources.Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      val z = r.getAs[Long]("zval")
+      assert(z >= 0L && z < (1L << (2 * Curation.ZBits)))
+    }
+  }
+
   test("multiplicative hash is a bijection on sampled id ranges") {
     // distinct ids → distinct hashes (odd multiplier mod 2^31); spot-check
     // contiguous and strided ranges crossing the modulus

@@ -101,6 +101,43 @@ class EventsSpec extends SparkSpec {
       3L -> Some(40L), 4L -> None, 5L -> None))
   }
 
+  test("histogram buckets partition the events exactly") {
+    val h = Events.valueHistogram(spark, sfDir).collect()
+    assert(h.nonEmpty)
+    h.foreach { r =>
+      assert(r.getAs[Long]("bucket_lo") % Events.HistBucketWidth == 0L)
+      assert(r.getAs[Long]("n_events") > 0L)
+    }
+    assert(h.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("anomalies are exactly the >3-sigma events (independent recompute)") {
+    val flagged = Events.valueAnomalies(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id")).toSet
+    // recompute the fixed-point moments driver-side, independently
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = rows.groupBy(_._2).valuesIterator.flatMap { g =>
+      val n = g.length.toDouble
+      val sx = g.map(t => math.floor(t._3 * 10000).toLong).sum / 10000.0
+      val sxx = g.map(t => math.floor(t._3 * t._3 * 10000).toLong).sum / 10000.0
+      val mean = sx / n
+      val std = math.sqrt(sxx / n - mean * mean)
+      g.filter(t => math.abs(t._3 - mean) > Events.AnomalyZ * std).map(_._1)
+    }.toSet
+    assert(flagged == expect)
+    assert(flagged.nonEmpty)
+  }
+
+  test("anomaly stats join broadcasts (no fact-side shuffle for stats)") {
+    val plan = Events.valueAnomalies(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("retention counts every user once per active week offset") {
     val r = Events.retention(spark, sfDir).collect()
     assert(r.nonEmpty)

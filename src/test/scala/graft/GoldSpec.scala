@@ -106,6 +106,26 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("rollup reconciles: subtotals and grand total in one Expand pass") {
+    val r = Athena.salesRollup(spark, sfDir).collect()
+    val leaves = r.filter(row =>
+      row.getString(0) != "(all)" && row.getInt(1) != -1)
+    val catSub = r.filter(row =>
+      row.getString(0) != "(all)" && row.getInt(1) == -1)
+    val grand = r.filter(_.getString(0) == "(all)")
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == leaves.map(_.getLong(2)).sum)
+    catSub.foreach { s =>
+      val cat = s.getString(0)
+      assert(s.getLong(2) ==
+        leaves.filter(_.getString(0) == cat).map(_.getLong(2)).sum, cat)
+    }
+    // one aggregate pass: rollup plans as a single Expand, not N groupBys
+    val plan = Athena.salesRollup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(800))
+    assert(plan.split("Expand").length == 2, "expected exactly one Expand")
+  }
+
   test("product analysis gets the global max via a 1-row broadcast, not a window") {
     val plan = Athena.productAnalysis(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{DataQuality, Multimodal, Silver}
+import graft.operators.{DataQuality, Ingest, Multimodal, Silver}
 import graft.sources.{JdbcSource, Tables}
 
 class PipelineSpec extends SparkSpec {
@@ -24,6 +24,70 @@ class PipelineSpec extends SparkSpec {
     val out = Silver.fillNumericNulls(df).collect()
     assert(out(1).getDouble(0) == 0.0 && out(1).getLong(1) == 0L)
     assert(out(1).isNullAt(2))
+  }
+
+  test("scd2 merge keeps history: one closed row per update, keys stable") {
+    val cust = Tables.customers(spark, sfDir).select("customer_id", "acctbal")
+    val updates = Silver.scd2UpdateBatch(cust)
+    val merged = Silver.scd2Merge(cust, updates,
+      "customer_id", "acctbal", "new_acctbal").collect()
+    val nCust = cust.count()
+    val nUpd = updates.count()
+    assert(nUpd > 0 && nUpd < nCust)
+    assert(merged.length == nCust + nUpd)
+    // exactly one current row per key
+    val current = merged.filter(_.getAs[Boolean]("is_current"))
+    assert(current.length == nCust)
+    assert(current.map(_.getAs[Long]("customer_id")).distinct.length == nCust)
+    // every updated key: v1 closed with the old value, v2 current +100
+    val byKey = merged.groupBy(_.getAs[Long]("customer_id"))
+    updates.collect().foreach { u =>
+      val k = u.getAs[Long]("customer_id")
+      val vs = byKey(k).sortBy(_.getAs[Int]("version"))
+      assert(vs.length == 2)
+      assert(!vs(0).getAs[Boolean]("is_current") && vs(1).getAs[Boolean]("is_current"))
+      assert(vs(1).getAs[Double]("acctbal") == vs(0).getAs[Double]("acctbal") + 100.0)
+    }
+  }
+
+  test("snapshot diff classifies all four change classes") {
+    val d = Silver.snapshotDiffCustomers(spark, sfDir).collect()
+    val byClass = d.groupBy(_.getAs[String]("change")).view.mapValues(_.length).toMap
+    assert(byClass.keySet == Set("added", "removed", "changed", "unchanged"))
+    d.foreach { r =>
+      r.getAs[String]("change") match {
+        case "added"     => assert(r.isNullAt(1) && !r.isNullAt(2))
+        case "removed"   => assert(!r.isNullAt(1) && r.isNullAt(2))
+        case "changed"   =>
+          assert(r.getDouble(2) == r.getDouble(1) + 100.0)
+        case "unchanged" => assert(r.getDouble(1) == r.getDouble(2))
+      }
+    }
+  }
+
+  test("referential integrity passes on clean data, catches planted orphans") {
+    import spark.implicits._
+    val clean = DataQuality.referentialIntegrity(spark, sfDir).collect()
+    assert(clean.length == 3)
+    clean.foreach { r =>
+      assert(r.getAs[Boolean]("passed") && r.getAs[Long]("orphan_rows") == 0L)
+    }
+    val fact = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "fk")
+    val dim = Seq(10L, 11L).toDF("k")
+    val planted = DataQuality.orphanCheck("planted", fact, "fk", dim).head()
+    assert(planted.getAs[Long]("orphan_rows") == 1L)
+    assert(!planted.getAs[Boolean]("passed"))
+  }
+
+  test("schema-evolution merge read null-fills the early batch") {
+    val out = Ingest.schemaEvolution(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val even = r.getAs[Long]("doc_id") % 2 == 0
+      assert(r.isNullAt(r.fieldIndex("source")) == even)
+      assert(r.isNullAt(r.fieldIndex("n_chars")) == even)
+      assert(!r.isNullAt(r.fieldIndex("text")))
+    }
   }
 
   test("jdbc reader wires partitioned-extract options") {

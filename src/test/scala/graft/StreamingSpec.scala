@@ -40,6 +40,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static anomaly scoring matches the batch twin exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Events.valueAnomalies(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val stats = Events.valueStatsOf(Tables.events(spark, sfDir))
+    val input = MemoryStream[(Long, String, Double)]
+    val streamDf = input.toDF().toDF("event_id", "event_type", "value")
+    val q = EventStreams.anomalyStream(streamDf, stats)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // two micro-batches: scoring is stateless, split must not matter
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first.toSeq); q.processAllAvailable()
+    input.addData(second.toSeq); q.processAllAvailable()
+    val streamed = spark.table("anom_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch bucket join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
