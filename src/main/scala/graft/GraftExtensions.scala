@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, ArrayScale, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, ArrayScale, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -55,5 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_nearest_cells",
       "indices of the n nearest centroids to a vector (IVF assign/probe)",
       NearestCells.builder)
+    inject("graft_heavy_hitters",
+      "Misra-Gries frequent-items candidates (id, est) with k counters",
+      HeavyHitters.builder)
   }
 }

@@ -76,10 +76,20 @@ object Pipeline {
     def silverTable(name: String): DataFrame =
       spark.read.parquet(silver(name)).drop("load_date")
 
-    // 3. quality gate on the silver layer (single-pass checks)
+    // 3. quality gate on the silver layer: single-pass rule checks plus
+    //    referential integrity (orphan FK rows via broadcast anti-joins)
     val sales = silverTable("sales")
-    val dqPassed = DataQuality
+    val rules = DataQuality
       .genericRules(sales, silverTable("customers"), silverTable("products"))
+      .select("check_name", "passed")
+    val refs = Seq(
+      ("customers", "customer_id"), ("products", "product_id"),
+      ("stores", "store_id")).map { case (dim, fk) =>
+      DataQuality.orphanCheck(s"sales_${fk}_fk", sales, fk,
+        silverTable(dim).select(fk))
+        .select(col("fk_name").as("check_name"), col("passed"))
+    }.reduce(_ unionAll _)
+    val dqPassed = rules.unionAll(refs)
       .agg(min(col("passed"))).head.getBoolean(0)
 
     // 4. gold aggregates from silver, written in the S3 layout

@@ -136,6 +136,35 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("event_type", "bucket_lo")
 
+  /** Misra-Gries counter budget for heavy-user detection — deliberately
+    * below the distinct-user cardinality so the sketch genuinely
+    * decrements (and the guarantee, not exactness, is what's tested). */
+  val MgK = 1024
+
+  /** Heavy users (frequency > N/(MgK+1)) in two bounded passes: the
+    * Misra-Gries sketch (one pass, k counters, map-side-mergeable —
+    * [[graft.functions.HeavyHitters]]) yields a candidate superset; the
+    * candidates (≤ k ids) broadcast back for an exact recount, and the
+    * integer threshold `cnt·(k+1) > N` keeps only true heavy hitters.
+    * Result is EXACT and deterministic — the sketch only prunes — while
+    * an exact `GROUP BY user_id` first pass would shuffle every
+    * distinct key at 100 TB. */
+  def heavyUsers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HeavyHitters.register(spark)
+    val e = Tables.events(spark, dir).select("user_id")
+    val sketch = e.agg(
+      call_function("graft_heavy_hitters", col("user_id"), lit(MgK)).as("cand"),
+      count(lit(1)).as("n"))
+    val candidates = sketch.select(explode(col("cand")).as("c"))
+      .select(col("c.id").as("user_id"))
+    e.join(broadcast(candidates), "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(sketch.select(col("n"))))
+      .where(col("n_events") * (MgK + 1) > col("n"))
+      .select(col("user_id"), col("n_events"))
+      .orderBy("user_id")
+  }
+
   val AnomalyZ = 3.0
 
   /** Per-type z-score outliers with EXACT distributed moments: sum(x)
@@ -198,6 +227,12 @@ object Events {
       """SELECT event_id, event_type,
         |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "evt_heavy_users" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n FROM events)
+         |SELECT user_id, n_events FROM c, t
+         |WHERE n_events * ${MgK + 1} > n
+         |ORDER BY user_id""".stripMargin,
     "evt_value_histogram" ->
       s"""SELECT event_type,
          |       (CAST(FLOOR(value) AS BIGINT) // $HistBucketWidth)
@@ -246,5 +281,6 @@ object Events {
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,
     "evt_value_histogram" -> valueHistogram,
-    "evt_anomaly"         -> valueAnomalies)
+    "evt_anomaly"         -> valueAnomalies,
+    "evt_heavy_users"     -> heavyUsers)
 }

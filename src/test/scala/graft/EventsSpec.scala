@@ -138,6 +138,45 @@ class EventsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("heavy users equal the exact threshold query (sketch only prunes)") {
+    val got = Events.heavyUsers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val expect = counts.filter { case (_, c) => c * (Events.MgK + 1) > n }
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("misra-gries guarantee: every item above N/(k+1) survives, est <= true") {
+    import spark.implicits._
+    // planted skew: ids 1..3 heavy, 4..1000 one hit each; k far below
+    // distinct count so the sketch must decrement
+    val k = 16
+    val rows = (Seq.fill(400)(1L) ++ Seq.fill(300)(2L) ++ Seq.fill(200)(3L) ++
+      (4L to 1000L)).toDF("id").repartition(7)
+    graft.functions.HeavyHitters.register(spark)
+    val cand = rows.agg(
+      org.apache.spark.sql.functions.call_function("graft_heavy_hitters",
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(k)).as("cand"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("cand")).as("c"))
+      .select("c.id", "c.est")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 400 + 300 + 200 + 997
+    val truth = Map(1L -> 400L, 2L -> 300L, 3L -> 200L)
+    truth.foreach { case (id, t) =>
+      assert(t <= n / (k + 1) || cand.contains(id), s"heavy id $id missing")
+      if (cand.contains(id)) {
+        assert(cand(id) <= t, s"overestimate for $id")
+        assert(cand(id) >= t - n / (k + 1) - 1, s"est too low for $id")
+      }
+    }
+    assert(cand.size <= k)
+  }
+
   test("retention counts every user once per active week offset") {
     val r = Events.retention(spark, sfDir).collect()
     assert(r.nonEmpty)

@@ -179,4 +179,30 @@ object ExpressionProps extends Properties("graft.functions") {
       buf.sortedBestFirst.take(2).map { case (s, i) => (nz(s), i) } ==
         Seq((0.0, 3L), (0.0, 5L)).take(math.min(k, 2))
     }
+
+  property("MgBuffer: MG guarantee holds under arbitrary split + merge") =
+    Prop.forAll(
+      Gen.listOf(Gen.choose(1L, 20L)), Gen.listOf(Gen.choose(1L, 20L)),
+      Gen.choose(1, 8)) { (xs, ys, k) =>
+      val a = new graft.functions.MgBuffer(k)
+      xs.foreach(a.add(_, 1L))
+      val b = graft.functions.MgBuffer.fromBytes(k, {
+        val t = new graft.functions.MgBuffer(k)
+        ys.foreach(t.add(_, 1L))
+        t.toBytes
+      })
+      a.mergeFrom(b)
+      val est = a.entriesSorted.toMap
+      val all = xs ++ ys
+      val n = all.length
+      val truth = all.groupBy(identity).view.mapValues(_.length.toLong)
+      // ≤ k survivors; no overestimates; undercount bounded by n/(k+1);
+      // every item above the threshold is present
+      est.size <= k &&
+        est.forall { case (id, e) => e <= truth(id) } &&
+        truth.forall { case (id, t) =>
+          est.getOrElse(id, 0L) >= t - n / (k + 1) - 1 &&
+            (t * (k + 1) <= n || est.contains(id))
+        }
+    }
 }
