@@ -96,7 +96,49 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Contract query: each event matched to that user's temporally
+    * NEAREST order in either direction (ties → the earlier order).
+    * Composes the backward and forward passes, then one keyed equi-join
+    * on event_id — still no join explosion, and both window passes
+    * shuffle on the same user_id partitioning. */
+  def eventAsOfNearestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    val b = backward(events, orders, key = "user_id",
+      leftTs = "ts", rightTs = "o_orderdate", rightVal = "o_orderdate",
+      asOfCol = "prev_o")
+    val f = forward(events, orders, key = "user_id",
+      leftTs = "ts", rightTs = "o_orderdate", rightVal = "o_orderdate",
+      asOfCol = "next_o")
+    b.join(f.select("event_id", "next_o"), "event_id")
+      .select(col("event_id"), col("user_id"),
+        when(col("prev_o").isNull, col("next_o"))
+          .when(col("next_o").isNull, col("prev_o"))
+          .when(col("ts") - col("prev_o") <= col("next_o") - col("ts"),
+            col("prev_o"))
+          .otherwise(col("next_o")).as("nearest_order_date"))
+      .orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "evt_asof_nearest_order" ->
+      """WITH b AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS prev_o
+        |  FROM events e ASOF LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+        |f AS (
+        |  SELECT e.event_id, o.o_orderdate AS next_o
+        |  FROM events e ASOF LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+        |SELECT b.event_id, b.user_id,
+        |       CASE WHEN prev_o IS NULL THEN next_o
+        |            WHEN next_o IS NULL THEN prev_o
+        |            WHEN (b.ts - prev_o) <= (next_o - b.ts) THEN prev_o
+        |            ELSE next_o END AS nearest_order_date
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id""".stripMargin,
     "evt_asof_order" ->
       """SELECT e.event_id, e.user_id, o.o_orderdate AS asof_order_date
         |FROM events e ASOF LEFT JOIN orders o
@@ -110,5 +152,6 @@ object AsOfJoin {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_asof_order" -> eventAsOfOrder,
-    "evt_asof_next_order" -> eventAsOfNextOrder)
+    "evt_asof_next_order" -> eventAsOfNextOrder,
+    "evt_asof_nearest_order" -> eventAsOfNearestOrder)
 }

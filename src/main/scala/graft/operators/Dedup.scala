@@ -243,11 +243,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental ingest dedup — the daily-crawl shape: dedup an
+    * incoming batch (documents hashing to the "today" bucket) against
+    * the existing corpus by content hash. The corpus side collapses to
+    * its distinct hashes (narrow — at 100 TB this is the persisted
+    * dedup index, not a rescan), the batch keeps first-wins within
+    * itself (min doc_id per hash), and a row is `kept` iff its hash is
+    * new to the corpus AND it is the batch's canonical copy. Two keyed
+    * equi-joins on the 32-byte hash; no text ever shuffles. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val corpusHashes = docs.where(!isBatch)
+      .select(col("h")).distinct().withColumn("in_corpus", lit(true))
+    val batch = docs.where(isBatch)
+    val canon = batch.groupBy("h").agg(min("doc_id").as("keep_id"))
+    batch
+      .join(canon, "h")
+      .join(corpusHashes, Seq("h"), "left")
+      .select(col("doc_id"),
+        (col("in_corpus").isNull && col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
         |       MIN(doc_id) AS canonical_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_incremental" -> {
+      val h = s"${Curation.portableHashSql("doc_id")} % 10"
+      s"""WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         |b AS (SELECT * FROM d WHERE $h = 0),
+         |c AS (SELECT DISTINCT h FROM d WHERE $h <> 0),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM b GROUP BY 1)
+         |SELECT b.doc_id,
+         |       (c.h IS NULL AND b.doc_id = k.keep_id) AS kept
+         |FROM b JOIN k ON b.h = k.h LEFT JOIN c ON b.h = c.h
+         |ORDER BY b.doc_id""".stripMargin
+    },
     "dd_ngram_jaccard" -> ngramJaccardOracle,
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
@@ -315,5 +350,6 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_simhash"       -> simhash,
-    "dd_decontam"      -> decontam)
+    "dd_decontam"      -> decontam,
+    "dd_incremental"   -> incrementalDedup)
 }

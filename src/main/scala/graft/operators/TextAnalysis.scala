@@ -113,6 +113,33 @@ object TextAnalysis {
           .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Tokens per training chunk and the stride between chunk starts
+    * (stride < size ⇒ overlapping context windows). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Context-window chunking — split every document into fixed-token
+    * overlapping chunks, the step between corpus text and model inputs.
+    * Pure per-row expressions (split → generated chunk starts → slice →
+    * join); the only work is the generator's row expansion, map-side,
+    * no shuffle besides the output sort — at 100 TB chunking is a pass
+    * over the corpus, never a stateful operator. */
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), t.as("toks"), size(t).as("n"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"CAST((n - 1) DIV $ChunkStride AS INT)"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize))
+          .as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).as("n_chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Intra-document repetition — the duplicate-n-gram quality signal of
     * LLM corpus filtering (a document that repeats its own 2/3-grams is
     * boilerplate or a crawler loop): fraction of word n-grams that are
@@ -274,6 +301,20 @@ object TextAnalysis {
         |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
         |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_chunks" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |                  len(string_split(text,' ')) AS n FROM documents),
+         |e AS (SELECT doc_id, toks,
+         |             unnest(generate_series(0, (n-1)//$ChunkStride)) AS chunk_idx
+         |      FROM d),
+         |c AS (SELECT doc_id, chunk_idx,
+         |             toks[chunk_idx*$ChunkStride+1 : chunk_idx*$ChunkStride+$ChunkSize]
+         |               AS ctoks
+         |      FROM e)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       len(ctoks) AS n_chunk_tokens,
+         |       array_to_string(ctoks, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "txt_rep_ratio" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -319,5 +360,6 @@ object TextAnalysis {
     "txt_rep_ratio"   -> repRatio,
     "txt_redact"      -> redact,
     "txt_normalize"   -> normalize,
+    "txt_chunks"      -> chunks,
     "txt_fingerprint" -> fingerprint)
 }

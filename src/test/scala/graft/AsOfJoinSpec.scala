@@ -63,4 +63,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.where(col("asof_order_date").isNull).count() == 0)
     assert(out.count() == 1000)
   }
+
+  test("nearest as-of picks the closer side, earlier on exact ties") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1 orders at t=100 and t=200
+    val orders = Seq((1L, ts(100)), (1L, ts(200))).toDF("user_id", "o_ts")
+    // events: before both, closer-to-prev, exact midpoint (tie → prev),
+    // closer-to-next, after both; user 2 has no orders
+    val events = Seq(
+      (1L, 1L, ts(50)), (2L, 1L, ts(120)), (3L, 1L, ts(150)),
+      (4L, 1L, ts(180)), (5L, 1L, ts(300)), (6L, 2L, ts(100)))
+      .toDF("event_id", "user_id", "ts")
+    val b = AsOfJoin.backward(events, orders, "user_id", "ts", "o_ts", "o_ts", "prev_o")
+    val f = AsOfJoin.forward(events, orders, "user_id", "ts", "o_ts", "o_ts", "next_o")
+    val got = b.join(f.select("event_id", "next_o"), "event_id")
+      .select(col("event_id"),
+        when(col("prev_o").isNull, col("next_o"))
+          .when(col("next_o").isNull, col("prev_o"))
+          .when(col("ts") - col("prev_o") <= col("next_o") - col("ts"), col("prev_o"))
+          .otherwise(col("next_o")).as("nearest"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getTimestamp(1).getTime / 1000L)))
+      .toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> Some(100L),
+      4L -> Some(200L), 5L -> Some(200L), 6L -> None))
+  }
 }

@@ -115,4 +115,22 @@ class DedupSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan.take(500))
     }
   }
+
+  test("incremental dedup keeps exactly the corpus-new, batch-canonical docs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def bucket(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L % 10
+    val (batch, corpus) = docs.partition { case (id, _) => bucket(id) == 0 }
+    val corpusHashes = corpus.map(_._2).toSet
+    val firstInBatch = batch.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expect = batch.map { case (id, h) =>
+      id -> (!corpusHashes.contains(h) && firstInBatch(h) == id)
+    }.toMap
+    val got = Dedup.incrementalDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.exists(identity))
+  }
 }

@@ -149,6 +149,13 @@ class EventsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("heavy-users plan broadcasts the candidate set, never the fact") {
+    val plan = Events.heavyUsers(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("misra-gries guarantee: every item above N/(k+1) survives, est <= true") {
     import spark.implicits._
     // planted skew: ids 1..3 heavy, 4..1000 one hit each; k far below

@@ -40,6 +40,12 @@ class ExtensionsSpec extends AnyFunSuite {
           |            (CAST(2.0 AS DOUBLE), CAST(3 AS BIGINT)) AS v(s, i)
           |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
       assert(topk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
+      val hh = spark.sql(
+        """SELECT graft_heavy_hitters(i, 2) AS h
+          |FROM VALUES (CAST(1 AS BIGINT)), (CAST(1 AS BIGINT)),
+          |            (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)) AS v(i)
+          |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 3L), (2L, 1L)))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -146,4 +146,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.length == 20)
     assert(rows.forall(_.getAs[Long]("n") > 0))
   }
+
+  test("chunks tile every document with the configured size and stride") {
+    import org.apache.spark.sql.functions._
+    val nTokens = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextAnalysis.chunks(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == nTokens.keySet)
+    chunks.foreach { case (docId, g) =>
+      val n = nTokens(docId)
+      assert(g.length == (n - 1) / TextAnalysis.ChunkStride + 1)
+      g.foreach { r =>
+        val start = r.getAs[Int]("chunk_idx") * TextAnalysis.ChunkStride
+        assert(r.getAs[Int]("n_chunk_tokens") ==
+          math.min(TextAnalysis.ChunkSize, n - start))
+      }
+    }
+    // overlapping-window reconstruction: the first `stride` tokens of
+    // each chunk, plus the tail of the last one, equal the document
+    val doc = graft.sources.Tables.table(spark, sfDir, "documents")
+      .where(col("doc_id") === chunks.keySet.min)
+      .select("text").head.getString(0)
+    val g0 = chunks(chunks.keySet.min).sortBy(_.getAs[Int]("chunk_idx"))
+    val rebuilt = g0.flatMap { r =>
+      val toks = r.getAs[String]("chunk_text").split(" ", -1)
+      if (r eq g0.last) toks else toks.take(TextAnalysis.ChunkStride)
+    }
+    assert(rebuilt.mkString(" ") == doc)
+  }
 }
