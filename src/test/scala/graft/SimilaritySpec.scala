@@ -97,8 +97,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ANN plans broadcast the query set, never the corpus") {
-    val plan = Similarity.annTopKExact(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("Broadcast"))
-    assert(!plan.contains("CartesianProduct"))
+    Seq(Similarity.annTopKExact(spark, sfDir),
+        Similarity.annTopKPq(spark, sfDir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Broadcast"))
+      assert(!plan.contains("CartesianProduct"), plan.take(600))
+    }
   }
 }
