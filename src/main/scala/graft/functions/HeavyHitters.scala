@@ -76,8 +76,24 @@ object HeavyHitters {
     StructField("id", LongType, nullable = false),
     StructField("est", LongType, nullable = false)))
 
-  val builder: Seq[Expression] => Expression =
-    exprs => HeavyHitters(exprs(0), exprs(1).eval().asInstanceOf[Int])
+  /** k must be a foldable integer literal — pattern-matched here so a
+    * non-literal, non-integral, or NULL k raises the same friendly
+    * message as checkInputDataTypes instead of an opaque
+    * ClassCastException/NPE at plan time. */
+  val builder: Seq[Expression] => Expression = exprs => {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def fail(got: String): Nothing =
+      throw new IllegalArgumentException(
+        s"heavy_hitters requires (bigint, k>=1) with k a literal INT; got $got")
+    exprs(1) match {
+      case Literal(v: Int, IntegerType) if v >= 1 => HeavyHitters(exprs(0), v)
+      case Literal(v: Long, LongType) if v >= 1L && v <= Int.MaxValue =>
+        HeavyHitters(exprs(0), v.toInt)
+      case Literal(null, _) => fail("k = NULL")
+      case l: Literal => fail(s"k = $l")
+      case e => fail(s"non-literal k: ${e.sql}")
+    }
+  }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Registration.ensure(spark, "graft_heavy_hitters", builder)

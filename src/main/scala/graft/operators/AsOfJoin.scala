@@ -96,23 +96,55 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Both as-of directions in ONE window pass: `prevCol` = latest right
+    * value at-or-before each left row, `nextCol` = earliest right value
+    * STRICTLY after it. One union, one (key)-partitioned sort, two
+    * frames over the same ordering — Catalyst plans a single
+    * Exchange+Sort+Window where composing [[backward]]+[[forward]]+join
+    * costs three shuffles for the same answer.
+    *
+    * The ascending-frame trick: rights sort before lefts on equal ts,
+    * so the preceding frame's `last` is ≤-inclusive (exactly
+    * [[backward]]), while the following frame's `first` is >-exclusive.
+    * For NEAREST semantics exclusivity is invisible: an equal-ts right
+    * is already `prevCol` at distance 0 and wins every tie, so the
+    * nearest pick is identical to the inclusive-both-sides composition
+    * (tie resolution included: preceding `last` ↑ = greatest value,
+    * following `first` ↑ = smallest value — same as the two passes). */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVal: String,
+      prevCol: String, nextCol: String): DataFrame = {
+    val valType = right.schema(rightVal).dataType
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_src", lit(1))
+      .withColumn("_rv", lit(null).cast(valType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_src"),
+      col(rightVal).cast(valType).as("_rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val ord = Window.partitionBy(key)
+      .orderBy(col("_ts"), col("_src"), col("_rv"))
+    unioned
+      .withColumn(prevCol, last(col("_rv"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(nextCol, first(col("_rv"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .where(col("_src") === 1)
+      .drop("_ts", "_src", "_rv")
+  }
+
   /** Contract query: each event matched to that user's temporally
     * NEAREST order in either direction (ties → the earlier order).
-    * Composes the backward and forward passes, then one keyed equi-join
-    * on event_id — still no join explosion, and both window passes
-    * shuffle on the same user_id partitioning. */
+    * One [[nearest]] window pass — single user_id shuffle, no join. */
   def eventAsOfNearestOrder(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
     val orders = Tables.table(spark, dir, "orders")
       .select(col("o_custkey").as("user_id"), col("o_orderdate"))
-    val b = backward(events, orders, key = "user_id",
+    nearest(events, orders, key = "user_id",
       leftTs = "ts", rightTs = "o_orderdate", rightVal = "o_orderdate",
-      asOfCol = "prev_o")
-    val f = forward(events, orders, key = "user_id",
-      leftTs = "ts", rightTs = "o_orderdate", rightVal = "o_orderdate",
-      asOfCol = "next_o")
-    b.join(f.select("event_id", "next_o"), "event_id")
+      prevCol = "prev_o", nextCol = "next_o")
       .select(col("event_id"), col("user_id"),
         when(col("prev_o").isNull, col("next_o"))
           .when(col("next_o").isNull, col("prev_o"))

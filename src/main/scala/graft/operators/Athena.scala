@@ -157,16 +157,26 @@ object Athena {
     // the ROLLUP goes through SQL: Dataset.rollup over a join trips
     // Spark's ambiguous-self-join check on the Expand's duplicated
     // grouping attributes; the SQL path plans the identical single
-    // Expand + partial aggregate without the Dataset-id bookkeeping
-    s.createOrReplaceTempView("sales_rollup_input")
-    s.sparkSession.sql(
-      s"""SELECT COALESCE(category, '(all)') AS category,
-         |       COALESCE(yr, -1) AS sale_year,
+    // Expand + partial aggregate without the Dataset-id bookkeeping.
+    // Per-call unique view name (dropped after eager analysis) so
+    // concurrent/nested uses in one session can never clobber each
+    // other; subtotal rows are detected with GROUPING(), not value
+    // nullness, so a data-borne NULL can never masquerade as a subtotal
+    // (the '(all)'/-1 labels stay — the oracle compares on them and the
+    // category domain excludes them).
+    val view = s"sales_rollup_input_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    s.createOrReplaceTempView(view)
+    try s.sparkSession.sql(
+      s"""SELECT CASE WHEN GROUPING(category) = 1 THEN '(all)' ELSE category END
+         |         AS category,
+         |       CASE WHEN GROUPING(yr) = 1 THEN -1 ELSE COALESCE(yr, -1) END
+         |         AS sale_year,
          |       COUNT(1) AS n_sales,
          |       ${Gold.moneySumSql("rev")} AS revenue
-         |FROM sales_rollup_input
+         |FROM $view
          |GROUP BY ROLLUP (category, yr)
          |ORDER BY 1, 2""".stripMargin)
+    finally s.sparkSession.catalog.dropTempView(view)
   }
 
   def salesRollup(spark: SparkSession, dir: String): DataFrame =

@@ -177,13 +177,38 @@ object Dedup {
   val SimhashMaxHamming = 7
   private val SimhashBlocks = 8 // pigeonhole: d<=7 pairs agree on >=1 of 8 blocks
 
+  /** Per-(block, value) population cap for candidate generation — the
+    * [[ShingleDfCap]] discipline applied to the pigeonhole index. A
+    * block value shared by more documents than this (boilerplate texts
+    * voting the same 8 bits) would create a quadratic bucket in the
+    * equi-join; dropping it bounds any bucket's pair count at ~cap².
+    * Precision stays 1 (the Hamming check on surviving pairs is exact);
+    * recall semantics: a pair is missed only when EVERY block the pair
+    * agrees on is overfull — i.e. both docs are block-for-block
+    * corpus-boilerplate. Identical-text clusters (the one natural source
+    * of such buckets) are collapsed by [[exact]] dedup upstream in the
+    * pipeline, which is the intended order of operations.
+    *
+    * The n-scaling rule for the index itself (SURVEY §5): a 64-bit
+    * signature in 8-bit blocks has 256 buckets per block, so expected
+    * population is n/256 — the signature WIDTH must grow ∝ log₂(n)
+    * (e.g. 256-bit simhash with d+1 = 8 blocks of 32 bits at n = 10¹⁰,
+    * or Manku-style block-combination keys at a fixed width) to keep
+    * buckets sparse; this cap is the hard guard for whatever width is
+    * deployed. */
+  val SimhashBucketCap = 4096L
+
   /** SimHash: 64-bit signature from token-hash bit voting (native
     * per-row expression — a pure map, no shuffle); candidate pairs via
     * the pigeonhole block index (a pair within Hamming distance 7 must
-    * agree exactly on ≥1 of the 8 8-bit blocks). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    * agree exactly on ≥1 of the 8 8-bit blocks), with overfull buckets
+    * excluded from candidate generation ([[SimhashBucketCap]]). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(spark, Tables.table(spark, dir, "documents"), SimhashBucketCap)
+
+  def simhashOn(spark: SparkSession, docs: DataFrame, cap: Long): DataFrame = {
     graft.functions.SimHash64.register(spark)
-    val sig = Tables.table(spark, dir, "documents")
+    val sig = docs
       .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("simhash"))
     val blockBits = 64 / SimhashBlocks
     val mask = (1L << blockBits) - 1
@@ -192,8 +217,13 @@ object Dedup {
         struct(lit(b).as("blk"),
           shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.v").as("v"))
-    blocks.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"), col("blk"), col("v"))
-      .join(blocks.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"), col("blk"), col("v")),
+    // mega-bucket guard: the overfull list is tiny (≤ rows/cap keys),
+    // partial-aggregates map-side, and broadcasts into the anti-join
+    val mega = blocks.groupBy("blk", "v").agg(count(lit(1)).as("pop"))
+      .where(col("pop") > cap).select("blk", "v")
+    val kept = blocks.join(broadcast(mega), Seq("blk", "v"), "left_anti")
+    kept.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"), col("blk"), col("v"))
+      .join(kept.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"), col("blk"), col("v")),
         Seq("blk", "v"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

@@ -152,15 +152,22 @@ object Events {
   def heavyUsers(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HeavyHitters.register(spark)
     val e = Tables.events(spark, dir).select("user_id")
-    val sketch = e.agg(
+    // the sketch lands in ONE driver row (≤ k candidate ids + the total
+    // count — O(k) metadata, the same class of driver materialization as
+    // the pipeline's 1-row DQ gate); injecting candidates/n as literals
+    // guarantees pass two is the only other fact scan — referencing the
+    // unmaterialized aggregate twice would rebuild the sketch unless
+    // ReusedExchange happens to fire
+    val row = e.agg(
       call_function("graft_heavy_hitters", col("user_id"), lit(MgK)).as("cand"),
-      count(lit(1)).as("n"))
-    val candidates = sketch.select(explode(col("cand")).as("c"))
-      .select(col("c.id").as("user_id"))
-    e.join(broadcast(candidates), "user_id")
+      count(lit(1)).as("n")).head()
+    val n = row.getAs[Long]("n")
+    val candidates = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cand")
+      .map(_.getAs[Long]("id"))
+    // ≤ k ids → a codegen'd InSet filter on the scan, no join at all
+    e.where(col("user_id").isin(candidates.toSeq: _*))
       .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-      .crossJoin(broadcast(sketch.select(col("n"))))
-      .where(col("n_events") * (MgK + 1) > col("n"))
+      .where(col("n_events") * (MgK + 1) > lit(n))
       .select(col("user_id"), col("n_events"))
       .orderBy("user_id")
   }

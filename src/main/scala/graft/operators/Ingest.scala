@@ -102,6 +102,13 @@ object Ingest {
     * answer a cross-table question purely by catalog name. */
   def lakeDiscovery(spark: SparkSession, dir: String): DataFrame = {
     val root = tmp("disc_lake")
+    // recreate the lake root from scratch: discovery registers EVERY
+    // directory under it, so a stale table dir left by an earlier run
+    // in this JVM would silently join the registered set and make the
+    // discovered names environment-dependent
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
     Tables.customers(spark, dir).write.mode("overwrite").parquet(s"$root/customers_dim")
     Tables.stores(spark, dir).write.mode("overwrite").parquet(s"$root/stores_dim")
     CatalogRegistry.discoverAndRegister(spark, root, "lake")

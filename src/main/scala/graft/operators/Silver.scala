@@ -53,10 +53,14 @@ object Silver {
     */
   def scd2Merge(current: DataFrame, updates: DataFrame,
       key: String, attr: String, newAttr: String): DataFrame = {
-    val closed = current.join(updates, Seq(key), "left")
+    // explicit presence marker: "was this key updated" must be a KEY
+    // test, not a value-null test — a legitimately-NULL new attribute
+    // value would otherwise leave the old version marked current
+    val upd = updates.withColumn("_in_upd", lit(true))
+    val closed = current.join(upd, Seq(key), "left")
       .select(col(key), lit(1).as("version"), col(attr),
-        col(newAttr).isNull.as("is_current"))
-    val opened = current.join(updates, Seq(key))
+        col("_in_upd").isNull.as("is_current"))
+    val opened = current.join(upd, Seq(key))
       .select(col(key), lit(2).as("version"),
         col(newAttr).as(attr), lit(true).as("is_current"))
     closed.unionByName(opened).orderBy(key, "version")
@@ -83,12 +87,18 @@ object Silver {
     * compare is null-safe (`<=>`); no window, no collect. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       key: String, attr: String): DataFrame = {
-    val o = oldSnap.select(col(key), col(attr).as("old_val"))
-    val n = newSnap.select(col(key), col(attr).as("new_val"))
+    // explicit presence markers: added/removed are KEY-presence classes
+    // (matching CDC semantics and the oracle's `o.customer_id IS NULL`
+    // test) — classifying on value nullness would misfile a present key
+    // whose tracked attribute is NULL
+    val o = oldSnap.select(col(key), col(attr).as("old_val"),
+      lit(true).as("_in_old"))
+    val n = newSnap.select(col(key), col(attr).as("new_val"),
+      lit(true).as("_in_new"))
     o.join(n, Seq(key), "full_outer")
       .select(col(key), col("old_val"), col("new_val"),
-        when(col("old_val").isNull, "added")
-          .when(col("new_val").isNull, "removed")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
           .when(!(col("old_val") <=> col("new_val")), "changed")
           .otherwise("unchanged").as("change"))
       .orderBy(key)

@@ -22,11 +22,66 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `Tables`×`Bits` per table, seeded
     * — java.util.Random's algorithm is specified, so signatures are
-    * reproducible everywhere (generated inside [[graft.functions.HyperplaneSigs]]). */
+    * reproducible everywhere (generated inside [[graft.functions.HyperplaneSigs]]).
+    *
+    * These are the SMALL-N FLOOR values; the operators derive the actual
+    * parameters from the corpus size via [[lshBitsFor]]/[[lshTablesFor]],
+    * so bucket population — and with it candidate-pair work — stays
+    * ~[[LshTargetBucketPop]] instead of growing linearly with n (which
+    * would make the equi-join effectively all-pairs once n ≫ 2^bits). */
   val LshTables = 24
   val LshBits = 3
   val Dim = 64
   val PlaneSeed = 42L
+
+  /** Expected per-(table, signature) bucket population the derived bit
+    * width targets: bits ≈ log2(n / target). */
+  val LshTargetBucketPop = 64L
+  /** Hard per-bucket population cap for candidate generation: buckets
+    * above it (hyperplane-degenerate clusters, e.g. near-identical
+    * boilerplate vectors) are dropped from the candidate join — the
+    * [[Dedup.ShingleDfCap]] discipline. Precision is unaffected (the
+    * exact cosine rerank stays), recall semantics: a pair is missed only
+    * if EVERY table bucket it shares is overfull; dense true-dup
+    * clusters should be collapsed by exact dedup upstream. */
+  val LshBucketCap = 16L * LshTargetBucketPop
+  /** Collision probability of one hyperplane bit for a pair at exactly
+    * [[NearDupThreshold]] cosine: 1 − θ/π. Used to grow the table count
+    * with the bit width so threshold-pair recall is preserved. */
+  val LshBitCollisionP: Double = 1.0 - math.acos(NearDupThreshold) / math.Pi
+  /** Caps keep the derived parameters implementable: 2^28 buckets ≈
+    * 268 M (a shuffle key, never materialized); 512 tables bounds the
+    * signature-pass fanout. Past the table cap, threshold-pair recall
+    * decays gracefully — true near-dups sit well above the threshold
+    * (higher per-bit collision probability), so they are retained far
+    * longer than the worst-case bound suggests. */
+  val LshMaxBits = 28
+  val LshMaxTables = 512
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Signature bit width for a corpus of n vectors: smallest width whose
+    * expected bucket population is ≤ [[LshTargetBucketPop]], floored at
+    * the small-n default. */
+  def lshBitsFor(n: Long): Int =
+    math.min(LshMaxBits, math.max(LshBits,
+      math.ceil(log2(math.max(n, 1L).toDouble / LshTargetBucketPop)).toInt))
+
+  /** Table count preserving threshold-pair recall at a given bit width:
+    * each extra bit multiplies the per-table miss odds by 1/p, so tables
+    * grow by the same factor (floor [[LshTables]] at [[LshBits]] bits). */
+  def lshTablesFor(bits: Int): Int =
+    math.min(LshMaxTables, math.ceil(
+      LshTables * math.pow(1.0 / LshBitCollisionP, (bits - LshBits).toDouble)).toInt)
+
+  /** Corpus row count, computed once per dir (parquet row-group
+    * metadata count — no data scan) and cached: the LSH/IVF parameter
+    * derivations need n before plan construction. */
+  private val corpusSizes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusSizes.computeIfAbsent(dir,
+      _ => Tables.table(spark, dir, "embeddings").count())
 
   /** Corpus with the norm precomputed once per row (never per pair). */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
@@ -74,18 +129,34 @@ object Similarity {
     * one array), exploded by a native generator — no typed row-object
     * map, so the signature pass fuses into the corpus scan's
     * whole-stage-codegen span. */
-  private def signatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame =
+  private[graft] def signatures(spark: SparkSession, df: DataFrame, idCol: String,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame =
     df.select(col(idCol).cast("long").as(idCol),
         posexplode(graft.functions.HyperplaneSigs.column(spark,
-          col("embedding"), LshTables, LshBits, Dim, PlaneSeed)))
+          col("embedding"), tables, bits, Dim, PlaneSeed)))
       .select(col(idCol), col("pos").as("tbl"), col("col").as("sig"))
+
+  /** Drop signature rows landing in buckets whose population exceeds
+    * `cap` (see [[LshBucketCap]]): the overfull-bucket list is tiny by
+    * construction (≤ rows/cap keys), partial-aggregates map-side, and
+    * broadcasts into the anti-join. */
+  private[graft] def capBuckets(sigs: DataFrame, cap: Long): DataFrame = {
+    val mega = sigs.groupBy("tbl", "sig").agg(count(lit(1)).as("pop"))
+      .where(col("pop") > cap).select("tbl", "sig")
+    sigs.join(broadcast(mega), Seq("tbl", "sig"), "left_anti")
+  }
 
   /** Embedding-space near-dup pairs: hyperplane-LSH candidates
     * (equi-join on (table, signature)), deduped, then exact cosine
-    * rerank at the threshold. */
+    * rerank at the threshold. Bit width / table count derive from the
+    * corpus size ([[lshBitsFor]]/[[lshTablesFor]]) and overfull buckets
+    * are dropped ([[capBuckets]]), so candidate generation stays
+    * ~n·[[LshTargetBucketPop]]·tables at any corpus scale. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val sigs = signatures(spark, c, "vec_id")
+    val bits = lshBitsFor(corpusCount(spark, dir))
+    val sigs = capBuckets(
+      signatures(spark, c, "vec_id", lshTablesFor(bits), bits), LshBucketCap)
     val cand = sigs.select(col("vec_id").as("a_id"), col("tbl"), col("sig"))
       .join(sigs.select(col("vec_id").as("b_id"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
@@ -109,7 +180,9 @@ object Similarity {
   def annTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = querySet(c)
-    val cSigs = signatures(spark, c, "vec_id")
+    val bits = lshBitsFor(corpusCount(spark, dir))
+    val cSigs = capBuckets(
+      signatures(spark, c, "vec_id", lshTablesFor(bits), bits), LshBucketCap)
     // the query set is a subset of the corpus: reuse its signatures
     // instead of a second scan + signature pass
     val qSigs = cSigs.where(col("vec_id") % QueryModulus === 0)
@@ -126,6 +199,11 @@ object Similarity {
           col("nrm"), col("q_nrm")).as("cosine")))
   }
 
+  /** Small-n floor values; the query path derives the actual cell /
+    * probe counts from corpus size via [[ivfCellsFor]]/[[ivfProbesFor]]
+    * so per-cell population stays ~[[IvfTargetCellPop]] as n grows —
+    * a fixed 16-cell codebook would otherwise make each probed cell a
+    * linear fraction of the corpus. */
   val IvfCells = 16
   val IvfProbes = 6
   /** Each corpus vector is indexed under its `IvfAssign` nearest cells
@@ -133,11 +211,33 @@ object Similarity {
     * neighbors straddle a Voronoi edge — appear in both adjacent cells,
     * which is what lifts recall without probing more of the corpus. */
   val IvfAssign = 2
-  /** Quantizer training-sample target: a 16-cell codebook needs a few
-    * thousand vectors, not the corpus — at 100 TB training on the full
-    * table (10 k-means iterations × full scans) is the difference
-    * between seconds and hours. */
+  /** Quantizer training-sample target: a codebook needs a few thousand
+    * vectors (≥ [[IvfTrainPerCell]] per cell), not the corpus — at
+    * 100 TB training on the full table (10 k-means iterations × full
+    * scans) is the difference between seconds and hours. */
   val IvfTrainTarget = 4096L
+  val IvfTrainPerCell = 64L
+
+  /** Target per-cell population the derived cell count maintains. */
+  val IvfTargetCellPop = 128L
+  /** Codebook must stay a broadcastable in-plan literal (4096 cells ×
+    * 64 dims × 8 B = 2 MB); past this the coarse quantizer itself would
+    * be sharded (IMI / two-level), out of scope here. */
+  val IvfMaxCells = 4096
+
+  /** Cell count for a corpus of n vectors: n / targetPop, floored at the
+    * small-n default (≈ the FAISS √n-to-n/256 guidance band). */
+  def ivfCellsFor(n: Long): Int =
+    math.min(IvfMaxCells.toLong,
+      math.max(IvfCells.toLong, n / IvfTargetCellPop)).toInt
+  /** Probe count grows with √(cells/floor): on clustered (real) data
+    * recall tracks the probed-cell count, not the probed fraction, so
+    * probing all-cells-proportionally would forfeit IVF's pruning; √
+    * keeps the probed fraction shrinking while the absolute probe
+    * breadth still widens with the partition count. */
+  def ivfProbesFor(cells: Int): Int =
+    math.max(IvfProbes,
+      math.ceil(IvfProbes * math.sqrt(cells.toDouble / IvfCells)).toInt)
 
   /** Train-once codebook cache, keyed by corpus dir: the quantizer is
     * fit ONE time per corpus on a deterministic sample and the (tiny)
@@ -149,16 +249,18 @@ object Similarity {
 
   /** Fit the IVF coarse quantizer (MLlib k-means, fixed seed) on a
     * deterministic sample of the corpus and return the codebook. */
-  def ivfCodebook(spark: SparkSession, dir: String): Seq[Seq[Double]] =
-    codebooks.computeIfAbsent((dir, IvfCells), _ => {
+  def ivfCodebook(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): Seq[Seq[Double]] =
+    codebooks.computeIfAbsent((dir, cells), _ => {
       val c = corpus(spark, dir)
       val n = c.count()
-      val fraction = math.min(1.0, IvfTrainTarget.toDouble / math.max(n, 1L))
+      val target = math.max(IvfTrainTarget, IvfTrainPerCell * cells)
+      val fraction = math.min(1.0, target.toDouble / math.max(n, 1L))
       val trainDf = c.sample(withReplacement = false, fraction, seed = 7L)
         .select(org.apache.spark.ml.functions.array_to_vector(col("embedding"))
           .as("features"))
       new org.apache.spark.ml.clustering.KMeans()
-        .setK(IvfCells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+        .setK(cells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
         .fit(trainDf)
         .clusterCenters.map(_.toArray.toSeq).toSeq
     })
@@ -173,14 +275,15 @@ object Similarity {
   def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = querySet(c)
-    val centroids = ivfCodebook(spark, dir)
+    val cells = ivfCellsFor(corpusCount(spark, dir))
+    val centroids = ivfCodebook(spark, dir, cells)
 
     val cCells = c.select(col("vec_id").cast("long").as("vec_id"),
       explode(graft.functions.NearestCells.column(spark, col("embedding"),
         centroids, IvfAssign)).as("cell"))
     val qCells = q.select(col("query_id").cast("long").as("query_id"),
         explode(graft.functions.NearestCells.column(spark, col("q_emb"),
-          centroids, IvfProbes)).as("cell"))
+          centroids, ivfProbesFor(cells))).as("cell"))
 
     val cand = cCells.join(qCells, "cell")
       .where(col("vec_id") =!= col("query_id"))
@@ -192,6 +295,29 @@ object Similarity {
         VectorFunctions.cosinePrenormed(
           VectorFunctions.dot(col("embedding"), col("q_emb")),
           col("nrm"), col("q_nrm")).as("cosine")))
+  }
+
+  /** Persist the train-once IVF codebook next to the table — the
+    * deployment story the in-memory cache documents: train once, write
+    * the (tiny) codebook as parquet, and every later driver loads it
+    * instead of refitting. One row per cell; the collect in
+    * [[loadIvfCodebook]] is codebook METADATA (cells × dim doubles,
+    * ≤2 MB at [[IvfMaxCells]]), never corpus data. */
+  def saveIvfCodebook(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    val cells = ivfCellsFor(corpusCount(spark, dir))
+    ivfCodebook(spark, dir, cells).zipWithIndex
+      .map { case (ctr, i) => (i, ctr) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF codebook and prime the cache for `dir`, so the
+    * query path assigns cells without ever training. Returns the book. */
+  def loadIvfCodebook(spark: SparkSession, dir: String, path: String): Seq[Seq[Double]] = {
+    val book = spark.read.parquet(path).orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+    codebooks.put((dir, book.size), book)
+    book
   }
 
   // ---- product quantization (PQ) -----------------------------------------
@@ -231,6 +357,29 @@ object Similarity {
       sample.unpersist()
       books
     })
+
+  /** Persist the PQ sub-codebooks (same contract as [[saveIvfCodebook]]):
+    * one row per (subspace, code) sub-centroid. */
+  def savePqCodebooks(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    pqCodebooks(spark, dir).zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (ctr, code) => (m, code, ctr) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load persisted PQ sub-codebooks and prime the cache for `dir`. */
+  def loadPqCodebooks(spark: SparkSession, dir: String,
+      path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    val books = rows.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getAs[Int]("code"))
+          .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+      }
+    pqBooks.put(dir, books)
+    books
+  }
 
   /** PQ ANN: each corpus vector is compressed to its per-subspace
     * nearest sub-centroid indices (the 8-byte code that would be STORED

@@ -118,44 +118,118 @@ object EventStreams {
   }
 
   final case class FEvt(user_id: Long, event_id: Long, event_type: String, es: Long)
-  /** Funnel stage timestamps; -1 = stage not reached. */
-  final case class FunnelState(viewEs: Long, clickEs: Long, purchaseEs: Long)
+  /** Accumulating funnel state: the running min view plus PRUNED sorted
+    * candidate lists for the later stages; `emitted` tombstones a user
+    * whose funnel has been finalized so stragglers can never produce a
+    * second (different) row. */
+  final case class FunnelAcc(minView: Long, clicks: List[Long],
+      purchases: List[Long], emitted: Boolean)
   final case class FunnelOut(
       user_id: Long, view_es: Long, click_es: Long, purchase_es: Long)
 
-  /** Streaming twin of `Events.funnel`: one tiny monotone state machine
-    * per user (the three stage timestamps, never the events), emitting a
-    * user's completed funnel exactly once, when the purchase lands. On
-    * event-time-ordered input the greedy first-match update equals the
-    * batch sequential-min semantics: the first click after the view IS
-    * the minimum click strictly after it. State is O(active users). */
-  def funnelStream(events: Dataset[FEvt]): Dataset[FunnelOut] = {
+  /** Streaming twin of `Events.funnel`, exact on ARBITRARY cross-batch
+    * arrival order: stage events fold into per-stage candidate minima
+    * (min-merge, like [[sessionizeGroup]]'s min/max fix), and a user's
+    * funnel is emitted on EVENT-TIME-TIMEOUT once the watermark passes
+    * the purchase answer — never greedily on purchase arrival, so a
+    * late-but-earlier click/view can still lower a stage minimum right
+    * up to the moment the watermark makes it inadmissible.
+    *
+    * State per user is the min view plus candidate clicks/purchases
+    * pruned to those that could still become a stage answer (everything
+    * strictly above the current stage successor is provably never the
+    * min — see [[funnelFold]]); on causally-ordered real funnels that is
+    * O(1) per user. Users who never complete hold state until a
+    * deployment-chosen TTL (same caveat as [[sessionize]]'s open
+    * sessions). */
+  def funnelStream(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+    events
+      .withWatermark("ts", watermarkDelay)
+      // ts must survive the projection so the watermark reaches the
+      // stateful operator (same requirement as sessionizeWithTimeout)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP_NTZ))")
+          .as("es"), col("ts"))
+      .as[FEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         funnelGroup)
+  }
+
+  private def insertDistinctSorted(xs: List[Long], x: Long): List[Long] =
+    if (xs.contains(x)) xs else (x :: xs).sorted
+
+  /** Fold a batch of stage events into the accumulator and prune.
+    * Pruning is EXACT: the final min view can only be ≤ the current
+    * one, so the final click answer — the first click strictly above
+    * the final min view — can only be ≤ the current successor; clicks
+    * strictly above the current successor can never become the answer
+    * and are dropped. The same argument prunes purchases against the
+    * current click answer. */
+  private[streaming] def funnelFold(acc: FunnelAcc, evts: Seq[FEvt]): FunnelAcc = {
+    var minView = acc.minView
+    var clicks = acc.clicks
+    var purchases = acc.purchases
+    evts.foreach { e =>
+      e.event_type match {
+        case "view" => if (minView < 0 || e.es < minView) minView = e.es
+        case "click" => clicks = insertDistinctSorted(clicks, e.es)
+        case "purchase" => purchases = insertDistinctSorted(purchases, e.es)
+        case _ =>
+      }
+    }
+    if (minView >= 0) {
+      clicks.find(_ > minView).foreach { s => clicks = clicks.filter(_ <= s) }
+      val clickAns = clicks.find(_ > minView).getOrElse(-1L)
+      if (clickAns >= 0)
+        purchases.find(_ > clickAns).foreach { s =>
+          purchases = purchases.filter(_ <= s)
+        }
+    }
+    FunnelAcc(minView, clicks, purchases, acc.emitted)
+  }
+
+  /** The batch-semantics stage answers under the current candidates:
+    * min view, first click strictly after it, first purchase strictly
+    * after that (−1 = stage not reached). */
+  private[streaming] def funnelAnswers(acc: FunnelAcc): (Long, Long, Long) = {
+    val v = acc.minView
+    val c = if (v >= 0) acc.clicks.find(_ > v).getOrElse(-1L) else -1L
+    val p = if (c >= 0) acc.purchases.find(_ > c).getOrElse(-1L) else -1L
+    (v, c, p)
   }
 
   private[streaming] def funnelGroup(
       userId: Long, events: Iterator[FEvt],
-      state: GroupState[FunnelState]): Iterator[FunnelOut] = {
-    val sorted = events.toSeq.sortBy(e => (e.es, e.event_id))
-    var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-    val out = Seq.newBuilder[FunnelOut]
-    sorted.foreach { e =>
-      e.event_type match {
-        case "view" if st.viewEs < 0 =>
-          st = st.copy(viewEs = e.es)
-        case "click" if st.viewEs >= 0 && st.clickEs < 0 && e.es > st.viewEs =>
-          st = st.copy(clickEs = e.es)
-        case "purchase" if st.clickEs >= 0 && st.purchaseEs < 0 && e.es > st.clickEs =>
-          st = st.copy(purchaseEs = e.es)
-          out += FunnelOut(userId, st.viewEs, st.clickEs, st.purchaseEs)
-        case _ =>
+      state: GroupState[FunnelAcc]): Iterator[FunnelOut] = {
+    if (state.hasTimedOut) {
+      val acc = state.get
+      val (v, c, p) = funnelAnswers(acc)
+      if (p >= 0) {
+        // the deadline sat at the purchase answer, so the watermark now
+        // exceeds it: any event that could still lower a stage minimum
+        // (necessarily at or below the answers) is inadmissible — the
+        // chain is final. Tombstone so stragglers can never re-emit.
+        state.update(FunnelAcc(v, Nil, Nil, emitted = true))
+        Iterator.single(FunnelOut(userId, v, c, p))
+      } else Iterator.empty
+    } else {
+      val acc0 = state.getOption.getOrElse(FunnelAcc(-1L, Nil, Nil, emitted = false))
+      if (acc0.emitted) Iterator.empty // finalized: consume and ignore
+      else {
+        val acc = funnelFold(acc0, events.toSeq)
+        state.update(acc)
+        val (_, _, p) = funnelAnswers(acc)
+        if (p >= 0)
+          // finalize when the watermark passes the purchase answer;
+          // re-set every batch because late stage events can lower it
+          state.setTimeoutTimestamp(math.max(p * 1000L + 999L,
+            state.getCurrentWatermarkMs + 1L))
+        Iterator.empty
       }
     }
-    state.update(st)
-    out.result().iterator
   }
 
   /** Flush helper for tests/drains: the still-open session per state. */

@@ -64,6 +64,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 1000)
   }
 
+  test("single-pass nearest equals the backward+forward composition") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val orders = Seq((1L, ts(100)), (1L, ts(200))).toDF("user_id", "o_ts")
+    // includes an exact-hit event (t=100): prev_o is the distance-0 match
+    // and must win, making the exclusive next frame invisible
+    val events = Seq(
+      (1L, 1L, ts(50)), (2L, 1L, ts(120)), (3L, 1L, ts(150)),
+      (4L, 1L, ts(180)), (5L, 1L, ts(300)), (6L, 2L, ts(100)),
+      (7L, 1L, ts(100)))
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.nearest(events, orders, "user_id", "ts", "o_ts", "o_ts",
+        "prev_o", "next_o")
+      .select(col("event_id"),
+        when(col("prev_o").isNull, col("next_o"))
+          .when(col("next_o").isNull, col("prev_o"))
+          .when(col("ts") - col("prev_o") <= col("next_o") - col("ts"), col("prev_o"))
+          .otherwise(col("next_o")).as("nearest"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getTimestamp(1).getTime / 1000L)))
+      .toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> Some(100L),
+      4L -> Some(200L), 5L -> Some(200L), 6L -> None, 7L -> Some(100L)))
+  }
+
+  test("nearest as-of plans ONE window shuffle — no join, ≤2 exchanges") {
+    val plan = AsOfJoin.eventAsOfNearestOrder(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(600))
+    // one hash exchange for the user_id window + the output range sort
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n" +
+      plan.linesIterator.take(15).mkString("\n"))
+  }
+
   test("nearest as-of picks the closer side, earlier on exact ties") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

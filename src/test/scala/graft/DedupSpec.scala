@@ -50,6 +50,31 @@ class DedupSpec extends SparkSpec {
     assert(planted.isEmpty || (simPairs intersect planted).size * 2 >= planted.size)
   }
 
+  test("simhash mega-bucket guard bounds candidate buckets on a skewed corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    // 8× exact copies of every doc: every block bucket inflates 8×,
+    // common block values become mega-buckets
+    val big = (0 until 8).map(i => docs.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val capped = Dedup.simhashOn(spark, big, 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.simhashOn(spark, big, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guard only ever REMOVES candidate pairs (precision untouched)…
+    assert(capped.subsetOf(uncapped))
+    // …and on this skewed corpus it genuinely prunes
+    assert(capped.size < uncapped.size)
+    // at sandbox scale the default cap is a no-op: identical output
+    val base = Dedup.simhashOn(spark, docs, Dedup.SimhashBucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseUncapped = Dedup.simhashOn(spark, docs, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == baseUncapped)
+  }
+
   test("native shingles equal the declarative higher-order formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions.Shingles

@@ -149,11 +149,14 @@ class EventsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("heavy-users plan broadcasts the candidate set, never the fact") {
+  test("heavy-users recount pass pushes the candidate filter to the scan") {
     val plan = Events.heavyUsers(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the sketch row is driver-injected, so the recount is a pure scan
+    // with the candidate INSET pushed into parquet — no join of any kind
+    assert(plan.contains("INSET") || plan.contains("PushedFilters: [In(user_id"),
+      plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
     assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
   test("misra-gries guarantee: every item above N/(k+1) survives, est <= true") {

@@ -96,6 +96,79 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("derived LSH bits keep bucket population near target as the corpus grows") {
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val n = base.count()
+    // 8× the corpus (distinct ids, duplicated vectors) — the growth case
+    val big = (0 until 8).map(i => base.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    val bits = Similarity.lshBitsFor(8 * n)
+    assert(Similarity.lshBitsFor(n) == Similarity.LshBits) // sandbox floor
+    assert(bits > Similarity.LshBits)
+    assert(Similarity.lshTablesFor(bits) > Similarity.LshTables)
+    val sigs = Similarity.signatures(spark, big, "vec_id",
+      Similarity.lshTablesFor(bits), bits)
+    val meanPop = sigs.groupBy("tbl", "sig").count()
+      .agg(avg("count")).head().getDouble(0)
+    // with derived bits the mean bucket stays ~target; at the small-n
+    // floor it would be 8n/2^3 = 8× the linear-growth population
+    assert(meanPop <= 2.0 * Similarity.LshTargetBucketPop,
+      s"mean bucket pop $meanPop")
+    assert(meanPop < (8 * n).toDouble / (1 << Similarity.LshBits))
+  }
+
+  test("LSH bucket cap drops overfull buckets from candidate signatures") {
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val big = (0 until 8).map(i => base.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    val bits = Similarity.lshBitsFor(big.count())
+    val sigs = Similarity.signatures(spark, big, "vec_id",
+      Similarity.lshTablesFor(bits), bits)
+    val capped = Similarity.capBuckets(sigs, 32L)
+    val maxPop = capped.groupBy("tbl", "sig").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPop <= 32L, s"max bucket pop $maxPop")
+    assert(capped.count() < sigs.count())
+    // the default cap is a no-op at sandbox scale: nothing is dropped
+    assert(Similarity.capBuckets(sigs, Similarity.LshBucketCap).count() == sigs.count())
+  }
+
+  test("derived IVF cells scale with corpus size; floor holds at sandbox scale") {
+    assert(Similarity.ivfCellsFor(500) == Similarity.IvfCells)
+    assert(Similarity.ivfCellsFor(2000) == Similarity.IvfCells)
+    val big = Similarity.ivfCellsFor(16000)
+    assert(big > Similarity.IvfCells)
+    assert(16000.0 / big <= 2.0 * Similarity.IvfTargetCellPop)
+    assert(Similarity.ivfProbesFor(big) > Similarity.IvfProbes)
+    // probed FRACTION shrinks even as probe breadth widens
+    assert(Similarity.ivfProbesFor(big).toDouble / big
+      < Similarity.IvfProbes.toDouble / Similarity.IvfCells)
+    assert(Similarity.ivfCellsFor(100000000L) == Similarity.IvfMaxCells)
+    assert(Similarity.lshBitsFor(10000000000L) <= Similarity.LshMaxBits)
+  }
+
+  test("IVF/PQ codebooks persist and load without retraining") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_books").toString
+    val cells = Similarity.ivfCellsFor(Similarity.corpusCount(spark, sfDir))
+    val book = Similarity.ivfCodebook(spark, sfDir, cells)
+    Similarity.saveIvfCodebook(spark, sfDir, s"$tmp/ivf")
+    val fakeDir = "/nonexistent/corpus"
+    val loaded = Similarity.loadIvfCodebook(spark, fakeDir, s"$tmp/ivf")
+    assert(loaded == book)
+    // load primes the cache: the codebook resolves for a dir whose table
+    // does not exist, proving the query path will not retrain
+    assert(Similarity.ivfCodebook(spark, fakeDir, loaded.size) == book)
+    val pq = Similarity.pqCodebooks(spark, sfDir)
+    Similarity.savePqCodebooks(spark, sfDir, s"$tmp/pq")
+    assert(Similarity.loadPqCodebooks(spark, fakeDir, s"$tmp/pq") == pq)
+  }
+
   test("ANN plans broadcast the query set, never the corpus") {
     Seq(Similarity.annTopKExact(spark, sfDir),
         Similarity.annTopKPq(spark, sfDir)).foreach { df =>

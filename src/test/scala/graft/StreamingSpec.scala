@@ -93,23 +93,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("streaming funnel emits exactly the batch twin's completed funnels") {
+  test("streaming funnel matches batch on ARBITRARY cross-batch arrival order") {
     import spark.implicits._
-    import graft.streaming.EventStreams.{FEvt, FunnelOut}
+    import graft.streaming.EventStreams.FunnelOut
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[FEvt]
-    val q = EventStreams.funnelStream(input.toDS())
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val streamDf = input.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    // watermark delay longer than the data span: the deliberate disorder
+    // below never drops an event, and emission happens only at the
+    // sentinel-driven closure
+    val q = EventStreams.funnelStream(streamDf, "3650 days")
       .writeStream.format("memory").queryName("funnel_out")
       .outputMode("append").start()
     val evts = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(col("ts").cast("timestamp")).as("es"))
-      .as[FEvt].collect().sortBy(e => (e.es, e.event_id))
-    // split across micro-batches to exercise cross-batch state
-    val (first, second) = evts.splitAt(evts.length / 2)
-    input.addData(first.toSeq); q.processAllAvailable()
-    input.addData(second.toSeq); q.processAllAvailable()
-    val streamed = spark.table("funnel_out").as[FunnelOut].collect()
+        col("ts").cast("timestamp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    // deterministic shuffle across FOUR micro-batches: clicks arrive
+    // before their views, late-but-earlier stage events arrive after a
+    // later one was already recorded — the cross-batch ordering hole
+    val shuffled = new scala.util.Random(12345L).shuffle(evts.toSeq)
+    shuffled.grouped((shuffled.size + 3) / 4).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    // advance the watermark past every purchase deadline with a sentinel
+    // user, then one more batch so the new watermark drives the timeouts
+    val maxTs = evts.map(_._4.getTime).max
+    val far = new java.sql.Timestamp(maxTs + 3651L * 24 * 3600 * 1000)
+    input.addData(Seq((-1L, 1L, "view", far))); q.processAllAvailable()
+    input.addData(Seq((-1L, 2L, "view", far))); q.processAllAvailable()
+    val streamed = spark.table("funnel_out").where(col("user_id") =!= -1L)
+      .as[FunnelOut].collect()
       .map(f => (f.user_id, f.view_es, f.click_es, f.purchase_es)).toSet
     q.stop()
     val batchComplete = Events.funnel(spark, sfDir).collect()
