@@ -7,10 +7,24 @@ import org.apache.spark.sql.SparkSession
   * Queries are FULLY materialized through the noop sink (every column
   * computed and consumed by the executors) — a bare .count() would let
   * Spark prune columns and skip most of the work being measured.
+  *
+  * Timing protocol: `SPARK_GRAFT_BENCH_ITERS` (default 2) FULL sweeps
+  * of the query set, per-query time = min across sweeps. Sweep 1 pays
+  * codegen/JIT; a host-contention burst is localized in time, so it
+  * lands in one sweep and the min recovers the steady state — the
+  * 97→280 s recorded-total spread of round 3 came from single-sweep
+  * runs with no such insurance.
+  *
+  * Artifacts: besides the stdout line (the driver contract), the FULL
+  * result — every sweep's time per query plus a variance summary — is
+  * written to `SPARK_GRAFT_BENCH_OUT` (default `bench_out/bench.json`),
+  * so a truncated stdout tail can never lose the record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
     val spark = SparkConfigs.local(SparkSession.builder(),
       SparkConfigs.cpusFromEnv(32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,27 +33,51 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
-    // min of two runs per query: the first run pays codegen/JIT
-    // compilation, which otherwise dominates sub-10s queries and makes
-    // run-to-run totals swing 2x
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val failed = scala.collection.mutable.Set[String]()
+    (1 to iters).foreach { _ =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+        }
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      (name, times.map(_._1).min, times.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    def obj(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val mins = names.map(n => n -> times(n).min)
+    val total = mins.map(_._2).sum
+    val sumMax = names.map(times(_).max).sum
+    val relSpread = if (total > 0) (sumMax - total) / total else 0.0
+    val qs = obj(mins.map { case (k, v) => k -> v.toString })
+    val runs = obj(names.map(n => n -> times(n).mkString("[", ",", "]")))
+    val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val variance = obj(Seq(
+      "iters" -> iters.toString, "sum_min" -> total.toString,
+      "sum_max" -> sumMax.toString, "rel_spread" -> relSpread.toString))
+
+    val full = obj(Seq(
+      "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
+      "queries" -> qs, "runs" -> runs, "variance" -> variance,
+      "errors" -> errs, "sf" -> ("\"" + sfDir + "\"")))
+    val out = java.nio.file.Paths.get(outPath)
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, full)
+
+    // the driver-scraped line: min-of-sweeps per query + the variance
+    // summary (not the per-sweep lists — keep the line compact)
+    println(obj(Seq(
+      "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
+      "queries" -> qs, "variance" -> variance, "errors" -> errs,
+      "sf" -> ("\"" + sfDir + "\""), "artifact" -> ("\"" + outPath + "\""))))
     spark.stop()
   }
 }

@@ -126,6 +126,74 @@ object Curation {
   private def labelChecksum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first().getDecimal(0)
 
+  /** Two-phase large-star/small-star connected components (the
+    * alternating-star construction from the MapReduce CC literature):
+    * converges in O(log n) rounds on ANY graph shape — the variant to
+    * reach for when the dup graph degenerates into long chains, where
+    * [[componentLabels]]' min-label propagation needs O(diameter)
+    * rounds. Large-star links every larger neighbor of a node to its
+    * neighborhood minimum; small-star re-links each node's smaller
+    * neighbors (and itself) to that minimum — both are one
+    * groupBy-min + keyed join per pass, endpoints only ever move toward
+    * smaller ids, and the fixpoint is a star per component rooted at
+    * its minimum id. Convergence is detected by an O(1) driver-side
+    * edge checksum (count + endpoint sums + a 64-bit edge hash sum).
+    * Returns `(id, lbl)` for nodes that appear in edges — the same
+    * contract and the same fixpoint labels as [[componentLabels]]. */
+  def componentLabelsStar(edges: DataFrame,
+      maxIter: Int = MaxCcIterations): DataFrame = {
+    var e = edges.select(col("a_id").as("a"), col("b_id").as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    var sig = edgeChecksum(e)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // large-star over the bidirected view: for each node u, every
+      // neighbor v > u re-links to min(Γ(u) ∪ {u}); each undirected
+      // edge is emitted exactly once, from its smaller endpoint
+      val d = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val lm = d.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = d.join(lm, "u").where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint()
+      // small-star over the larger→smaller orientation: each node's
+      // smaller neighbors AND the node itself re-link to their minimum
+      val s = ls.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val sm = s.groupBy("u").agg(min("v").as("mn"))
+      val ss = s.join(sm, "u").select(col("v").as("a"), col("mn").as("b"))
+        .unionAll(sm.select(col("u").as("a"), col("mn").as("b")))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint()
+      val s2 = edgeChecksum(ss)
+      done = s2 == sig
+      sig = s2
+      e = ss
+      it += 1
+    }
+    // fixpoint: every edge is (member, root) with root the component
+    // minimum; roots label themselves
+    val nonRoot = e.select(greatest(col("a"), col("b")).as("id"),
+      least(col("a"), col("b")).as("lbl"))
+    val roots = e.select(least(col("a"), col("b")).as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    nonRoot.unionAll(roots).distinct()
+  }
+
+  /** O(1) driver-side fixpoint detector for the star rounds: edge count,
+    * exact endpoint sums, and a 64-bit per-edge hash sum — equal
+    * checksums across a round mean the edge set is unchanged. */
+  private def edgeChecksum(e: DataFrame)
+      : (Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal) = {
+    val r = e.agg(
+      count(lit(1)),
+      sum(col("a").cast(DecimalType(38, 0))),
+      sum(col("b").cast(DecimalType(38, 0))),
+      sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0)))).first()
+    (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
+  }
+
   /** Resolve exact-Jaccard near-dup pairs into dedup clusters: every
     * document gets a `cluster_id` (the smallest doc_id of its
     * component; singletons are their own cluster) and a canonical flag

@@ -113,6 +113,33 @@ object Gold {
   def storePerformance(spark: SparkSession, dir: String): DataFrame =
     storePerformanceOf(Tables.sales(spark, dir), Tables.stores(spark, dir))
 
+  /** The `inventory` mapped table as a contract surface (SURVEY §3):
+    * the availability ledger per (store, product). */
+  def inventoryView(spark: SparkSession, dir: String): DataFrame =
+    Tables.inventory(spark, dir).orderBy("store_id", "product_id")
+
+  /** Per-manager revenue rollup through the `sales_managers` mapped
+    * dimension: sales ⋈ stores (broadcast) ⋈ managers-by-country
+    * (broadcast) → ONE partial-aggregating groupBy of the fact. The
+    * fixed-point money sum runs directly over fact rows (never a
+    * double-sum of per-store subtotals — that would re-introduce
+    * addition-order drift). */
+  def managerRevenueOf(sales: DataFrame, stores: DataFrame,
+      managers: DataFrame): DataFrame =
+    sales
+      .join(broadcast(stores.select("store_id", "country")), Seq("store_id"))
+      .join(broadcast(managers), Seq("country"))
+      .groupBy("manager_id", "manager_name", "region")
+      .agg(
+        countDistinct(col("store_id")).as("n_stores"),
+        count(col("transaction_id")).as("n_sales"),
+        moneySum(col("unit_price") * col("quantity")).as("revenue"))
+      .orderBy(col("revenue").desc, col("manager_id"))
+
+  def managerRevenue(spark: SparkSession, dir: String): DataFrame =
+    managerRevenueOf(Tables.sales(spark, dir), Tables.stores(spark, dir),
+      Tables.salesManagers(spark, dir))
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
@@ -161,11 +188,29 @@ object Gold {
          |SELECT f.store_id, f.total_transactions, f.total_items, f.total_revenue,
          |       s.store_name, s.country
          |FROM perf f LEFT JOIN stores s USING (store_id)
-         |ORDER BY f.store_id""".stripMargin)
+         |ORDER BY f.store_id""".stripMargin,
+    "src_inventory" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.inventoryCte}
+         |SELECT store_id, product_id, units_sold, n_movements,
+         |       last_movement_date
+         |FROM inventory ORDER BY store_id, product_id""".stripMargin,
+    "gold_manager_revenue" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.storesCte}, ${Tables.salesManagersCte}
+         |SELECT m.manager_id, m.manager_name, m.region,
+         |       COUNT(DISTINCT t.store_id) AS n_stores,
+         |       COUNT(t.transaction_id) AS n_sales,
+         |       ${moneySumSql("t.unit_price*t.quantity")} AS revenue
+         |FROM sales t
+         |JOIN stores s USING (store_id)
+         |JOIN sales_managers m USING (country)
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, manager_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_daily_sales_summary" -> dailySalesSummary,
     "gold_top_customers"       -> topCustomers,
     "gold_product_performance" -> productPerformance,
-    "gold_store_performance"   -> storePerformance)
+    "gold_store_performance"   -> storePerformance,
+    "src_inventory"            -> inventoryView,
+    "gold_manager_revenue"     -> managerRevenue)
 }

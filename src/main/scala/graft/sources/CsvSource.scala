@@ -22,4 +22,23 @@ object CsvSource {
   /** Bronze write (extract.py:78-80 dumps query results as headered CSV). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bronze extract-all with timestamped names (extract.py:64-66 writes
+    * `{table}_{timestamp}.csv` per table; extract_all_tables at :92-104
+    * loops the table list): every table lands at
+    * `<outDir>/<name>_<runTs>/` as headered CSV. One run timestamp for
+    * the whole batch (the reference stamps per-call; a single stamp is
+    * what makes the batch re-discoverable as one load). Writes stay
+    * distributed — each table's write is a normal parallel Spark job,
+    * the driver only names paths. Returns name → path. */
+  def writeAll(tables: Map[String, DataFrame], outDir: String,
+      runTs: java.time.LocalDateTime): Map[String, String] = {
+    val stamp = runTs.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    tables.map { case (name, df) =>
+      val path = s"$outDir/${name}_$stamp"
+      write(df, path)
+      name -> path
+    }
+  }
 }

@@ -77,6 +77,36 @@ object Tables {
         col("n_name").as("country"))
   }
 
+  /** Reference `inventory` (extract.py:98, load.py:21 — listed for
+    * extract/load but never queried by any reference script): the star
+    * schema has no part-supplier stock table, so inventory maps to the
+    * availability ledger derivable from sales history — one row per
+    * (store, product) ever sold there, with cumulative units moved and
+    * the last movement date. One partial-aggregating groupBy of the
+    * fact; no extra source scan. */
+  def inventory(spark: SparkSession, dir: String): DataFrame =
+    sales(spark, dir)
+      .groupBy("store_id", "product_id")
+      .agg(
+        sum(col("quantity")).as("units_sold"),
+        count(lit(1)).as("n_movements"),
+        max(col("sale_ts").cast("date")).as("last_movement_date"))
+
+  /** Reference `sales_managers` (extract.py:98, load.py:23-24 — loaded,
+    * never queried): one regional sales manager per nation; stores roll
+    * up to their country's manager. nation ⋈ region is two tiny dims —
+    * broadcast, no shuffle. */
+  def salesManagers(spark: SparkSession, dir: String): DataFrame = {
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region").select("r_regionkey", "r_name")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        col("n_nationkey").as("manager_id"),
+        concat(col("n_name"), lit(" sales manager")).as("manager_name"),
+        col("n_name").as("country"),
+        col("r_name").as("region"))
+  }
+
   /** Shared oracle CTEs: the same mapping in ANSI SQL for DuckDB. */
   val salesCte: String =
     """sales AS (
@@ -105,4 +135,20 @@ object Tables {
     """stores AS (
       |  SELECT s_suppkey AS store_id, s_name AS store_name, n_name AS country
       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)""".stripMargin
+
+  /** Requires [[salesCte]] in the same WITH clause. */
+  val inventoryCte: String =
+    """inventory AS (
+      |  SELECT store_id, product_id,
+      |         CAST(SUM(quantity) AS BIGINT) AS units_sold,
+      |         COUNT(*) AS n_movements,
+      |         MAX(CAST(sale_ts AS DATE)) AS last_movement_date
+      |  FROM sales GROUP BY 1, 2)""".stripMargin
+
+  val salesManagersCte: String =
+    """sales_managers AS (
+      |  SELECT n_nationkey AS manager_id,
+      |         n_name || ' sales manager' AS manager_name,
+      |         n_name AS country, r_name AS region
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 }

@@ -55,6 +55,28 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star CC converges in O(log n) rounds on a long chain, same labels") {
+    import spark.implicits._
+    // a 512-node chain has diameter 511: min-label propagation would
+    // need ~511 rounds, far past MaxCcIterations — the star variant
+    // must finish well inside ⌈log2(n)⌉ + slack
+    val n = 512L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val lbl = Curation.componentLabelsStar(chain, maxIter = 14).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lbl.length == n)
+    assert(lbl.forall(_._2 == 0L), lbl.filter(_._2 != 0L).take(5).mkString(","))
+    // and on a multi-component shallow graph it matches min-label
+    // propagation exactly (same fixpoint: smallest id per component)
+    val g = Seq((1L, 5L), (5L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 20L)).toDF("a_id", "b_id")
+    val star = Curation.componentLabelsStar(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = Curation.componentLabels(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == prop)
+  }
+
   test("dedup components are consistent with the near-dup pair set") {
     val comp = Curation.dedupComponents(spark, sfDir)
     val cluster = comp.collect().map(r =>

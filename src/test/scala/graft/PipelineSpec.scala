@@ -197,4 +197,39 @@ class PipelineSpec extends SparkSpec {
     assert(back.schema == schema)
     assert(back.count() == 25)
   }
+
+  test("bronze extract-all writes one timestamped CSV dir per table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bronze").toString
+    val ts = java.time.LocalDateTime.of(2026, 1, 10, 12, 30, 45)
+    val written = graft.sources.CsvSource.writeAll(
+      Map("nation" -> Tables.table(spark, sfDir, "nation"),
+        "region" -> Tables.table(spark, sfDir, "region")),
+      out, ts)
+    // extract.py:64-66 filename contract: {table}_{timestamp}
+    assert(written == Map(
+      "nation" -> s"$out/nation_20260110_123045",
+      "region" -> s"$out/region_20260110_123045"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs == Set("nation_20260110_123045", "region_20260110_123045"))
+    // each dir is real headered CSV, read back by the bronze reader
+    val schema = StructType(Seq(StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    assert(graft.sources.CsvSource.read(spark, written("region"), schema)
+      .count() == 5)
+  }
+
+  test("inventory and sales_managers mapped views follow the star schema") {
+    import org.apache.spark.sql.functions._
+    val inv = Tables.inventory(spark, sfDir)
+    // one row per (store, product) pair ever sold; units reconcile with
+    // the fact table's total quantity
+    assert(inv.groupBy("store_id", "product_id").count()
+      .where(col("count") > 1).count() == 0)
+    val factQty = Tables.sales(spark, sfDir)
+      .agg(sum("quantity")).head().getLong(0)
+    assert(inv.agg(sum("units_sold")).head().getLong(0) == factQty)
+    val mgr = Tables.salesManagers(spark, sfDir)
+    assert(mgr.count() == 25) // one manager per nation
+    assert(mgr.select("region").distinct().count() == 5)
+  }
 }
