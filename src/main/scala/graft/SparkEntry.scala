@@ -17,7 +17,8 @@ object SparkEntry {
     Gold.queries ++ Athena.queries ++ Silver.queries ++ Ingest.queries ++
       DataQuality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ Multimodal.queries ++
-      AsOfJoin.queries ++ IntervalJoin.queries ++ Curation.queries
+      AsOfJoin.queries ++ IntervalJoin.queries ++ Curation.queries ++
+      Clustering.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Gold.oracles ++ Athena.oracles ++ Silver.oracles ++ Ingest.oracles ++
       DataQuality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ Multimodal.oracles ++
-      AsOfJoin.oracles ++ IntervalJoin.oracles ++ Curation.oracles
+      AsOfJoin.oracles ++ IntervalJoin.oracles ++ Curation.oracles ++
+      Clustering.oracles
 }

