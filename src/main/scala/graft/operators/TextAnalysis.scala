@@ -223,6 +223,45 @@ object TextAnalysis {
         RollingHash.rollingHash(spark, col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Terms kept per document by [[tfidf]]. */
+  val TfidfTopK = 5
+
+  /** TF-IDF keyword extraction: the top-[[TfidfTopK]] most
+    * characteristic terms per document, weight = tf × (N+1)/(df+1).
+    * The idf is the RATIONAL form, not ln((N+1)/(df+1)): a monotone
+    * transform that ranks identically while staying in +,/ — libm's
+    * `ln` and the JVM's disagree in the last ulp on some inputs, which
+    * would break the cross-engine hash gate (the repo's no-builtin-ROUND
+    * rule, applied to transcendentals).
+    *
+    * Scale shape: token explode is map-side; tf is one (doc, term)
+    * groupBy; df re-aggregates the tf table by term (vocabulary-sized —
+    * far smaller than the token stream, and partial-aggregated); N is a
+    * broadcast 1-row aggregate; the per-doc top-k window partitions on
+    * doc_id (bounded by the document's distinct-term count, never
+    * corpus-wide). */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.table(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          ((col("n_docs").cast("double") + lit(1.0))
+            / (col("df").cast("double") + lit(1.0)))).as("weight"))
+    weighted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("weight").desc, col("term"))))
+      .where(col("rn") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("weight"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   // ---- oracles ----------------------------------------------------------
 
   private val lexValues =
@@ -348,7 +387,25 @@ object TextAnalysis {
         |       list_reduce(list_transform(generate_series(1, length(text)),
         |         i -> CAST(unicode(substr(text,i,1)) AS BIGINT)),
         |         (acc,c) -> (acc*31+c) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         CAST(tf.tf AS DOUBLE) *
+         |           ((CAST(n.n_docs AS DOUBLE) + 1.0)
+         |             / (CAST(df.df AS DOUBLE) + 1.0)) AS weight
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY weight DESC, term) AS rn FROM w)
+         |SELECT doc_id, term, tf, df, weight, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"       -> stats,
@@ -361,5 +418,6 @@ object TextAnalysis {
     "txt_redact"      -> redact,
     "txt_normalize"   -> normalize,
     "txt_chunks"      -> chunks,
-    "txt_fingerprint" -> fingerprint)
+    "txt_fingerprint" -> fingerprint,
+    "txt_tfidf"       -> tfidf)
 }

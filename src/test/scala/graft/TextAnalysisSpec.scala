@@ -176,4 +176,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(rebuilt.mkString(" ") == doc)
   }
+
+  test("tfidf keeps top-k per doc with descending weights and true df") {
+    val out = TextAnalysis.tfidf(spark, sfDir).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.size == 500)
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to sorted.length))
+      assert(sorted.length <= TextAnalysis.TfidfTopK)
+      // weights are non-increasing down the ranks (ties broken by term)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4))
+        case _ =>
+      }
+    }
+    // df is the corpus-wide document frequency: recompute for one term
+    val term = out.head.getString(1)
+    val df = graft.sources.Tables.table(spark, sfDir, "documents")
+      .where(array_contains(split(col("text"), " "), term)).count()
+    assert(out.filter(_.getString(1) == term).forall(_.getLong(3) == df))
+  }
 }
