@@ -198,9 +198,21 @@ object Curation {
     * document gets a `cluster_id` (the smallest doc_id of its
     * component; singletons are their own cluster) and a canonical flag
     * — the "keep one per near-dup cluster" primitive of corpus dedup. */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccard(spark, dir).select("a_id", "b_id")
-    val lbl = componentLabels(pairs)
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    clusterize(spark, dir, componentLabels(
+      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id")))
+
+  /** [[dedupComponents]] resolved through the O(log n)-round star
+    * variant ([[componentLabelsStar]]) — the same fixpoint labels on
+    * the same near-dup pairs (shared exact oracle), converging within
+    * the round budget even when the dup graph degenerates into long
+    * chains. */
+  def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame =
+    clusterize(spark, dir, componentLabelsStar(
+      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id")))
+
+  private def clusterize(spark: SparkSession, dir: String,
+      lbl: DataFrame): DataFrame =
     Tables.table(spark, dir, "documents").select("doc_id")
       .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -208,7 +220,6 @@ object Curation {
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
-  }
 
   // ---- weighted domain mixing (epochs) -----------------------------------
 
@@ -377,6 +388,25 @@ object Curation {
 
   // ---- oracles -----------------------------------------------------------
 
+  /** Shared by dd_components and dd_components_star: both operators
+    * reach the same fixpoint (smallest doc_id per component), so one
+    * recursive-CTE oracle proves both. */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.ngramPairCtes},
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.u),
+       |lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+       |asg AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN lbl l USING (doc_id))
+       |SELECT doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       doc_id = cluster_id AS is_canonical
+       |FROM asg ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "smp_split" ->
       s"""SELECT doc_id,
@@ -398,21 +428,8 @@ object Curation {
          |SELECT event_type, CAST(rn AS INT) AS rn, event_id
          |FROM r WHERE rn <= $StratumSampleK
          |ORDER BY event_type, rn""".stripMargin,
-    "dd_components" ->
-      s"""WITH RECURSIVE ${Dedup.ngramPairCtes},
-         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(u, r) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.u),
-         |lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
-         |asg AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-         |        FROM documents d LEFT JOIN lbl l USING (doc_id))
-         |SELECT doc_id, cluster_id,
-         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-         |       doc_id = cluster_id AS is_canonical
-         |FROM asg ORDER BY doc_id""".stripMargin,
+    "dd_components" -> componentsOracleSql,
+    "dd_components_star" -> componentsOracleSql,
     "smp_weighted" -> {
       val wValues = MixWeightsMilli
         .map { case (l, w) => s"('$l',${w}::BIGINT)" }.mkString(", ")
@@ -485,5 +502,6 @@ object Curation {
     "smp_shuffle"    -> corpusShuffle,
     "smp_zorder"     -> zorderKey,
     "dd_components"  -> dedupComponents,
+    "dd_components_star" -> dedupComponentsStar,
     "txt_curate"     -> curate)
 }

@@ -226,6 +226,55 @@ object TextAnalysis {
   /** Terms kept per document by [[tfidf]]. */
   val TfidfTopK = 5
 
+  /** Fixed-point scale for the per-doc mean in [[lmScore]]:
+    * probabilities are in (0, 1], so 1e9 keeps nine decimals while the
+    * decimal running sum stays exact and order-independent. */
+  val LmScale = 1000000000L
+
+  /** Corpus bigram-LM fluency scoring — the statistical-LM quality
+    * signal of classic corpus filtering (a document whose token
+    * transitions are improbable under the corpus's own bigram model is
+    * noise or boilerplate): train add-one-smoothed bigram probabilities
+    * p(b|a) = (c(ab)+1)/(c(a)+V) on the whole corpus, score each
+    * document by its MEAN transition probability. The mean (not the
+    * log-likelihood product) keeps every op in +,×,/ — ln/exp disagree
+    * between libm implementations in the last ulp and would break the
+    * cross-engine hash gate; as a per-doc ranking signal the two orders
+    * differ only in tail weighting.
+    *
+    * Scale shape: one bigram explode (map-side) feeding both the count
+    * model and the scoring stream; c(ab)/c(a) are vocabulary-sized
+    * aggregates (partial map-side), joined back by key; V is a
+    * broadcast 1-row aggregate; the per-doc mean is a fixed-point
+    * decimal sum, order-independent under any partitioning. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val bg = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+          .as("bigram"))
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val p = bg.join(c2, "bigram")
+      .join(c1.withColumnRenamed("token", "ctx"), "ctx")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        ((col("c2").cast("double") + lit(1.0))
+          / (col("c1").cast("double") + col("v").cast("double"))).as("p"))
+    p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(col("p") * lit(LmScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / lit(LmScale.toDouble) / col("n_bigrams"))
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction: the top-[[TfidfTopK]] most
     * characteristic terms per document, weight = tf × (N+1)/(df+1).
     * The idf is the RATIONAL form, not ln((N+1)/(df+1)): a monotone
@@ -405,7 +454,30 @@ object TextAnalysis {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |        ORDER BY weight DESC, term) AS rn FROM w)
          |SELECT doc_id, term, tf, df, weight, CAST(rn AS INT) AS rn
-         |FROM r WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin)
+         |FROM r WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin,
+    "txt_lm_score" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |           i -> t[i] || ' ' || t[i+1])) AS bigram,
+         |         unnest(list_transform(generate_series(1, len(t)-1),
+         |           i -> t[i])) AS ctx
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 2),
+         |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+         |c1 AS (SELECT token, COUNT(*) AS c1
+         |       FROM (SELECT unnest(string_split(text,' ')) AS token
+         |             FROM documents) GROUP BY 1),
+         |v AS (SELECT COUNT(*) AS v FROM c1),
+         |p AS (
+         |  SELECT bg.doc_id,
+         |         (CAST(c2.c2 AS DOUBLE) + 1.0)
+         |           / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)) AS p
+         |  FROM bg JOIN c2 USING (bigram)
+         |          JOIN c1 ON c1.token = bg.ctx CROSS JOIN v)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |         / $LmScale / COUNT(*) AS lm_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"       -> stats,
@@ -419,5 +491,6 @@ object TextAnalysis {
     "txt_normalize"   -> normalize,
     "txt_chunks"      -> chunks,
     "txt_fingerprint" -> fingerprint,
-    "txt_tfidf"       -> tfidf)
+    "txt_tfidf"       -> tfidf,
+    "txt_lm_score"    -> lmScore)
 }

@@ -197,4 +197,17 @@ class TextAnalysisSpec extends SparkSpec {
       .where(array_contains(split(col("text"), " "), term)).count()
     assert(out.filter(_.getString(1) == term).forall(_.getLong(3) == df))
   }
+
+  test("lm score is a probability mean over every token transition") {
+    val out = TextAnalysis.lmScore(spark, sfDir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // one bigram per adjacent token pair
+    val nToks = TextAnalysis.stats(spark, sfDir)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == nToks(r.getLong(0)) - 1L))
+  }
 }
