@@ -231,6 +231,55 @@ object TextAnalysis {
     * decimal running sum stays exact and order-independent. */
   val LmScale = 1000000000L
 
+  /** BM25 parameters (the textbook defaults) and the deterministic
+    * query-term set of the contract query. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "query")
+  val Bm25TopK = 20
+
+  /** BM25 retrieval scoring — rank the corpus against a query term set,
+    * the retrieval-evaluation primitive of a training-data pipeline
+    * (dedup against eval queries, quality-weighted retrieval mixes).
+    * idf is the RATIONAL BM25 form (N−df+0.5)/(df+0.5)+1 without the
+    * ln wrapper (the same no-transcendentals discipline as [[tfidf]] —
+    * monotone in the classic idf, engine-portable); per-doc term
+    * contributions sum through the fixed-point decimal path so the
+    * score is order-independent.
+    *
+    * Scale shape: the term filter lands on the exploded token stream
+    * BEFORE any aggregation (only query-term hits shuffle); df/avgdl/N
+    * are tiny aggregates broadcast back; final top-k is a
+    * TakeOrderedAndProject, never a global window. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token").isInCollection(Bm25Terms))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(split(col("text"), " ")).cast("long")).cast("double")
+        / count(lit(1))).as("avgdl"))
+    val term = tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * (lit(Bm25K1) + lit(1.0)))
+            / (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(1.0) - lit(Bm25B) + lit(Bm25B) *
+                (col("dl").cast("double") / col("avgdl")))))).as("s"))
+    term.groupBy("doc_id")
+      .agg(sum(floor(col("s") * lit(LmScale.toDouble))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("fs"))
+      .select(col("doc_id"),
+        (col("fs").cast("double") / lit(LmScale.toDouble)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   /** Corpus bigram-LM fluency scoring — the statistical-LM quality
     * signal of classic corpus filtering (a document whose token
     * transitions are improbable under the corpus's own bigram model is
@@ -477,7 +526,42 @@ object TextAnalysis {
          |SELECT doc_id, COUNT(*) AS n_bigrams,
          |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
          |         / $LmScale / COUNT(*) AS lm_score
-         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |  FROM documents),
+         |ft AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+         |       WHERE token IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT token, COUNT(*) AS df FROM ft GROUP BY 1),
+         |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |              CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS DOUBLE)
+         |                / COUNT(*) AS avgdl
+         |       FROM documents),
+         |term AS (
+         |  -- k1/b wrapped in CAST AS DOUBLE: a bare 1.2 is DECIMAL in
+         |  -- DuckDB, and decimal-exact (k1+1) cast late can round to a
+         |  -- different double than Spark's double-addition
+         |  SELECT ft.doc_id,
+         |         ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+         |             + CAST(0.5 AS DOUBLE))
+         |            / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |            + CAST(1.0 AS DOUBLE)) *
+         |           ((CAST(ft.tf AS DOUBLE)
+         |               * (CAST($Bm25K1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |             / (CAST(ft.tf AS DOUBLE) + CAST($Bm25K1 AS DOUBLE) *
+         |               (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+         |                 + CAST($Bm25B AS DOUBLE) *
+         |                   (CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS s
+         |  FROM ft JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id,
+         |       CAST(SUM(CAST(FLOOR(s*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |         / $LmScale AS score
+         |FROM term GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"       -> stats,
@@ -492,5 +576,6 @@ object TextAnalysis {
     "txt_chunks"      -> chunks,
     "txt_fingerprint" -> fingerprint,
     "txt_tfidf"       -> tfidf,
-    "txt_lm_score"    -> lmScore)
+    "txt_lm_score"    -> lmScore,
+    "txt_bm25"        -> bm25)
 }

@@ -194,4 +194,30 @@ class StreamingSpec extends SparkSpec {
     val closed = batchAll.toSet -- lastPerUser
     assert(streamed == closed)
   }
+
+  test("stream-static cluster routing matches the batch k-means assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Clustering.kmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val cents = graft.operators.Clustering.kmeansCentroids(spark, sfDir)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val streamDf = input.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.EmbeddingStreams
+      .clusterAssignStream(spark, streamDf, cents)
+      .writeStream.format("memory").queryName("route_out")
+      .outputMode("append").start()
+    val rows = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    // routing is stateless: micro-batch split must not matter
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a.toSeq); q.processAllAvailable()
+    input.addData(b.toSeq); q.processAllAvailable()
+    val streamed = spark.table("route_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
 }
