@@ -54,6 +54,18 @@ class ClusteringSpec extends SparkSpec {
     assert(dups > 0 && dups < out.length)
   }
 
+  test("k-means centroids persist and load without retraining") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_km").toString
+    val book = Clustering.kmeansCentroids(spark, sfDir)
+    Clustering.saveKmeansCentroids(spark, sfDir, s"$tmp/km")
+    val fakeDir = "/nonexistent/corpus"
+    val loaded = Clustering.loadKmeansCentroids(spark, fakeDir, s"$tmp/km")
+    assert(loaded == book)
+    // load primes the cache: the book resolves for a dir whose table
+    // does not exist, proving the assignment path will not retrain
+    assert(Clustering.kmeansCentroids(spark, fakeDir) == book)
+  }
+
   test("semantic dedup pair join is cluster-keyed, never cartesian") {
     val plan = Clustering.semanticDedup(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -19,6 +19,27 @@ class CompactionSpec extends SparkSpec {
     assert(plan(("p2", 0L)) == 0 && plan(("p2", 1L)) == 4)
   }
 
+  test("compaction plan equals the pure prefix-sum reference on random inventories") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val files = for {
+      p <- 0 until 5
+      f <- 0 until rnd.nextInt(40) + 2
+    } yield (s"p$p", f.toLong, (rnd.nextInt(5000) + 1).toLong)
+    val target = 8192L
+    val got = Compaction.compactionPlan(
+        files.toDF("part", "file_id", "bytes"), target).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val expected = files.groupBy(_._1).flatMap { case (p, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val prefix = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(prefix).map { case ((_, f, _), cum) =>
+        (p, f) -> (cum / target).toInt
+      }
+    }
+    assert(got == expected)
+  }
+
   test("lake compaction groups are contiguous and sized to the target") {
     val out = Compaction.lakeCompaction(spark, sfDir).collect()
     assert(out.nonEmpty)
