@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, ArrayScale, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletions, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -58,5 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_heavy_hitters",
       "Misra-Gries frequent-items candidates (id, est) with k counters",
       HeavyHitters.builder)
+    inject("graft_char_deletions",
+      "single-deletion neighborhood of a string (SymSpell blocking keys)",
+      CharDeletions.builder)
+    inject("graft_bloom_agg",
+      "distributed bloom-filter build over long keys (merge-safe partials)",
+      BloomOps.aggBuilder)
+    inject("graft_bloom_contains",
+      "bloom-filter probe; false = proof of absence",
+      BloomOps.containsBuilder)
   }
 }

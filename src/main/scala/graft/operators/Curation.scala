@@ -265,6 +265,25 @@ object Curation {
       .select(col("doc_id"), portableHash(col("doc_id")).as("shuffle_key"))
       .orderBy("shuffle_key", "doc_id")
 
+  /** `smp_curriculum`: deterministic curriculum ordering — emit the
+    * corpus easiest-first for curriculum training: documents sort by
+    * descending quality decile, hash-shuffled WITHIN each decile (so a
+    * decile is consumed in uniform random order, not doc_id order, but
+    * every re-run yields the identical sequence). The decile edge uses
+    * FLOOR on the bit-deterministic quality double (the repo's
+    * no-builtin-ROUND rule), so both engines bucket identically.
+    *
+    * Scale shape: one quality scan (pure per-row codegen) followed by a
+    * global range sort — Spark samples partition boundaries and sorts
+    * each range independently (the TeraSort shape); no global window,
+    * no single-reducer stage. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"),
+        floor(col("quality_score") * lit(10.0)).cast("int").as("q_bucket"))
+      .withColumn("shuffle_key", portableHash(col("doc_id")))
+      .orderBy(col("q_bucket").desc, col("shuffle_key"), col("doc_id"))
+
   // ---- z-order (Morton) layout key ---------------------------------------
 
   /** Bits per dimension of the z-order key (2 dims × 8 bits = 16-bit
@@ -386,6 +405,63 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---- DSIR importance resampling ----------------------------------------
+
+  /** Target domain and selection size for [[dsirResample]]. */
+  val DsirTargetLang = "en"
+  val DsirTopK = 100
+
+  /** `smp_dsir`: data selection via importance resampling (the DSIR
+    * recipe of Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling") — weight every document by how much more
+    * likely its tokens are under the TARGET domain's unigram
+    * distribution than under the raw corpus's, then keep the
+    * top-[[DsirTopK]]. Here the target is the in-corpus `lang =
+    * "en"` slice (in deployment: a small high-quality seed corpus).
+    *
+    * Per token, the add-one-smoothed likelihood ratio is
+    * `((ct+1)/(Nt+V)) / ((cr+1)/(Nr+V))`; the document weight is the
+    * MEAN ratio over its tokens rather than the log-sum — the same
+    * no-transcendentals trade as [[TextAnalysis.lmScore]] (stays in
+    * +,×,/ so Spark and DuckDB agree bitwise; ranks near-identically,
+    * differing only in tail weighting). Every product here is an exact
+    * integer below 2^53, so the doubles are exact and the division is
+    * the one correctly-rounded step.
+    *
+    * Scale shape: one token explode feeds BOTH the count model and the
+    * scoring stream (the model is a vocabulary-sized aggregate —
+    * partial map-side — joined back by token); Nt/Nr/V are a broadcast
+    * 1-row aggregate; the per-doc mean is a fixed-point decimal sum
+    * (order-independent); selection is orderBy+limit =
+    * TakeOrderedAndProject, never a global window. At 100 TB this is
+    * two keyed shuffles of the token stream and a top-k — the same
+    * cost as one n-gram df pass. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), (col("lang") === DsirTargetLang).as("is_tgt"),
+        explode(split(col("text"), " ")).as("token"))
+    val model = toks.groupBy("token").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("is_tgt"), lit(1))).as("ct"))
+    val totals = model.agg(
+      sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v"))
+    val scale = TextAnalysis.LmScale.toDouble
+    toks.join(model, "token")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (((col("ct").cast("double") + lit(1.0))
+          * (col("nr").cast("double") + col("v").cast("double")))
+          / ((col("cr").cast("double") + lit(1.0))
+            * (col("nt").cast("double") + col("v").cast("double")))).as("r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(floor(col("r") * lit(scale)).cast(DecimalType(38, 0))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s").cast("double") / lit(scale) / col("n_tokens")).as("dsir_w"))
+      .orderBy(col("dsir_w").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
   // ---- oracles -----------------------------------------------------------
 
   /** Shared by dd_components and dd_components_star: both operators
@@ -484,6 +560,34 @@ object Curation {
          |SELECT bucket, CAST(pack_idx AS INT) AS pack_idx,
          |       CAST(pack_pos AS INT) AS pack_pos, doc_id, n_tokens
          |FROM state ORDER BY bucket, pack_idx, pack_pos""".stripMargin,
+    "smp_curriculum" ->
+      s"""WITH q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")}))
+         |SELECT doc_id, CAST(FLOOR(quality_score * 10.0) AS INT) AS q_bucket,
+         |       ${portableHashSql("doc_id")} AS shuffle_key
+         |FROM q
+         |ORDER BY q_bucket DESC, shuffle_key, doc_id""".stripMargin,
+    "smp_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = '$DsirTargetLang' AS is_tgt,
+         |         unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |model AS (SELECT token, COUNT(*) AS cr,
+         |                 COUNT(*) FILTER (WHERE is_tgt) AS ct
+         |          FROM toks GROUP BY 1),
+         |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v
+         |        FROM model),
+         |r AS (SELECT doc_id,
+         |             ((CAST(ct AS DOUBLE) + 1.0)
+         |               * (CAST(nr AS DOUBLE) + CAST(v AS DOUBLE)))
+         |             / ((CAST(cr AS DOUBLE) + 1.0)
+         |               * (CAST(nt AS DOUBLE) + CAST(v AS DOUBLE))) AS r
+         |      FROM toks JOIN model USING (token) CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(CAST(FLOOR(r * ${TextAnalysis.LmScale})
+         |                     AS DECIMAL(38,0))) AS DOUBLE)
+         |         / ${TextAnalysis.LmScale} / COUNT(*) AS dsir_w
+         |FROM r GROUP BY 1
+         |ORDER BY dsir_w DESC, doc_id LIMIT $DsirTopK""".stripMargin,
     "txt_curate" ->
       s"""WITH q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")})),
          |l AS (SELECT * FROM (${TextAnalysis.oracles("txt_lang_id")})),
@@ -501,6 +605,8 @@ object Curation {
     "smp_pack"       -> sequencePack,
     "smp_shuffle"    -> corpusShuffle,
     "smp_zorder"     -> zorderKey,
+    "smp_dsir"       -> dsirResample,
+    "smp_curriculum" -> curriculum,
     "dd_components"  -> dedupComponents,
     "dd_components_star" -> dedupComponentsStar,
     "txt_curate"     -> curate)

@@ -142,6 +142,54 @@ object Dedup {
         .select("a_id", "b_id", "n_a", "n_b", "inter"))
   }
 
+  /** Two documents sharing a verbatim run of this many words are
+    * substring near-dups (the span-dedup signal of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): it
+    * catches a short doc embedded verbatim inside a much longer one,
+    * which set-Jaccard misses because the containing doc's shingle set
+    * dwarfs the intersection. */
+  val SpanK = 8
+
+  /** `dd_span`: document pairs sharing at least one exact [[SpanK]]-word
+    * span, with the EXACT count of distinct shared spans per pair. Plan
+    * discipline mirrors [[ngramJaccardCapped]]: candidate pairs come
+    * only from df≤cap spans (one keyed self-join; any bucket's pair
+    * count is bounded at ~cap²), and banned (df>cap) spans re-enter
+    * through a per-pair correction keyed by doc_id, so reported counts
+    * stay exact. A pair sharing ONLY banned spans goes unreported —
+    * i.e. two docs whose every common 8-gram is corpus boilerplate,
+    * which is the pair span-dedup should suppress anyway; at the tested
+    * scale factors max span df is far below the cap, so the output is
+    * exhaustively exact (asserted against the uncapped run in
+    * DedupSpec). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupCapped(spark, dir, ShingleDfCap)
+
+  def spanDedupCapped(spark: SparkSession, dir: String,
+      dfCap: Long): DataFrame = {
+    val spans = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(Shingles.wordShinglesNative(spark, col("text"), SpanK)).as("span"))
+    val banned = spans.groupBy("span").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select("span")
+    val allowed = spans.join(banned, Seq("span"), "left_anti")
+    val interAllowed = allowed.select(col("doc_id").as("a_id"), col("span"))
+      .join(allowed.select(col("doc_id").as("b_id"), col("span")), Seq("span"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_allowed"))
+    val bannedRows = spans.join(banned, Seq("span"), "left_semi")
+    val interBanned = interAllowed.select("a_id", "b_id")
+      .join(bannedRows.select(col("doc_id").as("a_id"), col("span")), "a_id")
+      .join(bannedRows.select(col("doc_id").as("b_id"), col("span")),
+        Seq("span", "b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_banned"))
+    interAllowed.join(interBanned, Seq("a_id", "b_id"), "left")
+      .withColumn("n_shared",
+        col("n_allowed") + coalesce(col("n_banned"), lit(0L)))
+      .select("a_id", "b_id", "n_shared")
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),
     * banded 16×4; near-dup candidates share a band signature; candidates
     * are then exact-verified (so precision is 1; with 16×4 banding at
@@ -297,11 +345,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-pruned incremental dedup — the same daily-crawl contract as
+    * [[incrementalDedup]] but with the 100-TB shortcut: the corpus's
+    * hash set is summarized into ONE bloom filter (built distributed via
+    * Spark's own `BloomFilterAggregate`, map-side-merged partials), the
+    * aggregate runs as a scalar subquery so the binary ships to
+    * executors as a literal, and every batch row probes it per-row.
+    * A negative probe is PROOF the hash is absent (blooms have no false
+    * negatives), so the overwhelmingly-common "genuinely new" rows skip
+    * the corpus join entirely — only probe-positive candidates (true
+    * dups + the filter's few false positives) pay the exact
+    * hash-equi-join verification. Net: the corpus-vs-batch shuffle
+    * shrinks from |batch| rows to |dups|+ε rows; the result is EXACT
+    * (bit-identical to the bloom-free plan), so it carries the full
+    * DuckDB oracle. */
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomOps.register(spark)
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        (Curation.portableHash(col("doc_id")) % 10 === 0).as("is_batch"))
+    val u = java.util.UUID.randomUUID().toString.replace("-", "")
+    val corpusView = s"bloom_corpus_$u"
+    val batchView = s"bloom_batch_$u"
+    docs.where(!col("is_batch")).select("h").createOrReplaceTempView(corpusView)
+    docs.where(col("is_batch")).select("doc_id", "h")
+      .createOrReplaceTempView(batchView)
+    val probed = spark.sql(
+      s"""SELECT doc_id, h,
+         |       graft_bloom_contains(
+         |         (SELECT graft_bloom_agg(xxhash64(h)) FROM $corpusView),
+         |         xxhash64(h)) AS maybe
+         |FROM $batchView""".stripMargin)
+    val corpusHashes = docs.where(!col("is_batch"))
+      .select(col("h")).distinct().withColumn("in_corpus", lit(true))
+    val verified = probed.where(col("maybe"))
+      .join(corpusHashes, Seq("h"), "left")
+      .select(col("doc_id"), col("in_corpus").isNotNull.as("dup"))
+    val fresh = probed.where(!col("maybe"))
+      .select(col("doc_id"), lit(false).as("dup"))
+    fresh.union(verified)
+      .select(col("doc_id"), (!col("dup")).as("is_new"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
         |       MIN(doc_id) AS canonical_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_bloom" -> {
+      val h = s"${Curation.portableHashSql("doc_id")} % 10"
+      s"""WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         |c AS (SELECT DISTINCT h FROM d WHERE $h <> 0)
+         |SELECT d.doc_id, c.h IS NULL AS is_new
+         |FROM d LEFT JOIN c ON d.h = c.h
+         |WHERE $h = 0
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "dd_incremental" -> {
       val h = s"${Curation.portableHashSql("doc_id")} % 10"
       s"""WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
@@ -314,6 +414,17 @@ object Dedup {
          |ORDER BY b.doc_id""".stripMargin
     },
     "dd_ngram_jaccard" -> ngramJaccardOracle,
+    "dd_span" -> {
+      val gram = (0 until SpanK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           generate_series(1, len(t)-${SpanK - 1}), i -> $gram))) AS span
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= $SpanK)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+         |FROM sh a JOIN sh b ON a.span = b.span AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
     "dd_minhash_lsh" -> ngramJaccardOracle,
@@ -378,8 +489,10 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_span"          -> spanDedup,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
-    "dd_incremental"   -> incrementalDedup)
+    "dd_incremental"   -> incrementalDedup,
+    "dd_bloom"         -> bloomIncrementalDedup)
 }

@@ -467,7 +467,50 @@ object Similarity {
       .select(col("vec_id"), col("dim").cast("int").as("dim"), col("nrm"), col("u"))
       .orderBy("vec_id", "dim")
 
+  /** `emb_quantize`: int8 scalar quantization of every embedding — a
+    * per-vector affine grid over [min, max] with 256 levels, emitted as
+    * (vec_id, dim, code, err) with the EXACT dequantization error. The
+    * 100 TB purpose: 4× the vectors per executor-GB for coarse ANN
+    * stages (PQ covers the sub-byte regime). Pure per-row codegen
+    * arithmetic — builtin cast/array_min/array_max/posexplode, no
+    * shuffle except the contract's output sort. Determinism: float→
+    * double casts are exact and every op is correctly-rounded IEEE
+    * (+,-,*,/, FLOOR — the repo's no-transcendentals rule), so the
+    * DuckDB oracle matches bit for bit. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    e.select(col("vec_id"),
+        array_min(col("e")).as("mn"),
+        ((array_max(col("e")) - array_min(col("e"))) / lit(255.0)).as("scale"),
+        posexplode(col("e")).as(Seq("dim", "x")))
+      .withColumn("code",
+        when(col("scale") > 0,
+          floor((col("x") - col("mn")) / col("scale") + lit(0.5)))
+          .otherwise(lit(0L)).cast("int"))
+      .withColumn("err",
+        abs(col("x") - (col("mn") + col("code") * col("scale"))))
+      .select("vec_id", "dim", "code", "err")
+      .orderBy("vec_id", "dim")
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_quantize" ->
+      """WITH c AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, e, list_min(e) AS mn,
+        |             (list_max(e) - list_min(e)) / CAST(255 AS DOUBLE) AS scale
+        |      FROM c),
+        |ex AS (SELECT vec_id, mn, scale, e,
+        |              unnest(generate_series(1, len(e))) AS i FROM m),
+        |k AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, mn, scale, e[i] AS x,
+        |             CAST(CASE WHEN scale > 0
+        |                  THEN FLOOR((e[i] - mn)/scale + CAST(0.5 AS DOUBLE))
+        |                  ELSE 0 END AS INT) AS code
+        |      FROM ex)
+        |SELECT vec_id, dim, code, ABS(x - (mn + code*scale)) AS err
+        |FROM k ORDER BY vec_id, dim""".stripMargin,
     "emb_norm" ->
       """WITH c AS (SELECT vec_id,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -522,5 +565,6 @@ object Similarity {
     "ann_topk_ivf"     -> annTopKIvf,
     "ann_topk_pq"      -> annTopKPq,
     "emb_centroids"    -> labelCentroids,
-    "emb_norm"         -> embNorm)
+    "emb_norm"         -> embNorm,
+    "emb_quantize"     -> embQuantize)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, Shingles}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table: stats, language
@@ -360,6 +360,76 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Chunks returned by [[ragChunks]]. */
+  val RagTopK = 20
+
+  /** `txt_rag`: RAG retrieval over the chunk index — BM25-rank every
+    * [[chunks]] window (the retrieval unit of a RAG corpus: overlapping
+    * [[ChunkSize]]-token windows, stride [[ChunkStride]]) against the
+    * contract query terms and keep the global top-[[RagTopK]]. Same
+    * rational-idf / fixed-point-sum discipline as [[bm25]], with the
+    * chunk (not the document) as the scored unit: df counts chunks
+    * containing the term, dl is the chunk length, avgdl the mean chunk
+    * length.
+    *
+    * Scale shape: chunking is a per-row explode (no shuffle); the term
+    * filter hits the exploded token stream BEFORE any aggregation, so
+    * only query-term hits shuffle; df/avgdl/N are tiny broadcast
+    * aggregates; the global top-k is a TakeOrderedAndProject. At 100 TB
+    * the chunk index is ~2× the corpus in rows but the per-query cost
+    * is governed by the term hits alone — the standard sparse-retrieval
+    * shape. */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_chunk_tokens").cast("long").as("dl"), col("chunk_text"))
+    val toks = ch.select(col("doc_id"), col("chunk_idx"),
+        explode(split(col("chunk_text"), " ")).as("token"))
+      .where(col("token").isInCollection(Bm25Terms))
+    val tf = toks.groupBy("doc_id", "chunk_idx", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = ch.agg(count(lit(1)).as("n_chunks"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val term = tf.join(broadcast(df), "token")
+      .join(ch.select("doc_id", "chunk_idx", "dl"), Seq("doc_id", "chunk_idx"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("chunk_idx"),
+        (((col("n_chunks").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * (lit(Bm25K1) + lit(1.0)))
+            / (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(1.0) - lit(Bm25B) + lit(Bm25B) *
+                (col("dl").cast("double") / col("avgdl")))))).as("s"))
+    term.groupBy("doc_id", "chunk_idx")
+      .agg(sum(floor(col("s") * lit(LmScale.toDouble))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("fs"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("fs").cast("double") / lit(LmScale.toDouble)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      .limit(RagTopK)
+  }
+
+  /** `txt_novelty`: corpus-duplicated 3-gram fraction per document —
+    * the C4/RefinedWeb-style filter signal: how much of a document's
+    * distinct shingle set also appears in at least one OTHER document
+    * (df ≥ 2 counts the doc itself once, so df ≥ 2 ⇔ shared). One
+    * vocabulary-sized df aggregate joined back by shingle key; both
+    * aggregates partial map-side, no pairwise work anywhere — at 100 TB
+    * this is two keyed shuffles of the shingle stream, nothing more. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(Shingles.wordShinglesNative(spark, col("text"), 3)).as("g"))
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 2, lit(1))).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup") * lit(1.0) / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   // ---- oracles ----------------------------------------------------------
 
   private val lexValues =
@@ -561,7 +631,54 @@ object TextAnalysis {
          |         / $LmScale AS score
          |FROM term GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    })
+    },
+    "txt_rag" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+         |                  len(string_split(text,' ')) AS n FROM documents),
+         |e AS (SELECT doc_id, toks,
+         |             unnest(generate_series(0, (n-1)//$ChunkStride)) AS chunk_idx
+         |      FROM d),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |              toks[chunk_idx*$ChunkStride+1 : chunk_idx*$ChunkStride+$ChunkSize]
+         |                AS ctoks
+         |       FROM e),
+         |cl AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |              CAST(len(ctoks) AS BIGINT) AS dl, ctoks FROM ch),
+         |tok AS (SELECT doc_id, chunk_idx, unnest(ctoks) AS token FROM cl),
+         |tf AS (SELECT doc_id, chunk_idx, token, COUNT(*) AS tf
+         |       FROM tok WHERE token IN ($terms) GROUP BY 1, 2, 3),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_chunks,
+         |              CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM cl),
+         |term AS (
+         |  SELECT tf.doc_id, tf.chunk_idx,
+         |         ((CAST(n_chunks AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |            / (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+         |         ((CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))
+         |            / (CAST(tf AS DOUBLE) + $Bm25K1 *
+         |               (1.0 - $Bm25B + $Bm25B *
+                          (CAST(dl AS DOUBLE) / avgdl)))) AS s
+         |  FROM tf JOIN df USING (token)
+         |  JOIN cl USING (doc_id, chunk_idx) CROSS JOIN st)
+         |SELECT doc_id, chunk_idx,
+         |       CAST(SUM(CAST(FLOOR(s*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |         / $LmScale AS score
+         |FROM term GROUP BY 1, 2
+         |ORDER BY score DESC, doc_id, chunk_idx LIMIT $RagTopK""".stripMargin
+    },
+    "txt_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |       COUNT(*) FILTER (WHERE df.df >= 2) AS n_dup,
+        |       COUNT(*) FILTER (WHERE df.df >= 2)*1.0/COUNT(*) AS dup_frac
+        |FROM sh JOIN df USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"       -> stats,
@@ -577,5 +694,7 @@ object TextAnalysis {
     "txt_fingerprint" -> fingerprint,
     "txt_tfidf"       -> tfidf,
     "txt_lm_score"    -> lmScore,
-    "txt_bm25"        -> bm25)
+    "txt_bm25"        -> bm25,
+    "txt_rag"         -> ragChunks,
+    "txt_novelty"     -> novelty)
 }

@@ -224,4 +224,68 @@ class CurationSpec extends SparkSpec {
       .flatMap(g => g.map(_.getLong(1)).sorted.tail) // non-canonical dups
     assert(allDocs.forall(id => !ids.contains(id)))
   }
+
+  test("curriculum orders by quality decile desc, hash-shuffled within decile") {
+    val out = Curation.curriculum(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(400))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val q = graft.operators.TextAnalysis.quality(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.length == q.size)
+    val expect = q.toSeq.map { case (id, s) =>
+      (id, math.floor(s * 10.0).toInt,
+        ((id % Curation.HashMod) * Curation.HashMult) % Curation.HashMod)
+    }.sortBy { case (id, b, h) => (-b, h, id) }
+    assert(rows.toSeq == expect)
+    // multiple deciles actually occur (the ordering is non-trivial)
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
+  test("DSIR resample favors the target domain and matches a brute-force recompute") {
+    val out = Curation.dsirResample(spark, sfDir)
+    // selection is a top-k, never a global window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    val rows = out.collect()
+    assert(rows.length == Curation.DsirTopK)
+    // brute-force the unigram likelihood-ratio mean on the driver
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val cr = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, lang, toks) =>
+      toks.foreach { t =>
+        cr(t) += 1
+        if (lang == Curation.DsirTargetLang) ct(t) += 1
+      }
+    }
+    val nr = cr.values.sum.toDouble
+    val nt = ct.values.sum.toDouble
+    val v = cr.size.toDouble
+    val scale = graft.operators.TextAnalysis.LmScale.toDouble
+    val wByDoc = docs.map { case (id, _, toks) =>
+      val s = toks.map { t =>
+        val r = ((ct(t) + 1.0) * (nr + v)) / ((cr(t) + 1.0) * (nt + v))
+        math.floor(r * scale)
+      }.foldLeft(BigDecimal(0))(_ + BigDecimal(_))
+      id -> (s.toDouble / scale / toks.size)
+    }.toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - wByDoc(r.getLong(0))) < 1e-12,
+        s"doc ${r.getLong(0)}")
+    }
+    // the selected set is exactly the brute-force top-k
+    val expectTop = wByDoc.toSeq.sortBy { case (id, w) => (-w, id) }
+      .take(Curation.DsirTopK).map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == expectTop)
+    // target-domain docs should be overrepresented among the selected
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val selEn = rows.count(r => langOf(r.getLong(0)) == Curation.DsirTargetLang)
+    val baseEn = docs.count(_._2 == Curation.DsirTargetLang).toDouble / docs.length
+    assert(selEn.toDouble / rows.length > baseEn, s"$selEn/${rows.length} vs $baseEn")
+  }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
+import graft.sources.Tables
 
 class DedupSpec extends SparkSpec {
 
@@ -157,5 +158,59 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == expect)
     assert(got.nonEmpty && got.values.exists(identity))
+  }
+
+  test("bloom incremental dedup is exact and actually probes a bloom filter") {
+    val out = Dedup.bloomIncrementalDedup(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(600))
+    val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // brute-force the set semantics on the driver
+    val docs = Tables.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "sha2(text, 256) AS h").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def isBatch(id: Long) =
+      ((id % Curation.HashMod) * Curation.HashMult) % Curation.HashMod % 10 == 0
+    val corpus = docs.filter(d => !isBatch(d._1)).map(_._2).toSet
+    val expect = docs.filter(d => isBatch(d._1))
+      .map { case (id, h) => id -> !corpus.contains(h) }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.exists(identity))
+    // planted probe: a batch doc whose text duplicates a corpus doc must
+    // come back is_new = false through the bloom + verify path
+    val (batchId, _) = docs.find(d => isBatch(d._1)).get
+    val (corpusId, _) = docs.find(d => !isBatch(d._1)).get
+    import spark.implicits._
+    val planted = Seq(
+      (batchId, "planted dup text"), (corpusId, "planted dup text"))
+      .toDF("doc_id", "text")
+    val plantedDir = s"/tmp/graft_bloom_planted_${java.util.UUID.randomUUID()}"
+    planted.write.mode("overwrite").parquet(s"$plantedDir/documents.parquet")
+    val got2 = Dedup.bloomIncrementalDedup(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got2 == Map(batchId -> false))
+  }
+
+  test("span dedup: capped run equals the uncapped exact pair set, keyed plan") {
+    val out = Dedup.spanDedup(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    val capped = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uncapped = Dedup.spanDedupCapped(spark, sfDir, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == uncapped)
+    assert(capped.nonEmpty && capped.keys.forall { case (a, b) => a < b })
+  }
+
+  test("span dedup correction restores pairs' counts under an aggressive cap") {
+    // cap low enough that real spans get banned: counts must still be
+    // exact for every pair the capped generator finds
+    val exact = Dedup.spanDedupCapped(spark, sfDir, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lowCap = Dedup.spanDedupCapped(spark, sfDir, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lowCap.nonEmpty)
+    lowCap.foreach { case (pair, n) => assert(exact(pair) == n) }
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CharDeletions
+import graft.operators.FuzzyMatch
+
+class FuzzyMatchSpec extends SparkSpec {
+
+  test("every planted typo links back to its origin at distance 1, no cartesian") {
+    val out = FuzzyMatch.fuzzyMatch(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(400))
+    val rows = out.collect()
+    val n = graft.sources.Tables.table(spark, sfDir, "customer").count()
+    val self = rows.count(r => r.getLong(0) == r.getLong(2))
+    assert(self == n) // recall 1 by construction: one deletion per name
+    assert(rows.forall(_.getInt(3) <= 1))
+  }
+
+  test("deletion neighborhood is distinct, includes the string itself") {
+    import spark.implicits._
+    val out = Seq("abc", "aab", "").toDF("s")
+      .select(CharDeletions.neighborhoodCol(spark, col("s")).as("v"))
+      .as[Seq[String]].collect()
+    assert(out(0).toSet == Set("abc", "bc", "ac", "ab"))
+    assert(out(1).toSet == Set("aab", "ab", "aa")) // duplicate variants collapse
+    assert(out(2) == Seq(""))
+  }
+
+  test("neighborhood intersection contains the lev<=1 relation") {
+    // equal / deletion / insertion / substitution all intersect (so
+    // candidate recall is 1); a substitution-distance-2 pair does not.
+    // Near-misses the blocking admits (e.g. transpositions, lev 2) are
+    // removed by the exact levenshtein verification.
+    import spark.implicits._
+    def nb(s: String): Set[String] = Seq(s).toDF("s")
+      .select(CharDeletions.neighborhoodCol(spark, col("s")).as("v"))
+      .as[Seq[String]].collect().head.toSet
+    assert((nb("abcd") & nb("abcd")).nonEmpty)
+    assert((nb("abcd") & nb("abd")).nonEmpty)  // deletion
+    assert((nb("abcd") & nb("abxcd")).nonEmpty) // insertion
+    assert((nb("abcd") & nb("abxd")).nonEmpty)  // substitution
+    assert((nb("abcd") & nb("axyd")).isEmpty)   // distance 2
+  }
+}

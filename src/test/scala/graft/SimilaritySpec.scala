@@ -177,4 +177,25 @@ class SimilaritySpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan.take(600))
     }
   }
+
+  test("int8 quantization: codes on the 256-level grid, error within half a step") {
+    val out = Similarity.embQuantize(spark, sfDir)
+    // per-row arithmetic only: nothing to shuffle but the output sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      plan.take(400))
+    val rows = out.collect()
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 255))
+    // |x - dequant| <= scale/2 up to rounding; scale >= 510*err/255 bound:
+    // recompute per-vector scale from the raw table and compare
+    val scales = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id",
+        "(CAST(array_max(embedding) AS DOUBLE) - CAST(array_min(embedding) AS DOUBLE)) / 255.0 AS s")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val bound = scales(r.getLong(0)) / 2 * (1 + 1e-9)
+      assert(r.getDouble(3) <= bound,
+        s"vec ${r.getLong(0)} dim ${r.getInt(1)} err ${r.getDouble(3)} > $bound")
+    }
+  }
 }

@@ -210,4 +210,65 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     out.foreach(r => assert(r.getLong(1) == nToks(r.getLong(0)) - 1L))
   }
+
+  test("RAG chunk retrieval matches a brute-force chunk-level BM25") {
+    val out = TextAnalysis.ragChunks(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // brute-force on the driver: chunk, filter to query terms, bm25
+    val chunks = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val n = toks.length
+        (0 to (n - 1) / TextAnalysis.ChunkStride).map { ci =>
+          val c = toks.slice(ci * TextAnalysis.ChunkStride,
+            math.min(n, ci * TextAnalysis.ChunkStride + TextAnalysis.ChunkSize))
+          (r.getLong(0), ci, c)
+        }
+      }
+    val nChunks = chunks.length.toDouble
+    val avgdl = chunks.map(_._3.length.toLong).sum.toDouble / nChunks
+    val df = TextAnalysis.Bm25Terms.map(t =>
+      t -> chunks.count(_._3.contains(t)).toDouble).toMap
+    val scored = chunks.map { case (id, ci, c) =>
+      val s = TextAnalysis.Bm25Terms.map { t =>
+        val tf = c.count(_ == t).toDouble
+        if (tf == 0 || df(t) == 0) BigDecimal(0)
+        else {
+          val idf = (nChunks - df(t) + 0.5) / (df(t) + 0.5) + 1.0
+          val v = idf * (tf * (TextAnalysis.Bm25K1 + 1.0)) /
+            (tf + TextAnalysis.Bm25K1 * (1.0 - TextAnalysis.Bm25B +
+              TextAnalysis.Bm25B * (c.length.toDouble / avgdl)))
+          BigDecimal(math.floor(v * TextAnalysis.LmScale.toDouble))
+        }
+      }.sum
+      (id, ci, s.toDouble / TextAnalysis.LmScale.toDouble)
+    }.filter(_._3 > 0)
+    val expect = scored.sortBy { case (id, ci, s) => (-s, id, ci) }
+      .take(TextAnalysis.RagTopK).map(t => (t._1, t._2)).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == expect)
+    rows.foreach { r =>
+      val s = scored.find(t => t._1 == r.getLong(0) && t._2 == r.getInt(1)).get._3
+      assert(math.abs(r.getDouble(2) - s) < 1e-12)
+    }
+  }
+
+  test("novelty equals a collected brute-force duplicated-shingle fraction") {
+    val sets = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).toSeq.sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet)
+    val df = sets.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expect = sets.filter(_._2.nonEmpty).map { case (id, s) =>
+      id -> ((s.size.toLong, s.count(g => df(g) >= 2).toLong))
+    }.toMap
+    val got = TextAnalysis.novelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._2 < v._1))
+  }
 }
