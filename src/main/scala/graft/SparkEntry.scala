@@ -18,7 +18,8 @@ object SparkEntry {
       DataQuality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Events.queries ++ Multimodal.queries ++
       AsOfJoin.queries ++ IntervalJoin.queries ++ Curation.queries ++
-      Clustering.queries ++ Compaction.queries ++ FuzzyMatch.queries
+      Clustering.queries ++ Compaction.queries ++ FuzzyMatch.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
       DataQuality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Events.oracles ++ Multimodal.oracles ++
       AsOfJoin.oracles ++ IntervalJoin.oracles ++ Curation.oracles ++
-      Clustering.oracles ++ Compaction.oracles ++ FuzzyMatch.oracles
+      Clustering.oracles ++ Compaction.oracles ++ FuzzyMatch.oracles ++
+      Graph.oracles
 }

@@ -211,6 +211,36 @@ object Curation {
     clusterize(spark, dir, componentLabelsStar(
       Dedup.ngramJaccard(spark, dir).select("a_id", "b_id")))
 
+  /** `dd_canonical`: quality-aware canonical selection — resolve the
+    * near-dup clusters of [[dedupComponents]] but keep the HIGHEST-
+    * quality member of each cluster (doc_id breaks score ties), not the
+    * smallest id. This is the curation-grade variant: when a template
+    * spawns many near-copies, "keep the numerically first" throws away
+    * the best-written copy about half the time; argmax-by-quality keeps
+    * it, at the cost of one extra join against the quality scores.
+    *
+    * Scale shape: the component fixpoint is [[componentLabels]]
+    * unchanged; the quality join is doc_id-keyed (co-partitioned with
+    * the label join's output); the per-cluster argmax is a window over
+    * `cluster_id` — bounded by the largest dup cluster, which exact
+    * dedup upstream keeps small (identical-text mega-clusters collapse
+    * before near-dup resolution, the repo's documented op order). */
+  def canonicalByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = componentLabels(
+      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))
+    val asg = Tables.table(spark, dir, "documents").select("doc_id")
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val q = TextAnalysis.quality(spark, dir).select("doc_id", "quality_score")
+    asg.join(q, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("rn") === 1).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   private def clusterize(spark: SparkSession, dir: String,
       lbl: DataFrame): DataFrame =
     Tables.table(spark, dir, "documents").select("doc_id")
@@ -250,6 +280,58 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
       .orderBy("doc_id", "epoch")
+  }
+
+  // ---- temperature-balanced source sampling ------------------------------
+
+  /** Fixed-point scale for the per-source √count weights: 6 decimals of
+    * the square root, floored to an integer so every later step is pure
+    * integer arithmetic. */
+  val TemperatureScale = 1000000L
+
+  /** `smp_temperature`: temperature-balanced source subsampling at
+    * α = 1/2 — each source's share of the output budget (half the
+    * corpus) is proportional to √count rather than count, the standard
+    * temperature-sampling move that keeps big web sources from drowning
+    * out small high-quality ones (α = 1 is proportional, α = 0 is
+    * uniform; 1/2 is the portable sweet spot because √ is the one
+    * fractional power both engines round identically — a free α knob
+    * would need libm `pow`, which the repo's determinism rules ban).
+    *
+    * Determinism: √count is correctly-rounded IEEE in both engines, one
+    * multiply and FLOOR make it an integer weight, and every subsequent
+    * op (sums, budget × weight, division) is integer `DIV` — no double
+    * ever accumulates. Selection within a source is the smallest-hash
+    * prefix (portable hash, doc_id tiebreak), so the sample is stable
+    * under re-runs and partitioning.
+    *
+    * Scale shape: per-source counts partial-aggregate map-side; the
+    * allocation table is #sources rows, broadcast both into the rank
+    * join and (as a 1-row total) into the weight normalizer. The
+    * per-source rank is a window over the source partition — bounded by
+    * the LARGEST source (~n/#sources); at 100 TB with a handful of
+    * mega-sources, replace the exact rank with a hash-threshold
+    * prefilter (keep hk < alloc/count × 2³¹ ± slack, then exact-rank
+    * only the boundary slice) — same output, the window input drops to
+    * the slack band. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        portableHash(col("doc_id")).as("hk"))
+    val st = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("qs",
+        floor(sqrt(col("n_s").cast("double")) * lit(TemperatureScale.toDouble))
+          .cast("long"))
+    val tot = st.agg(sum("n_s").as("n_total"), sum("qs").as("s_q"))
+    val alloc = st.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("((n_total DIV 2) * qs) DIV s_q").as("alloc"))
+    val ranked = d.withColumn("rn",
+      row_number().over(Window.partitionBy("source").orderBy("hk", "doc_id")))
+    ranked.join(broadcast(alloc), "source")
+      .where(col("rn") <= col("alloc"))
+      .select(col("source"), col("rn").cast("int").as("rn"), col("doc_id"))
+      .orderBy("source", "rn")
   }
 
   // ---- deterministic corpus shuffle --------------------------------------
@@ -464,11 +546,11 @@ object Curation {
 
   // ---- oracles -----------------------------------------------------------
 
-  /** Shared by dd_components and dd_components_star: both operators
-    * reach the same fixpoint (smallest doc_id per component), so one
-    * recursive-CTE oracle proves both. */
-  private val componentsOracleSql: String =
-    s"""WITH RECURSIVE ${Dedup.ngramPairCtes},
+  /** CTE chain ending in `asg(doc_id, cluster_id)` — the recursive
+    * transitive-closure resolution of the n-gram-Jaccard near-dup
+    * pairs. Shared by the components and canonical-selection oracles. */
+  private val componentsCtes: String =
+    s"""${Dedup.ngramPairCtes},
        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
        |          UNION ALL SELECT b_id, a_id FROM pairs),
        |reach(u, r) AS (
@@ -477,7 +559,13 @@ object Curation {
        |  SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.u),
        |lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
        |asg AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-       |        FROM documents d LEFT JOIN lbl l USING (doc_id))
+       |        FROM documents d LEFT JOIN lbl l USING (doc_id))""".stripMargin
+
+  /** Shared by dd_components and dd_components_star: both operators
+    * reach the same fixpoint (smallest doc_id per component), so one
+    * recursive-CTE oracle proves both. */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE $componentsCtes
        |SELECT doc_id, cluster_id,
        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |       doc_id = cluster_id AS is_canonical
@@ -506,6 +594,35 @@ object Curation {
          |ORDER BY event_type, rn""".stripMargin,
     "dd_components" -> componentsOracleSql,
     "dd_components_star" -> componentsOracleSql,
+    "dd_canonical" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")})),
+         |ranked AS (
+         |  SELECT a.doc_id, a.cluster_id, q.quality_score,
+         |         ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+         |           ORDER BY q.quality_score DESC, a.doc_id) AS rn
+         |  FROM asg a JOIN q ON a.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_id, quality_score, rn = 1 AS is_canonical
+         |FROM ranked ORDER BY doc_id""".stripMargin,
+    "smp_temperature" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |                  ${portableHashSql("doc_id")} AS hk
+         |           FROM documents),
+         |st AS (SELECT source, COUNT(*) AS n_s,
+         |              CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))
+         |                         * $TemperatureScale.0) AS BIGINT) AS qs
+         |       FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+         |               CAST(SUM(qs) AS BIGINT) AS s_q FROM st),
+         |al AS (SELECT source, ((n_total // 2) * qs) // s_q AS alloc
+         |       FROM st, tot),
+         |r AS (SELECT source, doc_id,
+         |             ROW_NUMBER() OVER (PARTITION BY source
+         |               ORDER BY hk, doc_id) AS rn
+         |      FROM d)
+         |SELECT r.source, CAST(rn AS INT) AS rn, doc_id
+         |FROM r JOIN al USING (source) WHERE rn <= alloc
+         |ORDER BY source, rn""".stripMargin,
     "smp_weighted" -> {
       val wValues = MixWeightsMilli
         .map { case (l, w) => s"('$l',${w}::BIGINT)" }.mkString(", ")
@@ -607,7 +724,9 @@ object Curation {
     "smp_zorder"     -> zorderKey,
     "smp_dsir"       -> dsirResample,
     "smp_curriculum" -> curriculum,
+    "smp_temperature" -> temperatureSample,
     "dd_components"  -> dedupComponents,
     "dd_components_star" -> dedupComponentsStar,
+    "dd_canonical"   -> canonicalByQuality,
     "txt_curate"     -> curate)
 }

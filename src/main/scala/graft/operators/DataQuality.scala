@@ -119,6 +119,41 @@ object DataQuality {
       .reduce(_ unionAll _).orderBy("fk_name")
   }
 
+  /** `dq_drift`: distribution drift between two snapshots of `events`
+    * — total-variation distance between the per-type value histograms
+    * of the baseline slice and the candidate slice (stand-in snapshots:
+    * even vs odd event_id; in deployment the two sides are yesterday's
+    * and today's partition). TV = ½ Σ|p_i − q_i| over [[Events.HistBucketWidth]]
+    * bins — the drift monitor a feature pipeline runs before promoting
+    * a new snapshot, and the bounded, interpretable cousin of a KS test
+    * (0 = identical histograms, 1 = disjoint).
+    *
+    * Determinism at scale: both histograms and the cross-multiplied
+    * numerator Σ|c_i·m − d_i·n| are pure BIGINT (no double is summed,
+    * so no ordering sensitivity); the single final division is one
+    * correctly-rounded IEEE op. Plan: one partial-aggregated pass to
+    * (type, bin) counts, a broadcast join of the per-type totals
+    * (#types rows), one more tiny aggregate — the events fact is
+    * scanned exactly once. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"CAST(FLOOR(value) AS BIGINT) DIV ${Events.HistBucketWidth}").as("bin"),
+        (col("event_id") % 2 === 0).as("is_base"))
+      .groupBy("event_type", "bin")
+      .agg(count(when(col("is_base"), 1)).as("c"),
+        count(when(!col("is_base"), 1)).as("d"))
+    val t = b.groupBy("event_type")
+      .agg(sum("c").as("n"), sum("d").as("m"))
+    b.join(broadcast(t), "event_type")
+      .groupBy(col("event_type"), col("n").as("n_base"), col("m").as("n_cand"))
+      .agg(sum(abs(col("c") * col("m") - col("d") * col("n"))).as("num"))
+      .select(col("event_type"), col("n_base"), col("n_cand"),
+        (col("num").cast("double") /
+          (lit(2.0) * col("n_base") * col("n_cand"))).as("tv_distance"))
+      .orderBy("event_type")
+  }
+
   /** Rule set over caller-provided retail tables (the Pipeline's silver
     * gate): uniqueness, not-null, positivity — each one aggregate pass. */
   def genericRules(sales: DataFrame, customers: DataFrame,
@@ -203,10 +238,26 @@ object DataQuality {
          |            (SELECT 1 FROM stores t WHERE t.store_id = s.store_id)))
          |SELECT fk_name, CAST(orphan_rows AS BIGINT) AS orphan_rows,
          |       orphan_rows = 0 AS passed
-         |FROM checks ORDER BY fk_name""".stripMargin)
+         |FROM checks ORDER BY fk_name""".stripMargin,
+    "dq_drift" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |         CAST(FLOOR(value) AS BIGINT) // ${Events.HistBucketWidth} AS bin,
+         |         COUNT(*) FILTER (WHERE event_id % 2 = 0) AS c,
+         |         COUNT(*) FILTER (WHERE event_id % 2 = 1) AS d
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         |             CAST(SUM(d) AS BIGINT) AS m
+         |      FROM b GROUP BY 1)
+         |SELECT b.event_type, n AS n_base, m AS n_cand,
+         |       CAST(SUM(ABS(c*m - d*n)) AS DOUBLE)
+         |         / (CAST(2 AS DOUBLE) * n * m) AS tv_distance
+         |FROM b JOIN t USING (event_type)
+         |GROUP BY b.event_type, n, m ORDER BY event_type""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
-    "dq_referential"    -> referentialIntegrity)
+    "dq_referential"    -> referentialIntegrity,
+    "dq_drift"          -> drift)
 }

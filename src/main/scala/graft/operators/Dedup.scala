@@ -276,8 +276,13 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(expr("sim_a ^ sim_b")).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of the pair, so
+      // the result is identical, but the dedup exchange now carries only
+      // the (rare) passing pairs instead of every block-collision —
+      // blocks duplicate each surviving pair up to 8×, and the
+      // non-passing collisions dominate the candidate set
       .where(col("hamming") <= SimhashMaxHamming)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

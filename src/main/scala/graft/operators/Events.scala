@@ -55,6 +55,38 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  val SlideWindowSec = 3600L
+  val SlideHopSec = 900L
+
+  /** `str_sliding_agg`: hopping (sliding) window aggregation — 1-hour
+    * windows advancing every 15 minutes, so each event lands in
+    * window/hop = 4 overlapping windows (the "smooth" trend view a
+    * tumbling window can't give; the streaming twin is the same
+    * `window(ts, W, hop)` spec under a watermark).
+    *
+    * Scale shape: the 4× row expansion happens MAP-SIDE (Spark's window
+    * generator inside the scan stage), then one partial-aggregated
+    * groupBy on (window, type) — the same single shuffle as the
+    * tumbling version, just 4× the pre-aggregated input, and the
+    * per-window money sums are fixed-point decimal. Timestamps are
+    * second-truncated before windowing per the repo invariant. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      // second-truncate WITHOUT date_trunc: that builtin coerces
+      // TIMESTAMP_NTZ to session-zone TIMESTAMP (the LTZ trap the repo
+      // invariant bans); diff+add against the NTZ epoch stays NTZ
+      .select(expr(
+        """timestampadd(SECOND,
+          |  timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),
+          |  TIMESTAMP_NTZ '1970-01-01 00:00:00')""".stripMargin).as("tss"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("tss"), s"$SlideWindowSec seconds",
+        s"$SlideHopSec seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Gold.moneySum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   /** Semi-structured props extraction: pull typed fields out of the
     * JSON payload column (get_json_object is codegen'd; no UDF). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -266,6 +298,18 @@ object Events {
          |       event_type, COUNT(*) AS n_events,
          |       ${Gold.moneySumSql("value")} AS sum_value
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "str_sliding_agg" ->
+      s"""WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         |                  event_type, value FROM events),
+         |x AS (SELECT es, event_type, value,
+         |             unnest(generate_series(0,
+         |               ${SlideWindowSec / SlideHopSec - 1})) AS i FROM e),
+         |w AS (SELECT make_timestamp(((es // $SlideHopSec - i) * $SlideHopSec)
+         |                            * 1000000) AS window_start,
+         |             event_type, value FROM x)
+         |SELECT window_start, event_type, COUNT(*) AS n_events,
+         |       ${Gold.moneySumSql("value")} AS sum_value
+         |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "str_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id,
          |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -282,6 +326,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_windowed_agg" -> windowedAgg,
+    "str_sliding_agg"  -> slidingAgg,
     "str_sessionize"   -> sessionize,
     "evt_json_extract" -> jsonExtract,
     "evt_quantiles"    -> valueQuantiles,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Iterative graph analytics over the co-purchase graph.
+  *
+  * The graph is the bipartite customer↔product edge set of `sales`
+  * (one undirected edge per DISTINCT pair — the interaction graph a
+  * recommender or influence ranking runs on). PageRank here is the
+  * template for the whole iterate-until-done family (label propagation,
+  * HITS, diffusion embeddings): each round is ONE keyed join (edges ⋈
+  * current scores, both sides partitioned by the join key) plus ONE
+  * partial-aggregated groupBy on the destination — the plan a 1000-
+  * executor cluster wants, with no driver-side data movement at all.
+  *
+  * Scale notes (100 TB contract):
+  * - The edge list is the big table; it shuffles ONCE per round on the
+  *   same key (`u`), so on a real cluster the edge table is bucketed by
+  *   `u` and every round's join is exchange-free; scores (|V| rows, far
+  *   smaller than |E|) are the only moving data.
+  * - Rounds are a FIXED count ([[PagerankIters]]) — no driver-side
+  *   convergence collect; production runs checkpoint scores every few
+  *   rounds to truncate lineage exactly as [[Curation.componentLabels]]
+  *   does (here the fixed 3-round plan is left un-checkpointed after
+  *   the one-time edge/degree materialization).
+  * - Determinism: contributions are single IEEE divisions, per-node
+  *   accumulation is fixed-point DECIMAL ([[Gold.moneySum]] discipline
+  *   at [[PrScale]]), and the damping update is two correctly-rounded
+  *   double ops — bit-identical under any partitioning, row order, or
+  *   engine, which is what lets a DuckDB oracle hash-match an
+  *   iterative double-valued fixpoint at all.
+  */
+object Graph {
+
+  /** Fixed iteration count: rank mass moves < 0.85³ ≈ 0.61 of the way
+    * to the fixpoint — enough to separate hubs from leaves, small
+    * enough that the unrolled SQL oracle stays readable. */
+  val PagerankIters = 3
+
+  /** Fixed-point scale for the per-round contribution sums: ranks are
+    * ~1/|V|, so 7 decimals keep sub-ulp resolution at the test scales
+    * while DECIMAL(38,0) sums stay exact at any edge count. */
+  val PrScale = 10000000L
+
+  /** Undirected distinct edge list as (u, v) node ids: customers map to
+    * even ids (2·customer_id), products to odd (2·product_id + 1). */
+  private def undirected(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.sales(spark, dir)
+      .select((col("customer_id") * 2).as("u"),
+        (col("product_id") * 2 + 1).as("v"))
+      .distinct()
+    e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** `gr_pagerank`: damped PageRank (d = 0.85) after [[PagerankIters]]
+    * synchronous rounds from the uniform start, over the undirected
+    * customer↔product graph. Emits `(node_id, kind, entity_id,
+    * pagerank)` — the influence ranking of both sides of the market in
+    * one pass (every node has degree ≥ 1, so there is no dangling-mass
+    * term). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirected(spark, dir).localCheckpoint()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // 1-row node-count normalizer, broadcast into every round — the
+    // ath_product_analysis shape, never a driver collect
+    val n = deg.agg(count(lit(1)).cast("double").as("nd"))
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("u"), (lit(1.0) / col("nd")).as("pr"))
+    (1 to PagerankIters).foreach { _ =>
+      val msgs = und
+        .join(pr, "u").join(deg, "u")
+        .select(col("v").as("u"),
+          floor((col("pr") / col("deg")) * lit(PrScale))
+            .cast(DecimalType(38, 0)).as("c"))
+      pr = msgs.groupBy("u").agg(sum("c").as("s"))
+        .crossJoin(broadcast(n))
+        .select(col("u"),
+          (lit(0.15) / col("nd") +
+            lit(0.85) * (col("s").cast("double") / lit(PrScale))).as("pr"))
+    }
+    pr.select(col("u").as("node_id"),
+        when(col("u") % 2 === 0, "customer").otherwise("product").as("kind"),
+        expr("u DIV 2").as("entity_id"),
+        col("pr").as("pagerank"))
+      .orderBy("node_id")
+  }
+
+  private def prRound(prev: String, out: String): String =
+    s"""m$out AS (
+       |  SELECT e.v AS u,
+       |         SUM(CAST(FLOOR((p.pr/d.deg) * $PrScale) AS DECIMAL(38,0))) AS s
+       |  FROM und e JOIN $prev p ON e.u = p.u JOIN deg d ON e.u = d.u
+       |  GROUP BY 1),
+       |$out AS (
+       |  SELECT u, CAST(0.15 AS DOUBLE)/nd
+       |            + CAST(0.85 AS DOUBLE) * (CAST(s AS DOUBLE)/$PrScale) AS pr
+       |  FROM m$out, n)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "gr_pagerank" ->
+      s"""WITH ${Tables.salesCte},
+         |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
+         |      FROM sales),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM deg),
+         |pr0 AS (SELECT u, CAST(1 AS DOUBLE)/nd AS pr FROM deg, n),
+         |${(1 to PagerankIters).map(i => prRound(s"pr${i - 1}", s"pr$i"))
+             .mkString(",\n")}
+         |SELECT u AS node_id,
+         |       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
+         |       u // 2 AS entity_id, pr AS pagerank
+         |FROM pr$PagerankIters ORDER BY node_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gr_pagerank" -> pagerank)
+}

@@ -422,6 +422,37 @@ object Similarity {
           col("nrm"), col("q_nrm")).as("cosine")))
   }
 
+  /** `emb_hard_negatives`: contrastive hard-negative mining — for each
+    * query vector, the [[TopK]] most cosine-similar vectors carrying a
+    * DIFFERENT label (the "confusable but wrong" examples contrastive
+    * and metric-learning recipes train against; similar same-label
+    * vectors are positives, not negatives, hence the label filter).
+    *
+    * Scale shape: identical to [[annTopKExact]] — the query set is the
+    * broadcast side, the corpus is scanned once partitioned, per-query
+    * top-k via the bounded-heap aggregate (map-side partials; no window
+    * over all candidates). The label inequality rides the broadcast-join
+    * condition, so mismatched pairs are dropped before any shuffle. At
+    * 100 TB the corpus-pruning variants (IVF cells / LSH buckets, probe
+    * then label-filter) slot in exactly as they do for top-k search. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDotProduct.register(spark)
+    val c = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+    val q = c.where(col("vec_id") % QueryModulus === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = c.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_nrm")).as("cosine"))
+    topKPerQuery(spark, scored)
+  }
+
   /** Fixed-point scale for centroid sums: embeddings are unit-ish floats,
     * so 1e-6 keeps six decimals while the DECIMAL(28,0) running sum stays
     * exact and order-independent at any row count. */
@@ -531,6 +562,21 @@ object Similarity {
          |       CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(28,0))) AS DOUBLE)
          |         / $CentroidScale / COUNT(*) AS centroid
          |FROM d GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "emb_hard_negatives" ->
+      s"""WITH c AS (SELECT vec_id, label,
+         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS q_label, e AS qe
+         |      FROM c WHERE vec_id % $QueryModulus = 0),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |         list_dot_product(c.e, q.qe)
+         |           / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+         |  FROM c, q WHERE c.label <> q.q_label),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
     "ann_topk_exact" ->
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
@@ -560,6 +606,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_exact"   -> annTopKExact,
+    "emb_hard_negatives" -> hardNegatives,
     "dd_embed_neardup" -> embedNearDup,
     "ann_topk_lsh"     -> annTopKLsh,
     "ann_topk_ivf"     -> annTopKIvf,

@@ -288,4 +288,75 @@ class CurationSpec extends SparkSpec {
     val baseEn = docs.count(_._2 == Curation.DsirTargetLang).toDouble / docs.length
     assert(selEn.toDouble / rows.length > baseEn, s"$selEn/${rows.length} vs $baseEn")
   }
+
+  test("temperature sample: allocations match √count shares, selection is the hash prefix") {
+    import graft.sources.Tables
+    val rows = Curation.temperatureSample(spark, sfDir).collect()
+    val counts = Tables.table(spark, sfDir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = counts.values.sum
+    val qs = counts.map { case (s, c) =>
+      s -> math.floor(math.sqrt(c.toDouble) * Curation.TemperatureScale).toLong
+    }
+    val sQ = qs.values.sum
+    val expected = qs.map { case (s, q) => s -> (nTotal / 2) * q / sQ }
+    val got = rows.groupBy(_.getAs[String]("source")).map { case (s, g) =>
+      s -> g.length.toLong
+    }
+    expected.filter(_._2 > 0).foreach { case (s, n) =>
+      assert(got.getOrElse(s, 0L) == n, s"source $s: got ${got.get(s)} want $n")
+    }
+    // α = 1/2 flattens shares: the selected max/min source ratio never
+    // exceeds the raw-count ratio (strictly below once counts are skewed
+    // — at this sf the sources are uniform, so both ratios are 1)
+    val rawRatio = counts.values.max.toDouble / counts.values.min
+    val selRatio = got.values.max.toDouble / got.values.min
+    assert(selRatio <= rawRatio && selRatio >= 1.0, s"$selRatio vs $rawRatio")
+    // the allocation formula itself flattens a skewed corpus: 100:1 raw
+    // becomes 10:1 allocated (√), checked in pure integer arithmetic
+    val skew = Map("big" -> 10000L, "small" -> 100L)
+    val sq = skew.map { case (s, c) =>
+      s -> math.floor(math.sqrt(c.toDouble) * Curation.TemperatureScale).toLong }
+    val tot = skew.values.sum; val sqTot = sq.values.sum
+    val al = sq.map { case (s, q) => s -> (tot / 2) * q / sqTot }
+    val alRatio = al("big").toDouble / al("small")
+    assert(alRatio < 11 && alRatio > 9, s"allocated ratio $alRatio")
+    // within a source, the sample is exactly the alloc smallest hashes
+    val hk = Tables.table(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def h(id: Long) = ((id % Curation.HashMod) * Curation.HashMult) % Curation.HashMod
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, g) =>
+      val want = hk.filter(_._1 == s).map(_._2)
+        .sortBy(id => (h(id), id)).take(g.length).toSet
+      assert(g.map(_.getAs[Long]("doc_id")).toSet == want, s"source $s")
+    }
+  }
+
+  test("canonical-by-quality keeps exactly one max-quality doc per cluster") {
+    val rows = Curation.canonicalByQuality(spark, sfDir).collect()
+    val clusters = Curation.dedupComponents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // same cluster assignment as the min-id resolver
+    rows.foreach(r => assert(
+      r.getAs[Long]("cluster_id") == clusters(r.getAs[Long]("doc_id"))))
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, g) =>
+      val canon = g.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length == 1, s"cluster $cid")
+      val best = g.map(r =>
+        (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id"))).min
+      assert(canon.head.getAs[Long]("doc_id") == best._2, s"cluster $cid")
+    }
+    // the quality-aware choice must differ from min-id on SOME multi-doc
+    // cluster at this scale, or the operator adds nothing
+    val multi = byCluster.filter(_._2.length > 1)
+    assert(multi.nonEmpty)
+    val differs = multi.exists { case (cid, g) =>
+      g.filter(_.getAs[Boolean]("is_canonical")).head.getAs[Long]("doc_id") != cid
+    }
+    assert(differs, "quality canonical never diverged from min-id canonical")
+  }
 }

@@ -207,4 +207,60 @@ class EventsSpec extends SparkSpec {
       assert(row.getAs[Long]("n_users") <= cohortSize(row.getAs[Long]("cohort_wk")))
     }
   }
+
+  test("sliding windows cover each event window/hop times; starts hop-aligned") {
+    val rows = Events.slidingAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perWindow = Events.SlideWindowSec / Events.SlideHopSec // = 4
+    val nTotal = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == perWindow * nTotal)
+    rows.foreach { r =>
+      val startEs = r.getAs[java.time.LocalDateTime]("window_start")
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      assert(startEs % Events.SlideHopSec == 0, s"start $startEs")
+    }
+    // one planted window: brute-force membership matches
+    val es = Tables.events(spark, sfDir)
+      .selectExpr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) es",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (w0, t0) = {
+      val r = rows.head
+      (r.getAs[java.time.LocalDateTime]("window_start")
+        .toEpochSecond(java.time.ZoneOffset.UTC), r.getAs[String]("event_type"))
+    }
+    val expect = es.count { case (t, ty) =>
+      ty == t0 && t >= w0 && t < w0 + Events.SlideWindowSec }
+    assert(rows.head.getAs[Long]("n_events") == expect)
+  }
+
+  test("drift TV distance is in [0,1] and matches a brute-force recompute") {
+    import graft.operators.DataQuality
+    val rows = DataQuality.drift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_distance")
+      assert(tv >= 0.0 && tv <= 1.0, s"tv $tv")
+      // even/odd split of one generator: same distribution, so drift is
+      // well below the disjoint-histograms extreme (small-sample noise
+      // keeps it off zero at this sf)
+      assert(tv < 0.5, s"tv $tv suspiciously high for identical snapshots")
+    }
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "event_id",
+        s"CAST(FLOOR(value) AS BIGINT) DIV ${Events.HistBucketWidth} AS bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val r0 = rows.head
+    val ty = r0.getAs[String]("event_type")
+    val base = ev.filter(e => e._1 == ty && e._2 % 2 == 0).groupBy(_._3)
+      .map { case (b, g) => b -> g.size.toLong }
+    val cand = ev.filter(e => e._1 == ty && e._2 % 2 == 1).groupBy(_._3)
+      .map { case (b, g) => b -> g.size.toLong }
+    val n = base.values.sum; val m = cand.values.sum
+    val num = (base.keySet ++ cand.keySet).toSeq.map { b =>
+      math.abs(base.getOrElse(b, 0L) * m - cand.getOrElse(b, 0L) * n) }.sum
+    val tv = num.toDouble / (2.0 * n * m)
+    assert(r0.getAs[Long]("n_base") == n && r0.getAs[Long]("n_cand") == m)
+    assert(math.abs(r0.getAs[Double]("tv_distance") - tv) < 1e-12)
+  }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  test("pagerank mass stays ~1 and covers every connected node") {
+    val pr = Graph.pagerank(spark, sfDir).collect()
+    assert(pr.nonEmpty)
+    val mass = pr.map(_.getAs[Double]("pagerank")).sum
+    // fixed-point FLOOR in each round only ever drops mass, ≤ 1e-7 per
+    // (node, round): the total stays just under 1
+    assert(mass <= 1.0 + 1e-9 && mass > 0.99, s"mass $mass")
+    assert(pr.forall(_.getAs[Double]("pagerank") > 0))
+    val kinds = pr.map(_.getAs[String]("kind")).toSet
+    assert(kinds == Set("customer", "product"))
+  }
+
+  test("pagerank ranks a max-degree node above a min-degree node") {
+    val sales = graft.sources.Tables.sales(spark, sfDir)
+      .select((col("customer_id") * 2).as("u"),
+        (col("product_id") * 2 + 1).as("v")).distinct()
+    val deg = sales.unionAll(sales.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(count(lit(1)).as("deg")).collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Long]("deg")).toMap
+    val pr = Graph.pagerank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Double]("pagerank")).toMap
+    val hub = deg.maxBy(_._2)._1
+    val leaf = deg.minBy(_._2)._1
+    assert(pr(hub) > pr(leaf))
+  }
+
+  test("pagerank is deterministic across runs and repartitioning") {
+    val a = Graph.pagerank(spark, sfDir).collect().toSeq
+    val b = Graph.pagerank(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("pagerank plan has no CartesianProduct and no non-broadcast loop join") {
+    val plan = Graph.pagerank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -198,4 +198,34 @@ class SimilaritySpec extends SparkSpec {
         s"vec ${r.getLong(0)} dim ${r.getInt(1)} err ${r.getDouble(3)} > $bound")
     }
   }
+
+  test("hard negatives: k per query, all cross-label, equals brute force") {
+    val labels = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, g) =>
+      assert(g.length == Similarity.TopK, s"query $q")
+      g.foreach(r =>
+        assert(labels(r.getAs[Long]("neighbor_id")) != labels(q), s"query $q"))
+    }
+    // brute-force check on one query: the top-k cross-label cosines
+    val q0 = byQuery.keys.min
+    val vecs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.keys.filter(v => labels(v) != labels(q0)).toSeq
+      .map(v => (v, cos(vecs(q0), vecs(v))))
+      .sortBy { case (v, c) => (-c, v) }.take(Similarity.TopK).map(_._1)
+    val got = byQuery(q0).sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("neighbor_id"))
+    assert(got.sameElements(expect))
+  }
 }
