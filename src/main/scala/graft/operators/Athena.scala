@@ -182,6 +182,19 @@ object Athena {
   def salesRollup(spark: SparkSession, dir: String): DataFrame =
     salesRollupOf(Tables.sales(spark, dir), Tables.products(spark, dir))
 
+  /** `ath_month_unpivot`: melt the category × month pivot back to long
+    * form `(category, mth, revenue)` — the wide→long inverse every BI
+    * export pipeline needs (Spark's native `unpivot`/`melt`; the
+    * Expand it plans is map-side, no shuffle beyond the pivot's own).
+    * Null cells (months with no sales) are dropped, matching SQL
+    * UNPIVOT's default EXCLUDE NULLS. */
+  def monthUnpivot(spark: SparkSession, dir: String): DataFrame =
+    categoryMonthPivot(spark, dir)
+      .unpivot(Array(col("category")),
+        (1 to 12).map(m => col(f"m$m%02d")).toArray, "mth", "revenue")
+      .where(col("revenue").isNotNull)
+      .orderBy("category", "mth")
+
   // ---- DuckDB oracles ----
 
   private val goldCtes =
@@ -213,6 +226,22 @@ object Athena {
        |                 / COUNT(transaction_id) AS avg_price
        |        FROM sales GROUP BY 1) f
        |  LEFT JOIN products p USING (product_id))""".stripMargin
+
+  private val pivotOracleSql: String = {
+    val cells = (1 to 12).map { m =>
+      s"""CAST(SUM(CASE WHEN mth = $m
+         |  THEN CAST(FLOOR(rev*10000) AS DECIMAL(28,0)) END) AS DOUBLE)/10000
+         |  AS m${"%02d".format(m)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $goldCtes,
+       |sm AS (SELECT p.category, month(CAST(sale_ts AS DATE)) AS mth,
+       |              unit_price*quantity AS rev
+       |       FROM sales JOIN products p USING (product_id)
+       |       WHERE p.category IS NOT NULL)
+       |SELECT category,
+       |$cells
+       |FROM sm GROUP BY category ORDER BY category""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ath_daily_revenue" ->
@@ -253,21 +282,13 @@ object Athena {
          |SELECT category, CAST(rn AS INT) AS rn, product_id,
          |       CAST(times_sold AS BIGINT) AS times_sold
          |FROM r WHERE rn <= $TopPerCategory ORDER BY category, rn""".stripMargin,
-    "ath_category_month_pivot" -> {
-      val cells = (1 to 12).map { m =>
-        s"""CAST(SUM(CASE WHEN mth = $m
-           |  THEN CAST(FLOOR(rev*10000) AS DECIMAL(28,0)) END) AS DOUBLE)/10000
-           |  AS m${"%02d".format(m)}""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $goldCtes,
-         |sm AS (SELECT p.category, month(CAST(sale_ts AS DATE)) AS mth,
-         |              unit_price*quantity AS rev
-         |       FROM sales JOIN products p USING (product_id)
-         |       WHERE p.category IS NOT NULL)
-         |SELECT category,
-         |$cells
-         |FROM sm GROUP BY category ORDER BY category""".stripMargin
-    },
+    "ath_category_month_pivot" -> pivotOracleSql,
+    "ath_month_unpivot" ->
+      s"""SELECT category, mth, revenue
+         |FROM ($pivotOracleSql)
+         |UNPIVOT (revenue FOR mth IN
+         |  (${(1 to 12).map(m => f"m$m%02d").mkString(", ")}))
+         |ORDER BY category, mth""".stripMargin,
     "ath_revenue_by_category" ->
       s"""WITH $goldCtes
          |SELECT category,
@@ -298,5 +319,6 @@ object Athena {
     "ath_rolling_revenue"     -> rollingRevenue,
     "ath_top_products_per_category" -> topProductsPerCategory,
     "ath_category_month_pivot" -> categoryMonthPivot,
+    "ath_month_unpivot"        -> monthUnpivot,
     "ath_sales_rollup"         -> salesRollup)
 }

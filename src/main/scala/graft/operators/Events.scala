@@ -132,6 +132,74 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Attribution lookback: a purchase credits the last view/click at
+    * most this many seconds before it; older (or absent) touches fall
+    * to the 'direct' channel. */
+  val AttributionWindowSec = 3600L
+
+  /** `evt_attribution`: last-touch revenue attribution — every purchase
+    * credits its full value to the user's most recent view/click within
+    * [[AttributionWindowSec]] (the marketing-analytics workhorse; the
+    * multi-touch variants change only the credit expression).
+    *
+    * Scale shape: ONE shuffle on user_id for the sequence window (two
+    * ignore-null `last` calls over the same frame pick the same touch
+    * row, so type and time stay consistent), then a #channels-sized
+    * money aggregate. The frame ends at 1 PRECEDING, so "before the
+    * purchase" is positional on the total (es, event_id) order — no
+    * self-join, no per-purchase subquery. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+    val isTouch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("t_es", last(when(isTouch, col("es")), ignoreNulls = true).over(w))
+      .withColumn("t_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        when(col("t_es").isNotNull &&
+          col("es") - col("t_es") <= AttributionWindowSec, col("t_type"))
+          .otherwise("direct").as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        Gold.moneySum(col("value")).as("attributed_revenue"))
+      .orderBy("channel")
+  }
+
+  /** `evt_transitions`: first-order Markov transition matrix of event
+    * types — per user, consecutive event pairs (ordered by time,
+    * event_id tiebreak) are counted into `(from_type, to_type)` cells
+    * with the row-conditional probability P(to | from). The behavioral
+    * model behind next-action prediction, funnel-anomaly detection and
+    * session simulation.
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window (sequences
+    * are per-user, so partitions are independent), then a tiny
+    * (#types²) aggregate with map-side partials; the probability is a
+    * single exact BIGINT→DOUBLE division per output cell. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val pairs = e
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("row_n"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("row_n")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   val WeekSec = 604800L
 
   /** Weekly cohort retention: users bucketed by the epoch week of their
@@ -272,6 +340,38 @@ object Events {
          |SELECT user_id, n_events FROM c, t
          |WHERE n_events * ${MgK + 1} > n
          |ORDER BY user_id""".stripMargin,
+    "evt_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |t AS (SELECT *,
+         |        LAST_VALUE(CASE WHEN event_type IN ('view','click')
+         |                        THEN es END IGNORE NULLS) OVER win AS t_es,
+         |        LAST_VALUE(CASE WHEN event_type IN ('view','click')
+         |                        THEN event_type END IGNORE NULLS) OVER win AS t_type
+         |      FROM e
+         |      WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |p AS (SELECT CASE WHEN t_es IS NOT NULL
+         |                       AND es - t_es <= $AttributionWindowSec
+         |                  THEN t_type ELSE 'direct' END AS channel, value
+         |      FROM t WHERE event_type = 'purchase')
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |       ${Gold.moneySumSql("value")} AS attributed_revenue
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |l AS (SELECT user_id, event_type AS to_type,
+         |             LAG(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY es, event_id) AS from_type
+         |      FROM e),
+         |c AS (SELECT from_type, to_type, COUNT(*) AS n
+         |      FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+         |      FROM c GROUP BY 1)
+         |SELECT c.from_type, c.to_type, n, CAST(n AS DOUBLE)/row_n AS prob
+         |FROM c JOIN t USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin,
     "evt_value_histogram" ->
       s"""SELECT event_type,
          |       (CAST(FLOOR(value) AS BIGINT) // $HistBucketWidth)
@@ -334,5 +434,7 @@ object Events {
     "evt_retention"       -> retention,
     "evt_value_histogram" -> valueHistogram,
     "evt_anomaly"         -> valueAnomalies,
-    "evt_heavy_users"     -> heavyUsers)
+    "evt_heavy_users"     -> heavyUsers,
+    "evt_transitions"     -> transitions,
+    "evt_attribution"     -> attribution)
 }

@@ -120,6 +120,40 @@ object Silver {
     snapshotDiff(cust, newSnap, "customer_id", "acctbal")
   }
 
+  /** Apply a CDC delta feed (added/removed/changed rows ONLY — the
+    * small side) to a base snapshot: the MERGE-INTO primitive of every
+    * lakehouse maintenance job. Removed keys drop, changed keys take
+    * the new value, added keys append, untouched keys pass through
+    * unmodified — so `applyCdc(old, diff(old, new)) == new` by
+    * construction, which is exactly what the oracle asserts.
+    *
+    * Scale shape: ONE keyed left join of the base against the delta
+    * feed (deltas ≪ base — broadcast when they fit, shuffle-on-key
+    * otherwise) plus a union of the additions; the base is scanned
+    * once, no window, no full-outer re-diff. */
+  def applyCdc(base: DataFrame, feed: DataFrame, key: String,
+      attr: String): DataFrame = {
+    val deltas = feed.where(col("change") =!= "unchanged")
+      .select(col(key), col("change"), col("new_val"))
+    base.join(deltas, Seq(key), "left")
+      .where(col("change").isNull || col("change") === "changed")
+      .select(col(key),
+        when(col("change") === "changed", col("new_val"))
+          .otherwise(col(attr)).as(attr))
+      .unionByName(deltas.where(col("change") === "added")
+        .select(col(key), col("new_val").as(attr)))
+      .orderBy(key)
+  }
+
+  /** Contract query: round-trip the snapshot diff — applying the
+    * [[snapshotDiffCustomers]] change feed to the old snapshot must
+    * reproduce the new snapshot bit-for-bit (the oracle IS the new
+    * snapshot's definition). */
+  def cdcApplyCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customers(spark, dir).select("customer_id", "acctbal")
+    applyCdc(cust, snapshotDiffCustomers(spark, dir), "customer_id", "acctbal")
+  }
+
   // ---- contract queries -------------------------------------------------
 
   /** Date coercion demo: orders with 10% of dates corrupted to garbage;
@@ -189,11 +223,25 @@ object Silver {
          |FROM oldsnap o FULL OUTER JOIN newsnap n
          |  ON o.customer_id = n.customer_id
          |ORDER BY customer_id""".stripMargin
+    },
+    // the round-trip contract: applying the diff reproduces the new
+    // snapshot, so the oracle is the new snapshot's own definition
+    "xf_cdc_apply" -> {
+      val h = s"${Curation.portableHashSql("customer_id")} % 10"
+      s"""WITH ${Tables.customersCte}
+         |SELECT customer_id,
+         |       CASE WHEN $h = 0 THEN acctbal + 100.0 ELSE acctbal END AS acctbal
+         |FROM customers WHERE $h <> 1
+         |UNION ALL
+         |SELECT customer_id + 1000000000, acctbal
+         |FROM customers WHERE $h = 2
+         |ORDER BY customer_id""".stripMargin
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "xf_date_coercion" -> dateCoercion,
     "xf_null_fill"     -> nullFill,
     "xf_scd2"          -> scd2Customers,
-    "xf_dim_diff"      -> snapshotDiffCustomers)
+    "xf_dim_diff"      -> snapshotDiffCustomers,
+    "xf_cdc_apply"     -> cdcApplyCustomers)
 }

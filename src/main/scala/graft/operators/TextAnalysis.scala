@@ -437,6 +437,51 @@ object TextAnalysis {
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** The txt_quality oracle, shared with the corpus-profile rollup. */
+  /** Vocabulary size for [[vocab]]/[[oovScore]] — deliberately below
+    * the corpus' distinct-token count so the OOV rate is a live signal
+    * at every test scale (production would use 32k-256k). */
+  val VocabK = 20
+
+  /** `txt_vocab`: frequency-ranked tokenizer vocabulary — the top
+    * [[VocabK]] tokens by corpus count with contiguous ids (rank order;
+    * count ties break on the token), the "train a vocab before training
+    * a tokenizer" step of an LLM data pipeline.
+    *
+    * Scale shape: one partial-aggregated token count, then the top-k is
+    * a TakeOrderedAndProject (bounded heap per partition, k rows to the
+    * driver-side stage — k is a CONSTANT). The id-assigning window runs
+    * AFTER the limit, over exactly k rows, so the single-partition sort
+    * it implies is O(VocabK), not O(corpus). */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(VocabK)
+      .withColumn("id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+          .cast("int"))
+      .select("id", "token", "cnt")
+      .orderBy("id")
+
+  /** `txt_oov`: per-document out-of-vocabulary rate against the
+    * [[vocab]] table — the coverage score that decides whether a vocab
+    * (or a tokenizer) fits a corpus, and a standard quality signal (high
+    * OOV ⇒ non-canonical text). The vocab side is k rows → broadcast;
+    * the token stream joins map-side and partial-aggregates per doc, so
+    * the corpus is scanned once and only (doc_id, counts) shuffle. */
+  def oovScore(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir).select(col("token"), lit(true).as("_in_v"))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in_v").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
   private[operators] val qualityOracleSql =
     s"""WITH c AS (
        |  SELECT doc_id,
@@ -481,6 +526,27 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "txt_quality" -> qualityOracleSql,
+    "txt_vocab" ->
+      s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+         |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS INT)
+         |               AS id, token, cnt
+         |      FROM c)
+         |SELECT id, token, cnt FROM r WHERE id < $VocabK ORDER BY id""".stripMargin,
+    "txt_oov" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |           FROM documents),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+         |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS INT)
+         |               AS id, token
+         |      FROM c),
+         |v AS (SELECT token FROM r WHERE id < $VocabK),
+         |g AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |             COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov
+         |      FROM t LEFT JOIN v ON t.token = v.token GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
     "txt_top_ngrams" ->
       """SELECT bg AS bigram, COUNT(*) AS n FROM (
         |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
@@ -696,5 +762,7 @@ object TextAnalysis {
     "txt_lm_score"    -> lmScore,
     "txt_bm25"        -> bm25,
     "txt_rag"         -> ragChunks,
-    "txt_novelty"     -> novelty)
+    "txt_novelty"     -> novelty,
+    "txt_vocab"       -> vocab,
+    "txt_oov"         -> oovScore)
 }

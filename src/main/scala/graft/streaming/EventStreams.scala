@@ -29,6 +29,24 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Hopping/sliding twin of [[graft.operators.Events.slidingAgg]]:
+    * the same 1-hour/15-minute `window(ts, W, hop)` spec under the
+    * watermark. Each event updates window/hop = 4 window states; state
+    * per (window, type) is one count + one fixed-point decimal sum, and
+    * windows older than the watermark are emitted and evicted — the
+    * standard bounded-state trend view. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"),
+        s"${graft.operators.Events.SlideWindowSec} seconds",
+        s"${graft.operators.Events.SlideHopSec} seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Gold.moneySum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   final case class Evt(user_id: Long, event_id: Long, es: Long)
   final case class SessionState(
       sessionIdx: Long, startEs: Long, lastEs: Long, nEvents: Long)

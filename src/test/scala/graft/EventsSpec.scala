@@ -263,4 +263,59 @@ class EventsSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_base") == n && r0.getAs[Long]("n_cand") == m)
     assert(math.abs(r0.getAs[Double]("tv_distance") - tv) < 1e-12)
   }
+
+  test("transition matrix rows sum to 1 and match a brute-force recompute") {
+    val rows = Events.transitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, g) =>
+      val s = g.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"row $f sums to $s")
+    }
+    val seq = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type",
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) es")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val brute = seq.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e._4, e._2))
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (a._3, b._3) }
+    }.groupBy(x => x).map { case (k, g) => k -> g.size.toLong }
+    val got = rows.map(r => (r.getAs[String]("from_type"),
+      r.getAs[String]("to_type")) -> r.getAs[Long]("n")).toMap
+    assert(got == brute)
+  }
+
+  test("attribution credits each purchase to the last in-window touch") {
+    val rows = Events.attribution(spark, sfDir).collect()
+    val seq = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type", "value",
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) es")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val brute = seq.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e._5, e._2))
+      sorted.zipWithIndex.collect { case ((_, _, "purchase", v, es), i) =>
+        val touch = sorted.take(i).reverse
+          .find(e => e._3 == "view" || e._3 == "click")
+        val ch = touch match {
+          case Some(t) if es - t._5 <= Events.AttributionWindowSec => t._3
+          case _ => "direct"
+        }
+        (ch, v)
+      }
+    }.groupBy(_._1)
+    val gotCounts = rows.map(r =>
+      r.getAs[String]("channel") -> r.getAs[Long]("n_purchases")).toMap
+    assert(gotCounts == brute.map { case (c, g) => c -> g.size.toLong })
+    // purchases exist in all three channels at this sf
+    assert(Set("view", "click", "direct").subsetOf(gotCounts.keySet))
+    // revenue matches the fixed-point recompute
+    val gotRev = rows.map(r =>
+      r.getAs[String]("channel") -> r.getAs[Double]("attributed_revenue")).toMap
+    brute.foreach { case (c, g) =>
+      val fp = g.map(x => math.floor(x._2 * 10000).toLong).sum / 10000.0
+      assert(math.abs(gotRev(c) - fp) < 1e-9, s"channel $c")
+    }
+  }
 }

@@ -135,4 +135,40 @@ class GoldSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("Window"))
   }
+
+  test("month unpivot is the exact long form of the pivot's non-null cells") {
+    val piv = Athena.categoryMonthPivot(spark, sfDir).collect()
+    val expect = piv.flatMap { r =>
+      (1 to 12).flatMap { m =>
+        val cell = f"m$m%02d"
+        Option(r.getAs[java.lang.Double](cell))
+          .map(v => (r.getAs[String]("category"), cell, v.doubleValue))
+      }
+    }.toSet
+    val got = Athena.monthUnpivot(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("category"), r.getAs[String]("mth"),
+        r.getAs[Double]("revenue"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("cdc apply round-trips the snapshot diff back to the new snapshot") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Curation, Silver}
+    val cust = graft.sources.Tables.customers(spark, sfDir)
+      .select("customer_id", "acctbal")
+    val h = Curation.portableHash(col("customer_id")) % 10
+    val newSnap = cust.where(h =!= 1)
+      .select(col("customer_id"),
+        when(h === 0, col("acctbal") + 100.0).otherwise(col("acctbal"))
+          .as("acctbal"))
+      .unionByName(cust.where(h === 2)
+        .select((col("customer_id") + 1000000000L).as("customer_id"),
+          col("acctbal")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val applied = Silver.cdcApplyCustomers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(applied == newSnap)
+    assert(applied.nonEmpty)
+  }
 }

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding agg matches the batch twin across a batch split") {
+    import spark.implicits._
+    val batch = Events.slidingAgg(spark, sfDir)
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingAgg(streamDf)
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    // split into two micro-batches: per-window money sums must merge
+    // order-independently (the fixed-point discipline)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first.toSeq); q.processAllAvailable()
+    input.addData(second.toSeq); q.processAllAvailable()
+    val streamed = spark.table("slide_out")
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("stream-static anomaly scoring matches the batch twin exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

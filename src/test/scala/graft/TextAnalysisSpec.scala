@@ -271,4 +271,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expect)
     assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._2 < v._1))
   }
+
+  test("vocab: contiguous ids in frequency-rank order, counts match brute force") {
+    val v = TextAnalysis.vocab(spark, sfDir).collect()
+    assert(v.length == TextAnalysis.VocabK)
+    assert(v.map(_.getAs[Int]("id")).toSeq == (0 until v.length))
+    val ranked = v.map(r => (r.getAs[Long]("cnt"), r.getAs[String]("token")))
+    assert(ranked.sortBy { case (c, t) => (-c, t) }.toSeq == ranked.toSeq)
+    val brute = graft.sources.Tables.table(spark, sfDir, "documents")
+      .collect().flatMap(_.getAs[String]("text").split(" ", -1))
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    v.foreach(r => assert(brute(r.getAs[String]("token")) == r.getAs[Long]("cnt")))
+    // the vocab is exactly the brute-force top-k
+    val topK = brute.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysis.VocabK).map(_._1).toSet
+    assert(v.map(_.getAs[String]("token")).toSet == topK)
+  }
+
+  test("oov rate matches a brute-force recompute and is a live signal") {
+    val vocab = TextAnalysis.vocab(spark, sfDir).collect()
+      .map(_.getAs[String]("token")).toSet
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val got = TextAnalysis.oovScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_ratio")))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val oov = toks.count(!vocab.contains(_))
+      val (n, o, ratio) = got(id)
+      assert(n == toks.length && o == oov, s"doc $id")
+      assert(math.abs(ratio - oov.toDouble / toks.length) < 1e-15)
+    }
+    // VocabK is below the distinct-token count, so some OOV must exist
+    // and no document is fully OOV
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.forall(v => v._2 < v._1))
+  }
 }
