@@ -132,6 +132,61 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** `evt_winsorize`: percentile capping (winsorization) — clamp every
+    * value into its type's [p01, p99] band, the standard outlier
+    * treatment before feature extraction or model-input export (drop
+    * nothing, cap the tails). Bounds go through [[Gold.fixedRound]] at
+    * 4 decimals BEFORE the clamp: the two engines' linear-interpolation
+    * percentile can differ in the last ulp, and rounding the bound (not
+    * the data) makes the clamp band bit-identical by construction.
+    *
+    * Scale shape: one per-type percentile aggregate (#types rows,
+    * broadcast back — exact sort-based locally, `approx_percentile` at
+    * 100 TB, same plan), then a map-side clamp; the fact shuffles
+    * never. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(Gold.fixedRound(expr("percentile(value, 0.01)"), 4).as("lo"),
+        Gold.fixedRound(expr("percentile(value, 0.99)"), 4).as("hi"))
+    Tables.events(spark, dir)
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("clamped"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("was_capped"))
+      .orderBy("event_id")
+  }
+
+  /** MAD multiplier for the robust outlier flag: |x − median| > K·MAD.
+    * 5 MADs ≈ 3.4σ on Gaussian data — comparable strictness to the
+    * 3σ z-score flag, but immune to the outliers themselves inflating
+    * the scale estimate (the failure mode of [[valueAnomalies]] on
+    * heavy-tailed data). */
+  val RobustK = 5.0
+
+  /** `evt_robust_anomaly`: median/MAD outlier detection — the robust
+    * twin of the z-score flag. Median and MAD both go through
+    * [[Gold.fixedRound]] so the flag threshold is engine-identical;
+    * the comparison itself is three IEEE ops on exact inputs.
+    *
+    * Scale shape: two tiny per-type aggregates (median, then MAD of
+    * the residuals — each #types rows, broadcast back), one map-side
+    * flag pass; the fact is scanned twice but never shuffled (at
+    * 100 TB both medians come from `approx_percentile`, same plan). */
+  def robustAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val med = e.groupBy("event_type")
+      .agg(Gold.fixedRound(expr("percentile(value, 0.5)"), 4).as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy("event_type", "med")
+      .agg(Gold.fixedRound(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+    e.join(broadcast(mad), "event_type")
+      .where(abs(col("value") - col("med")) > lit(RobustK) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
   /** Attribution lookback: a purchase credits the last view/click at
     * most this many seconds before it; older (or absent) touches fall
     * to the 'direct' channel. */
@@ -340,6 +395,30 @@ object Events {
          |SELECT user_id, n_events FROM c, t
          |WHERE n_events * ${MgK + 1} > n
          |ORDER BY user_id""".stripMargin,
+    "evt_winsorize" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |         ${Gold.fixedRoundSql("quantile_cont(value, 0.01)", 4)} AS lo,
+         |         ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS hi
+         |  FROM events GROUP BY 1)
+         |SELECT event_id, e.event_type, value,
+         |       LEAST(GREATEST(value, lo), hi) AS clamped,
+         |       (value < lo OR value > hi) AS was_capped
+         |FROM events e JOIN b USING (event_type)
+         |ORDER BY event_id""".stripMargin,
+    "evt_robust_anomaly" ->
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |         ${Gold.fixedRoundSql("quantile_cont(value, 0.5)", 4)} AS med
+         |  FROM events GROUP BY 1),
+         |d AS (
+         |  SELECT e.event_type, med,
+         |         ${Gold.fixedRoundSql("quantile_cont(ABS(value - med), 0.5)", 4)} AS mad
+         |  FROM events e JOIN m USING (event_type) GROUP BY 1, 2)
+         |SELECT event_id, e.event_type, value, med, mad
+         |FROM events e JOIN d USING (event_type)
+         |WHERE ABS(value - med) > CAST($RobustK AS DOUBLE) * mad
+         |ORDER BY event_id""".stripMargin,
     "evt_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, value,
          |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -436,5 +515,7 @@ object Events {
     "evt_anomaly"         -> valueAnomalies,
     "evt_heavy_users"     -> heavyUsers,
     "evt_transitions"     -> transitions,
-    "evt_attribution"     -> attribution)
+    "evt_attribution"     -> attribution,
+    "evt_winsorize"       -> winsorize,
+    "evt_robust_anomaly"  -> robustAnomalies)
 }

@@ -479,6 +479,54 @@ object Similarity {
           .as("centroid"))
       .orderBy("label", "dim")
 
+  /** Outlier flag threshold: a vector is an outlier when its squared
+    * distance to its label centroid exceeds this multiple of the
+    * label's MEAN squared distance — self-calibrating per label, no
+    * absolute distance scale assumed. High-dimensional distances
+    * concentrate hard (χ²₆₄: ±~18%/√n_per_label spread; the synthetic
+    * corpus spans ratio 0.91–1.11), so the flag sits just outside the
+    * concentration band; real mislabeled vectors land far above it. */
+  val OutlierRatio = 1.05
+
+  /** `emb_outliers`: distance-to-centroid pruning — flag embeddings far
+    * from their label's centroid (mislabeled/noisy vectors; the cheap
+    * first-pass filter before contrastive training or clustering).
+    *
+    * Determinism: per-dim residuals are single IEEE ops against the
+    * fixed-point-exact centroids of [[labelCentroids]]; both the
+    * per-vector distance² and the per-label mean accumulate through the
+    * fixed-point decimal path, and the flag is one multiply + compare.
+    *
+    * Scale shape: centroids are labels×dims rows — broadcast; the
+    * corpus explodes map-side and partial-aggregates per vec_id; the
+    * per-label means are #labels rows broadcast back. Two corpus-sized
+    * shuffles max (vec agg + output sort), nothing quadratic. */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cent = labelCentroids(spark, dir).select("label", "dim", "centroid")
+    val d2 = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        ((col("v") - col("centroid")) * (col("v") - col("centroid"))).as("t2"))
+      .groupBy("vec_id", "label")
+      .agg(sum(floor(col("t2") * lit(CentroidScale.toDouble))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .select(col("vec_id"), col("label"),
+        (col("s").cast("double") / lit(CentroidScale.toDouble)).as("dist2"))
+    val means = d2.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("dist2") * lit(CentroidScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ms"))
+      .select(col("label"),
+        (col("ms").cast("double") / lit(CentroidScale.toDouble) / col("n"))
+          .as("mean_d2"))
+    d2.join(broadcast(means), "label")
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2") > lit(OutlierRatio) * col("mean_d2")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Unit-normalize every embedding (the preprocessing step that turns
     * cosine search into dot-product search). The kernel is the native
     * codegen [[graft.functions.ArrayScale]] — per-row, no shuffle. The
@@ -577,6 +625,31 @@ object Similarity {
          |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+    "emb_outliers" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
+         |         embedding AS e
+         |  FROM embeddings),
+         |r AS (SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+         |             CAST(e[i] AS DOUBLE) AS v FROM ex),
+         |cen AS (SELECT label, dim,
+         |               CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(28,0))) AS DOUBLE)
+         |                 / $CentroidScale / COUNT(*) AS centroid
+         |        FROM r GROUP BY 1, 2),
+         |t AS (SELECT vec_id, r.label,
+         |             (v - centroid)*(v - centroid) AS t2
+         |      FROM r JOIN cen ON r.label = cen.label AND r.dim = cen.dim),
+         |d2 AS (SELECT vec_id, label,
+         |              CAST(SUM(CAST(FLOOR(t2 * $CentroidScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |                / $CentroidScale AS dist2
+         |       FROM t GROUP BY 1, 2),
+         |m AS (SELECT label,
+         |             CAST(SUM(CAST(FLOOR(dist2 * $CentroidScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |               / $CentroidScale / COUNT(*) AS mean_d2
+         |      FROM d2 GROUP BY 1)
+         |SELECT vec_id, d2.label, dist2,
+         |       dist2 > CAST($OutlierRatio AS DOUBLE) * mean_d2 AS is_outlier
+         |FROM d2 JOIN m USING (label) ORDER BY vec_id""".stripMargin,
     "ann_topk_exact" ->
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
@@ -613,5 +686,6 @@ object Similarity {
     "ann_topk_pq"      -> annTopKPq,
     "emb_centroids"    -> labelCentroids,
     "emb_norm"         -> embNorm,
-    "emb_quantize"     -> embQuantize)
+    "emb_quantize"     -> embQuantize,
+    "emb_outliers"     -> embOutliers)
 }

@@ -285,6 +285,48 @@ class EventsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("winsorize caps only the tails and preserves in-band values") {
+    val rows = Events.winsorize(spark, sfDir).collect()
+    assert(rows.length == Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      val (v, c, capped) = (r.getAs[Double]("value"),
+        r.getAs[Double]("clamped"), r.getAs[Boolean]("was_capped"))
+      if (capped) assert(c != v && (c > v || c < v))
+      else assert(c == v)
+    }
+    // ~2% of each type should be capped (p01/p99 band); loose bounds
+    val frac = rows.count(_.getAs[Boolean]("was_capped")).toDouble / rows.length
+    assert(frac > 0.005 && frac < 0.06, s"capped fraction $frac")
+    // clamped range per type is exactly [lo, hi]: no clamped value may
+    // exceed the observed clamp bounds
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, g) =>
+      val cs = g.map(_.getAs[Double]("clamped"))
+      val vs = g.map(_.getAs[Double]("value"))
+      assert(cs.max <= vs.max && cs.min >= vs.min)
+    }
+  }
+
+  test("robust anomalies match a brute-force median/MAD recompute") {
+    val rows = Events.robustAnomalies(spark, sfDir).collect()
+    val byType = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val raw = if (n % 2 == 1) s(n / 2)
+        else { val lo = s(n / 2 - 1); val hi = s(n / 2); lo + (hi - lo) * 0.5 }
+      math.floor(raw * 10000 + 0.5) / 10000
+    }
+    val expect = byType.toSeq.flatMap { case (_, g) =>
+      val m = med(g.map(_._3).toSeq)
+      val d = med(g.map(x => math.abs(x._3 - m)).toSeq)
+      g.filter(x => math.abs(x._3 - m) > Events.RobustK * d).map(_._1).toSeq
+    }.toSet
+    assert(rows.map(_.getAs[Long]("event_id")).toSet == expect)
+    assert(rows.nonEmpty)
+  }
+
   test("attribution credits each purchase to the last in-window touch") {
     val rows = Events.attribution(spark, sfDir).collect()
     val seq = Tables.events(spark, sfDir)

@@ -199,6 +199,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding outliers: dist2 matches brute force; flags self-calibrate per label") {
+    val rows = Similarity.embOutliers(spark, sfDir).collect()
+    val vecs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    assert(rows.length == vecs.length)
+    // brute-force fixed-point distance to the label centroid
+    val byLabel = vecs.groupBy(_._2)
+    val centroids = byLabel.map { case (l, g) =>
+      val dims = g.head._3.length
+      l -> (0 until dims).map { d =>
+        val s = g.map(v => math.floor(v._3(d) * 1e6)).foldLeft(BigDecimal(0))(_ + _)
+        (s.toDouble / 1e6) / g.length
+      }.toArray
+    }
+    val d2 = vecs.map { case (id, l, e) =>
+      val c = centroids(l)
+      val s = e.indices.map { i =>
+        val t = e(i) - c(i); math.floor(t * t * 1e6)
+      }.foldLeft(BigDecimal(0))(_ + _)
+      id -> (s.toDouble / 1e6)
+    }.toMap
+    rows.foreach(r => assert(
+      math.abs(r.getAs[Double]("dist2") - d2(r.getAs[Long]("vec_id"))) < 1e-6))
+    // flags exist but are the minority (self-calibrating threshold)
+    val flagged = rows.count(_.getAs[Boolean]("is_outlier"))
+    assert(flagged > 0 && flagged < rows.length / 2, s"flagged $flagged")
+  }
+
   test("hard negatives: k per query, all cross-label, equals brute force") {
     val labels = graft.sources.Tables.table(spark, sfDir, "embeddings")
       .selectExpr("vec_id", "label").collect()
