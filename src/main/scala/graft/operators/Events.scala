@@ -144,18 +144,24 @@ object Events {
     * broadcast back — exact sort-based locally, `approx_percentile` at
     * 100 TB, same plan), then a map-side clamp; the fact shuffles
     * never. */
-  def winsorize(spark: SparkSession, dir: String): DataFrame = {
-    val bounds = Tables.events(spark, dir)
-      .groupBy("event_type")
+  /** Per-type [p01, p99] clamp bounds (fixedRound'd) — shared by the
+    * batch operator and the stream-static scoring twin. */
+  def winsorizeBoundsOf(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
       .agg(Gold.fixedRound(expr("percentile(value, 0.01)"), 4).as("lo"),
         Gold.fixedRound(expr("percentile(value, 0.99)"), 4).as("hi"))
-    Tables.events(spark, dir)
-      .join(broadcast(bounds), "event_type")
+
+  /** The clamp itself — stateless, map-side against broadcast bounds. */
+  def winsorizeWith(events: DataFrame, bounds: DataFrame): DataFrame =
+    events.join(broadcast(bounds), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
         least(greatest(col("value"), col("lo")), col("hi")).as("clamped"),
         (col("value") < col("lo") || col("value") > col("hi")).as("was_capped"))
+
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeWith(Tables.events(spark, dir),
+      winsorizeBoundsOf(Tables.events(spark, dir)))
       .orderBy("event_id")
-  }
 
   /** MAD multiplier for the robust outlier flag: |x − median| > K·MAD.
     * 5 MADs ≈ 3.4σ on Gaussian data — comparable strictness to the
@@ -186,6 +192,36 @@ object Events {
         col("med"), col("mad"))
       .orderBy("event_id")
   }
+
+  /** Path truncation for [[userPaths]] — keep the first 20 steps; a
+    * bot with a million events cannot blow up the output row. */
+  val MaxPathLen = 20
+
+  /** `evt_user_paths`: the ordered event-type journey per user (first
+    * [[MaxPathLen]] steps joined `a>b>c`) plus the total event count —
+    * the sequence-mining/journey-analysis export (path frequency
+    * tables, funnel discovery, session replay sampling).
+    *
+    * Scale shape: ONE partial-aggregated groupBy on user_id; per-group
+    * state is the collected type array, bounded by a user's event count
+    * (heavy users exist but are bounded — [[heavyUsers]] is the audit
+    * for that), and the emitted path is truncated. The sort is
+    * per-group `array_sort` on (es, event_id) structs — deterministic
+    * total order, no global window. */
+  def userPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("es"), col("event_id"),
+          col("event_type")))).as("seq"))
+      .select(col("user_id"), col("n_events"),
+        array_join(expr(s"transform(slice(seq, 1, $MaxPathLen), x -> x.event_type)"),
+          ">").as("path"))
+      .orderBy("user_id")
 
   /** Attribution lookback: a purchase credits the last view/click at
     * most this many seconds before it; older (or absent) touches fall
@@ -395,6 +431,14 @@ object Events {
          |SELECT user_id, n_events FROM c, t
          |WHERE n_events * ${MgK + 1} > n
          |ORDER BY user_id""".stripMargin,
+    "evt_user_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |       array_to_string(
+         |         (list(event_type ORDER BY es, event_id))[1:$MaxPathLen],
+         |         '>') AS path
+         |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
     "evt_winsorize" ->
       s"""WITH b AS (
          |  SELECT event_type,
@@ -517,5 +561,6 @@ object Events {
     "evt_transitions"     -> transitions,
     "evt_attribution"     -> attribution,
     "evt_winsorize"       -> winsorize,
-    "evt_robust_anomaly"  -> robustAnomalies)
+    "evt_robust_anomaly"  -> robustAnomalies,
+    "evt_user_paths"      -> userPaths)
 }

@@ -140,6 +140,62 @@ object Gold {
     managerRevenueOf(Tables.sales(spark, dir), Tables.stores(spark, dir),
       Tables.salesManagers(spark, dir))
 
+  /** `gold_rfm`: recency/frequency/monetary segmentation — every
+    * customer scored 1–5 on each axis against the population's
+    * p20/p40/p60/p80 boundaries and bucketed into the classic segments
+    * (champion/loyal/at_risk/hibernating/regular).
+    *
+    * Scale design: NTILE(5) over all customers would be a single-
+    * partition window; instead the quintile EDGES are one 12-value
+    * aggregate (exact percentile locally, `approx_percentile` at
+    * 100 TB — same plan) broadcast back, and each score is four
+    * comparisons — fully map-side, deterministic, and rank-free.
+    * Boundaries go through [[fixedRound]] so interpolation ulps can
+    * never flip a threshold between engines; metric values are exact
+    * integers / fixed-point money. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.sales(spark, dir)
+      .withColumn("sale_date", to_date(col("sale_ts")))
+      .groupBy("customer_id")
+      .agg(max(col("sale_date")).as("last_date"),
+        count(col("transaction_id")).as("frequency"),
+        moneySum(col("unit_price") * col("quantity")).as("monetary"))
+    val gmax = per.agg(max("last_date").as("gmax"))
+    val met = per.crossJoin(broadcast(gmax))
+      .select(col("customer_id"),
+        datediff(col("gmax"), col("last_date")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val boundCols =
+      qs.map(q => fixedRound(expr(s"percentile(recency_days, $q)"), 4)
+        .as(s"r${(q * 100).toInt}")) ++
+      qs.map(q => fixedRound(expr(s"percentile(frequency, $q)"), 4)
+        .as(s"f${(q * 100).toInt}")) ++
+      qs.map(q => fixedRound(expr(s"percentile(monetary, $q)"), 4)
+        .as(s"m${(q * 100).toInt}"))
+    val bounds = met.agg(boundCols.head, boundCols.tail: _*)
+    def score(metric: Column, prefix: String, better: String): Column = {
+      val cmp: (Column, Column) => Column =
+        if (better == "low") (m, b) => m < b else (m, b) => m > b
+      qs.map(q => when(cmp(metric, col(s"$prefix${(q * 100).toInt}")), 1)
+        .otherwise(0)).reduce(_ + _) + lit(1)
+    }
+    val r = score(col("recency_days"), "r", "low")
+    val f = score(col("frequency"), "f", "high")
+    val m = score(col("monetary"), "m", "high")
+    met.crossJoin(broadcast(bounds))
+      .select(col("customer_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        r.cast("int").as("r_score"), f.cast("int").as("f_score"),
+        m.cast("int").as("m_score"),
+        when(r >= 4 && f >= 4 && m >= 4, "champion")
+          .when(r >= 3 && f >= 3, "loyal")
+          .when(r <= 2 && f >= 3, "at_risk")
+          .when(r <= 2 && f <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy("customer_id")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
@@ -204,7 +260,50 @@ object Gold {
          |JOIN stores s USING (store_id)
          |JOIN sales_managers m USING (country)
          |GROUP BY 1, 2, 3
-         |ORDER BY revenue DESC, manager_id""".stripMargin)
+         |ORDER BY revenue DESC, manager_id""".stripMargin,
+    "gold_rfm" -> {
+      val qs = Seq(20, 40, 60, 80)
+      val b =
+        (qs.map(q => fixedRoundSql(s"quantile_cont(recency_days, 0.$q)", 4) +
+          s" AS r$q") ++
+         qs.map(q => fixedRoundSql(s"quantile_cont(frequency, 0.$q)", 4) +
+           s" AS f$q") ++
+         qs.map(q => fixedRoundSql(s"quantile_cont(monetary, 0.$q)", 4) +
+           s" AS m$q")).mkString(",\n       ")
+      def sc(m: String, p: String, op: String) = qs
+        .map(q => s"(CASE WHEN $m $op $p$q THEN 1 ELSE 0 END)")
+        .mkString("1 + ", " + ", "")
+      val (rs, fs, ms) =
+        (sc("recency_days", "r", "<"), sc("frequency", "f", ">"),
+          sc("monetary", "m", ">"))
+      s"""WITH ${Tables.salesCte},
+         |per AS (
+         |  SELECT customer_id, MAX(CAST(sale_ts AS DATE)) AS last_date,
+         |         COUNT(transaction_id) AS frequency,
+         |         ${moneySumSql("unit_price*quantity")} AS monetary
+         |  FROM sales GROUP BY 1),
+         |g AS (SELECT MAX(last_date) AS gmax FROM per),
+         |met AS (
+         |  SELECT customer_id,
+         |         CAST(date_diff('day', last_date, gmax) AS BIGINT) AS recency_days,
+         |         CAST(frequency AS BIGINT) AS frequency, monetary
+         |  FROM per, g),
+         |b AS (SELECT $b FROM met),
+         |s AS (
+         |  SELECT customer_id, recency_days, frequency, monetary,
+         |         $rs AS r_score, $fs AS f_score, $ms AS m_score
+         |  FROM met, b)
+         |SELECT customer_id, recency_days, frequency, monetary,
+         |       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+         |       CAST(m_score AS INT) AS m_score,
+         |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+         |              THEN 'champion'
+         |            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+         |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         |            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         |            ELSE 'regular' END AS segment
+         |FROM s ORDER BY customer_id""".stripMargin
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_daily_sales_summary" -> dailySalesSummary,
@@ -212,5 +311,6 @@ object Gold {
     "gold_product_performance" -> productPerformance,
     "gold_store_performance"   -> storePerformance,
     "src_inventory"            -> inventoryView,
-    "gold_manager_revenue"     -> managerRevenue)
+    "gold_manager_revenue"     -> managerRevenue,
+    "gold_rfm"                 -> rfmSegments)
 }

@@ -275,6 +275,13 @@ object EventStreams {
   def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
     graft.operators.Events.anomaliesOf(events, stats)
 
+  /** Stream-static winsorization: the per-type clamp bounds are trained
+    * once on the static corpus and broadcast; the live stream is capped
+    * by a stateless map-side join — same shape as [[anomalyStream]],
+    * same shared column math as the batch twin. */
+  def winsorizeStream(events: DataFrame, bounds: DataFrame): DataFrame =
+    graft.operators.Events.winsorizeWith(events, bounds)
+
   /** Stream-stream interval self-join: pairs of same-user events within
     * `boundSec` seconds (the streaming twin of
     * operators.IntervalJoin.eventPairs). Both sides carry watermarks and

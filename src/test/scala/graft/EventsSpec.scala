@@ -285,6 +285,25 @@ class EventsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("user paths are the time-ordered type sequences, truncated") {
+    val rows = Events.userPaths(spark, sfDir).collect()
+    val seq = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type",
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) es")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val brute = seq.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e._4, e._2)).map(_._3)
+      u -> ((evs.length.toLong, sorted.take(Events.MaxPathLen).mkString(">")))
+    }
+    assert(rows.length == brute.size)
+    rows.foreach { r =>
+      val (n, p) = brute(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[String]("path") == p, s"user ${r.getAs[Long]("user_id")}")
+    }
+  }
+
   test("winsorize caps only the tails and preserves in-band values") {
     val rows = Events.winsorize(spark, sfDir).collect()
     assert(rows.length == Tables.events(spark, sfDir).count())

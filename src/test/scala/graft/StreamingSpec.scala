@@ -99,6 +99,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static winsorize matches the batch twin exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Events.winsorize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    val bounds = Events.winsorizeBoundsOf(Tables.events(spark, sfDir))
+    val input = MemoryStream[(Long, String, Double)]
+    val streamDf = input.toDF().toDF("event_id", "event_type", "value")
+    val q = EventStreams.winsorizeStream(streamDf, bounds)
+      .writeStream.format("memory").queryName("wins_out")
+      .outputMode("append").start()
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first.toSeq); q.processAllAvailable()
+    input.addData(second.toSeq); q.processAllAvailable()
+    val streamed = spark.table("wins_out").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[Double]("clamped"),
+        r.getAs[Boolean]("was_capped"))).toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch bucket join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
