@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+
+/** Physical-plan shape assertions for the round-4 operators — the
+  * scale contract (broadcasts where intended, no cartesian products, no
+  * unpartitioned windows) enforced in CI so a silent plan regression
+  * fails the suite, not a cluster. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertSane(p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    // an unpartitioned window funnels everything through one partition:
+    // every Window node in these plans must carry a partition spec
+    p.split("\n").filter(_.contains("windowspecdefinition(")).foreach { l =>
+      // windowspecdefinition(partCol, ..., orderCol ASC ...) — an empty
+      // partition list would start with the order spec directly
+      assert(!l.contains("windowspecdefinition(_w"),
+        s"unpartitioned window: $l")
+    }
+  }
+
+  test("rfm: quintile edges ride 1-row broadcasts, no window, no cartesian") {
+    val p = plan(Gold.rfmSegments(spark, sfDir))
+    assertSane(p)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "NTILE-style window snuck in")
+  }
+
+  test("winsorize + robust anomalies: broadcast bounds, no window") {
+    Seq(Events.winsorize(spark, sfDir),
+      Events.robustAnomalies(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assertSane(p)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"))
+      assert(!p.contains("Window"))
+    }
+  }
+
+  test("attribution, transitions, user paths: sane windows, broadcast totals") {
+    Seq(Events.attribution(spark, sfDir),
+      Events.transitions(spark, sfDir),
+      Events.userPaths(spark, sfDir)).foreach(df => assertSane(plan(df)))
+    // transitions' per-row totals join is broadcast (a #types-row side)
+    assert(plan(Events.transitions(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("temperature sampling: allocation and totals broadcast, one source window") {
+    val p = plan(Curation.temperatureSample(spark, sfDir))
+    assertSane(p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("oov scoring: vocab joins broadcast; drift: totals broadcast") {
+    Seq(TextAnalysis.oovScore(spark, sfDir),
+      DataQuality.drift(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assertSane(p)
+      assert(p.contains("BroadcastHashJoin"))
+    }
+  }
+
+  test("canonical selection and cdc apply: no cartesian, no global window") {
+    Seq(Curation.canonicalByQuality(spark, sfDir),
+      Silver.cdcApplyCustomers(spark, sfDir),
+      Athena.monthUnpivot(spark, sfDir)).foreach(df => assertSane(plan(df)))
+  }
+}
