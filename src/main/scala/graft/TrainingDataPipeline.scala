@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** The LLM training-data curation DAG as one composable library call —
+  * the curation twin of the retail medallion [[Pipeline]]: ingest →
+  * exact dedup → near-dup resolution (quality-aware canonical) →
+  * quality ∧ language gate → benchmark decontamination → corpus DQ
+  * gate → deterministic shuffle manifest, written as the curated layer
+  * of a lake.
+  *
+  * Every stage is a doc_id-keyed filter joined onto the survivor set,
+  * so the composed plan stays co-partitioned on doc_id; the only
+  * driver-side values are the per-stage survivor counts (one number per
+  * stage — the run report) and the boolean DQ verdict, mirroring the
+  * retail pipeline's O(1)-driver-traffic rule. At 100 TB each stage is
+  * exactly its standalone operator (same code, oracle-checked
+  * individually); the pipeline adds only the joins between them.
+  */
+object TrainingDataPipeline {
+
+  /** Floor on the fraction of documents that may survive curation —
+    * below it the run is declared failed (a mis-tuned filter emptying
+    * the corpus should stop a training run, not feed it). */
+  val MinSurvivorFrac = 0.15
+
+  final case class RunResult(
+      stageCounts: Seq[(String, Long)],
+      dqPassed: Boolean,
+      manifestPath: String)
+
+  /** Full curation run over `<srcDir>/documents.parquet`; writes the
+    * final training manifest under `<lakeBase>/curated/manifest`. */
+  def run(spark: SparkSession, srcDir: String, lakeBase: String): RunResult = {
+    val docs = graft.sources.Tables.table(spark, srcDir, "documents")
+      .select("doc_id", "lang")
+
+    // stage 1 — exact dedup: keep the canonical copy of every
+    // identical-text cluster (collapses the mega-clusters that would
+    // otherwise degrade the near-dup stage's buckets)
+    val exactCanonical = Dedup.exact(spark, srcDir)
+      .select(col("canonical_doc_id").as("doc_id"))
+
+    // stage 2 — near-dup resolution: quality-aware canonical per
+    // n-gram-Jaccard component (keep the best-written copy, not the
+    // numerically-first)
+    val nearCanonical = Curation.canonicalByQuality(spark, srcDir)
+      .where(col("is_canonical")).select("doc_id")
+
+    // stage 3 — quality ∧ language gate
+    val qualityPass = TextAnalysis.quality(spark, srcDir)
+      .where(col("passed")).select("doc_id")
+    val langPass = TextAnalysis.langId(spark, srcDir)
+      .where(col("pred_lang") === "en").select("doc_id")
+
+    // stage 4 — benchmark decontamination: any eval-set n-gram overlap
+    // disqualifies (decontam itself excludes the eval docs)
+    val decontamPass = Dedup.decontam(spark, srcDir)
+      .where(!col("contaminated")).select("doc_id")
+
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "exact_dedup"   -> exactCanonical,
+      "near_dup"      -> nearCanonical,
+      "quality"       -> qualityPass,
+      "lang"          -> langPass,
+      "decontam"      -> decontamPass)
+
+    // fold the survivor set through the stages; count each frontier
+    // (one driver-side long per stage — the run report)
+    val initial = docs.select("doc_id")
+    var frontier = initial
+    val counts = Seq.newBuilder[(String, Long)]
+    counts += ("ingest" -> frontier.count())
+    stages.foreach { case (name, keep) =>
+      frontier = frontier.join(keep, Seq("doc_id"), "left_semi")
+      counts += (name -> frontier.count())
+    }
+
+    // corpus DQ gate: curation must keep a sane fraction
+    val stageCounts = counts.result()
+    val dqPassed =
+      stageCounts.last._2 >= (stageCounts.head._2 * MinSurvivorFrac).toLong &&
+        stageCounts.last._2 > 0
+
+    // final manifest: survivors in the deterministic training order
+    // (bijective-hash shuffle key — the smp_shuffle contract), with
+    // lang + quality riding along for downstream mixing
+    val manifest = frontier
+      .join(docs, Seq("doc_id"))
+      .join(TextAnalysis.quality(spark, srcDir)
+        .select("doc_id", "quality_score"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        Curation.portableHash(col("doc_id")).as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+    val path = s"$lakeBase/curated/manifest"
+    manifest.write.mode("overwrite").parquet(path)
+
+    RunResult(stageCounts, dqPassed, path)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TrainingDataPipelineSpec extends SparkSpec {
+
+  private def tmpBase(): String =
+    java.nio.file.Files.createTempDirectory("graft_tdp").toString
+
+  test("curation pipeline runs end-to-end; stages shrink monotonically; gate passes") {
+    val r = TrainingDataPipeline.run(spark, sfDir, tmpBase())
+    val counts = r.stageCounts
+    assert(counts.head._1 == "ingest" && counts.head._2 == 500)
+    counts.sliding(2).foreach { case Seq((_, a), (n, b)) =>
+      assert(b <= a, s"stage $n grew: $a -> $b")
+    }
+    // each filter bites at this sf: strictly fewer docs after curation
+    assert(counts.last._2 < counts.head._2)
+    assert(r.dqPassed, counts.toString)
+    // manifest matches the final frontier and is shuffle-ordered
+    val m = spark.read.parquet(r.manifestPath).collect()
+    assert(m.length == counts.last._2)
+    val keys = m.map(r => (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+    assert(keys.sortBy(identity).sameElements(keys) ||
+      keys.sorted.sameElements(keys))
+    // survivors are all English and quality-passing by construction
+    val q = graft.operators.TextAnalysis.quality(spark, sfDir)
+      .where(col("passed")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    m.foreach(r => assert(q.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("curation pipeline is deterministic across runs") {
+    val a = TrainingDataPipeline.run(spark, sfDir, tmpBase())
+    val b = TrainingDataPipeline.run(spark, sfDir, tmpBase())
+    assert(a.stageCounts == b.stageCounts)
+    val ma = spark.read.parquet(a.manifestPath).orderBy("shuffle_key", "doc_id")
+      .collect().toSeq
+    val mb = spark.read.parquet(b.manifestPath).orderBy("shuffle_key", "doc_id")
+      .collect().toSeq
+    assert(ma == mb)
+  }
+}
