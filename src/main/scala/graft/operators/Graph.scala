@@ -88,6 +88,21 @@ object Graph {
       .orderBy("node_id")
   }
 
+  /** `gr_degrees`: degree distribution of the co-purchase graph per
+    * node kind — the first diagnostic run on any graph (skew here
+    * predicts bucket skew in every downstream keyed join; a power-law
+    * tail is what the mega-bucket caps elsewhere defend against).
+    * Two partial-aggregated groupBys: node degrees, then counts per
+    * (kind, degree). */
+  def degrees(spark: SparkSession, dir: String): DataFrame =
+    undirected(spark, dir)
+      .groupBy("u").agg(count(lit(1)).as("degree"))
+      .select(
+        when(col("u") % 2 === 0, "customer").otherwise("product").as("kind"),
+        col("degree"))
+      .groupBy("kind", "degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("kind", "degree")
+
   private def prRound(prev: String, out: String): String =
     s"""m$out AS (
        |  SELECT e.v AS u,
@@ -113,8 +128,18 @@ object Graph {
          |SELECT u AS node_id,
          |       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
          |       u // 2 AS entity_id, pr AS pagerank
-         |FROM pr$PagerankIters ORDER BY node_id""".stripMargin)
+         |FROM pr$PagerankIters ORDER BY node_id""".stripMargin,
+    "gr_degrees" ->
+      s"""WITH ${Tables.salesCte},
+         |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
+         |      FROM sales),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT u, COUNT(*) AS degree FROM und GROUP BY 1)
+         |SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
+         |       degree, COUNT(*) AS n_nodes
+         |FROM deg GROUP BY 1, 2 ORDER BY kind, degree""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gr_pagerank" -> pagerank)
+    "gr_pagerank" -> pagerank,
+    "gr_degrees"  -> degrees)
 }

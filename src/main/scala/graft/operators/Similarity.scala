@@ -479,6 +479,32 @@ object Similarity {
           .as("centroid"))
       .orderBy("label", "dim")
 
+  /** `emb_dim_stats`: per-dimension mean and variance of the corpus —
+    * the embedding drift monitor (a re-embedded corpus whose dimension
+    * profile moves has a model/version skew; also the input to
+    * whitening and scalar-quantization grid design). Moments accumulate
+    * through the fixed-point decimal path (Σx and Σx² exact and
+    * order-independent), variance is the two-pass-free E[x²]−E[x]²
+    * with each term a single IEEE op — bit-identical cross-engine.
+    * One posexplode + one partial-aggregated groupBy of dims groups. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * lit(CentroidScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sx"),
+        sum(floor((col("v") * col("v")) * lit(CentroidScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sxx"))
+      .select(col("dim").cast("int").as("dim"), col("n"),
+        (col("sx").cast("double") / lit(CentroidScale.toDouble) / col("n"))
+          .as("mean"),
+        (col("sxx").cast("double") / lit(CentroidScale.toDouble) / col("n") -
+          (col("sx").cast("double") / lit(CentroidScale.toDouble) / col("n")) *
+          (col("sx").cast("double") / lit(CentroidScale.toDouble) / col("n")))
+          .as("variance"))
+      .orderBy("dim")
+
   /** Outlier flag threshold: a vector is an outlier when its squared
     * distance to its label centroid exceeds this multiple of the
     * label's MEAN squared distance — self-calibrating per label, no
@@ -625,6 +651,20 @@ object Similarity {
          |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+    "emb_dim_stats" ->
+      s"""WITH ex AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding AS e
+         |  FROM embeddings),
+         |r AS (SELECT CAST(i - 1 AS INT) AS dim, CAST(e[i] AS DOUBLE) AS v FROM ex),
+         |a AS (SELECT dim, COUNT(*) AS n,
+         |             CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |             CAST(SUM(CAST(FLOOR((v*v)*$CentroidScale) AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+         |      FROM r GROUP BY 1)
+         |SELECT dim, n,
+         |       sx/$CentroidScale/n AS mean,
+         |       sxx/$CentroidScale/n - (sx/$CentroidScale/n)*(sx/$CentroidScale/n)
+         |         AS variance
+         |FROM a ORDER BY dim""".stripMargin,
     "emb_outliers" ->
       s"""WITH ex AS (
          |  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
@@ -687,5 +727,6 @@ object Similarity {
     "emb_centroids"    -> labelCentroids,
     "emb_norm"         -> embNorm,
     "emb_quantize"     -> embQuantize,
-    "emb_outliers"     -> embOutliers)
+    "emb_outliers"     -> embOutliers,
+    "emb_dim_stats"    -> dimStats)
 }

@@ -37,6 +37,22 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("degree distribution sums to the node count; degrees match brute force") {
+    val rows = Graph.degrees(spark, sfDir).collect()
+    val sales = graft.sources.Tables.sales(spark, sfDir)
+      .select("customer_id", "product_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custDeg = sales.groupBy(_._1).map { case (_, g) => g.length }
+    val prodDeg = sales.groupBy(_._2).map { case (_, g) => g.length }
+    val nNodes = rows.map(_.getAs[Long]("n_nodes")).sum
+    assert(nNodes == custDeg.size + prodDeg.size)
+    val gotCust = rows.filter(_.getAs[String]("kind") == "customer")
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes")).toMap
+    val expCust = custDeg.groupBy(identity[Int])
+      .map { case (d, g) => d.toLong -> g.size.toLong }
+    assert(gotCust == expCust)
+  }
+
   test("pagerank plan has no CartesianProduct and no non-broadcast loop join") {
     val plan = Graph.pagerank(spark, sfDir)
       .queryExecution.executedPlan.toString

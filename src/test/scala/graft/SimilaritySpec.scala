@@ -199,6 +199,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dim stats: one row per dimension, moments match brute force") {
+    val rows = Similarity.dimStats(spark, sfDir).collect()
+    val vecs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .selectExpr("cast(embedding as array<double>) e").collect()
+      .map(_.getSeq[Double](0).toArray)
+    assert(rows.length == vecs.head.length)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dim")
+      val xs = vecs.map(_(d))
+      val sx = xs.map(x => math.floor(x * 1e6)).foldLeft(BigDecimal(0))(_ + _)
+      val sxx = xs.map(x => math.floor(x * x * 1e6)).foldLeft(BigDecimal(0))(_ + _)
+      val mean = sx.toDouble / 1e6 / xs.length
+      val variance = sxx.toDouble / 1e6 / xs.length - mean * mean
+      assert(r.getAs[Long]("n") == xs.length)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-12, s"dim $d")
+      assert(math.abs(r.getAs[Double]("variance") - variance) < 1e-12, s"dim $d")
+      assert(r.getAs[Double]("variance") > 0)
+    }
+  }
+
   test("embedding outliers: dist2 matches brute force; flags self-calibrate per label") {
     val rows = Similarity.embOutliers(spark, sfDir).collect()
     val vecs = graft.sources.Tables.table(spark, sfDir, "embeddings")
