@@ -262,6 +262,54 @@ object Events {
       .orderBy("channel")
   }
 
+  /** `evt_attribution_linear`: multi-touch (linear) attribution — every
+    * purchase splits its value EQUALLY across all of the user's
+    * view/click touches in the [[AttributionWindowSec]] lookback
+    * (strictly before the purchase second); untouched purchases credit
+    * 'direct' in full. The fairness-over-recency counterpart of
+    * [[attribution]]; position/time-decay variants change only the
+    * credit expression.
+    *
+    * Scale shape: the purchase×touch range join is the repo's
+    * time-bucket equi-join (purchases explode to 2 window-width
+    * buckets, touches bucket once, join on (user, bucket) then exact
+    * range filter — never an unbounded inequality join); per-purchase
+    * touch counts are purchase-keyed partial aggregates, credits are
+    * two IEEE ops on exact integers, channel sums are fixed-point. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val w = AttributionWindowSec
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("es").as("p_es"), col("value"))
+    val t = e.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("es").as("t_es"),
+        col("event_type").as("channel"),
+        expr(s"es DIV $w").as("bucket"))
+    val cand = p
+      .select(col("user_id"), col("p_id"), col("p_es"), col("value"),
+        explode(array(expr(s"p_es DIV $w"), expr(s"p_es DIV $w - 1")))
+          .as("bucket"))
+      .join(t, Seq("user_id", "bucket"))
+      .where(col("t_es") >= col("p_es") - w && col("t_es") < col("p_es"))
+      .select("p_id", "value", "channel")
+    val per = cand.groupBy("p_id", "value").agg(count(lit(1)).as("n"))
+    val cc = per.join(
+      cand.groupBy("p_id", "channel").agg(count(lit(1)).as("cnt")), "p_id")
+      .select(col("p_id"), col("channel"),
+        ((col("value") * col("cnt")) / col("n")).as("credit"))
+    val direct = p.join(cand.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .select(col("p_id"), lit("direct").as("channel"), col("value").as("credit"))
+    cc.unionByName(direct)
+      .groupBy("channel")
+      .agg(countDistinct(col("p_id")).as("n_purchases"),
+        Gold.moneySum(col("credit")).as("credited_revenue"))
+      .orderBy("channel")
+  }
+
   /** `evt_transitions`: first-order Markov transition matrix of event
     * types — per user, consecutive event pairs (ordered by time,
     * event_id tiebreak) are counted into `(from_type, to_type)` cells
@@ -481,6 +529,30 @@ object Events {
          |SELECT channel, COUNT(*) AS n_purchases,
          |       ${Gold.moneySumSql("value")} AS attributed_revenue
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_attribution_linear" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |p AS (SELECT user_id, event_id AS p_id, es AS p_es, value
+         |      FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, es AS t_es, event_type AS channel
+         |      FROM e WHERE event_type IN ('view','click')),
+         |cand AS (
+         |  SELECT p.p_id, p.value, t.channel
+         |  FROM p JOIN t ON p.user_id = t.user_id
+         |   AND t.t_es >= p.p_es - $AttributionWindowSec AND t.t_es < p.p_es),
+         |per AS (SELECT p_id, value, COUNT(*) AS n FROM cand GROUP BY 1, 2),
+         |cc AS (SELECT p_id, channel, COUNT(*) AS cnt FROM cand GROUP BY 1, 2),
+         |cj AS (SELECT cc.p_id, cc.channel,
+         |              (per.value * cc.cnt) / per.n AS credit
+         |       FROM cc JOIN per USING (p_id)),
+         |credits AS (
+         |  SELECT channel, p_id, credit FROM cj
+         |  UNION ALL
+         |  SELECT 'direct', p_id, value FROM p
+         |  WHERE p_id NOT IN (SELECT p_id FROM cand))
+         |SELECT channel, COUNT(DISTINCT p_id) AS n_purchases,
+         |       ${Gold.moneySumSql("credit")} AS credited_revenue
+         |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_transitions" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -560,6 +632,7 @@ object Events {
     "evt_heavy_users"     -> heavyUsers,
     "evt_transitions"     -> transitions,
     "evt_attribution"     -> attribution,
+    "evt_attribution_linear" -> attributionLinear,
     "evt_winsorize"       -> winsorize,
     "evt_robust_anomaly"  -> robustAnomalies,
     "evt_user_paths"      -> userPaths)

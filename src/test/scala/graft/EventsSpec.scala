@@ -285,6 +285,46 @@ class EventsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("linear attribution splits each purchase equally across in-window touches") {
+    val rows = Events.attributionLinear(spark, sfDir).collect()
+    val seq = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type", "value",
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) es")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val w = Events.AttributionWindowSec
+    val credits = seq.filter(_._3 == "purchase").flatMap {
+      case (u, pid, _, v, pes) =>
+        val touches = seq.filter(t => t._1 == u &&
+          (t._3 == "view" || t._3 == "click") &&
+          t._5 >= pes - w && t._5 < pes)
+        if (touches.isEmpty) Seq(("direct", pid, v))
+        else touches.groupBy(_._3).toSeq.map { case (ch, g) =>
+          (ch, pid, v * g.length / touches.length)
+        }
+    }
+    // totals conserve: sum of credits == sum of purchase values (up to
+    // per-credit fixed-point floors)
+    val totalCredited = rows.map(_.getAs[Double]("credited_revenue")).sum
+    val totalValue = seq.filter(_._3 == "purchase").map(_._4).sum
+    assert(math.abs(totalCredited - totalValue) < 1e-3,
+      s"$totalCredited vs $totalValue")
+    // per-channel counts match brute force
+    val expN = credits.groupBy(_._1).map { case (c, g) =>
+      c -> g.map(_._2).distinct.length.toLong }
+    val gotN = rows.map(r => r.getAs[String]("channel") ->
+      r.getAs[Long]("n_purchases")).toMap
+    assert(gotN == expN)
+    // per-channel fixed-point revenue matches brute force
+    val expRev = credits.groupBy(_._1).map { case (c, g) =>
+      c -> g.map(x => math.floor(x._3 * 10000).toLong).sum / 10000.0 }
+    rows.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(math.abs(r.getAs[Double]("credited_revenue") - expRev(c)) < 1e-9, c)
+    }
+  }
+
   test("user paths are the time-ordered type sequences, truncated") {
     val rows = Events.userPaths(spark, sfDir).collect()
     val seq = Tables.events(spark, sfDir)
