@@ -282,6 +282,22 @@ object EventStreams {
   def winsorizeStream(events: DataFrame, bounds: DataFrame): DataFrame =
     graft.operators.Events.winsorizeWith(events, bounds)
 
+  /** Streaming heavy hitters: the Misra-Gries mergeable sketch as a
+    * complete-mode streaming aggregate — micro-batch partials merge
+    * into the state-store buffer exactly as map-side partials merge in
+    * batch (the aggregate's merge guarantee is property-tested), so the
+    * standing top-talker candidates are always O(k) state regardless of
+    * stream length or key cardinality. Emits one row: the candidate
+    * list + total count; the exact-recount pass runs batch-side against
+    * a table snapshot exactly as [[graft.operators.Events.heavyUsers]]
+    * does. */
+  def heavyHittersStream(events: DataFrame, k: Int): DataFrame = {
+    graft.functions.HeavyHitters.register(events.sparkSession)
+    events.groupBy().agg(
+      call_function("graft_heavy_hitters", col("user_id"), lit(k)).as("cand"),
+      count(lit(1)).as("n"))
+  }
+
   /** Stream-stream interval self-join: pairs of same-user events within
     * `boundSec` seconds (the streaming twin of
     * operators.IntervalJoin.eventPairs). Both sides carry watermarks and

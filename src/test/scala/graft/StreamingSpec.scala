@@ -99,6 +99,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming heavy hitters keep the MG guarantee across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val input = MemoryStream[Long]
+    val q = EventStreams.heavyHittersStream(input.toDF().toDF("user_id"), k)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    val users = Tables.events(spark, sfDir).select("user_id").collect()
+      .map(_.getLong(0))
+    val (first, second) = users.splitAt(users.length / 2)
+    input.addData(first.toSeq); q.processAllAvailable()
+    input.addData(second.toSeq); q.processAllAvailable()
+    val row = spark.table("hh_out").head()
+    q.stop()
+    val n = row.getAs[Long]("n")
+    assert(n == users.length)
+    val cand = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cand")
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("est")).toMap
+    val truth = users.groupBy(identity).map { case (u, g) => u -> g.length.toLong }
+    // the MG guarantee after arbitrary merges: every user above
+    // n/(k+1) survives in the sketch, and estimates never exceed truth
+    truth.filter(_._2 * (k + 1) > n).keys.foreach(u =>
+      assert(cand.contains(u), s"hot user $u evicted"))
+    cand.foreach { case (u, est) => assert(est <= truth(u), s"user $u") }
+  }
+
   test("stream-static winsorize matches the batch twin exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
