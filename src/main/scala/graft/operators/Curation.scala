@@ -211,6 +211,18 @@ object Curation {
     clusterize(spark, dir, componentLabelsStar(
       Dedup.ngramJaccard(spark, dir).select("a_id", "b_id")))
 
+  /** `dd_cluster_stats`: the dup-cluster size distribution — how many
+    * clusters of each size the near-dup resolution produced (the
+    * headline of every dedup report: singleton fraction, mega-cluster
+    * tail, dedup rate = 1 − #clusters/#docs). Two partial-aggregated
+    * groupBys over the component labels; no new shuffle shape. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("cluster_size")
+
   /** `dd_canonical`: quality-aware canonical selection — resolve the
     * near-dup clusters of [[dedupComponents]] but keep the HIGHEST-
     * quality member of each cluster (doc_id breaks score ties), not the
@@ -594,6 +606,13 @@ object Curation {
          |ORDER BY event_type, rn""".stripMargin,
     "dd_components" -> componentsOracleSql,
     "dd_components_star" -> componentsOracleSql,
+    "dd_cluster_stats" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |          FROM asg GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sized GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_canonical" ->
       s"""WITH RECURSIVE $componentsCtes,
          |q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")})),
@@ -728,5 +747,6 @@ object Curation {
     "dd_components"  -> dedupComponents,
     "dd_components_star" -> dedupComponentsStar,
     "dd_canonical"   -> canonicalByQuality,
+    "dd_cluster_stats" -> clusterStats,
     "txt_curate"     -> curate)
 }

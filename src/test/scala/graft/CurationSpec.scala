@@ -335,6 +335,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cluster stats partition the corpus: docs sum to corpus size") {
+    val rows = Curation.clusterStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs ==
+      graft.sources.Tables.table(spark, sfDir, "documents").count())
+    // singletons dominate a mostly-unique corpus, but dup clusters exist
+    val singles = rows.find(_.getAs[Long]("cluster_size") == 1L)
+    assert(singles.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1L))
+  }
+
   test("canonical-by-quality keeps exactly one max-quality doc per cluster") {
     val rows = Curation.canonicalByQuality(spark, sfDir).collect()
     val clusters = Curation.dedupComponents(spark, sfDir).collect()
