@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val iters = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
+    // default 2 sweeps (min-of-sweeps absorbs JIT + contention bursts);
+    // an EXPLICIT value is honored as given — iters=1 is a deliberate
+    // cold-start measurement, not a mistake to clamp away
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .map(v => math.max(1, v.toInt)).getOrElse(2)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
     val spark = SparkConfigs.local(SparkSession.builder(),
       SparkConfigs.cpusFromEnv(32)).getOrCreate()

@@ -12,7 +12,8 @@ import graft.sources.Tables
   * is made sub-quadratic on large corpora).
   *
   * Everything is exactly reproducible so the DuckDB oracle can
-  * hash-match it: centroids initialize from the first k vec_ids, Lloyd
+  * hash-match it: centroids initialize from the k smallest
+  * hash-of-vec_id rows ([[seedCentroids]]), Lloyd
   * runs a FIXED [[KmeansIters]] iterations, per-dimension centroid
   * means use the fixed-point decimal sum (the
   * [[Similarity.CentroidScale]] discipline — order-independent under
@@ -87,18 +88,38 @@ object Clustering {
   private val kmBooks = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, Seq[Double])]]()
 
-  /** Fit: init from the first k vec_ids, then [[KmeansIters]] rounds of
-    * assign + fixed-point mean update. Each round's collect moves k×dim
-    * doubles of centroid metadata, never corpus rows; cells that lose
-    * every member keep their previous centroid (deterministic, mirrored
-    * by the oracle's LEFT JOIN + COALESCE). */
-  def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    kmBooks.computeIfAbsent(dir, _ => {
-      val c = corpus(spark, dir)
-      val k = kFor(Similarity.corpusCount(spark, dir))
-      var cents = c.where(col("vec_id") < k)
-        .select(col("vec_id"), col("e")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+  /** Drop the cached book for a rewritten corpus dir (see
+    * [[Similarity.invalidateCorpus]]). */
+  private[operators] def invalidate(dir: String): Unit = kmBooks.remove(dir)
+
+  /** Seeded deterministic init: the k vectors whose
+    * [[Curation.portableHash]](vec_id) sorts smallest (ties to vec_id) —
+    * a hash-ordered sample in the k-means‖ spirit. Seeds land
+    * proportionally to where the data is REGARDLESS of id layout,
+    * unlike init-from-first-k, where an adversarial id ordering (the
+    * first k ids all in one region) collapses every centroid into that
+    * region and the per-cluster population bound — which SemDeDup's
+    * pair-join cost rides on — collapses with it. Runs as
+    * TakeOrdered(k): a bounded per-partition heap merge on the driver,
+    * k×dim centroid metadata, never a full sort. Oracle-expressible as
+    * ROW_NUMBER() OVER (ORDER BY hash, vec_id) <= k. */
+  private[graft] def seedCentroids(c: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    c.orderBy(Curation.portableHash(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** First-k init (the pre-round-5 rule) — kept ONLY as the baseline the
+    * balance test beats; no query path uses it. */
+  private[graft] def firstKCentroids(c: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    c.where(col("vec_id") < k)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** Fit on an arbitrary (vec_id, e) relation from given seeds (shared
+    * by the dir-level entry point and the balance test). */
+  private[graft] def fit(spark: SparkSession, c: DataFrame,
+      init: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+      var cents = init
       val scale = Similarity.CentroidScale.toDouble
       for (_ <- 1 to KmeansIters) {
         val means = assign(c, centroidsDf(spark, cents))
@@ -118,6 +139,18 @@ object Clustering {
         }
       }
       cents
+  }
+
+  /** Fit: hash-ordered seeds ([[seedCentroids]]), then [[KmeansIters]]
+    * rounds of assign + fixed-point mean update. Each round's collect
+    * moves k×dim doubles of centroid metadata, never corpus rows; cells
+    * that lose every member keep their previous centroid (deterministic,
+    * mirrored by the oracle's LEFT JOIN + COALESCE). */
+  def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    kmBooks.computeIfAbsent(dir, _ => {
+      val c = corpus(spark, dir)
+      val k = kFor(Similarity.corpusCount(spark, dir))
+      fit(spark, c, seedCentroids(c, k))
     })
 
   /** Persist the trained centroid book next to the table (the
@@ -141,6 +174,12 @@ object Clustering {
     kmBooks.put(dir, book)
     book
   }
+
+  /** Assignment of an arbitrary (vec_id, e) relation to a fitted book
+    * (test seam for the init-balance comparison). */
+  private[graft] def assignments(spark: SparkSession, c: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    assign(c, centroidsDf(spark, cents))
 
   private def finalAssignment(spark: SparkSession, dir: String): DataFrame =
     assign(corpus(spark, dir),
@@ -214,8 +253,13 @@ object Clustering {
        |           COUNT(*) // $KmeansTargetPop)) AS k FROM embeddings),
        |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |      FROM embeddings),
-       |cent0 AS (SELECT vec_id AS cell, e AS c FROM c
-       |          WHERE vec_id < (SELECT k FROM kk)),
+       |cent0 AS (
+       |  SELECT cell, c FROM (
+       |    SELECT vec_id AS cell, e AS c,
+       |           ROW_NUMBER() OVER (
+       |             ORDER BY ${Curation.portableHashSql("vec_id")}, vec_id) AS rn
+       |    FROM c)
+       |  WHERE rn <= (SELECT k FROM kk)),
        |${assignSql("cent0", "a1")},
        |${updateSql("a1", "cent0", "cent1")},
        |${assignSql("cent1", "a2")},

@@ -74,14 +74,29 @@ object Similarity {
     math.min(LshMaxTables, math.ceil(
       LshTables * math.pow(1.0 / LshBitCollisionP, (bits - LshBits).toDouble)).toInt)
 
-  /** Corpus row count, computed once per dir (parquet row-group
-    * metadata count — no data scan) and cached: the LSH/IVF parameter
-    * derivations need n before plan construction. */
+  /** Corpus row count, computed once per dir (one zero-column count job
+    * — parquet answers it from row-group metadata, no value pages read)
+    * and cached for the JVM lifetime: the LSH/IVF parameter derivations
+    * need n before plan construction. The cache assumes an IMMUTABLE
+    * corpus per dir (the lake contract everywhere in this repo:
+    * snapshots are written to new paths, never rewritten in place); a
+    * process that does rewrite a dir must call [[invalidateCorpus]] so
+    * derived parameters and codebooks refit against the new n. */
   private val corpusSizes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def corpusCount(spark: SparkSession, dir: String): Long =
     corpusSizes.computeIfAbsent(dir,
       _ => Tables.table(spark, dir, "embeddings").count())
+
+  /** Drop every per-dir cache (row count, IVF codebook, PQ codebooks,
+    * and the k-means books in [[Clustering]]) for a corpus dir that has
+    * been rewritten in place. */
+  def invalidateCorpus(dir: String): Unit = {
+    corpusSizes.remove(dir)
+    codebooks.remove(dir)
+    pqBooks.remove(dir)
+    Clustering.invalidate(dir)
+  }
 
   /** Corpus with the norm precomputed once per row (never per pair). */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
@@ -245,13 +260,20 @@ object Similarity {
     * codebook would be persisted next to the table and loaded, never
     * refit on the query path. */
   private val codebooks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
   /** Fit the IVF coarse quantizer (MLlib k-means, fixed seed) on a
-    * deterministic sample of the corpus and return the codebook. */
+    * deterministic sample of the corpus and return the codebook. Keyed
+    * by dir ALONE (one book per corpus — mirroring `Clustering.kmBooks`):
+    * a book primed by [[loadIvfCodebook]] always wins over a refit, even
+    * if its cell count differs from today's derived `ivfCellsFor(n)`,
+    * so a persisted book can never be silently ignored. Query paths read
+    * the cell count back off the book (`centroids.size`), never off the
+    * derivation, keeping probe math consistent with whatever book is in
+    * force. */
   def ivfCodebook(spark: SparkSession, dir: String,
       cells: Int = IvfCells): Seq[Seq[Double]] =
-    codebooks.computeIfAbsent((dir, cells), _ => {
+    codebooks.computeIfAbsent(dir, _ => {
       val c = corpus(spark, dir)
       val n = c.count()
       val target = math.max(IvfTrainTarget, IvfTrainPerCell * cells)
@@ -275,8 +297,10 @@ object Similarity {
   def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = querySet(c)
-    val cells = ivfCellsFor(corpusCount(spark, dir))
-    val centroids = ivfCodebook(spark, dir, cells)
+    val centroids = ivfCodebook(spark, dir, ivfCellsFor(corpusCount(spark, dir)))
+    // probe count from the book actually in force (a loaded book may
+    // predate today's derived cell count)
+    val cells = centroids.size
 
     val cCells = c.select(col("vec_id").cast("long").as("vec_id"),
       explode(graft.functions.NearestCells.column(spark, col("embedding"),
@@ -305,8 +329,7 @@ object Similarity {
     * ≤2 MB at [[IvfMaxCells]]), never corpus data. */
   def saveIvfCodebook(spark: SparkSession, dir: String, path: String): Unit = {
     import spark.implicits._
-    val cells = ivfCellsFor(corpusCount(spark, dir))
-    ivfCodebook(spark, dir, cells).zipWithIndex
+    ivfCodebook(spark, dir, ivfCellsFor(corpusCount(spark, dir))).zipWithIndex
       .map { case (ctr, i) => (i, ctr) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
@@ -316,7 +339,7 @@ object Similarity {
   def loadIvfCodebook(spark: SparkSession, dir: String, path: String): Seq[Seq[Double]] = {
     val book = spark.read.parquet(path).orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
-    codebooks.put((dir, book.size), book)
+    codebooks.put(dir, book)
     book
   }
 

@@ -23,10 +23,18 @@ object EmbeddingStreams {
     * boundary; StreamingSpec asserts exact agreement on the corpus. */
   def clusterAssignStream(spark: SparkSession, stream: DataFrame,
       centroids: Seq[(Long, Seq[Double])]): DataFrame = {
-    val book = centroids.sortBy(_._1).map(_._2)
+    val sorted = centroids.sortBy(_._1)
+    val book = sorted.map(_._2)
+    // NearestCells returns the 0-based ordinal into the sorted book;
+    // translate it back to the batch layer's cell label (the seed
+    // vec_id — arbitrary under hash-ordered seeding, so the ordinal and
+    // the label no longer coincide). Ties break to the lowest ordinal =
+    // lowest cell id, matching batch min(struct(d2, cell)).
+    val cellIds = array(sorted.map(c => lit(c._1.toInt)): _*)
     stream.select(col("vec_id"),
-      element_at(graft.functions.NearestCells.column(spark,
-        col("embedding").cast("array<double>"), book, 1), 1)
-        .cast("int").as("cluster"))
+      element_at(cellIds,
+        element_at(graft.functions.NearestCells.column(spark,
+          col("embedding").cast("array<double>"), book, 1), 1) + lit(1))
+        .as("cluster"))
   }
 }

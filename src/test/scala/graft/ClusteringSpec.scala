@@ -29,7 +29,7 @@ class ClusteringSpec extends SparkSpec {
 
   test("kmeans iterations strictly improve the mean squared distance") {
     // the final assignment must be at least as tight as assigning every
-    // vector to its init centroid (vec_id < k seeds); a broken update
+    // vector to its init centroid (hash-ordered seeds); a broken update
     // step would not improve over the seed assignment
     val fin = Clustering.kmeans(spark, sfDir)
       .agg(avg("d2")).head().getDouble(0)
@@ -64,6 +64,41 @@ class ClusteringSpec extends SparkSpec {
     // load primes the cache: the book resolves for a dir whose table
     // does not exist, proving the assignment path will not retrain
     assert(Clustering.kmeansCentroids(spark, fakeDir) == book)
+  }
+
+  test("hash-ordered seeding beats first-k on an adversarially ordered corpus") {
+    import spark.implicits._
+    // adversarial id layout: ids 0..k-1 form one tight blob, the other
+    // 248 points spread over 8 far-apart regions — first-k puts EVERY
+    // seed inside the blob, so one centroid swallows the far regions
+    val k = Clustering.kFor(256L)
+    assert(k == Clustering.KmeansMinK)
+    val rows = (0L until 256L).map { id =>
+      val e: Seq[Double] =
+        if (id < k) Seq(0.001 * id, 0.0, 0.0, 0.0)
+        else {
+          val region = (id % 8).toDouble
+          Seq(10.0 + 0.01 * (id % 31), 10.0 * region,
+            5.0 + 0.02 * (id % 17), -3.0 * region)
+        }
+      (id, e)
+    }
+    val c = rows.toDF("vec_id", "e")
+    def maxPop(init: Seq[(Long, Seq[Double])]): Int = {
+      val fitted = Clustering.fit(spark, c, init)
+      Clustering.assignments(spark, c, fitted).collect()
+        .groupBy(_.getAs[Long]("cell")).map(_._2.length).max
+    }
+    val firstK = maxPop(Clustering.firstKCentroids(c, k))
+    val hashed = maxPop(Clustering.seedCentroids(c, k))
+    // the hash-ordered seeds sample every region; balance must strictly
+    // improve on the collapsed first-k init
+    assert(hashed < firstK, s"hash-seeded max pop $hashed vs first-k $firstK")
+    // Lloyd partially recovers from the collapsed init (observed ~155)
+    // but stays far from balance; hash seeding must beat the balanced
+    // bound outright
+    assert(firstK > 128, s"adversarial layout failed to collapse first-k: $firstK")
+    assert(hashed <= 128, s"hash-seeded still imbalanced: $hashed")
   }
 
   test("semantic dedup pair join is cluster-keyed, never cartesian") {
