@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletions, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletions, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "polynomial rolling-hash fingerprint of a string", RollingHash.builder)
     inject("graft_simhash64",
       "64-bit SimHash of space-tokenized text", SimHash64.builder)
+    inject("graft_simhash_wide",
+      "width-scaled SimHash of space-tokenized text as n 64-bit lanes",
+      SimHashWide.builder)
     inject("graft_word_shingles",
       "distinct k-word shingles of text", WordShingles.shinglesBuilder)
     inject("graft_word_ngrams",

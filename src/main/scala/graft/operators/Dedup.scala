@@ -220,15 +220,30 @@ object Dedup {
   }
 
   /** Pairs within this Hamming distance count as simhash near-dups.
-    * 7 suits short (~50-token) docs, where even 0.97-Jaccard dups flip
-    * several signature bits. */
+    * 7 suits short (~50-token) docs at the 64-bit width, where even
+    * 0.97-Jaccard dups flip several signature bits.
+    *
+    * The budget is ABSOLUTE — it does not grow with signature width.
+    * That is forced by the candidate index: the d+1-block pigeonhole
+    * needs d ≤ [[SimhashBlocks]]−1 regardless of width, and no exact
+    * index exists for a width-proportional threshold (agreement on any
+    * k-bit key has collision probability (1−p)^k at bit-disagreement
+    * rate p, so exact recall at fixed p needs combinatorially many
+    * Manku block-combination tables as keys widen). The consequence,
+    * identical to Manku et al.'s production setting (d = 3 at 64 bits
+    * for 8B pages): as the signature widens with corpus size, 7 bits
+    * out of 64·lanes is a proportionally TIGHTER similarity bar — at
+    * web scale this operator detects near-identical documents, and
+    * borderline near-dups at the old 64-bit margin belong to
+    * [[minhashLsh]], whose band index scales to arbitrary thresholds
+    * by design. */
   val SimhashMaxHamming = 7
   private val SimhashBlocks = 8 // pigeonhole: d<=7 pairs agree on >=1 of 8 blocks
 
   /** Per-(block, value) population cap for candidate generation — the
     * [[ShingleDfCap]] discipline applied to the pigeonhole index. A
     * block value shared by more documents than this (boilerplate texts
-    * voting the same 8 bits) would create a quadratic bucket in the
+    * voting the same block bits) would create a quadratic bucket in the
     * equi-join; dropping it bounds any bucket's pair count at ~cap².
     * Precision stays 1 (the Hamming check on surviving pairs is exact);
     * recall semantics: a pair is missed only when EVERY block the pair
@@ -237,45 +252,85 @@ object Dedup {
     * of such buckets) are collapsed by [[exact]] dedup upstream in the
     * pipeline, which is the intended order of operations.
     *
-    * The n-scaling rule for the index itself (SURVEY §5): a 64-bit
-    * signature in 8-bit blocks has 256 buckets per block, so expected
-    * population is n/256 — the signature WIDTH must grow ∝ log₂(n)
-    * (e.g. 256-bit simhash with d+1 = 8 blocks of 32 bits at n = 10¹⁰,
-    * or Manku-style block-combination keys at a fixed width) to keep
-    * buckets sparse; this cap is the hard guard for whatever width is
-    * deployed. */
+    * With [[simhashLanesFor]] widening the signature as the corpus
+    * grows, expected bucket population stays ≤ [[SimhashTargetPop]] and
+    * this cap is what it should be: a hard guard against adversarial
+    * skew, not the routine recall ceiling it was at a fixed 64 bits. */
   val SimhashBucketCap = 4096L
 
-  /** SimHash: 64-bit signature from token-hash bit voting (native
+  /** Width derivation target: expected docs per (block, value) bucket.
+    * Same role as the LSH `lshBitsFor` target population. */
+  val SimhashTargetPop = 64L
+
+  /** Signature width for a corpus of n docs, in 64-bit lanes ∈
+    * {1, 2, 4, 8}: the smallest width whose 8·lanes-bit block keys keep
+    * the expected bucket population n/2^(8·lanes) at or under
+    * [[SimhashTargetPop]] — `width ≈ blocks · log₂(n/targetPop)`
+    * (SURVEY §5). The target also bounds join work: each doc meets at
+    * most 8·pop candidates, so pop 64 keeps amplification ≤ 512×/doc.
+    * n ≤ 16K stays 64-bit; ≤ ~4.2M is 128-bit; n = 10¹⁰ derives 4
+    * lanes (256-bit signature, 8 blocks of 32 bits). Lane counts stay
+    * powers of two so every block sits inside one lane. */
+  def simhashLanesFor(n: Long): Int = {
+    var lanes = 1
+    while (lanes < 8 && (n >> (8 * lanes)) > SimhashTargetPop) lanes *= 2
+    lanes
+  }
+
+  /** documents-table row count per dir, cached for the JVM lifetime
+    * (the [[Similarity.corpusCount]] contract: immutable corpus per
+    * dir; width derivation needs n before plan construction). */
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCount(spark: SparkSession, dir: String): Long =
+    docCounts.computeIfAbsent(dir,
+      _ => Tables.table(spark, dir, "documents").count())
+
+  /** SimHash: width-scaled signature from token-hash bit voting (native
     * per-row expression — a pure map, no shuffle); candidate pairs via
     * the pigeonhole block index (a pair within Hamming distance 7 must
-    * agree exactly on ≥1 of the 8 8-bit blocks), with overfull buckets
-    * excluded from candidate generation ([[SimhashBucketCap]]). */
+    * agree exactly on ≥1 of the 8 blocks, at ANY width), with overfull
+    * buckets excluded from candidate generation ([[SimhashBucketCap]]).
+    * Width grows with the corpus ([[simhashLanesFor]]) so buckets stay
+    * sparse past the 64-bit saturation point (~1M docs). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashOn(spark, Tables.table(spark, dir, "documents"), SimhashBucketCap)
+    simhashOn(spark, Tables.table(spark, dir, "documents"), SimhashBucketCap,
+      simhashLanesFor(docCount(spark, dir)))
 
-  def simhashOn(spark: SparkSession, docs: DataFrame, cap: Long): DataFrame = {
-    graft.functions.SimHash64.register(spark)
-    val sig = docs
-      .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("simhash"))
-    val blockBits = 64 / SimhashBlocks
-    val mask = (1L << blockBits) - 1
+  def simhashOn(spark: SparkSession, docs: DataFrame, cap: Long,
+      lanes: Int = 1): DataFrame = {
+    require(Set(1, 2, 4, 8).contains(lanes), s"lanes must be 1/2/4/8, got $lanes")
+    graft.functions.SimHashWide.register(spark)
+    val sig = docs.select(col("doc_id"),
+      call_function("graft_simhash_wide", col("text"), lit(lanes)).as("simhash"))
+    val blockBits = 64 * lanes / SimhashBlocks
+    // block b spans bits [b·blockBits, (b+1)·blockBits) of the wide
+    // signature; with lanes a power of two each block sits inside a
+    // single 64-bit lane (blockBits ∈ {8,16,32,64})
+    def blockValue(b: Int): Column = {
+      val bitPos = b * blockBits
+      val laneCol = element_at(col("simhash"), lit(bitPos / 64 + 1))
+      if (blockBits == 64) laneCol
+      else shiftright(laneCol, bitPos % 64)
+        .bitwiseAND(lit((1L << blockBits) - 1))
+    }
     val blocks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBlocks).map(b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("bk"))
+        struct(lit(b).as("blk"), blockValue(b).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.v").as("v"))
     // mega-bucket guard: the overfull list is tiny (≤ rows/cap keys),
     // partial-aggregates map-side, and broadcasts into the anti-join
     val mega = blocks.groupBy("blk", "v").agg(count(lit(1)).as("pop"))
       .where(col("pop") > cap).select("blk", "v")
     val kept = blocks.join(broadcast(mega), Seq("blk", "v"), "left_anti")
+    val hamming = (0 until lanes).map(i =>
+      bit_count(element_at(col("sim_a"), lit(i + 1))
+        .bitwiseXOR(element_at(col("sim_b"), lit(i + 1))))).reduce(_ + _)
     kept.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"), col("blk"), col("v"))
       .join(kept.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"), col("blk"), col("v")),
         Seq("blk", "v"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
       // filter BEFORE distinct: hamming is a function of the pair, so
       // the result is identical, but the dedup exchange now carries only
       // the (rare) passing pairs instead of every block-collision —

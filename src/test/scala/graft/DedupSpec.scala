@@ -76,6 +76,52 @@ class DedupSpec extends SparkSpec {
     assert(base == baseUncapped)
   }
 
+  test("simhash width derivation follows the bucket-population rule") {
+    // 8-bit blocks hold n/256 docs: past 256·targetPop the keys widen
+    assert(Dedup.simhashLanesFor(1000L) == 1)
+    assert(Dedup.simhashLanesFor(16384L) == 1)
+    assert(Dedup.simhashLanesFor(20000L) == 2)
+    assert(Dedup.simhashLanesFor(4000000L) == 2)
+    assert(Dedup.simhashLanesFor(10000000L) == 4)
+    // SURVEY §5's worked example: 256-bit at n = 10^10
+    assert(Dedup.simhashLanesFor(10000000000L) == 4)
+    assert(Dedup.simhashLanesFor(300000000000L) == 8)
+  }
+
+  test("wide simhash keeps planted-dup recall where the 64-bit index saturates") {
+    import spark.implicits._
+    // deterministic corpus: 1200 random-token docs + 300 planted dups
+    // (token-shuffled copies — identical token SET, hence identical
+    // signature at ANY width, but not string-equal, so exact dedup
+    // upstream would NOT collapse them)
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(5000)(i => s"w$i")
+    def doc(): String =
+      Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0L until 1200L).map(i => (i, doc()))
+    val dups = base.take(300).map { case (i, t) =>
+      (i + 100000L, rnd.shuffle(t.split(" ").toSeq).mkString(" ")) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val planted = (0L until 300L).map(i => (i, i + 100000L)).toSet
+    // cap chosen ≪ the 64-bit expected bucket population (1500/256 ≈ 6):
+    // the sandbox-scale replica of 1M docs against the 4096 cap
+    val cap = 2L
+    def pairs(c: Long, lanes: Int): Set[(Long, Long)] =
+      Dedup.simhashOn(spark, docs, c, lanes).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(p: Set[(Long, Long)]): Double =
+      (planted intersect p).size.toDouble / planted.size
+    // saturated 64-bit index: most buckets overfull, the cap silently
+    // drops planted pairs — the round-4 failure mode
+    assert(recall(pairs(cap, 1)) < 1.0)
+    // doubling the width (16-bit block keys) restores sparse buckets:
+    // full recall under the SAME cap…
+    val wide = pairs(cap, 2)
+    assert(recall(wide) == 1.0)
+    // …and the cap is back to a no-op guard (capped ≡ uncapped)
+    assert(wide == pairs(Long.MaxValue, 2))
+  }
+
   test("native shingles equal the declarative higher-order formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions.Shingles

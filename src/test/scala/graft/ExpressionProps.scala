@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{HyperplaneSigs, NearestCells, RollingHash, SimHash64, TokenSetHits, WordShingles}
+import graft.functions.{HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, WordShingles}
 
 /** Property tests for the native codegen expressions against naive
   * reference implementations on arbitrary input (these are the
@@ -67,6 +67,17 @@ object ExpressionProps extends Properties("graft.functions") {
       val differ = SimHash64.hash(UTF8String.fromString(s)) !=
         SimHash64.hash(UTF8String.fromString(other))
       same && differ
+    }
+
+  property("simhash_wide: lane 0 is simhash64, lanes decorrelate, order-invariant") =
+    Prop.forAll(Gen.choose(5, 20).flatMap(n => Gen.listOfN(n, word))) { ws =>
+      val s = UTF8String.fromString(ws.mkString(" "))
+      val wide = SimHashWide.hash(s, 4).toLongArray()
+      val shuffled = SimHashWide.hash(UTF8String.fromString(
+        scala.util.Random.shuffle(ws).mkString(" ")), 4).toLongArray()
+      wide(0) == SimHash64.hash(s) &&
+        wide.distinct.length == 4 &&
+        wide.sameElements(shuffled)
     }
 
   // ---- HyperplaneSigs / NearestCells / TokenSetHits ----
