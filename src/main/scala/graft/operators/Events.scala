@@ -97,17 +97,27 @@ object Events {
       .orderBy("event_id")
 
   /** Per-type value quantiles. `percentile` here is the exact
-    * sort-based aggregate (oracle-comparable); at 100 TB swap in
-    * `approx_percentile` (t-digest, mergeable, one pass) — same plan
-    * shape, bounded memory. */
+    * sort-based aggregate (oracle-comparable); [[valueQuantilesApprox]]
+    * is the same plan on the mergeable sketch. */
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    valueQuantilesImpl(spark, dir, exactPct = true)
+
+  /** The 100-TB twin: `approx_percentile` (Greenwald-Khanna, bounded
+    * memory, one pass) via [[Gold.pct]] — identical plan shape and
+    * fixedRound'd schema; tolerance-vs-exact asserted in
+    * PercentileScaleSpec. The exact path stays the oracle. */
+  def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    valueQuantilesImpl(spark, dir, exactPct = false)
+
+  private def valueQuantilesImpl(spark: SparkSession, dir: String,
+      exactPct: Boolean): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        Gold.fixedRound(expr("percentile(value, 0.5)"), 4).as("p50"),
-        Gold.fixedRound(expr("percentile(value, 0.9)"), 4).as("p90"),
-        Gold.fixedRound(expr("percentile(value, 0.99)"), 4).as("p99"))
+        Gold.fixedRound(Gold.pct("value", 0.5, exactPct), 4).as("p50"),
+        Gold.fixedRound(Gold.pct("value", 0.9, exactPct), 4).as("p90"),
+        Gold.fixedRound(Gold.pct("value", 0.99, exactPct), 4).as("p99"))
       .orderBy("event_type")
 
   /** Conversion funnel view → click → purchase: per user, the earliest
@@ -141,15 +151,15 @@ object Events {
     * the data) makes the clamp band bit-identical by construction.
     *
     * Scale shape: one per-type percentile aggregate (#types rows,
-    * broadcast back — exact sort-based locally, `approx_percentile` at
-    * 100 TB, same plan), then a map-side clamp; the fact shuffles
-    * never. */
+    * broadcast back — the [[Gold.pct]] strategy: exact sort-based on
+    * the oracle path, `approx_percentile` in [[winsorizeApprox]], same
+    * plan), then a map-side clamp; the fact shuffles never. */
   /** Per-type [p01, p99] clamp bounds (fixedRound'd) — shared by the
     * batch operator and the stream-static scoring twin. */
-  def winsorizeBoundsOf(events: DataFrame): DataFrame =
+  def winsorizeBoundsOf(events: DataFrame, exactPct: Boolean = true): DataFrame =
     events.groupBy("event_type")
-      .agg(Gold.fixedRound(expr("percentile(value, 0.01)"), 4).as("lo"),
-        Gold.fixedRound(expr("percentile(value, 0.99)"), 4).as("hi"))
+      .agg(Gold.fixedRound(Gold.pct("value", 0.01, exactPct), 4).as("lo"),
+        Gold.fixedRound(Gold.pct("value", 0.99, exactPct), 4).as("hi"))
 
   /** The clamp itself — stateless, map-side against broadcast bounds. */
   def winsorizeWith(events: DataFrame, bounds: DataFrame): DataFrame =
@@ -161,6 +171,14 @@ object Events {
   def winsorize(spark: SparkSession, dir: String): DataFrame =
     winsorizeWith(Tables.events(spark, dir),
       winsorizeBoundsOf(Tables.events(spark, dir)))
+      .orderBy("event_id")
+
+  /** The 100-TB twin: clamp bounds from the mergeable sketch
+    * ([[Gold.pct]]); clamp pass identical. Tolerance-vs-exact asserted
+    * in PercentileScaleSpec; the exact path stays the oracle. */
+  def winsorizeApprox(spark: SparkSession, dir: String): DataFrame =
+    winsorizeWith(Tables.events(spark, dir),
+      winsorizeBoundsOf(Tables.events(spark, dir), exactPct = false))
       .orderBy("event_id")
 
   /** MAD multiplier for the robust outlier flag: |x − median| > K·MAD.
@@ -177,15 +195,26 @@ object Events {
     *
     * Scale shape: two tiny per-type aggregates (median, then MAD of
     * the residuals — each #types rows, broadcast back), one map-side
-    * flag pass; the fact is scanned twice but never shuffled (at
-    * 100 TB both medians come from `approx_percentile`, same plan). */
-  def robustAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    * flag pass; the fact is scanned twice but never shuffled (both
+    * medians come from `approx_percentile` in
+    * [[robustAnomaliesApprox]], same plan). */
+  def robustAnomalies(spark: SparkSession, dir: String): DataFrame =
+    robustAnomaliesImpl(spark, dir, exactPct = true)
+
+  /** The 100-TB twin: median and MAD from the mergeable sketch
+    * ([[Gold.pct]]); flag pass identical. Tolerance-vs-exact asserted
+    * in PercentileScaleSpec; the exact path stays the oracle. */
+  def robustAnomaliesApprox(spark: SparkSession, dir: String): DataFrame =
+    robustAnomaliesImpl(spark, dir, exactPct = false)
+
+  private def robustAnomaliesImpl(spark: SparkSession, dir: String,
+      exactPct: Boolean): DataFrame = {
     val e = Tables.events(spark, dir)
     val med = e.groupBy("event_type")
-      .agg(Gold.fixedRound(expr("percentile(value, 0.5)"), 4).as("med"))
+      .agg(Gold.fixedRound(Gold.pct("value", 0.5, exactPct), 4).as("med"))
     val mad = e.join(broadcast(med), "event_type")
       .groupBy("event_type", "med")
-      .agg(Gold.fixedRound(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      .agg(Gold.fixedRound(Gold.pct("abs(value - med)", 0.5, exactPct), 4).as("mad"))
     e.join(broadcast(mad), "event_type")
       .where(abs(col("value") - col("med")) > lit(RobustK) * col("mad"))
       .select(col("event_id"), col("event_type"), col("value"),

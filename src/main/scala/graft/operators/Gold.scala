@@ -44,6 +44,26 @@ object Gold {
     s"FLOOR(($expr)*$p + 0.5)/$p"
   }
 
+  /** Sketch resolution for the approx-percentile scale twins
+    * ([[rfmSegmentsApprox]], `Events.valueQuantilesApprox` /
+    * `winsorizeApprox` / `robustAnomaliesApprox`): rank error ≤
+    * n/accuracy with O(accuracy · log n) MERGEABLE state per group.
+    * Spark's default; at 10⁴ the p50 of 10¹⁰ rows lands within
+    * ±10⁻⁴ of the true rank. */
+  val PctAccuracy = 10000
+
+  /** The percentile aggregate, selected by strategy. `exact = true` is
+    * the oracle path: Spark's sort-based `percentile`, which buffers a
+    * value→count map per group — fine up to sandbox×100, dead at 10¹⁰
+    * distinct doubles in one group's final merge. `exact = false` is
+    * the 100-TB path: `approx_percentile` (Greenwald-Khanna summary,
+    * bounded memory, partial-merges map-side) — IDENTICAL plan shape,
+    * so every operator built on this swaps strategy without changing
+    * its shuffle structure. Callers fixedRound the result either way. */
+  def pct(valueSql: String, q: Double, exact: Boolean): Column =
+    if (exact) expr(s"percentile($valueSql, $q)")
+    else expr(s"approx_percentile($valueSql, $q, $PctAccuracy)")
+
   /** Daily sales summary (load.py:148-186): per sale date, order count,
     * item count, revenue. */
   def dailySalesSummaryOf(sales: DataFrame): DataFrame =
@@ -147,13 +167,27 @@ object Gold {
     *
     * Scale design: NTILE(5) over all customers would be a single-
     * partition window; instead the quintile EDGES are one 12-value
-    * aggregate (exact percentile locally, `approx_percentile` at
-    * 100 TB — same plan) broadcast back, and each score is four
+    * aggregate (the [[pct]] strategy: exact percentile on this oracle
+    * path, `approx_percentile` in [[rfmSegmentsApprox]] — same plan)
+    * broadcast back, and each score is four
     * comparisons — fully map-side, deterministic, and rank-free.
     * Boundaries go through [[fixedRound]] so interpolation ulps can
     * never flip a threshold between engines; metric values are exact
     * integers / fixed-point money. */
-  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsImpl(spark, dir, exactPct = true)
+
+  /** The 100-TB twin: identical plan shape with the quintile edges from
+    * `approx_percentile` ([[pct]]) — the 12-value bounds aggregate
+    * becomes a mergeable sketch instead of a value-buffered exact
+    * percentile whose final merge holds every distinct metric value of
+    * the population on one task. Tolerance-vs-exact asserted in
+    * PercentileScaleSpec; the exact path stays the oracle. */
+  def rfmSegmentsApprox(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsImpl(spark, dir, exactPct = false)
+
+  private def rfmSegmentsImpl(spark: SparkSession, dir: String,
+      exactPct: Boolean): DataFrame = {
     val per = Tables.sales(spark, dir)
       .withColumn("sale_date", to_date(col("sale_ts")))
       .groupBy("customer_id")
@@ -167,11 +201,11 @@ object Gold {
         col("frequency"), col("monetary"))
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
     val boundCols =
-      qs.map(q => fixedRound(expr(s"percentile(recency_days, $q)"), 4)
+      qs.map(q => fixedRound(pct("recency_days", q, exactPct), 4)
         .as(s"r${(q * 100).toInt}")) ++
-      qs.map(q => fixedRound(expr(s"percentile(frequency, $q)"), 4)
+      qs.map(q => fixedRound(pct("frequency", q, exactPct), 4)
         .as(s"f${(q * 100).toInt}")) ++
-      qs.map(q => fixedRound(expr(s"percentile(monetary, $q)"), 4)
+      qs.map(q => fixedRound(pct("monetary", q, exactPct), 4)
         .as(s"m${(q * 100).toInt}"))
     val bounds = met.agg(boundCols.head, boundCols.tail: _*)
     def score(metric: Column, prefix: String, better: String): Column = {
