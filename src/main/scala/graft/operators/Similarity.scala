@@ -190,6 +190,55 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** `dd_decontam_sem`: semantic (embedding-space) benchmark
+    * decontamination — the paraphrase-robust twin of n-gram
+    * [[Dedup.decontam]], which misses reworded benchmark leakage by
+    * construction. A train doc is contaminated when its embedding sits
+    * at ≥ [[NearDupThreshold]] cosine from ANY eval-split doc (the same
+    * 1-in-[[Dedup.DecontamBenchMod]] hash bucket as the n-gram
+    * operator, applied to vec_id).
+    *
+    * Scale shape: ONE signature pass over the corpus (the
+    * [[embedNearDup]] derived-parameter hyperplane index), split into
+    * train/eval sides AFTER signing; candidates come from the keyed
+    * (table, signature) equi-join of train sigs against the
+    * ~1/50-sized eval sigs — never a corpus self-join — and only
+    * candidates pay the exact cosine rerank (precision 1). Output is
+    * one row per train doc (hits count, max threshold-passing cosine),
+    * so the exact oracle checks the full contract; SimilaritySpec
+    * asserts candidate recall 1.0 vs the brute-force train×eval scan
+    * at every verified SF (the CLAUDE.md oracle rule). */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val isEval = Curation.portableHash(col("vec_id")) % Dedup.DecontamBenchMod === 0
+    val bits = lshBitsFor(corpusCount(spark, dir))
+    val sigs = capBuckets(
+      signatures(spark, c, "vec_id", lshTablesFor(bits), bits), LshBucketCap)
+    val evalSigs = sigs.where(isEval)
+      .select(col("vec_id").as("eval_id"), col("tbl"), col("sig"))
+    val cand = sigs.where(!isEval).join(evalSigs, Seq("tbl", "sig"))
+      .select("vec_id", "eval_id").distinct()
+    val hits = cand
+      .join(c.select(col("vec_id"), col("embedding").as("e_t"), col("nrm").as("n_t")),
+        "vec_id")
+      .join(c.select(col("vec_id").as("eval_id"), col("embedding").as("e_e"),
+        col("nrm").as("n_e")), "eval_id")
+      .select(col("vec_id"),
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("e_t"), col("e_e")),
+          col("n_t"), col("n_e")).as("cosine"))
+      .where(col("cosine") >= NearDupThreshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cos"))
+    c.where(!isEval).select("vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** LSH-pruned top-k: candidates restricted to bucket matches, then the
     * exact rerank — trades recall for a corpus-pruning equi-join. */
   def annTopKLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -738,12 +787,34 @@ object Similarity {
          |WHERE list_dot_product(a.e, b.e)
          |        / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e)))
          |      >= $NearDupThreshold
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin,
+    // exact oracle licensed by the per-SF recall-1.0 assertion in
+    // SimilaritySpec (brute-force train×eval comparison)
+    "dd_decontam_sem" ->
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |ev AS (SELECT vec_id, e FROM c
+         |       WHERE ${Curation.portableHashSql("vec_id")} % ${Dedup.DecontamBenchMod} = 0),
+         |tr AS (SELECT vec_id, e FROM c
+         |       WHERE NOT (${Curation.portableHashSql("vec_id")} % ${Dedup.DecontamBenchMod} = 0)),
+         |p AS (SELECT tr.vec_id,
+         |             list_dot_product(tr.e, ev.e)
+         |               / (SQRT(list_dot_product(tr.e, tr.e))
+         |                  * SQRT(list_dot_product(ev.e, ev.e))) AS cosine
+         |      FROM tr, ev),
+         |h AS (SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(cosine) AS max_cos
+         |      FROM p WHERE cosine >= $NearDupThreshold GROUP BY 1)
+         |SELECT tr.vec_id,
+         |       COALESCE(n_eval_hits, 0) AS n_eval_hits,
+         |       COALESCE(max_cos, 0.0) AS max_cos,
+         |       COALESCE(n_eval_hits, 0) > 0 AS contaminated
+         |FROM tr LEFT JOIN h USING (vec_id) ORDER BY vec_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_exact"   -> annTopKExact,
     "emb_hard_negatives" -> hardNegatives,
     "dd_embed_neardup" -> embedNearDup,
+    "dd_decontam_sem"  -> semanticDecontam,
     "ann_topk_lsh"     -> annTopKLsh,
     "ann_topk_ivf"     -> annTopKIvf,
     "ann_topk_pq"      -> annTopKPq,

@@ -24,6 +24,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontam: keyed candidate join, no cartesian, no global window") {
+    val p = plan(Similarity.semanticDecontam(spark, sfDir))
+    assertSane(p)
+  }
+
   test("rfm: quintile edges ride 1-row broadcasts, no window, no cartesian") {
     val p = plan(Gold.rfmSegments(spark, sfDir))
     assertSane(p)
