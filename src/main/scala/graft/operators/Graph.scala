@@ -55,38 +55,67 @@ object Graph {
     e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
   }
 
-  /** `gr_pagerank`: damped PageRank (d = 0.85) after [[PagerankIters]]
-    * synchronous rounds from the uniform start, over the undirected
-    * customer↔product graph. Emits `(node_id, kind, entity_id,
-    * pagerank)` — the influence ranking of both sides of the market in
-    * one pass (every node has degree ≥ 1, so there is no dangling-mass
-    * term). */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val und = undirected(spark, dir).localCheckpoint()
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+  /** General directed-graph PageRank over an arbitrary `(u, v)` edge
+    * relation — the library template [[pagerank]] instantiates. Unlike
+    * the earlier bipartite-only version, this handles DANGLING nodes
+    * (sinks — nodes with no out-edge): their rank mass is redistributed
+    * uniformly each round via a 1-row fixed-point aggregate over the
+    * sink nodes (an anti-join against the out-degree table), broadcast
+    * into the update exactly like the node-count normalizer. Without
+    * the term, sinks leak `d · Σ pr(sinks)` of total mass per round
+    * and ranks drift toward the teleport floor. Nodes with no IN-edge
+    * are kept by a left join (they hold the teleport + dangling share).
+    *
+    * Determinism: the dangling sum uses the same FLOOR-at-[[PrScale]]
+    * DECIMAL discipline as the contribution sums, so the result stays
+    * bit-identical under any partitioning and oracle-expressible. */
+  def pagerankOn(spark: SparkSession, edges: DataFrame,
+      iters: Int = PagerankIters): DataFrame = {
+    val zeroDec = lit(0).cast(DecimalType(38, 0))
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = e.select("u").unionAll(e.select(col("v").as("u")))
+      .distinct().localCheckpoint()
     // 1-row node-count normalizer, broadcast into every round — the
     // ath_product_analysis shape, never a driver collect
-    val n = deg.agg(count(lit(1)).cast("double").as("nd"))
-    var pr = deg.crossJoin(broadcast(n))
+    val n = nodes.agg(count(lit(1)).cast("double").as("nd"))
+    var pr = nodes.crossJoin(broadcast(n))
       .select(col("u"), (lit(1.0) / col("nd")).as("pr"))
-    (1 to PagerankIters).foreach { _ =>
-      val msgs = und
+    (1 to iters).foreach { _ =>
+      val msgs = e
         .join(pr, "u").join(deg, "u")
         .select(col("v").as("u"),
           floor((col("pr") / col("deg")) * lit(PrScale))
             .cast(DecimalType(38, 0)).as("c"))
-      pr = msgs.groupBy("u").agg(sum("c").as("s"))
-        .crossJoin(broadcast(n))
+        .groupBy("u").agg(sum("c").as("s"))
+      val dangling = pr.join(deg, Seq("u"), "left_anti")
+        .agg(coalesce(sum(floor(col("pr") * lit(PrScale))
+          .cast(DecimalType(38, 0))), zeroDec).as("ds"))
+      pr = nodes.join(msgs, Seq("u"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
         .select(col("u"),
-          (lit(0.15) / col("nd") +
-            lit(0.85) * (col("s").cast("double") / lit(PrScale))).as("pr"))
+          (lit(0.15) / col("nd") + lit(0.85) *
+            (coalesce(col("s"), zeroDec).cast("double") / lit(PrScale)
+              + col("ds").cast("double") / lit(PrScale) / col("nd"))).as("pr"))
     }
-    pr.select(col("u").as("node_id"),
+    pr
+  }
+
+  /** `gr_pagerank`: damped PageRank (d = 0.85) after [[PagerankIters]]
+    * synchronous rounds from the uniform start, over the undirected
+    * customer↔product graph ([[pagerankOn]]). Emits `(node_id, kind,
+    * entity_id, pagerank)` — the influence ranking of both sides of
+    * the market in one pass. (Every node here has degree ≥ 1, so the
+    * dangling term contributes exactly zero — but it is in the plan
+    * and the oracle, so the operator is correct on general graphs.) */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOn(spark, undirected(spark, dir))
+      .select(col("u").as("node_id"),
         when(col("u") % 2 === 0, "customer").otherwise("product").as("kind"),
         expr("u DIV 2").as("entity_id"),
         col("pr").as("pagerank"))
       .orderBy("node_id")
-  }
 
   /** `gr_degrees`: degree distribution of the co-purchase graph per
     * node kind — the first diagnostic run on any graph (skew here
@@ -109,10 +138,16 @@ object Graph {
        |         SUM(CAST(FLOOR((p.pr/d.deg) * $PrScale) AS DECIMAL(38,0))) AS s
        |  FROM und e JOIN $prev p ON e.u = p.u JOIN deg d ON e.u = d.u
        |  GROUP BY 1),
+       |dg$out AS (
+       |  SELECT COALESCE(SUM(CAST(FLOOR(p.pr * $PrScale) AS DECIMAL(38,0))),
+       |                  CAST(0 AS DECIMAL(38,0))) AS ds
+       |  FROM $prev p LEFT JOIN deg d ON p.u = d.u WHERE d.u IS NULL),
        |$out AS (
-       |  SELECT u, CAST(0.15 AS DOUBLE)/nd
-       |            + CAST(0.85 AS DOUBLE) * (CAST(s AS DOUBLE)/$PrScale) AS pr
-       |  FROM m$out, n)""".stripMargin
+       |  SELECT nodes.u, CAST(0.15 AS DOUBLE)/nd
+       |            + CAST(0.85 AS DOUBLE) *
+       |              (CAST(COALESCE(m.s, 0) AS DOUBLE)/$PrScale
+       |               + CAST(ds AS DOUBLE)/$PrScale/nd) AS pr
+       |  FROM nodes LEFT JOIN m$out m ON nodes.u = m.u, n, dg$out)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "gr_pagerank" ->
@@ -121,8 +156,10 @@ object Graph {
          |      FROM sales),
          |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
          |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
-         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM deg),
-         |pr0 AS (SELECT u, CAST(1 AS DOUBLE)/nd AS pr FROM deg, n),
+         |nodes AS (SELECT DISTINCT u
+         |          FROM (SELECT u FROM und UNION ALL SELECT v FROM und)),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+         |pr0 AS (SELECT u, CAST(1 AS DOUBLE)/nd AS pr FROM nodes, n),
          |${(1 to PagerankIters).map(i => prRound(s"pr${i - 1}", s"pr$i"))
              .mkString(",\n")}
          |SELECT u AS node_id,

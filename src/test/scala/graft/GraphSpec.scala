@@ -17,6 +17,24 @@ class GraphSpec extends SparkSpec {
     assert(kinds == Set("customer", "product"))
   }
 
+  test("pagerank conserves mass on a general graph with sinks") {
+    import spark.implicits._
+    // 3 and 5 are sinks (no out-edges); 4 has no in-edges
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L), (2L, 5L))
+      .toDF("u", "v")
+    val pr = Graph.pagerankOn(spark, edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // without the dangling term, 0.85·(pr(3)+pr(5)) would leak per
+    // round (~30%+ of the mass here); fixed-point FLOOR drops ≤ 1e-7
+    // per (node, round)
+    val mass = pr.values.sum
+    assert(math.abs(mass - 1.0) < 1e-5, s"mass $mass")
+    // sinks accumulate, sources hold only teleport + dangling share
+    assert(pr(3L) > pr(4L) && pr(5L) > pr(4L))
+    assert(pr.values.forall(_ > 0))
+  }
+
   test("pagerank ranks a max-degree node above a min-degree node") {
     val sales = graft.sources.Tables.sales(spark, sfDir)
       .select((col("customer_id") * 2).as("u"),
