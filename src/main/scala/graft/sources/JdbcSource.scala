@@ -74,4 +74,53 @@ object JdbcSource {
 
   def extractTable(spark: SparkSession, cfg: JdbcConfig): DataFrame =
     reader(spark, cfg).load()
+
+  // ---- write-back (warehouse load — the extract contract's mirror) ----
+
+  /** Write-side configuration, symmetric with [[JdbcConfig]] (the
+    * reference pipeline's companion load step pushes curated gold back
+    * into a warehouse over JDBC).
+    *
+    * Scale design: `numPartitions` caps concurrent connections (Spark
+    * coalesces before writing — a 10k-partition gold table must not
+    * open 10k sessions against one database); `batchSize` batches
+    * inserts so rows don't round-trip one by one; `isolationLevel`
+    * NONE is the bulk-load setting (no transaction bookkeeping per
+    * batch); `truncate = true` makes overwrite TRUNCATE instead of
+    * DROP/CREATE, preserving remote indexes, grants and constraints. */
+  final case class JdbcWriteConfig(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      batchSize: Int = 10000,
+      isolationLevel: String = "READ_COMMITTED",
+      numPartitions: Option[Int] = None,
+      truncate: Boolean = false)
+
+  /** Writer options as a plain map (unit-testable, mirrors
+    * [[options]]). */
+  def writeOptions(cfg: JdbcWriteConfig): Map[String, String] = {
+    val base = Map(
+      "url" -> cfg.url,
+      "dbtable" -> cfg.table,
+      "user" -> cfg.user,
+      "password" -> cfg.password,
+      "batchsize" -> cfg.batchSize.toString,
+      "isolationLevel" -> cfg.isolationLevel,
+      "truncate" -> cfg.truncate.toString)
+    cfg.numPartitions.fold(base)(n => base + ("numPartitions" -> n.toString))
+  }
+
+  /** Configure a writer for the frame; `.save()` connects. */
+  def writer(df: DataFrame, cfg: JdbcWriteConfig,
+      mode: String = "append"): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.format("jdbc").mode(mode).options(writeOptions(cfg))
+
+  /** Load a frame into the warehouse table — [[extractTable]]'s
+    * mirror. `mode = "append"` inserts; `"overwrite"` replaces (with
+    * TRUNCATE when `cfg.truncate`). */
+  def loadTable(df: DataFrame, cfg: JdbcWriteConfig,
+      mode: String = "append"): Unit =
+    writer(df, cfg, mode).save()
 }

@@ -33,4 +33,23 @@ class PipelineRunSpec extends SparkSpec {
     assert(new java.io.File(s"${result.silverTables("sales")}/load_date=d20260101")
       .exists())
   }
+
+  test("re-run into the same lake is idempotent (daily @retries contract)") {
+    // the reference DAG re-runs (@daily, retries: 1, catchup=False):
+    // a second run over the same input into the same lakeBase must
+    // leave byte-identical gold content, not append or drift
+    val lake = Files.createTempDirectory("graft_lake2").toString
+    def goldHashes(r: Pipeline.RunResult): Map[String, (Long, String)] =
+      r.goldTables.map { case (name, path) =>
+        val df = spark.read.parquet(path)
+        val cols = df.columns.sorted.map(col).toSeq
+        val h = df.select(sha2(to_json(struct(cols: _*)), 256).as("h"))
+          .agg(sum(conv(substring(col("h"), 1, 15), 16, 10).cast("decimal(38,0)")))
+          .head().getDecimal(0).toString
+        name -> (df.count(), h)
+      }
+    val first = goldHashes(Pipeline.run(spark, sfDir, lake))
+    val second = goldHashes(Pipeline.run(spark, sfDir, lake))
+    assert(second == first, "second run changed gold content")
+  }
 }

@@ -121,6 +121,25 @@ class PipelineSpec extends SparkSpec {
       .contains("LIMIT 100"))
   }
 
+  test("jdbc writer mirrors the extract config (options round-trip)") {
+    val cfg = JdbcSource.JdbcWriteConfig(
+      url = "jdbc:postgresql://host:5432/db", table = "public.gold_daily",
+      user = "u", password = "p",
+      batchSize = 5000, isolationLevel = "NONE",
+      numPartitions = Some(8), truncate = true)
+    val opts = JdbcSource.writeOptions(cfg)
+    assert(opts("url") == cfg.url && opts("dbtable") == cfg.table)
+    assert(opts("batchsize") == "5000")
+    assert(opts("isolationLevel") == "NONE")
+    assert(opts("numPartitions") == "8")
+    assert(opts("truncate") == "true")
+    // connection-cap default: numPartitions only appears when set
+    assert(!JdbcSource.writeOptions(cfg.copy(numPartitions = None))
+      .contains("numPartitions"))
+    // builds without connecting; save() would need a live database
+    JdbcSource.writer(Tables.table(spark, sfDir, "region"), cfg, "overwrite")
+  }
+
   test("dq business rules all pass on clean testdata") {
     val rules = DataQuality.businessRules(spark, sfDir).collect()
     assert(rules.length == 5)
