@@ -1,58 +1,88 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Single-deletion neighborhood of a string as a native codegen
-  * expression: the string itself plus every variant with one character
-  * removed, distinct, first-occurrence order.
+/** Deletion neighborhood of a string up to `depth` removals as a native
+  * codegen expression: the string itself plus every variant with 1..depth
+  * characters removed, distinct, breadth-first first-occurrence order.
   *
-  * This is the SymSpell blocking key set: any two strings within
-  * Levenshtein distance 1 (equal, one insertion, one deletion, or one
-  * substitution) share a neighborhood element — so a fuzzy join
-  * becomes ONE equi-join on the neighborhood element (recall 1), no
-  * prefix blocking, no mega-buckets from shared prefixes; the few
-  * admitted near-misses (transpositions) are removed by the exact
-  * levenshtein verification on candidates. The declarative
-  * formulation (`array_distinct(transform(sequence(...)))`) is
+  * This is the SymSpell blocking key set, generalized to the standard
+  * maxEdit = 2 configuration: any two strings within Levenshtein
+  * distance d share an element of their depth-d neighborhoods (each
+  * side deletes the chars the other lacks — equality, insertions,
+  * deletions, and substitutions all reduce to a common subsequence of
+  * ≤ d removals per side). So a fuzzy join becomes ONE equi-join on
+  * the neighborhood element (recall 1 at the configured distance), no
+  * prefix blocking, no mega-buckets from shared prefixes; admitted
+  * near-misses are removed by the exact levenshtein verification on
+  * candidates. The declarative formulation
+  * (`array_distinct(transform(sequence(...)))`, nested per depth) is
   * CodegenFallback (interpreted closure per variant); this compiles to
-  * a single helper call.
+  * a single helper call. Neighborhood size is Θ(L^depth/depth!) — at
+  * depth 2 a 20-char key yields ~211 elements, still O(1) per row.
   */
-case class CharDeletions(child: Expression) extends UnaryExpression {
+case class CharDeletions(left: Expression, right: Expression)
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DataTypes.StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure("char_deletions requires a string argument")
+    (left.dataType, right.dataType) match {
+      case (DataTypes.StringType, DataTypes.IntegerType) if right.foldable =>
+        val d = right.eval().asInstanceOf[Number].intValue()
+        if (d >= 1 && d <= 3) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"char_deletions depth must be in [1,3], got $d")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "char_deletions requires (string, foldable int)")
+    }
 
   override def dataType: DataType = ArrayType(DataTypes.StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any =
-    CharDeletions.neighborhood(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any, depth: Any): Any =
+    CharDeletions.neighborhood(input.asInstanceOf[UTF8String],
+      depth.asInstanceOf[Number].intValue())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CharDeletions.neighborhood($c)")
+    defineCodeGen(ctx, ev,
+      (c, d) => s"graft.functions.CharDeletions.neighborhood($c, $d)")
 
-  override protected def withNewChildInternal(newChild: Expression): CharDeletions =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharDeletions =
+    copy(left = newLeft, right = newRight)
 }
 
 object CharDeletions {
 
-  /** Called from generated code: {s} ∪ {delete(s, i) | i}, distinct,
-    * in first-occurrence order (s first, then deletions left to right).
-    * Code-point based (matches DuckDB substr character semantics). */
-  def neighborhood(s: UTF8String): ArrayData = {
-    val n = s.numChars()
-    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+  /** Called from generated code: breadth-first deletion closure — {s},
+    * then every 1-deletion, then every 2-deletion, …, distinct in
+    * first-occurrence order (deletions enumerated left to right at
+    * each level). Code-point based (matches DuckDB substr character
+    * semantics). */
+  def neighborhood(s: UTF8String, depth: Int): ArrayData = {
+    val seen = new java.util.LinkedHashSet[UTF8String](s.numChars() * 4)
     seen.add(s)
-    var i = 0
-    while (i < n) {
-      seen.add(UTF8String.concat(s.substring(0, i), s.substring(i + 1, n)))
-      i += 1
+    var frontier: java.util.ArrayList[UTF8String] = new java.util.ArrayList()
+    frontier.add(s)
+    var d = 0
+    while (d < depth) {
+      val next = new java.util.ArrayList[UTF8String](frontier.size * 8)
+      val it = frontier.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.numChars()
+        var i = 0
+        while (i < n) {
+          val del = UTF8String.concat(f.substring(0, i), f.substring(i + 1, n))
+          if (seen.add(del)) next.add(del)
+          i += 1
+        }
+      }
+      frontier = next
+      d += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
@@ -61,7 +91,12 @@ object CharDeletions {
     new GenericArrayData(out)
   }
 
-  val builder: Seq[Expression] => Expression = exprs => CharDeletions(exprs.head)
+  /** 1-or-2-arg SQL surface: `graft_char_deletions(s)` keeps the
+    * original depth-1 meaning; `graft_char_deletions(s, d)` is the
+    * parameterized form. */
+  val builder: Seq[Expression] => Expression = exprs =>
+    if (exprs.size == 1) CharDeletions(exprs.head, Literal(1))
+    else CharDeletions(exprs(0), exprs(1))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Registration.ensure(spark, "graft_char_deletions", builder)
@@ -69,8 +104,10 @@ object CharDeletions {
   /** Column-level API (registers on first use; the supported path is
     * the GraftExtensions session extension). */
   def neighborhoodCol(spark: org.apache.spark.sql.SparkSession,
-      str: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      str: org.apache.spark.sql.Column,
+      depth: Int = 1): org.apache.spark.sql.Column = {
     register(spark)
-    org.apache.spark.sql.functions.call_function("graft_char_deletions", str)
+    org.apache.spark.sql.functions.call_function("graft_char_deletions", str,
+      org.apache.spark.sql.functions.lit(depth))
   }
 }

@@ -35,21 +35,53 @@ object FuzzyMatch {
 
   /** `xf_fuzzy_match`: link every dirty customer name to all master
     * names within edit distance 1. */
-  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatchImpl(spark, dir, maxEdit = 1)
+
+  /** `xf_fuzzy_match2`: the standard SymSpell configuration (maxEdit =
+    * 2) — dirty names carry TWO hash-determined deletions and link to
+    * every master name within edit distance 2 via the depth-2 deletion
+    * neighborhoods. Same one-equi-join shape; neighborhood keys are
+    * ~L²/2 per row (still O(1)), and bucket population grows only with
+    * genuine near-matches, which the exact levenshtein verifies. */
+  def fuzzyMatchD2(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatchImpl(spark, dir, maxEdit = 2)
+
+  /** Deterministic k-th deletion position: hash(d_key), integer-divided
+    * per round so rounds pick independent positions, modulo the CURRENT
+    * (already-shrunk) length. */
+  private def delOnceSql(round: Int): String = {
+    val h = if (round == 1) posHashSql("d_key")
+      else s"(${posHashSql("d_key")} DIV ${Seq.fill(round - 1)(7L).product})"
+    val p = s"CAST(1 + $h % char_length(d_name) AS INT)"
+    s"concat(substring(d_name, 1, $p - 1), " +
+      s"substring(d_name, $p + 1, char_length(d_name)))"
+  }
+
+  private def fuzzyMatchImpl(spark: SparkSession, dir: String,
+      maxEdit: Int): DataFrame = {
     val cust = Tables.table(spark, dir, "customer")
-    val posSql = s"CAST(1 + ${posHashSql("c_custkey")} % char_length(c_name) AS INT)"
-    val dirty = cust.select(
-      col("c_custkey").as("d_key"),
-      expr(s"concat(substring(c_name, 1, $posSql - 1), " +
-        s"substring(c_name, $posSql + 1, char_length(c_name)))").as("d_name"))
-    val dv = dirty.select(col("d_key"), col("d_name"),
-      explode(CharDeletions.neighborhoodCol(spark, col("d_name"))).as("v"))
-    val cv = cust.select(col("c_custkey").as("clean_key"), col("c_name"),
-      explode(CharDeletions.neighborhoodCol(spark, col("c_name"))).as("v"))
+    var dirty = cust.select(col("c_custkey").as("d_key"),
+      col("c_name").as("d_name"))
+    (1 to maxEdit).foreach { k =>
+      dirty = dirty.select(col("d_key"), expr(delOnceSql(k)).as("d_name"))
+    }
+    // candidate dedup carries KEYS ONLY (names are functionally
+    // dependent on them): the v-join's multiplicity — heavy at depth 2,
+    // where templated names share many variants — is collapsed by a
+    // 16-byte-row distinct instead of shuffling both name strings per
+    // collision; names rejoin once per surviving pair
+    val dv = dirty.select(col("d_key"),
+      explode(CharDeletions.neighborhoodCol(spark, col("d_name"), maxEdit)).as("v"))
+    val cv = cust.select(col("c_custkey").as("clean_key"),
+      explode(CharDeletions.neighborhoodCol(spark, col("c_name"), maxEdit)).as("v"))
     dv.join(cv, Seq("v"))
-      .select("d_key", "d_name", "clean_key", "c_name").distinct()
+      .select("d_key", "clean_key").distinct()
+      .join(dirty, "d_key")
+      .join(cust.select(col("c_custkey").as("clean_key"), col("c_name")),
+        "clean_key")
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
-      .where(col("dist") <= 1)
+      .where(col("dist") <= maxEdit)
       .select("d_key", "d_name", "clean_key", "dist")
       .orderBy("d_key", "clean_key")
   }
@@ -57,14 +89,25 @@ object FuzzyMatch {
   private def posHashSql(idExpr: String): String =
     s"(((($idExpr) % ${Curation.HashMod}) * ${Curation.HashMult}) % ${Curation.HashMod})"
 
+  /** DuckDB single-deletion list of `s`. */
+  private def del1Sql(s: String): String =
+    s"list_transform(generate_series(1, length($s)), " +
+      s"i -> substr($s,1,i-1) || substr($s,i+1))"
+
   /** DuckDB mirror of the deletion neighborhood: {s} ∪ one-char
     * deletions, distinct. */
   private def neighborhoodSql(s: String): String =
-    s"list_distinct(list_prepend($s, list_transform(" +
-      s"generate_series(1, length($s)), i -> substr($s,1,i-1) || substr($s,i+1))))"
+    s"list_distinct(list_prepend($s, ${del1Sql(s)}))"
+
+  /** Depth-2 closure: {s} ∪ del¹ ∪ del² (nested lambda). */
+  private def neighborhood2Sql(s: String): String =
+    s"list_distinct(flatten(list_transform(" +
+      s"list_prepend($s, ${del1Sql(s)}), " +
+      s"x -> list_prepend(x, ${del1Sql("x")}))))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "xf_fuzzy_match" -> fuzzyMatch)
+    "xf_fuzzy_match"  -> fuzzyMatch,
+    "xf_fuzzy_match2" -> fuzzyMatchD2)
 
   val oracles: Map[String, String] = Map(
     "xf_fuzzy_match" ->
@@ -84,5 +127,31 @@ object FuzzyMatch {
          |         FROM dv JOIN cv USING (v))
          |SELECT d_key, d_name, clean_key, levenshtein(d_name, c_name) AS dist
          |FROM cand WHERE levenshtein(d_name, c_name) <= 1
+         |ORDER BY d_key, clean_key""".stripMargin,
+    "xf_fuzzy_match2" ->
+      s"""WITH d0 AS (SELECT c_custkey AS d_key, c_name AS d_name FROM customer),
+         |d1 AS (
+         |  SELECT d_key,
+         |         substr(d_name, 1, CAST(1 + ${posHashSql("d_key")}
+         |             % length(d_name) AS INT) - 1)
+         |         || substr(d_name, CAST(1 + ${posHashSql("d_key")}
+         |             % length(d_name) AS INT) + 1) AS d_name
+         |  FROM d0),
+         |d2 AS (
+         |  SELECT d_key,
+         |         substr(d_name, 1, CAST(1 + (${posHashSql("d_key")} // 7)
+         |             % length(d_name) AS INT) - 1)
+         |         || substr(d_name, CAST(1 + (${posHashSql("d_key")} // 7)
+         |             % length(d_name) AS INT) + 1) AS d_name
+         |  FROM d1),
+         |dv AS (SELECT d_key, d_name, unnest(${neighborhood2Sql("d_name")}) AS v
+         |       FROM d2),
+         |cv AS (SELECT c_custkey AS clean_key, c_name,
+         |              unnest(${neighborhood2Sql("c_name")}) AS v
+         |       FROM customer),
+         |cand AS (SELECT DISTINCT d_key, d_name, clean_key, c_name
+         |         FROM dv JOIN cv USING (v))
+         |SELECT d_key, d_name, clean_key, levenshtein(d_name, c_name) AS dist
+         |FROM cand WHERE levenshtein(d_name, c_name) <= 2
          |ORDER BY d_key, clean_key""".stripMargin)
 }

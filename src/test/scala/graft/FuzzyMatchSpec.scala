@@ -43,4 +43,34 @@ class FuzzyMatchSpec extends SparkSpec {
     assert((nb("abcd") & nb("abxd")).nonEmpty)  // substitution
     assert((nb("abcd") & nb("axyd")).isEmpty)   // distance 2
   }
+
+  test("depth-2 neighborhood intersection contains the lev<=2 relation") {
+    import spark.implicits._
+    def nb2(s: String): Set[String] = Seq(s).toDF("s")
+      .select(CharDeletions.neighborhoodCol(spark, col("s"), 2).as("v"))
+      .as[Seq[String]].collect().head.toSet
+    // breadth-first closure: 'abcd' → itself + 4 del¹ + 6 del²
+    assert(nb2("abcd").size == 11)
+    assert(nb2("abcd").contains("bd") && nb2("abcd").contains("abcd"))
+    // every lev<=2 edit shape intersects at depth 2
+    assert((nb2("abcd") & nb2("axyd")).nonEmpty)   // 2 substitutions
+    assert((nb2("abcd") & nb2("acbd")).nonEmpty)   // transposition (lev 2)
+    assert((nb2("abcd") & nb2("ab")).nonEmpty)     // 2 deletions
+    assert((nb2("abcd") & nb2("axbycd")).nonEmpty) // 2 insertions
+    assert((nb2("abcd") & nb2("axcde")).nonEmpty)  // sub + insert
+    // distance 3 does not
+    assert((nb2("abcdef") & nb2("axyzef")).isEmpty)
+  }
+
+  test("every 2-typo name links back to its origin at distance 2, no cartesian") {
+    val out = FuzzyMatch.fuzzyMatchD2(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(400))
+    val rows = out.collect()
+    val n = graft.sources.Tables.table(spark, sfDir, "customer").count()
+    val self = rows.count(r => r.getLong(0) == r.getLong(2))
+    assert(self == n) // recall 1 by construction: two deletions per name
+    assert(rows.forall(_.getInt(3) <= 2))
+  }
 }
