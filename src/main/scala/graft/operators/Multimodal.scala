@@ -48,20 +48,134 @@ object Multimodal {
     ds.mapPartitions(_.map(decoder.decode))
   }
 
-  /** Contract query: documents as synthetic media payloads (UTF-8 bytes
-    * as the opaque blob; type assigned round-robin), metadata extracted
-    * through the decoder seam. */
+  /** Real container-header parsing — pure-JVM magic-number decode of
+    * PNG (IHDR) and JPEG (SOF0-3 after marker-segment skipping), no
+    * codec libraries. This is the part of "decode" a metadata pass
+    * actually needs at ingest: dimensions and format validation from
+    * the first bytes, payload never decompressed. Corrupt or unknown
+    * payloads parse to None (→ NULL columns), never throw. */
+  object MediaHeaders {
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+
+    /** Big-endian unsigned int of `n` bytes at `off`. */
+    private def be(p: Array[Byte], off: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (p(off + i) & 0xFFL); i += 1 }
+      v
+    }
+
+    /** (format, width, height) or None. */
+    def parse(p: Array[Byte]): Option[(String, Long, Long)] =
+      parsePng(p).orElse(parseJpeg(p))
+
+    /** PNG: 8-byte signature, then the IHDR chunk (must be first per
+      * spec): 4-byte length, "IHDR", 4-byte BE width, 4-byte BE
+      * height. CRC not validated — this is a header sniff, not an
+      * integrity check. */
+    def parsePng(p: Array[Byte]): Option[(String, Long, Long)] =
+      if (p.length >= 24 &&
+          (0 until 8).forall(i => p(i) == PngSig(i)) &&
+          p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        Some(("png", be(p, 16, 4), be(p, 20, 4)))
+      else None
+
+    /** JPEG: SOI (FFD8), then marker segments skipped by their 2-byte
+      * lengths until a SOF0-3 frame header (FFC0-FFC3): precision(1),
+      * height(2 BE), width(2 BE). Standalone markers (RSTn/TEM) have
+      * no length field. Truncated/malformed streams return None. */
+    def parseJpeg(p: Array[Byte]): Option[(String, Long, Long)] = {
+      if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8)
+        return None
+      var i = 2
+      while (i + 3 < p.length) {
+        if ((p(i) & 0xFF) != 0xFF) return None
+        val m = p(i + 1) & 0xFF
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2
+        else {
+          val len = be(p, i + 2, 2).toInt
+          if (len < 2 || i + 2 + len > p.length) return None
+          if (m >= 0xC0 && m <= 0xC3) {
+            if (len < 9) return None
+            return Some(("jpeg", be(p, i + 7, 2), be(p, i + 5, 2)))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+
+    /** Minimal valid PNG header (33 bytes): signature + IHDR with the
+      * given dims (8-bit RGBA, zeroed CRC). */
+    def synthPng(w: Long, h: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(33)
+      out.write(PngSig, 0, 8)
+      def be32(v: Long): Unit = (3 to 0 by -1)
+        .foreach(s => out.write(((v >> (8 * s)) & 0xFF).toInt))
+      be32(13)
+      "IHDR".foreach(c => out.write(c.toInt))
+      be32(w); be32(h)
+      out.write(8); out.write(6); out.write(0); out.write(0); out.write(0)
+      be32(0) // CRC (unvalidated by the sniffer)
+      out.toByteArray
+    }
+
+    /** Minimal JPEG header (39 bytes): SOI + JFIF APP0 (exercises the
+      * segment-skip path) + SOF0 with the given dims, 3 components. */
+    def synthJpeg(w: Long, h: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(39)
+      def b(vs: Int*): Unit = vs.foreach(out.write)
+      b(0xFF, 0xD8)                                   // SOI
+      b(0xFF, 0xE0, 0x00, 0x10)                       // APP0, len 16
+      b('J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0) // JFIF 1.2
+      b(0xFF, 0xC0, 0x00, 0x11, 8)                    // SOF0, len 17, prec 8
+      b(((h >> 8) & 0xFF).toInt, (h & 0xFF).toInt)
+      b(((w >> 8) & 0xFF).toInt, (w & 0xFF).toInt)
+      b(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)        // 3 components
+      out.toByteArray
+    }
+  }
+
+  final case class HeaderMeta(
+      doc_id: Long, media_type: String, byte_len: Long, magic: String,
+      format: Option[String], width: Option[Long], height: Option[Long])
+
+  /** The real-decode seam: container headers parsed from payload
+    * bytes; corrupt payloads map to NULL format/dims. */
+  object HeaderDecoder extends Serializable {
+    def decode(r: MediaRecord): HeaderMeta = {
+      val magic = r.payload.take(4).map(b => f"${b & 0xFF}%02X").mkString
+      MediaHeaders.parse(r.payload) match {
+        case Some((fmt, w, h)) => HeaderMeta(r.doc_id, r.media_type,
+          r.payload.length.toLong, magic, Some(fmt), Some(w), Some(h))
+        case None => HeaderMeta(r.doc_id, r.media_type,
+          r.payload.length.toLong, magic, None, None, None)
+      }
+    }
+  }
+
+  /** Contract query: a synthesized media corpus — real PNG/JPEG headers
+    * carrying doc_id-derived dimensions, with every 5th payload
+    * corrupted (raw text bytes) — decoded back through the REAL header
+    * parser. The oracle recomputes the expected dims from doc_id
+    * arithmetic, so a parser bug (wrong offset, endianness, missed
+    * segment skip) breaks the hash match; corrupt rows must come back
+    * as NULLs. Payload bytes never leave the executors. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val recs = Tables.table(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
-    extractMeta(recs, StubDecoder).toDF().orderBy("doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    recs.mapPartitions(_.map { case (id, text) =>
+      val declared = if (id % 2 == 0) "png" else "jpeg"
+      val (w, h) = (16 + (id * 7) % 1024, 16 + (id * 13) % 768)
+      val payload =
+        if (id % 5 == 0) text.getBytes("UTF-8") // corrupt: declared ≠ bytes
+        else if (id % 2 == 0) MediaHeaders.synthPng(w, h)
+        else MediaHeaders.synthJpeg(w, h)
+      MediaRecord(id, declared, payload)
+    }).mapPartitions(_.map(HeaderDecoder.decode))
+      .toDF().orderBy("doc_id")
   }
 
   final case class ResizedMedia(
@@ -154,15 +268,24 @@ object Multimodal {
         |       + CAST(CAST((byte_len + frame_idx*31 + 21) % 997 AS REAL)/CAST(997 AS REAL) AS DOUBLE)
         |         AS feat_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // expected values derived from doc_id arithmetic, NOT from the
+    // parser: the Spark side must synthesize real headers and parse
+    // them back correctly for the hash to match
     "mm_media_meta" ->
       """SELECT doc_id,
-        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |            ELSE 'video' END AS media_type,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |       substring(hex(encode(text)), 1, 8) AS magic,
-        |       CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS frame_count,
-        |       CAST(64 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |       CAST(64 + octet_length(encode(text)) % 360 AS BIGINT) AS height
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_type,
+        |       CASE WHEN doc_id % 5 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
+        |            WHEN doc_id % 2 = 0 THEN CAST(33 AS BIGINT)
+        |            ELSE CAST(39 AS BIGINT) END AS byte_len,
+        |       CASE WHEN doc_id % 5 = 0 THEN substring(hex(encode(text)), 1, 8)
+        |            WHEN doc_id % 2 = 0 THEN '89504E47'
+        |            ELSE 'FFD8FFE0' END AS magic,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            ELSE CAST(16 + (doc_id*7) % 1024 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            ELSE CAST(16 + (doc_id*13) % 768 AS BIGINT) END AS height
         |FROM documents ORDER BY doc_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

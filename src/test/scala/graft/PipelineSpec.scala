@@ -190,8 +190,35 @@ class PipelineSpec extends SparkSpec {
   test("media metadata schema carries binary-derived fields for all docs") {
     val out = Multimodal.mediaMeta(spark, sfDir)
     assert(out.schema.fieldNames.toSeq ==
-      Seq("doc_id", "media_type", "byte_len", "magic", "frame_count", "width", "height"))
+      Seq("doc_id", "media_type", "byte_len", "magic", "format", "width", "height"))
     assert(out.count() == 500)
+    // corrupt rows (doc_id % 5 == 0) parse to NULLs, valid rows round-trip
+    val rows = out.collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 0) assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6), s"doc $id")
+      else {
+        assert(r.getString(4) == (if (id % 2 == 0) "png" else "jpeg"))
+        assert(r.getLong(5) == 16 + (id * 7) % 1024)
+        assert(r.getLong(6) == 16 + (id * 13) % 768)
+      }
+    }
+  }
+
+  test("header parser: PNG IHDR + JPEG SOF round-trip; malformed inputs -> None") {
+    import Multimodal.MediaHeaders._
+    assert(parse(synthPng(640, 480)) == Some(("png", 640L, 480L)))
+    assert(parse(synthJpeg(1920, 1080)) == Some(("jpeg", 1920L, 1080L)))
+    // big dims exercise all BE bytes
+    assert(parse(synthPng(70000, 3)) == Some(("png", 70000L, 3L)))
+    assert(parse(Array.empty[Byte]).isEmpty)
+    assert(parse("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(parse(synthPng(10, 10).take(20)).isEmpty)     // truncated IHDR
+    assert(parse(synthJpeg(10, 10).take(6)).isEmpty)     // SOI + APP0 stub only
+    assert(parse(synthJpeg(10, 10).take(20)).isEmpty)    // truncated before SOF
+    // SOI + APP0 but no SOF anywhere
+    val noSof = synthJpeg(10, 10).take(20) ++ Array[Byte](0, 0)
+    assert(parse(noSof).isEmpty)
   }
 
   test("csv source is permissive on malformed rows (nulls, no crash)") {
