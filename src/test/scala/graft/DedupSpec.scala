@@ -76,6 +76,28 @@ class DedupSpec extends SparkSpec {
     assert(base == baseUncapped)
   }
 
+  test("span/shingle df stays under the cap at EVERY verified SF (exactness precondition)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Shingles
+    // spanDedup/ngramJaccard are exhaustively exact ONLY while no
+    // shared span/shingle exceeds ShingleDfCap (a pair sharing only
+    // banned keys would go unreported); assert the precondition per
+    // verified scale factor so a boilerplate 8-gram crossing the cap at
+    // a new SF fails HERE, loudly, instead of silently diverging the
+    // driver's hash gate
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1");
+        k <- Seq(3, Dedup.SpanK)) {
+      val maxDf = graft.sources.Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(Shingles.wordShinglesNative(spark, col("text"), k)).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head().getLong(0)
+      assert(maxDf <= Dedup.ShingleDfCap,
+        s"max $k-gram df $maxDf exceeds cap ${Dedup.ShingleDfCap} at $dir")
+    }
+  }
+
   test("simhash width derivation follows the bucket-population rule") {
     // 8-bit blocks hold n/256 docs: past 256·targetPop the keys widen
     assert(Dedup.simhashLanesFor(1000L) == 1)
