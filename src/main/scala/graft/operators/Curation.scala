@@ -263,6 +263,80 @@ object Curation {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
 
+  // ---- leakage-safe (cluster-aware) split --------------------------------
+
+  /** `smp_leakage_split`: train/val/test split hashed over the dedup
+    * CLUSTER id instead of the doc id, so near-duplicate documents can
+    * never straddle train and eval — the classic evaluation-leakage
+    * failure of naive per-doc splits (near-dups of eval docs left in
+    * train inflate benchmark scores; cf. Lee et al. 2021 §6). Same pure
+    * split arithmetic as [[trainValTestSplit]], applied after the
+    * component fixpoint; membership is still re-run-stable because
+    * cluster_id (smallest member doc_id) is itself a fixpoint. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = componentLabels(
+      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))
+    Tables.table(spark, dir, "documents").select("doc_id")
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("bucket", portableHash(col("cluster_id")) % 100L)
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  // ---- token-budget selection --------------------------------------------
+
+  /** Quality-bucket granularity for the token-budget global order. A
+    * strictly higher bucket implies strictly higher quality_score
+    * (floor is monotone), so bucket-major order composed with in-bucket
+    * (score DESC, doc_id) order IS the exact global
+    * (score DESC, doc_id) order. */
+  val TokenBudgetQScale = 1000.0
+
+  /** `smp_token_budget`: select the highest-quality documents until a
+    * token budget is exhausted — "give me the best T tokens", the
+    * subsetting step between scoring and tokenization in an LLM data
+    * recipe (budget here: half the corpus tokens, a 1-row broadcast
+    * aggregate so the operator is scale-invariant).
+    *
+    * The global quality-ordered cumulative sum is the scale hazard: a
+    * naive `SUM OVER (ORDER BY score)` window funnels the corpus
+    * through ONE task. Two-phase instead: (1) in-bucket cumulative sums
+    * windowed by coarse quality bucket (≤ ~1400 buckets partition the
+    * corpus evenly — each window partition is ~n/1400 rows); (2) each
+    * bucket's prefix offset = total tokens of strictly-higher buckets,
+    * computed on the ~1400-row bucket aggregate with a tiny non-equi
+    * self-join (metadata, broadcast back). cum = offset + in-bucket
+    * cum, exactly the single-window result at any corpus size. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("q_bucket",
+        floor(col("quality_score") * TokenBudgetQScale).cast("long"))
+    val bucketTotals = q.groupBy("q_bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val offsets = bucketTotals
+      .join(bucketTotals.select(col("q_bucket").as("rb"),
+        col("bucket_tokens").as("rt")), col("rb") > col("q_bucket"), "left")
+      .groupBy("q_bucket")
+      .agg(coalesce(sum(col("rt")), lit(0L)).as("bucket_offset"))
+    val budget = q.agg(expr("sum(n_tokens) DIV 2").as("budget"))
+    val wb = Window.partitionBy("q_bucket")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    q.withColumn("cum_in_bucket", sum(col("n_tokens")).over(wb))
+      .join(broadcast(offsets), Seq("q_bucket"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_tokens",
+        (col("bucket_offset") + col("cum_in_bucket")).cast("long"))
+      .where(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---- weighted domain mixing (epochs) -----------------------------------
 
   /** Repetition weight per language in milli-epochs (1000 = one pass).
@@ -604,6 +678,23 @@ object Curation {
          |SELECT event_type, CAST(rn AS INT) AS rn, event_id
          |FROM r WHERE rn <= $StratumSampleK
          |ORDER BY event_type, rn""".stripMargin,
+    "smp_leakage_split" ->
+      s"""WITH RECURSIVE $componentsCtes
+         |SELECT doc_id, cluster_id,
+         |       ${portableHashSql("cluster_id")} % 100 AS bucket,
+         |       CASE WHEN ${portableHashSql("cluster_id")} % 100 < $TrainPct THEN 'train'
+         |            WHEN ${portableHashSql("cluster_id")} % 100 < ${TrainPct + ValPct} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM asg ORDER BY doc_id""".stripMargin,
+    "smp_token_budget" ->
+      s"""WITH q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")})),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM q),
+         |c AS (SELECT doc_id, n_tokens, quality_score,
+         |             CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+         |                  AS BIGINT) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, n_tokens, quality_score, cum_tokens
+         |FROM c, tot WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
     "dd_components" -> componentsOracleSql,
     "dd_components_star" -> componentsOracleSql,
     "dd_cluster_stats" ->
@@ -736,6 +827,8 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_split"      -> trainValTestSplit,
+    "smp_leakage_split" -> leakageSafeSplit,
+    "smp_token_budget"  -> tokenBudgetSelect,
     "smp_stratified" -> stratifiedSample,
     "smp_weighted"   -> weightedMix,
     "smp_pack"       -> sequencePack,

@@ -142,6 +142,47 @@ object Dedup {
         .select("a_id", "b_id", "n_a", "n_b", "inter"))
   }
 
+  /** `dd_cross_overlap`: corpus-composition overlap matrix — for every
+    * pair of sources, the count of distinct 3-word shingles they share,
+    * their Jaccard similarity, and mutual containment. The dataset-audit
+    * primitive behind "how much of source B is already inside source A"
+    * (mix design, crawl-snapshot diffing, contamination triage at the
+    * SOURCE granularity, complementing the per-document `dd_decontam`).
+    *
+    * Scale shape: ONE distinct-shuffle down to (source, shingle), then a
+    * groupBy(shingle) whose per-key state is bounded by the SOURCE
+    * CATALOG (a collect_set over source names — dozens, not documents),
+    * with pair expansion ≤ |catalog|² rows per shingle. No df cap
+    * needed: unlike the doc-pair joins above, per-shingle work here no
+    * longer depends on document frequency, so a boilerplate shingle in
+    * a million docs still contributes exactly one (source-pair) row per
+    * pair of sources containing it. */
+  def crossOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.table(spark, dir, "documents")
+      .select(col("source"),
+        explode(Shingles.wordShinglesNative(spark, col("text"), 3)).as("shingle"))
+      .distinct()
+    val per = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val common = sh.groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(per.select(col("source").as("src_a"), col("n_sh").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(per.select(col("source").as("src_b"), col("n_sh").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common") * lit(1.0)
+          / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"),
+        (col("n_common") * lit(1.0) / col("n_a")).as("containment_a"),
+        (col("n_common") * lit(1.0) / col("n_b")).as("containment_b"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Two documents sharing a verbatim run of this many words are
     * substring near-dups (the span-dedup signal of Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better"): it
@@ -474,6 +515,25 @@ object Dedup {
          |ORDER BY b.doc_id""".stripMargin
     },
     "dd_ngram_jaccard" -> ngramJaccardOracle,
+    "dd_cross_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, shingle FROM (
+         |    SELECT source, unnest(list_distinct(list_transform(
+         |             generate_series(1, len(t)-2),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         |    FROM (SELECT source, string_split(text,' ') AS t FROM documents)
+         |    WHERE len(t) >= 3)),
+         |per AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+         |       GROUP BY 1,2)
+         |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+         |       CAST(pa.n_sh AS BIGINT) AS n_a, CAST(pb.n_sh AS BIGINT) AS n_b,
+         |       n_common*1.0/(pa.n_sh + pb.n_sh - n_common) AS jaccard,
+         |       n_common*1.0/pa.n_sh AS containment_a,
+         |       n_common*1.0/pb.n_sh AS containment_b
+         |FROM ix JOIN per pa ON src_a = pa.source JOIN per pb ON src_b = pb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "dd_span" -> {
       val gram = (0 until SpanK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
       s"""WITH sh AS (
@@ -549,6 +609,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_cross_overlap" -> crossOverlap,
     "dd_span"          -> spanDedup,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_simhash"       -> simhash,

@@ -375,4 +375,51 @@ class CurationSpec extends SparkSpec {
     }
     assert(differs, "quality canonical never diverged from min-id canonical")
   }
+
+  test("leakage-safe split: near-dup pairs never straddle splits, total partition") {
+    val split = Curation.leakageSafeSplit(spark, sfDir)
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(split.count() == nDocs)
+    val bySplit = split.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // THE leakage property: every Jaccard near-dup pair lands in ONE split
+    val pairs = Dedup.ngramJaccard(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(bySplit(a) == bySplit(b), s"pair ($a,$b) straddles the split")
+    }
+    // the naive per-doc split DOES straddle some pair at this scale, or
+    // the operator adds nothing over smp_split
+    val naive = Curation.trainValTestSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "naive split never straddled a near-dup pair; test has no power")
+  }
+
+  test("token budget: two-phase cumsum equals the single global window, budget held") {
+    import org.apache.spark.sql.functions._
+    val got = Curation.tokenBudgetSelect(spark, sfDir)
+    // single-window reference formulation (the thing we refuse to run at
+    // scale: one unpartitioned ORDER BY window)
+    val q = graft.operators.TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val budget = q.agg(expr("sum(n_tokens) DIV 2")).collect()(0).getLong(0)
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+    val ref = q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // budget is actually binding (some docs excluded) and held
+    assert(got.count() < q.count())
+    val maxCum = got.agg(max("cum_tokens")).collect()(0).getLong(0)
+    assert(maxCum <= budget)
+    // plan shape: every window is partitioned (by q_bucket) — the global
+    // ORDER BY window above must NOT be what the operator runs
+    val plan = got.queryExecution.executedPlan.toString
+    plan.split("\n").filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(!l.contains("windowspecdefinition(_w"), s"unpartitioned window: $l")
+    }
+  }
 }

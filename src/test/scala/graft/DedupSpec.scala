@@ -281,4 +281,43 @@ class DedupSpec extends SparkSpec {
     assert(lowCap.nonEmpty)
     lowCap.foreach { case (pair, n) => assert(exact(pair) == n) }
   }
+
+  test("cross-source overlap matches a brute-force shingle-set recompute") {
+    val got = Dedup.crossOverlap(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // brute force: distinct 3-shingle set per source on the driver
+    // (500 docs here; the operator itself never materializes these sets)
+    val bySource = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.flatMap { r =>
+          val t = r.getString(1).split(" ")
+          if (t.length < 3) Seq.empty
+          else t.sliding(3).map(_.mkString(" ")).toSeq
+        }.toSet
+      }
+    val sources = bySource.keys.toSeq.sorted
+    // every ordered pair present exactly once with exact counts
+    val expectedPairs = for {
+      a <- sources; b <- sources if a < b
+      if (bySource(a) & bySource(b)).nonEmpty
+    } yield (a, b)
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq.sorted ==
+      expectedPairs.sorted)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val inter = (bySource(a) & bySource(b)).size.toLong
+      assert(r.getAs[Long]("n_common") == inter, s"($a,$b) n_common")
+      assert(r.getAs[Long]("n_a") == bySource(a).size.toLong, s"($a,$b) n_a")
+      assert(r.getAs[Long]("n_b") == bySource(b).size.toLong, s"($a,$b) n_b")
+      val jac = inter.toDouble / (bySource(a).size + bySource(b).size - inter)
+      assert(r.getAs[Double]("jaccard") == jac, s"($a,$b) jaccard")
+    }
+    // scale shape: no cartesian; per-source totals ride broadcasts
+    val plan = Dedup.crossOverlap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
 }
