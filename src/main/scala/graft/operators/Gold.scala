@@ -230,9 +230,114 @@ object Gold {
       .orderBy("customer_id")
   }
 
+  // ---- market-basket affinity --------------------------------------------
+
+  /** `gold_basket_affinity`: brand-pair co-purchase matrix with support
+    * and lift — the association-rule headline ("customers who buy brand
+    * A also buy brand B") over order-level baskets. Basket = order
+    * (`transaction_id DIV 10` recovers the order key from the mapped
+    * fact); item = product sku (brand), so the matrix is bounded by the
+    * brand catalog (~hundreds of rows), not the product catalog.
+    *
+    * Scale shape: ONE distinct-shuffle to (basket, sku), then a basket-
+    * keyed self-join whose per-key multiplicity is the basket's DISTINCT
+    * BRAND count (≤ line count, ≤ 7·… per order — baskets are small by
+    * construction in retail facts; a pathological mega-basket would cap
+    * at catalog², still metadata). Brand marginals and the basket total
+    * ride 1-row/^catalog-row broadcasts. lift/support divide exact
+    * BIGINT counts cast to double (one fp op each — engine-portable). */
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val sku = Tables.products(spark, dir).select(col("product_id"), col("sku"))
+    val b = Tables.sales(spark, dir)
+      .select(expr("transaction_id DIV 10").as("basket_id"), col("product_id"))
+      .join(broadcast(sku), Seq("product_id"))
+      .select("basket_id", "sku").distinct()
+    val nBaskets = b.agg(count_distinct(col("basket_id")).as("n_baskets"))
+    val per = b.groupBy("sku").agg(count(lit(1)).as("n_sku"))
+    val pairs = b.join(
+        b.select(col("basket_id"), col("sku").as("sku_b")), Seq("basket_id"))
+      .where(col("sku") < col("sku_b"))
+      .groupBy(col("sku").as("sku_a"), col("sku_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(per.select(col("sku").as("sku_a"), col("n_sku").as("n_a"))),
+        Seq("sku_a"))
+      .join(broadcast(per.select(col("sku").as("sku_b"), col("n_sku").as("n_b"))),
+        Seq("sku_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("sku_a"), col("sku_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        ((col("n_ab").cast("double") * col("n_baskets").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("sku_a", "sku_b")
+  }
+
+  // ---- cohort lifetime value ---------------------------------------------
+
+  /** `gold_cohort_ltv`: revenue cohort matrix — customers grouped by
+    * their FIRST purchase month, revenue and active-customer counts per
+    * (cohort, months-since-first) cell. The acquisition-quality view the
+    * daily summary can't answer ("do customers acquired in March keep
+    * spending?"); `evt_retention`'s twin on the money fact.
+    *
+    * Scale shape: first-purchase is one partial-aggregating groupBy on
+    * customer_id; the fact re-joins it on the SAME key (co-partitioned —
+    * one exchange reused by both sides under AQE); the cell aggregate
+    * partial-combines map-side. Months are compared in integer year·12+
+    * month space (no fp date math; identical arithmetic both engines). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sales(spark, dir)
+      .select(col("customer_id"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
+        (col("unit_price") * col("quantity")).as("amount"))
+    val first = s.groupBy("customer_id").agg(min(col("ym")).as("cohort_ym"))
+    s.join(first, Seq("customer_id"))
+      .groupBy(
+        make_date(expr("cohort_ym DIV 12"), col("cohort_ym") % 12 + 1, lit(1))
+          .as("cohort_month"),
+        (col("ym") - col("cohort_ym")).cast("int").as("month_offset"))
+      .agg(
+        count_distinct(col("customer_id")).as("active_customers"),
+        count(lit(1)).as("n_sales"),
+        moneySum(col("amount")).as("revenue"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_basket_affinity" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |b AS (SELECT DISTINCT transaction_id // 10 AS basket_id, sku
+         |      FROM sales JOIN products USING (product_id)),
+         |nb AS (SELECT COUNT(DISTINCT basket_id) AS n_baskets FROM b),
+         |per AS (SELECT sku, COUNT(*) AS n_sku FROM b GROUP BY 1),
+         |pr AS (SELECT a.sku AS sku_a, c.sku AS sku_b, COUNT(*) AS n_ab
+         |       FROM b a JOIN b c ON a.basket_id = c.basket_id AND a.sku < c.sku
+         |       GROUP BY 1, 2)
+         |SELECT sku_a, sku_b, n_ab, pa.n_sku AS n_a, pb.n_sku AS n_b,
+         |       CAST(n_ab AS DOUBLE)/CAST(n_baskets AS DOUBLE) AS support,
+         |       (CAST(n_ab AS DOUBLE)*CAST(n_baskets AS DOUBLE))
+         |         /(CAST(pa.n_sku AS DOUBLE)*CAST(pb.n_sku AS DOUBLE)) AS lift
+         |FROM pr JOIN per pa ON sku_a = pa.sku JOIN per pb ON sku_b = pb.sku
+         |CROSS JOIN nb
+         |ORDER BY sku_a, sku_b""".stripMargin,
+    "gold_cohort_ltv" ->
+      s"""WITH ${Tables.salesCte},
+         |s AS (SELECT customer_id,
+         |             CAST(year(sale_ts)*12 + month(sale_ts) - 1 AS BIGINT) AS ym,
+         |             unit_price*quantity AS amount
+         |      FROM sales),
+         |f AS (SELECT customer_id, MIN(ym) AS cohort_ym FROM s GROUP BY 1)
+         |SELECT make_date(CAST(cohort_ym // 12 AS INT),
+         |                 CAST(cohort_ym % 12 + 1 AS INT), 1) AS cohort_month,
+         |       CAST(ym - cohort_ym AS INT) AS month_offset,
+         |       COUNT(DISTINCT customer_id) AS active_customers,
+         |       COUNT(*) AS n_sales,
+         |       ${moneySumSql("amount")} AS revenue
+         |FROM s JOIN f USING (customer_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "gold_daily_sales_summary" ->
       s"""WITH ${Tables.salesCte}
          |SELECT CAST(sale_ts AS DATE) AS sale_date,
@@ -346,5 +451,7 @@ object Gold {
     "gold_store_performance"   -> storePerformance,
     "src_inventory"            -> inventoryView,
     "gold_manager_revenue"     -> managerRevenue,
-    "gold_rfm"                 -> rfmSegments)
+    "gold_rfm"                 -> rfmSegments,
+    "gold_basket_affinity"     -> basketAffinity,
+    "gold_cohort_ltv"          -> cohortLtv)
 }

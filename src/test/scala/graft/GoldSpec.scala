@@ -203,4 +203,56 @@ class GoldSpec extends SparkSpec {
     assert(applied == newSnap)
     assert(applied.nonEmpty)
   }
+
+  test("basket affinity matches a brute-force basket recompute, counts consistent") {
+    val got = Gold.basketAffinity(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // brute force on the driver: basket → distinct sku set
+    val baskets = Tables.sales(spark, sfDir)
+      .select(expr("transaction_id DIV 10").as("b"), col("product_id"))
+      .join(Tables.products(spark, sfDir).select("product_id", "sku"),
+        "product_id")
+      .select("b", "sku").collect()
+      .groupBy(_.getLong(0)).map { case (b, rs) =>
+        b -> rs.map(_.getString(1)).toSet
+      }
+    val nB = baskets.size.toLong
+    val perSku = baskets.values.flatten
+      .groupBy(identity).map { case (s, o) => s -> o.size.toLong }
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val nAb = baskets.values.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(r.getAs[Long]("n_ab") == nAb, s"($a,$b) n_ab")
+      assert(r.getAs[Long]("n_a") == perSku(a) && r.getAs[Long]("n_b") == perSku(b))
+      assert(r.getAs[Double]("support") == nAb.toDouble / nB)
+      assert(r.getAs[Double]("lift") ==
+        (nAb.toDouble * nB) / (perSku(a).toDouble * perSku(b)))
+    }
+    // lift must actually discriminate at this scale (not all ~1)
+    assert(got.map(_.getAs[Double]("lift")).distinct.length > 10)
+  }
+
+  test("cohort ltv: offsets non-negative, cells partition the fact, cohort is the min month") {
+    val cells = Gold.cohortLtv(spark, sfDir).collect()
+    assert(cells.nonEmpty)
+    assert(cells.forall(_.getAs[Int]("month_offset") >= 0))
+    val totalSales = cells.map(_.getAs[Long]("n_sales")).sum
+    assert(totalSales == Tables.sales(spark, sfDir).count())
+    // offset-0 cell of each cohort contains the cohort's full customer
+    // count (every customer is active in their own first month)
+    val sales = Tables.sales(spark, sfDir)
+      .select(col("customer_id"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val firstYm = sales.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).min }
+    val cohortSizes = firstYm.values
+      .groupBy(identity).map { case (ym, o) => ym -> o.size.toLong }
+    cells.filter(_.getAs[Int]("month_offset") == 0).foreach { r =>
+      val d = r.getAs[java.sql.Date]("cohort_month").toLocalDate
+      val ym = d.getYear * 12 + d.getMonthValue - 1
+      assert(r.getAs[Long]("active_customers") == cohortSizes(ym),
+        s"cohort $d offset-0 active count")
+    }
+  }
 }
