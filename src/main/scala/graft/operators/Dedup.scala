@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Shingles
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{RollingHash, Shingles}
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` (and `embeddings` for the
@@ -181,6 +182,58 @@ object Dedup {
         (col("n_common") * lit(1.0) / col("n_a")).as("containment_a"),
         (col("n_common") * lit(1.0) / col("n_b")).as("containment_b"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** Content-defined chunk boundary: cut before a token when the
+    * rolling hash of the trailing [[ChunkGram]]-token window falls in
+    * the cut residue class — 1-in-[[ChunkMask]] of positions, so chunks
+    * average ~[[ChunkMask]] tokens. Boundaries depend only on LOCAL
+    * content (the Gear/CDC property): inserting a sentence shifts every
+    * byte after it, but chunk cuts re-align within one window, so
+    * unchanged regions keep their chunk identity — the invariance that
+    * makes chunk-level dedup robust where fixed-size blocks are not. */
+  val ChunkGram = 3
+  val ChunkMask = 8L
+
+  /** `dd_chunk_dedup`: content-defined chunking + chunk-level exact
+    * dedup — per document, how many of its chunks appear elsewhere in
+    * the corpus (storage-style dedup at sub-document granularity; the
+    * boilerplate/churn signal between whole-doc `dd_exact` and
+    * span-level `dd_span`).
+    *
+    * Scale shape: tokens explode once; cut flags and chunk ids come
+    * from ONE doc-keyed window pass (lag + running sum — partitions are
+    * single documents, never the corpus); chunk text is re-sliced from
+    * the source row by a co-partitioned doc_id join (no collect_list
+    * reassembly); occurrence counting shuffles 32-byte sha2 keys, not
+    * chunk strings (hash-before-shuffle, as [[exact]]). */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("t", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("t")
+    val gram = concat_ws(" ",
+      lag(col("tok"), 3).over(w), lag(col("tok"), 2).over(w),
+      lag(col("tok"), 1).over(w))
+    val cut = (col("t") >= ChunkGram) &&
+      (RollingHash.rollingHash(spark, gram) % ChunkMask === 0)
+    val bounds = toks
+      .withColumn("chunk_idx", sum(cut.cast("long")).over(w))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+    val chunks = bounds.join(docs, Seq("doc_id"))
+      .select(col("doc_id"),
+        sha2(array_join(slice(split(col("text"), " "),
+          col("t_min") + 1, col("t_max") - col("t_min") + 1), " "), 256)
+          .as("k"))
+    val occ = chunks.groupBy("k").agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, Seq("k"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_ratio",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      .orderBy("doc_id")
   }
 
   /** Two documents sharing a verbatim run of this many words are
@@ -534,6 +587,47 @@ object Dedup {
          |       n_common*1.0/pb.n_sh AS containment_b
          |FROM ix JOIN per pa ON src_a = pa.source JOIN per pb ON src_b = pb.source
          |ORDER BY src_a, src_b""".stripMargin,
+    "dd_chunk_dedup" -> {
+      // char-level mirror of graft_rolling_hash over the trailing 3-gram
+      val g = "l3 || ' ' || l2 || ' ' || l1"
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |            FROM documents),
+         |pos AS (SELECT doc_id, unnest(generate_series(1, len(tokens))) AS i
+         |        FROM tk),
+         |toks AS (SELECT p.doc_id, i - 1 AS t, tokens[i] AS tok
+         |         FROM pos p JOIN tk USING (doc_id)),
+         |lagd AS (SELECT doc_id, t, tok,
+         |           lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY t) AS l3,
+         |           lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY t) AS l2,
+         |           lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY t) AS l1
+         |         FROM toks),
+         |cuts AS (SELECT doc_id, t,
+         |           CASE WHEN t >= $ChunkGram AND
+         |             list_reduce(list_transform(
+         |               generate_series(1, length($g)),
+         |               i -> CAST(unicode(substr($g, i, 1)) AS BIGINT)),
+         |               (acc, c) -> (acc*31 + c) % ${RollingHash.Mod})
+         |             % $ChunkMask = 0
+         |           THEN 1 ELSE 0 END AS cut
+         |         FROM lagd),
+         |idx AS (SELECT doc_id, t,
+         |          SUM(cut) OVER (PARTITION BY doc_id ORDER BY t) AS chunk_idx
+         |        FROM cuts),
+         |b AS (SELECT doc_id, chunk_idx, MIN(t) AS t_min, MAX(t) AS t_max
+         |      FROM idx GROUP BY 1, 2),
+         |ch AS (SELECT b.doc_id,
+         |         array_to_string(tokens[t_min + 1 : t_max + 1], ' ') AS chunk
+         |       FROM b JOIN tk ON b.doc_id = tk.doc_id),
+         |occ AS (SELECT chunk, COUNT(*) AS n_occ FROM ch GROUP BY 1),
+         |per AS (SELECT doc_id, COUNT(*) AS n_chunks,
+         |          SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+         |        FROM ch JOIN occ USING (chunk) GROUP BY 1)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+         |       CAST(n_dup_chunks AS DOUBLE)/CAST(n_chunks AS DOUBLE)
+         |         AS dup_chunk_ratio
+         |FROM per ORDER BY doc_id""".stripMargin
+    },
     "dd_span" -> {
       val gram = (0 until SpanK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
       s"""WITH sh AS (
@@ -610,6 +704,7 @@ object Dedup {
     "dd_exact"         -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_cross_overlap" -> crossOverlap,
+    "dd_chunk_dedup"   -> chunkDedup,
     "dd_span"          -> spanDedup,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_simhash"       -> simhash,

@@ -282,6 +282,60 @@ class DedupSpec extends SparkSpec {
     lowCap.foreach { case (pair, n) => assert(exact(pair) == n) }
   }
 
+  // driver-side mirror of the operator's chunking (same rolling hash)
+  private def chunksOf(text: String): Seq[String] = {
+    val toks = text.split(" ")
+    val b = Seq.newBuilder[Seq[String]]
+    var cur = Seq.newBuilder[String]
+    toks.zipWithIndex.foreach { case (tok, t) =>
+      val cut = t >= Dedup.ChunkGram &&
+        graft.functions.RollingHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            toks.slice(t - 3, t).mkString(" "))) % Dedup.ChunkMask == 0
+      if (cut) { b += cur.result(); cur = Seq.newBuilder[String] }
+      cur += tok
+    }
+    b += cur.result()
+    b.result().map(_.mkString(" "))
+  }
+
+  test("chunk dedup matches a brute-force chunking recompute") {
+    val got = Dedup.chunkDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val allChunks = texts.map { case (id, t) => id -> chunksOf(t) }
+    val occ = allChunks.flatMap(_._2)
+      .groupBy(identity).map { case (c, o) => c -> o.size }
+    assert(got.keySet == texts.map(_._1).toSet)
+    allChunks.foreach { case (id, cs) =>
+      assert(got(id)._1 == cs.length.toLong, s"doc $id n_chunks")
+      assert(got(id)._2 == cs.count(occ(_) > 1).toLong, s"doc $id n_dup_chunks")
+    }
+    // chunking is non-trivial at this scale: some doc has >1 chunk, and
+    // some chunk is shared across docs
+    assert(allChunks.exists(_._2.length > 1))
+    assert(got.values.exists(_._2 > 0))
+  }
+
+  test("chunk boundaries re-align after an insertion (the CDC property)") {
+    import spark.implicits._
+    val base = Tables.table(spark, sfDir, "documents")
+      .select("text").where(length(col("text")) > 300)
+      .orderBy("doc_id").limit(1).collect()(0).getString(0)
+    val shifted = "entirely new preamble sentence goes here . " + base
+    val dir = s"/tmp/graft_cdc_chunks_${java.util.UUID.randomUUID()}"
+    Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.chunkDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dup_chunk_ratio")).toMap
+    // a fixed-size blocker would share ~nothing after the shift; CDC
+    // boundaries re-align within one window, so most chunks dedup
+    assert(out(1L) > 0.5, s"base doc ratio ${out(1L)}")
+    assert(out(2L) > 0.5, s"shifted doc ratio ${out(2L)}")
+  }
+
   test("cross-source overlap matches a brute-force shingle-set recompute") {
     val got = Dedup.crossOverlap(spark, sfDir).collect()
     assert(got.nonEmpty)
