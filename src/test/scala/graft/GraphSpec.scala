@@ -76,4 +76,34 @@ class GraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("triangle counts match the brute-force census") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    // recompute the support-filtered co-purchase edge set directly
+    val bp = graft.sources.Tables.sales(spark, sfDir)
+      .select(expr("transaction_id DIV 10").as("b"), col("product_id").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = bp.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect {
+      case (e, g) if g.size >= Graph.TriMinSupport => e
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (a, g) => a -> g.map(_._2).toSet }
+    val triCount = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj.getOrElse(a, Set.empty[Long])
+         if c > b && adj.getOrElse(b, Set.empty[Long]).contains(c)) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val got = Graph.triangles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("triangles")).toMap
+    assert(got == triCount.toMap, s"got ${got.size} vs exp ${triCount.size}")
+    assert(got.nonEmpty, "no triangles at test scale — census vacuous")
+  }
+
+  test("triangle plan is all equi-joins (no CartesianProduct)") {
+    val plan = Graph.triangles(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
