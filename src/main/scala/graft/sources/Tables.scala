@@ -17,15 +17,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as nanos-since-epoch and downcast to a µs
-    * TIMESTAMP_NTZ (all downstream window/gap logic is second-granular,
-    * so the truncation is lossless for semantics). */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read as nanos-since-epoch and
+    * downcast) and tz-naive timestamp[µs] (reads natively as
+    * TIMESTAMP_NTZ). Adapt on the observed schema; either way the
+    * output is a µs TIMESTAMP_NTZ `ts` column (all downstream
+    * window/gap logic is second-granular, so truncation is lossless
+    * for semantics). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Reference `sale_transactions`: lineitem enriched with the customer
