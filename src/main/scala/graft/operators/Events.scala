@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -470,7 +470,71 @@ object Events {
     anomaliesOf(e, valueStatsOf(e)).orderBy("event_id")
   }
 
+  /** Trailing window (days) for the rolling active-user count. */
+  val WauWindowDays = 7L
+
+  /** `evt_active_users`: per-day DAU, trailing-7-day WAU and the
+    * DAU/WAU stickiness ratio — the engagement headline metric.
+    *
+    * Scale shape: ONE distinct-shuffle to (user, day) pairs first (the
+    * fact never re-shuffles per window), then each pair expands
+    * MAP-SIDE into the ≤7 window-end days it covers (explode of a
+    * 7-element sequence inside the scan stage — the sliding-window
+    * trick from [[slidingAgg]]), and one partial-aggregated
+    * count-distinct per day closes it. Day arithmetic is integer
+    * epoch-days (identical in both engines — no tz, no fp). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsersImpl(spark, dir, exact = true)
+
+  /** The 100-TB twin: `approx_count_distinct` (HyperLogLog++, O(1)
+    * mergeable state per day instead of a distinct-set shuffle whose
+    * per-day group holds every active user id). Identical plan shape
+    * and schema; tolerance-vs-exact asserted in EventsSpec. The exact
+    * path stays the oracle. */
+  def activeUsersApprox(spark: SparkSession, dir: String): DataFrame =
+    activeUsersImpl(spark, dir, exact = false)
+
+  private def activeUsersImpl(spark: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
+    def nUsers(c: Column): Column =
+      if (exact) count_distinct(c) else approx_count_distinct(c)
+    val ud = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("eday"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("eday").agg(nUsers(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("eday"), col("eday") + lit(WauWindowDays - 1)))
+          .as("eday"))
+      .groupBy("eday").agg(nUsers(col("user_id")).as("wau"))
+    dau.join(wau, Seq("eday"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int"))
+          .as("day"),
+        col("dau"), col("wau"),
+        Gold.fixedRound(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "evt_active_users" ->
+      s"""WITH ud AS (SELECT DISTINCT
+         |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+         |              user_id FROM events),
+         |dau AS (SELECT eday, COUNT(*) AS dau FROM ud GROUP BY 1),
+         |cover AS (SELECT user_id,
+         |                 unnest(generate_series(eday, eday + ${WauWindowDays - 1}))
+         |                   AS eday
+         |          FROM ud),
+         |wau AS (SELECT eday, COUNT(DISTINCT user_id) AS wau
+         |        FROM cover GROUP BY 1)
+         |SELECT DATE '1970-01-01' + CAST(d.eday AS INT) AS day, d.dau, w.wau,
+         |       ${Gold.fixedRoundSql(
+             "CAST(d.dau AS DOUBLE)/CAST(w.wau AS DOUBLE)", 4)} AS stickiness
+         |FROM dau d JOIN wau w USING (eday)
+         |ORDER BY day""".stripMargin,
     "evt_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -664,5 +728,6 @@ object Events {
     "evt_attribution_linear" -> attributionLinear,
     "evt_winsorize"       -> winsorize,
     "evt_robust_anomaly"  -> robustAnomalies,
-    "evt_user_paths"      -> userPaths)
+    "evt_user_paths"      -> userPaths,
+    "evt_active_users"    -> activeUsers)
 }

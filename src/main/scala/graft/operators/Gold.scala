@@ -304,9 +304,122 @@ object Gold {
       .orderBy("cohort_month", "month_offset")
   }
 
+  // ---- purchase-cadence and price-response analytics ---------------------
+
+  /** `gold_order_gap`: distribution of days between a customer's
+    * consecutive purchase days — the cadence histogram behind
+    * replenishment / churn-window models (the RFM recency axis is this
+    * distribution's tail).
+    *
+    * Scale shape: one distinct-shuffle to (customer, day), then a lag
+    * window PARTITIONED BY CUSTOMER (bounded by one customer's
+    * distinct days — never a global sort), then one partial-aggregated
+    * histogram groupBy whose key space is bounded by the date range.
+    * All day math is integer datediff. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame =
+    orderGapsOf(Tables.sales(spark, dir))
+
+  def orderGapsOf(sales: DataFrame): DataFrame = {
+    val cd = sales
+      .select(col("customer_id"), to_date(col("sale_ts")).as("sale_date"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("customer_id").orderBy("sale_date")
+    cd.withColumn("prev", lag(col("sale_date"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("customer_id"),
+        datediff(col("sale_date"), col("prev")).cast("long").as("gap_days"))
+      .groupBy("gap_days")
+      .agg(count(lit(1)).as("n_gaps"),
+        count_distinct(col("customer_id")).as("n_customers"))
+      .orderBy("gap_days")
+  }
+
+  /** `gold_price_slope`: per-category OLS slope of quantity against
+    * unit price — the first-order price-response (elasticity proxy)
+    * a pricing team reads before a demand model.
+    *
+    * Determinism at scale: the five sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx²) accumulate as EXACT integers — price snapped to the
+    * 1e-4 fixed-point grid (`FLOOR(p·10⁴)`, tie-free), quantity already
+    * integral — in DECIMAL(38,0), so the sums are order-independent
+    * under any partitioning and bit-equal to DuckDB's HUGEINT
+    * arithmetic. Only the five FINISHED statistics are cast to double
+    * (exact while < 2⁵³), and the closed-form slope runs as the
+    * identical IEEE expression in both engines. One broadcast dim
+    * join + ONE partial-aggregating groupBy of the fact; a
+    * constant-price category (zero x-variance) yields NULL, never a
+    * NaN. */
+  def priceSlope(spark: SparkSession, dir: String): DataFrame =
+    priceSlopeOf(Tables.sales(spark, dir), Tables.products(spark, dir))
+
+  def priceSlopeOf(sales: DataFrame, products: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cat = products.select("product_id", "category")
+    val s = sales
+      .join(broadcast(cat), Seq("product_id"))
+      .select(col("category"),
+        floor(col("unit_price") * 10000).cast(dec).as("x"),
+        col("quantity").cast(dec).as("y"))
+    // The five sufficient statistics stay exact decimals through the
+    // aggregate; ONLY THEY are cast to double (each < 2⁵³ at verified
+    // scales → the conversion is exact), and the closed-form slope runs
+    // as the identical IEEE expression in both engines. Casting the
+    // ~1e19 products instead would hit DuckDB's two-step HUGEINT→DOUBLE
+    // conversion, which is not correctly rounded (1-ulp drift observed).
+    val nd   = col("n").cast("double")
+    val sxd  = col("sx").cast("double")
+    val syd  = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val den  = nd * sxxd - sxd * sxd
+    s.groupBy("category")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("category"), col("n").cast("long").as("n_sales"),
+        (syd / nd).as("mean_qty"),
+        when(den === 0, lit(null))
+          .otherwise((nd * sxyd - sxd * syd) / den * 10000).as("slope"))
+      .orderBy("category")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_order_gap" ->
+      s"""WITH ${Tables.salesCte},
+         |cd AS (SELECT DISTINCT customer_id, CAST(sale_ts AS DATE) AS sale_date
+         |       FROM sales),
+         |l AS (SELECT customer_id,
+         |             date_diff('day',
+         |               LAG(sale_date) OVER (PARTITION BY customer_id
+         |                                    ORDER BY sale_date),
+         |               sale_date) AS gap_days
+         |      FROM cd)
+         |SELECT CAST(gap_days AS BIGINT) AS gap_days, COUNT(*) AS n_gaps,
+         |       COUNT(DISTINCT customer_id) AS n_customers
+         |FROM l WHERE gap_days IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gold_price_slope" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |s AS (SELECT category,
+         |             CAST(FLOOR(unit_price*10000) AS HUGEINT) AS x,
+         |             CAST(quantity AS HUGEINT) AS y
+         |      FROM sales JOIN products USING (product_id)),
+         |a AS (SELECT category, CAST(COUNT(*) AS DOUBLE) AS n,
+         |             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+         |             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+         |             COUNT(*) AS nb
+         |      FROM s GROUP BY 1)
+         |SELECT category, nb AS n_sales,
+         |       sy/n AS mean_qty,
+         |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+         |            ELSE (n*sxy - sx*sy)/(n*sxx - sx*sx)*10000
+         |       END AS slope
+         |FROM a ORDER BY category""".stripMargin,
     "gold_basket_affinity" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |b AS (SELECT DISTINCT transaction_id // 10 AS basket_id, sku
@@ -453,5 +566,7 @@ object Gold {
     "gold_manager_revenue"     -> managerRevenue,
     "gold_rfm"                 -> rfmSegments,
     "gold_basket_affinity"     -> basketAffinity,
-    "gold_cohort_ltv"          -> cohortLtv)
+    "gold_cohort_ltv"          -> cohortLtv,
+    "gold_order_gap"           -> orderGaps,
+    "gold_price_slope"         -> priceSlope)
 }

@@ -671,7 +671,147 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
+  // ---- cosine range (radius) search --------------------------------------
+
+  /** Minimum cosine for [[annRange]] membership — picked against the
+    * synthetic corpus so the result is non-trivial and grows with n
+    * (13 / 24 / 163 pairs at sf0.001 / 0.01 / 0.1). */
+  val RangeThreshold = 0.35
+
+  /** `ann_range`: radius search — ALL corpus neighbors within
+    * [[RangeThreshold]] cosine of each query vector. The dual of top-k
+    * (recall-complete rather than rank-truncated: dedup triage and
+    * retrieval-eval sweeps need "everything above τ", not "the best 5").
+    *
+    * Scale shape: identical to [[annTopKExact]] — the query set rides a
+    * broadcast over ONE partitioned corpus scan (n·|Q| codegen dot
+    * products, no shuffle at all: the threshold filter is map-side and
+    * the output needs no per-query aggregate, unlike top-k's heap).
+    * For corpus-scale query sets the [[signatures]] bucket machinery
+    * composes exactly as in [[annTopKLsh]] — at τ=0.35 the hyperplane
+    * collision probability per bit is 1−θ/π ≈ 0.61, so banded
+    * signatures retain threshold pairs; [[embedNearDup]] IS that plan
+    * shape at a higher τ. */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = querySet(c)
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_nrm")).as("cosine"))
+      .where(col("cosine") >= lit(RangeThreshold))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  // ---- Gram matrix + PCA projection --------------------------------------
+
+  /** `emb_gram`: upper-triangle Gram (uncentered second-moment) matrix
+    * of the embedding corpus — Σ xᵢxⱼ per dimension pair, the one-pass
+    * sufficient statistic for PCA / whitening / subspace drift
+    * ([[pcaProject]] power-iterates the collected d×d matrix).
+    *
+    * Scale shape: the d(d+1)/2 pair expansion happens MAP-SIDE (two
+    * chained posexplode generators inside the scan stage); the only
+    * shuffle is the partial-aggregated groupBy onto 2,080 groups —
+    * METADATA-sized at any corpus size. Per-row products are exact
+    * (fixed-point factors ≤1e4 in magnitude → product ≤1e8 < 2⁵³) and
+    * accumulate in DECIMAL(38,0): order-independent, engine-portable. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.table(spark, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+      .select(col("e"), posexplode(col("e")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+      .where(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum((floor(col("xi") * 10000) * floor(col("xj") * 10000)).cast(dec))
+          .as("sxy"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("n"), (col("sxy").cast("double") / 1e8).as("gram"))
+      .orderBy("i", "j")
+  }
+
+  /** Fixed power-iteration round count for [[pcaAxis]] — deterministic
+    * by construction (fixed v₀, fixed rounds, max-abs normalization). */
+  val PcaIters = 200
+
+  /** Top principal axis of the corpus Gram matrix, unit-normalized.
+    * The d×d Gram is METADATA (2,080 fixed-point-exact doubles,
+    * collected once — the codebook discipline); the power iteration is
+    * a driver-side d² loop with NO randomness: v₀ = e₀, [[PcaIters]]
+    * rounds, max-abs renormalization (division only — the single sqrt
+    * happens once at the end and sqrt is IEEE-correctly-rounded). */
+  def pcaAxis(spark: SparkSession, dir: String): Array[Double] = {
+    val m = Array.ofDim[Double](Dim, Dim)
+    gramMatrix(spark, dir).collect().foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val v = r.getAs[Double]("gram")
+      m(i)(j) = v
+      m(j)(i) = v
+    }
+    var v = Array.tabulate(Dim)(i => if (i == 0) 1.0 else 0.0)
+    var it = 0
+    while (it < PcaIters) {
+      val nv = Array.tabulate(Dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < Dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      val mx = nv.map(math.abs).max
+      v = if (mx > 0) nv.map(_ / mx) else nv
+      it += 1
+    }
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / nrm)
+  }
+
+  /** `emb_pca`: per-vector projection onto the top principal axis —
+    * the 1-D view behind spectral filtering (outlier tails), corpus
+    * drift tracking and SVD-init. Rows-only (no SQL oracle: the power
+    * iteration has no practical ANSI form — it would be a 40-round
+    * recursive CTE over matrix state); PcaSpec asserts the
+    * eigen-residual, run-to-run determinism and projection parity with
+    * a driver-side dot product instead.
+    *
+    * Scale shape: after the [[gramMatrix]] pass, the axis is a d-double
+    * in-plan literal and the projection is one map-side native-codegen
+    * dot product per vector — no shuffle, no state. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val axis = pcaAxis(spark, dir)
+    graft.functions.ArrayDotProduct.register(spark)
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"),
+        VectorFunctions.dot(col("e"), array(axis.map(lit).toSeq: _*)).as("pc1"))
+      .orderBy("vec_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_range" ->
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id % $QueryModulus = 0)
+         |SELECT q.query_id, c.vec_id AS neighbor_id,
+         |       list_dot_product(c.e, q.qe)
+         |         / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+         |FROM c, q
+         |WHERE c.vec_id <> q.query_id
+         |  AND list_dot_product(c.e, q.qe)
+         |        / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.qe, q.qe)))
+         |      >= $RangeThreshold
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+    "emb_gram" ->
+      """WITH c AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |p AS (SELECT e, unnest(generate_series(1, len(e))) AS i FROM c),
+        |pp AS (SELECT e, i, unnest(generate_series(i, len(e))) AS j FROM p)
+        |SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(e[i]*10000)*FLOOR(e[j]*10000)
+        |                     AS DECIMAL(38,0))) AS DOUBLE)/100000000 AS gram
+        |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "emb_quantize" ->
       """WITH c AS (SELECT vec_id,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -822,5 +962,8 @@ object Similarity {
     "emb_norm"         -> embNorm,
     "emb_quantize"     -> embQuantize,
     "emb_outliers"     -> embOutliers,
-    "emb_dim_stats"    -> dimStats)
+    "emb_dim_stats"    -> dimStats,
+    "ann_range"        -> annRange,
+    "emb_gram"         -> gramMatrix,
+    "emb_pca"          -> pcaProject)
 }

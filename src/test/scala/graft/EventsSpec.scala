@@ -419,4 +419,45 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(gotRev(c) - fp) < 1e-9, s"channel $c")
     }
   }
+
+  test("active users: WAU covers DAU and matches a brute-force window") {
+    val rows = Events.activeUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(wau >= dau, s"WAU < DAU on ${r.get(0)}")
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+    // brute force the trailing-7-day distinct count from the raw pairs
+    val pairs = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay,
+        r.getAs[Long]("user_id")))
+    val byDay = pairs.groupBy(_._1)
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      val expWau = (day - 6 to day)
+        .flatMap(d => byDay.getOrElse(d, Array.empty[(Long, Long)]))
+        .map(_._2).distinct.size.toLong
+      assert(r.getAs[Long]("wau") == expWau, s"WAU mismatch on day $day")
+      assert(r.getAs[Long]("dau") ==
+        byDay(day).map(_._2).distinct.size.toLong)
+    }
+  }
+
+  test("approx active users track exact (the 100 TB path)") {
+    val exact = Events.activeUsers(spark, sfDir).collect()
+      .map(r => r.get(0).toString -> (r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+      .toMap
+    val approx = Events.activeUsersApprox(spark, sfDir).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (ed, ew) = exact(r.get(0).toString)
+      // HLL++ default rsd is 5%; allow 3× margin on tiny groups
+      assert(math.abs(r.getAs[Long]("dau") - ed) <= math.max(3, ed * 3 / 20))
+      assert(math.abs(r.getAs[Long]("wau") - ew) <= math.max(3, ew * 3 / 20))
+    }
+  }
 }

@@ -255,4 +255,48 @@ class GoldSpec extends SparkSpec {
         s"cohort $d offset-0 active count")
     }
   }
+
+  test("order gaps: histogram masses match the per-customer day lists") {
+    val rows = Gold.orderGaps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perCust = Tables.sales(spark, sfDir)
+      .select(col("customer_id"), to_date(col("sale_ts")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val gaps = perCust.toSeq.flatMap { case (c, ds) =>
+      ds.zip(ds.tail).map { case (a, b) => (c, b - a) }
+    }
+    val expHist = gaps.groupBy(_._2).view
+      .mapValues(g => (g.size.toLong, g.map(_._1).distinct.size.toLong)).toMap
+    assert(rows.length == expHist.size)
+    rows.foreach { r =>
+      val (n, nc) = expHist(r.getAs[Long]("gap_days"))
+      assert(r.getAs[Long]("n_gaps") == n)
+      assert(r.getAs[Long]("n_customers") == nc)
+    }
+  }
+
+  test("price slope: recovers a planted linear response; constant price is NULL") {
+    import spark.implicits._
+    // category A: q = 100 - 2p exactly (slope -2); category B: constant price
+    val sales = (1 to 50).map { i =>
+      val p = i.toDouble
+      (i.toLong, 1L, i.toLong % 7, 100L - 2 * i, p, "2024-01-01 00:00:00")
+    } ++ (1 to 20).map(i => (100L + i, 2L, i.toLong % 7, i.toLong, 5.0,
+      "2024-01-02 00:00:00"))
+    val salesDf = sales.toDF("transaction_id", "product_id", "store_id",
+      "quantity", "unit_price", "ts")
+      .select(col("transaction_id"), col("product_id"), lit(1L).as("customer_id"),
+        col("store_id"), col("quantity"), col("unit_price"),
+        col("ts").cast("timestamp_ntz").as("sale_ts"))
+    val productsDf = Seq((1L, "a", "s", "catA", 1.0), (2L, "b", "s", "catB", 1.0))
+      .toDF("product_id", "product_name", "sku", "category", "price")
+    val out = Gold.priceSlopeOf(salesDf, productsDf).collect()
+      .map(r => r.getAs[String]("category") ->
+        (if (r.isNullAt(r.fieldIndex("slope"))) None
+         else Some(r.getAs[Double]("slope")))).toMap
+    assert(math.abs(out("catA").get - (-2.0)) < 1e-9)
+    assert(out("catB").isEmpty, "zero price variance must yield NULL, not NaN")
+  }
 }

@@ -86,7 +86,10 @@ class GraphSpec extends SparkSpec {
     val edges = bp.groupBy(_._1).values.flatMap { basket =>
       val ps = basket.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
-    }.groupBy(identity).collect {
+    }.groupBy(identity).iterator.collect {
+      // NB: .iterator first — Map.collect with a pair-valued function
+      // would rebuild a Map keyed on the first element, collapsing the
+      // edge set to one edge per left endpoint
       case (e, g) if g.size >= Graph.TriMinSupport => e
     }.toSet
     val adj = edges.groupBy(_._1).map { case (a, g) => a -> g.map(_._2).toSet }
