@@ -657,7 +657,57 @@ object Curation {
        |       doc_id = cluster_id AS is_canonical
        |FROM asg ORDER BY doc_id""".stripMargin
 
+  /** Candidates drawn per customer by [[negativeSampling]]. */
+  val NegK = 4
+
+  /** `smp_negative_sampling`: deterministic negative sampling for
+    * contrastive / recommendation training — per customer, [[NegK]]
+    * pseudo-random candidate products drawn by the portable hash, with
+    * every actually-purchased pair anti-joined out. Membership depends
+    * only on (customer_id, slot), so re-runs and backfills regenerate
+    * the identical negative set (the [[trainValTestSplit]] stability
+    * contract, applied to pair sampling).
+    *
+    * Scale shape: candidates are generated MAP-SIDE from the customer
+    * key set (explode of a NegK-element sequence — no shuffle), the
+    * catalog size rides a broadcast 1-row aggregate, and the only
+    * exchange is the anti-join keyed on (customer, product) against
+    * the distinct purchase pairs — K·|customers| rows, never
+    * |customers|×|catalog|. */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.sales(spark, dir)
+      .select(col("customer_id"), col("product_id")).distinct()
+    val customers = purchases.select("customer_id").distinct()
+    val np = Tables.products(spark, dir).agg(count(lit(1)).as("n_products"))
+    val cands = customers.crossJoin(broadcast(np))
+      .select(col("customer_id"), col("n_products"),
+        explode(sequence(lit(0L), lit(NegK - 1L))).as("cand_idx"))
+      .select(col("customer_id"), col("cand_idx"),
+        (portableHash(col("customer_id") * NegK + col("cand_idx"))
+          % col("n_products")).as("product_id"))
+    cands.join(purchases, Seq("customer_id", "product_id"), "left_anti")
+      .select("customer_id", "cand_idx", "product_id")
+      .orderBy("customer_id", "cand_idx")
+  }
+
   val oracles: Map[String, String] = Map(
+    "smp_negative_sampling" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |p AS (SELECT DISTINCT customer_id, product_id FROM sales),
+         |cust AS (SELECT DISTINCT customer_id FROM p),
+         |np AS (SELECT COUNT(*) AS n_products FROM products),
+         |cands AS (
+         |  SELECT customer_id, i.cand_idx,
+         |         ${portableHashSql(s"customer_id*$NegK + i.cand_idx")}
+         |           % n_products AS product_id
+         |  FROM cust, np,
+         |       (SELECT unnest(generate_series(0, ${NegK - 1})) AS cand_idx) i)
+         |SELECT c.customer_id, c.cand_idx, c.product_id
+         |FROM cands c
+         |WHERE NOT EXISTS (SELECT 1 FROM p
+         |                  WHERE p.customer_id = c.customer_id
+         |                    AND p.product_id = c.product_id)
+         |ORDER BY c.customer_id, c.cand_idx""".stripMargin,
     "smp_split" ->
       s"""SELECT doc_id,
          |       ${portableHashSql("doc_id")} % 100 AS bucket,
@@ -837,6 +887,7 @@ object Curation {
     "smp_dsir"       -> dsirResample,
     "smp_curriculum" -> curriculum,
     "smp_temperature" -> temperatureSample,
+    "smp_negative_sampling" -> negativeSampling,
     "dd_components"  -> dedupComponents,
     "dd_components_star" -> dedupComponentsStar,
     "dd_canonical"   -> canonicalByQuality,

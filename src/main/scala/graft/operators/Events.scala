@@ -518,7 +518,85 @@ object Events {
       .orderBy("day")
   }
 
+  /** `evt_user_features`: the per-user feature-store rollup — event
+    * counts (total, per funnel stage, distinct types), fixed-point
+    * value sum, first/last activity and active-day count in ONE
+    * partial-aggregating groupBy of the fact (the model-training
+    * feature extraction every churn/propensity pipeline starts from;
+    * at 100 TB this is the same single shuffle, keyed on user_id).
+    * Day and second arithmetic is integer epoch math. */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        Gold.moneySum(col("value")).as("total_value"),
+        min(col("es")).as("first_es"),
+        max(col("es")).as("last_es"),
+        count_distinct(expr("es DIV 86400")).as("active_days"))
+      .orderBy("user_id")
+
+  /** Burst threshold: a user whose busiest hour holds this many events
+    * gets the bot/abuse flag. */
+  val BotMaxPerHour = 3L
+
+  /** `evt_bot_rate`: superhuman-rate detection — per user, the busiest
+    * one-hour bucket's event count, flagged against [[BotMaxPerHour]].
+    * The cheap first-line spam/bot filter a training-data pipeline
+    * runs before any content model (scripted clients cluster into a
+    * few wall-clock buckets; humans don't).
+    *
+    * Scale shape: two partial-aggregating groupBys — (user, hour) then
+    * user — both keyed on user_id, so AQE reuses one exchange; hour
+    * bucketing is integer epoch DIV. No window, no self-join. */
+  def botRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " DIV 3600").as("hr"))
+      .groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"), max(col("n")).as("max_per_hour"))
+      .select(col("user_id"), col("n_events"), col("max_per_hour"),
+        (col("max_per_hour") >= BotMaxPerHour).as("burst_flag"))
+      .orderBy("user_id")
+
   val oracles: Map[String, String] = Map(
+    "evt_user_features" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events)
+        |SELECT user_id,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT event_type) AS n_types,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_views,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clicks,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(FLOOR(value*10000) AS DECIMAL(28,0))) AS DOUBLE)/10000
+        |         AS total_value,
+        |       MIN(es) AS first_es,
+        |       MAX(es) AS last_es,
+        |       COUNT(DISTINCT es // 86400) AS active_days
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_bot_rate" ->
+      s"""WITH e AS (SELECT user_id,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr
+         |           FROM events),
+         |c AS (SELECT user_id, hr, COUNT(*) AS n FROM e GROUP BY 1, 2)
+         |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+         |       CAST(MAX(n) AS BIGINT) AS max_per_hour,
+         |       MAX(n) >= $BotMaxPerHour AS burst_flag
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_active_users" ->
       s"""WITH ud AS (SELECT DISTINCT
          |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
@@ -729,5 +807,7 @@ object Events {
     "evt_winsorize"       -> winsorize,
     "evt_robust_anomaly"  -> robustAnomalies,
     "evt_user_paths"      -> userPaths,
-    "evt_active_users"    -> activeUsers)
+    "evt_active_users"    -> activeUsers,
+    "evt_user_features"   -> userFeatures,
+    "evt_bot_rate"        -> botRate)
 }

@@ -249,7 +249,68 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** `mm_exact_dedup`: content-hash exact dedup of media payloads —
+    * the first pass of any multimodal curation pipeline (the same
+    * crawl image ships under thousands of URLs; hash-grouping payload
+    * BYTES collapses them before any expensive decode).
+    *
+    * The corpus is synthesized with deliberately colliding dimensions
+    * (w mod 64, h mod 32) so real duplicate payloads exist; the sha256
+    * runs over the actual bytes on the executors (payloads never reach
+    * the driver), and the oracle recomputes the equivalence classes
+    * from the doc_id arithmetic — a hash-grouping bug (e.g. hashing
+    * the declared type instead of bytes) breaks the match. Scale
+    * shape: the [[Dedup]] discipline — hash BEFORE the shuffle, so the
+    * exchange carries 32-byte digests, never payloads; one groupBy +
+    * one co-keyed join back. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val declared = if (id % 2 == 0) "png" else "jpeg"
+        val (w, h) = (16 + (id * 7) % 64, 16 + (id * 13) % 32)
+        val payload =
+          if (id % 5 == 0) text.getBytes("UTF-8") // corrupt: raw text bytes
+          else if (id % 2 == 0) MediaHeaders.synthPng(w, h)
+          else MediaHeaders.synthJpeg(w, h)
+        MediaRecord(id, declared, payload)
+      }).toDF()
+    val hashed = recs.select(col("doc_id"), col("media_type"),
+      sha2(col("payload"), 256).as("content_hash"),
+      length(col("payload")).cast("long").as("byte_len"))
+    val canon = hashed.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("copies"))
+    hashed.join(canon, Seq("content_hash"))
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("canonical_id"), col("copies"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // equivalence classes derived from doc_id arithmetic, NOT from
+    // hashing: the Spark side must hash the real payload bytes into
+    // exactly these classes for the hash gate to match
+    "mm_exact_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_type,
+        |         CASE WHEN doc_id % 5 = 0 THEN 'raw:' || text
+        |              WHEN doc_id % 2 = 0 THEN 'png:' || (16 + (doc_id*7) % 64)
+        |                   || 'x' || (16 + (doc_id*13) % 32)
+        |              ELSE 'jpeg:' || (16 + (doc_id*7) % 64)
+        |                   || 'x' || (16 + (doc_id*13) % 32) END AS key,
+        |         CASE WHEN doc_id % 5 = 0
+        |                THEN CAST(octet_length(encode(text)) AS BIGINT)
+        |              WHEN doc_id % 2 = 0 THEN CAST(33 AS BIGINT)
+        |              ELSE CAST(39 AS BIGINT) END AS byte_len
+        |  FROM documents),
+        |c AS (SELECT key, MIN(doc_id) AS canonical_id, COUNT(*) AS copies
+        |      FROM k GROUP BY 1)
+        |SELECT doc_id, media_type, byte_len, canonical_id, copies,
+        |       doc_id <> canonical_id AS is_dup
+        |FROM k JOIN c USING (key) ORDER BY doc_id""".stripMargin,
     "mm_frame_samples" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -290,5 +351,6 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"    -> mediaMeta,
-    "mm_frame_samples" -> frameSamples)
+    "mm_frame_samples" -> frameSamples,
+    "mm_exact_dedup"   -> mediaDedup)
 }

@@ -422,4 +422,35 @@ class CurationSpec extends SparkSpec {
       assert(!l.contains("windowspecdefinition(_w"), s"unpartitioned window: $l")
     }
   }
+
+  test("negative sampling: no sampled pair was purchased, slots deterministic") {
+    val neg = Curation.negativeSampling(spark, sfDir).collect()
+    assert(neg.nonEmpty)
+    val purchased = Tables.sales(spark, sfDir)
+      .select("customer_id", "product_id").distinct().collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
+    val nProducts = Tables.products(spark, sfDir).count()
+    neg.foreach { r =>
+      val (c, p) = (r.getAs[Long]("customer_id"), r.getAs[Long]("product_id"))
+      assert(!purchased.contains((c, p)), s"sampled a purchased pair ($c,$p)")
+      assert(p >= 0 && p < nProducts)
+      // the slot hash is reproducible: recompute it
+      val idx = r.getAs[Long]("cand_idx")
+      val h = ((c * Curation.NegK + idx) % 2147483648L) * 2654435761L % 2147483648L
+      assert(p == h % nProducts)
+    }
+    // every customer yields at most NegK slots, and misses only to
+    // purchased collisions
+    val perCust = neg.groupBy(_.getAs[Long]("customer_id"))
+    perCust.foreach { case (c, rows) =>
+      assert(rows.length <= Curation.NegK)
+      val missing = Curation.NegK - rows.length
+      val collided = (0L until Curation.NegK).count { i =>
+        val h = ((c * Curation.NegK + i) % 2147483648L) * 2654435761L % 2147483648L
+        purchased.contains((c, h % nProducts))
+      }
+      assert(missing == collided, s"customer $c dropped non-collision slots")
+    }
+  }
 }

@@ -447,6 +447,40 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("user features reconcile with direct per-user recomputes") {
+    val rows = Events.userFeatures(spark, sfDir).collect()
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val byUser = raw.groupBy(_._1)
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val g = byUser(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == g.length)
+      assert(r.getAs[Long]("n_types") == g.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_views") == g.count(_._2 == "view"))
+      assert(r.getAs[Long]("n_purchases") == g.count(_._2 == "purchase"))
+      assert(r.getAs[Long]("first_es") <= r.getAs[Long]("last_es"))
+      assert(r.getAs[Long]("active_days") >= 1)
+    }
+  }
+
+  test("bot rate: max hourly bucket matches brute force; totals reconcile") {
+    val rows = Events.botRate(spark, sfDir).collect()
+    val raw = Events.eventsWithEpochSeconds(spark, sfDir)
+      .select(col("user_id"), col("es")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("es") / 3600))
+    val byUser = raw.groupBy(_._1)
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val hrs = byUser(r.getAs[Long]("user_id")).map(_._2)
+      val exp = hrs.groupBy(identity).values.map(_.length).max
+      assert(r.getAs[Long]("max_per_hour") == exp)
+      assert(r.getAs[Long]("n_events") == hrs.length)
+      assert(r.getAs[Boolean]("burst_flag") == (exp >= Events.BotMaxPerHour))
+    }
+  }
+
   test("approx active users track exact (the 100 TB path)") {
     val exact = Events.activeUsers(spark, sfDir).collect()
       .map(r => r.get(0).toString -> (r.getAs[Long]("dau"), r.getAs[Long]("wau")))

@@ -205,6 +205,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("media dedup: clusters group identical payloads, canonical is min id") {
+    val rows = Multimodal.mediaDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCanon = rows.groupBy(_.getAs[Long]("canonical_id"))
+    assert(byCanon.exists(_._2.length > 1), "no duplicate payloads at test scale")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("is_dup") ==
+        (r.getAs[Long]("doc_id") != r.getAs[Long]("canonical_id")))
+      assert(r.getAs[Long]("copies") ==
+        byCanon(r.getAs[Long]("canonical_id")).length)
+    }
+    // every cluster's members share byte_len (same payload ⇒ same length)
+    byCanon.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("byte_len")).distinct.length == 1)
+    }
+  }
+
   test("header parser: PNG IHDR + JPEG SOF round-trip; malformed inputs -> None") {
     import Multimodal.MediaHeaders._
     assert(parse(synthPng(640, 480)) == Some(("png", 640L, 480L)))
