@@ -223,6 +223,23 @@ object Curation {
         count(lit(1)).as("n_docs"))
       .orderBy("cluster_size")
 
+  /** `dd_weights`: dedup-aware soft example weights — every document
+    * kept, weighted 1/cluster_size, so a near-dup cluster contributes
+    * ONE document's worth of gradient mass in aggregate (the
+    * down-weighting alternative to dropping: repeated data hurts at
+    * high repetition counts, but hard-dropping loses the cluster's
+    * intra-variation; soft weights keep it). Third member of the
+    * dedup-action family next to `dd_components` (drop to smallest id)
+    * and `dd_canonical` (keep best quality).
+    *
+    * Scale shape: identical to [[dedupComponents]] — the weight is one
+    * map-side division over the already-computed cluster size. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+      .orderBy("doc_id")
+
   /** `dd_canonical`: quality-aware canonical selection — resolve the
     * near-dup clusters of [[dedupComponents]] but keep the HIGHEST-
     * quality member of each cluster (doc_id breaks score ties), not the
@@ -747,6 +764,15 @@ object Curation {
          |FROM c, tot WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
     "dd_components" -> componentsOracleSql,
     "dd_components_star" -> componentsOracleSql,
+    "dd_weights" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |sized AS (SELECT doc_id, cluster_id,
+         |            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |          FROM asg)
+         |SELECT doc_id, cluster_id,
+         |       CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       CAST(1.0 AS DOUBLE)/cluster_size AS weight
+         |FROM sized ORDER BY doc_id""".stripMargin,
     "dd_cluster_stats" ->
       s"""WITH RECURSIVE $componentsCtes,
          |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size
@@ -890,6 +916,7 @@ object Curation {
     "smp_negative_sampling" -> negativeSampling,
     "dd_components"  -> dedupComponents,
     "dd_components_star" -> dedupComponentsStar,
+    "dd_weights"     -> dedupWeights,
     "dd_canonical"   -> canonicalByQuality,
     "dd_cluster_stats" -> clusterStats,
     "txt_curate"     -> curate)

@@ -106,6 +106,17 @@ object Dedup {
     ngramJaccardCapped(spark, dir, ShingleDfCap)
 
   def ngramJaccardCapped(spark: SparkSession, dir: String,
+      dfCap: Long): DataFrame =
+    jaccardFromInter(pairIntersections(spark, dir, dfCap))
+
+  /** Exact (a_id, b_id, n_a, n_b, inter) for every doc pair sharing at
+    * least one allowed (df ≤ cap) shingle — the shared candidate+count
+    * kernel of [[ngramJaccardCapped]] and [[containment]]. The banned-
+    * shingle correction restores full-set intersection counts, so
+    * `inter` is exact over the COMPLETE shingle sets; only pairs whose
+    * every shared shingle is corpus-boilerplate can be absent (none at
+    * the verified scale factors — the df-cap precondition assert). */
+  private def pairIntersections(spark: SparkSession, dir: String,
       dfCap: Long): DataFrame = {
     val sh = shingleSets(spark, dir)
     // Ban-list anti-join, NOT a df window: the banned set is tiny by
@@ -136,12 +147,61 @@ object Dedup {
       .join(bannedRows.select(col("doc_id").as("b_id"), col("shingle")),
         Seq("shingle", "b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter_banned"))
-    jaccardFromInter(
-      interAllowed.join(interBanned, Seq("a_id", "b_id"), "left")
-        .withColumn("inter",
-          col("inter_allowed") + coalesce(col("inter_banned"), lit(0L)))
-        .select("a_id", "b_id", "n_a", "n_b", "inter"))
+    interAllowed.join(interBanned, Seq("a_id", "b_id"), "left")
+      .withColumn("inter",
+        col("inter_allowed") + coalesce(col("inter_banned"), lit(0L)))
+      .select("a_id", "b_id", "n_a", "n_b", "inter")
   }
+
+  /** Containment floor: the smaller set must sit ≥ this fraction inside
+    * the larger one. */
+  val ContainmentThreshold = 0.9
+  /** Ignore near-empty shingle sets (a 1-shingle doc is "contained"
+    * everywhere its one shingle appears — noise, not duplication). */
+  val ContainMinShingles = 5L
+
+  /** `dd_containment`: asymmetric near-dup pairs by exact n-gram
+    * CONTAINMENT — |A∩B| / min(|A|,|B|) ≥ [[ContainmentThreshold]].
+    * Jaccard misses the snippet-in-document case (a quoted excerpt,
+    * a boilerplate-wrapped article): a 50-shingle doc fully inside a
+    * 1000-shingle doc has Jaccard 0.05 but containment 1.0. This is the
+    * Broder containment dual of [[ngramJaccard]], the signal behind
+    * sub/superset-aware canonicalization in crawl dedup.
+    *
+    * Same single df-capped self-join as the Jaccard path (the shared
+    * [[pairIntersections]] kernel — one candidate pass serves both
+    * thresholds), same exact banned-shingle correction, so the reported
+    * containment is exact over the full shingle sets. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    pairIntersections(spark, dir, ShingleDfCap)
+      .withColumn("containment",
+        col("inter") * lit(1.0) / least(col("n_a"), col("n_b")))
+      .where(col("containment") >= ContainmentThreshold &&
+        least(col("n_a"), col("n_b")) >= ContainMinShingles)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        col("containment"))
+      .orderBy("a_id", "b_id")
+
+  /** `dd_contam_report`: per-source contamination triage — the
+    * [[decontam]] doc-level flags rolled up to the SOURCE granularity
+    * (which crawl/feed is leaking eval data, the question a curation
+    * review actually asks; doc-level flags feed filters, this feeds the
+    * mix decision). One doc_id-keyed join (co-partitioned with
+    * decontam's own final join) + one partial-aggregating groupBy over
+    * the source catalog — no new shuffle shape at any corpus size. */
+  def contamReport(spark: SparkSession, dir: String): DataFrame =
+    decontam(spark, dir)
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_hits")).as("total_hits"))
+      .select(col("source"), col("n_train_docs"), col("n_contaminated"),
+        col("total_hits"),
+        (col("n_contaminated").cast("double") / col("n_train_docs").cast("double"))
+          .as("contamination_rate"))
+      .orderBy("source")
 
   /** `dd_cross_overlap`: corpus-composition overlap matrix — for every
     * pair of sources, the count of distinct 3-word shingles they share,
@@ -568,6 +628,7 @@ object Dedup {
          |ORDER BY b.doc_id""".stripMargin
     },
     "dd_ngram_jaccard" -> ngramJaccardOracle,
+    "dd_containment"   -> containmentOracle,
     "dd_cross_overlap" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT source, shingle FROM (
@@ -642,7 +703,19 @@ object Dedup {
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
     "dd_minhash_lsh" -> ngramJaccardOracle,
-    "dd_decontam" -> {
+    "dd_decontam" -> decontamOracle,
+    "dd_contam_report" ->
+      s"""WITH dec AS (SELECT * FROM ($decontamOracle))
+         |SELECT d.source, COUNT(*) AS n_train_docs,
+         |       CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_contaminated,
+         |       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+         |       CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+         |FROM dec JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  private lazy val decontamOracle: String = {
       val benchHash = Curation.portableHashSql("doc_id")
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -670,7 +743,7 @@ object Dedup {
          |       COALESCE(h.n_hits, 0) > 0 AS contaminated
          |FROM train t LEFT JOIN hits h USING (doc_id)
          |ORDER BY doc_id""".stripMargin
-    })
+    }
 
   /** The exact near-dup pair set as reusable CTEs ending in
     * `pairs(a_id, b_id, jaccard)` — shared with [[Curation]]'s
@@ -700,15 +773,30 @@ object Dedup {
        |SELECT a_id, b_id, jaccard FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Containment oracle: same sh/sizes/inter CTEs, asymmetric final
+    * predicate (the unused `pairs` CTE is never evaluated). */
+  private lazy val containmentOracle: String =
+    s"""WITH $ngramPairCtes
+       |SELECT a_id, b_id, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |       inter*1.0/LEAST(sa.n_sh, sb.n_sh) AS containment
+       |FROM inter
+       |JOIN sizes sa ON a_id = sa.doc_id
+       |JOIN sizes sb ON b_id = sb.doc_id
+       |WHERE inter*1.0/LEAST(sa.n_sh, sb.n_sh) >= $ContainmentThreshold
+       |  AND LEAST(sa.n_sh, sb.n_sh) >= $ContainMinShingles
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_containment"   -> containment,
     "dd_cross_overlap" -> crossOverlap,
     "dd_chunk_dedup"   -> chunkDedup,
     "dd_span"          -> spanDedup,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
+    "dd_contam_report" -> contamReport,
     "dd_incremental"   -> incrementalDedup,
     "dd_bloom"         -> bloomIncrementalDedup)
 }

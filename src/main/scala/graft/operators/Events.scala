@@ -569,7 +569,108 @@ object Events {
         (col("max_per_hour") >= BotMaxPerHour).as("burst_flag"))
       .orderBy("user_id")
 
+  /** Value-space bucket count for the Gini global rank (the
+    * [[Gold.abcClass]] / `smp_token_budget` two-phase scheme). */
+  val GiniBuckets = 2000L
+
+  /** `evt_gini`: Gini coefficient of per-user event counts — the
+    * one-number activity-concentration audit ("do 1% of accounts
+    * generate 90% of traffic?") read before sampling or rate-limit
+    * design; 0 = uniform, →1 = one user dominates.
+    *
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over counts sorted ascending
+    * needs a GLOBAL rank — the scale hazard. Two-phase: value-space
+    * bucket from a broadcast 1-row min/max aggregate (monotone in x,
+    * ties share a bucket), in-bucket `row_number`, strictly-lower-bucket
+    * population offsets from a ≤[[GiniBuckets]]-row aggregate broadcast
+    * back — rank = offset + in-bucket row number, exactly the global
+    * (x, user_id) rank at any user count. Σx and Σ i·x accumulate as
+    * DECIMAL(38,0) (order-independent, bit-equal to DuckDB HUGEINT);
+    * only the three FINISHED statistics are cast to double (< 2⁵³ at
+    * verified scales → exact) and the closed form runs as the identical
+    * IEEE expression in both engines — the [[Gold.priceSlopeOf]]
+    * discipline. */
+  def activityGini(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+    val stats = x.agg(min(col("x")).as("minx"), max(col("x")).as("maxx"))
+    val bucketed = x.crossJoin(broadcast(stats))
+      .withColumn("b", expr(s"((x - minx) * $GiniBuckets) DIV (maxx - minx + 1)"))
+    val bucketCounts = bucketed.groupBy("b").agg(count(lit(1)).as("bc"))
+    val offsets = bucketCounts
+      .join(bucketCounts.select(col("b").as("lb"), col("bc").as("lc")),
+        col("lb") < col("b"), "left")
+      .groupBy("b").agg(coalesce(sum(col("lc")), lit(0L)).as("b_offset"))
+    val wb = Window.partitionBy("b").orderBy("x", "user_id")
+    val nd  = col("n").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    bucketed
+      .withColumn("rn", row_number().over(wb))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("i", (col("b_offset") + col("rn")).cast(dec))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("s1"),
+        sum(col("i") * col("x").cast(dec)).as("s2"))
+      .select(col("n").cast("long").as("n_users"),
+        col("s1").cast("long").as("total_events"),
+        ((lit(2.0) * s2d - (nd + lit(1.0)) * s1d) / (nd * s1d)).as("gini"))
+  }
+
+  /** `evt_streaks`: per-user longest consecutive-day activity streak
+    * (gaps-and-islands — the habit/engagement metric behind "7-day
+    * streak" product features and retention models). Island identity is
+    * the classic `eday - row_number()` constant: consecutive days share
+    * it, any gap shifts it.
+    *
+    * Scale shape: ONE distinct-shuffle down to (user_id, eday) —
+    * everything after operates on at most days-per-user rows per key.
+    * The row_number window and both aggregates are keyed on user_id, so
+    * AQE sees a single exchange; per-partition state is bounded by one
+    * user's active-day count (≤ a few thousand even for a years-long
+    * history), never by corpus size. Day arithmetic is integer epoch
+    * math end to end. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("eday")
+    ud.withColumn("isl", col("eday") - row_number().over(w))
+      .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "evt_gini" ->
+      """WITH x AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM x),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |             SUM(CAST(x AS HUGEINT)) AS s1,
+        |             SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS s2
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(s1 AS BIGINT) AS total_events,
+        |       (2.0*CAST(s2 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)*CAST(s1 AS DOUBLE))
+        |         / (CAST(n AS DOUBLE)*CAST(s1 AS DOUBLE)) AS gini
+        |FROM a""".stripMargin,
+    "evt_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday
+        |            FROM events),
+        |i AS (SELECT user_id,
+        |        eday - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY eday) AS isl
+        |      FROM ud),
+        |s AS (SELECT user_id, isl, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |       COUNT(*) AS n_streaks
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_user_features" ->
       """WITH e AS (SELECT user_id, event_type, value,
         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events)
@@ -809,5 +910,7 @@ object Events {
     "evt_user_paths"      -> userPaths,
     "evt_active_users"    -> activeUsers,
     "evt_user_features"   -> userFeatures,
-    "evt_bot_rate"        -> botRate)
+    "evt_bot_rate"        -> botRate,
+    "evt_streaks"         -> streaks,
+    "evt_gini"            -> activityGini)
 }

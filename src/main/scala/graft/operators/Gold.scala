@@ -385,9 +385,124 @@ object Gold {
       .orderBy("category")
   }
 
+  /** `gold_repeat_rate`: monthly repeat-purchase rate — per calendar
+    * month, how many distinct customers ordered and what share ordered
+    * twice or more (the retention headline next to [[cohortLtv]]'s
+    * longitudinal view). Two co-keyed partial-aggregating groupBys
+    * ((month, customer) → month, the [[Events.botRate]] shape): at
+    * 100 TB the first shuffle is the order stream keyed by month+
+    * customer, the second is month-cardinality metadata. Integer month
+    * arithmetic; the rate divides two exact counts in one IEEE op. */
+  def repeatRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("customer_id"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"))
+      .groupBy("ym", "customer_id").agg(count(lit(1)).as("n_orders"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .select(
+        make_date(expr("ym DIV 12"), col("ym") % 12 + 1, lit(1)).as("month"),
+        col("n_customers"), col("n_repeat"),
+        (col("n_repeat").cast("double") / col("n_customers").cast("double"))
+          .as("repeat_rate"))
+      .orderBy("month")
+
+  // ---- ABC / Pareto classification ---------------------------------------
+
+  /** Value-space bucket count for the ABC global cumulative sum (the
+    * `smp_token_budget` two-phase scheme: ≤ this many window
+    * partitions, each holding only the products whose revenue falls in
+    * one value slice). */
+  val AbcBuckets = 2000L
+
+  /** `gold_abc_class`: ABC (Pareto) inventory classification — class A
+    * products cover the top 80% of cumulative revenue, B the next 15%,
+    * C the tail (the merchandising standard for stocking priority;
+    * reference load.py's product ranking stops at totals — this is the
+    * canonical downstream classification).
+    *
+    * Scale shape: the hazard is the revenue-ordered global cumulative
+    * sum — a bare `SUM OVER (ORDER BY revenue DESC)` funnels every
+    * product through ONE task. Two-phase instead, the
+    * [[Curation.tokenBudgetSelect]] scheme with a VALUE-SPACE bucket:
+    * per-product fixed-point revenue (one partial-agg groupBy of the
+    * fact), bucket index from a broadcast 1-row min/max aggregate
+    * (monotone: higher revenue ⇒ same-or-higher bucket, and equal
+    * revenues always share a bucket — so bucket-major DESC composed
+    * with in-bucket (revenue DESC, product_id) order IS the exact
+    * global order), in-bucket cumulative sums windowed per bucket, and
+    * a ≤[[AbcBuckets]]-row bucket-offset aggregate broadcast back.
+    * Cumulative sums ride as DECIMAL(38,0); the A/B thresholds compare
+    * `5·cum ≤ 4·total` / `20·cum ≤ 19·total` in exact integer
+    * arithmetic, so the class boundary can never move under double
+    * rounding; doubles appear only in the output money columns (the
+    * [[moneySum]] convention). */
+  def abcClass(spark: SparkSession, dir: String): DataFrame =
+    abcClassOf(Tables.sales(spark, dir))
+
+  def abcClassOf(sales: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rev = sales.groupBy("product_id")
+      .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
+        .cast(DecimalType(28, 0))).cast("long").as("rev_i"))
+    val stats = rev.agg(min(col("rev_i")).as("minr"), max(col("rev_i")).as("maxr"),
+      sum(col("rev_i").cast(dec)).as("total"))
+    val bucketed = rev.crossJoin(broadcast(stats))
+      .withColumn("b",
+        expr(s"((rev_i - minr) * $AbcBuckets) DIV (maxr - minr + 1)"))
+    val bucketTotals = bucketed.groupBy("b")
+      .agg(sum(col("rev_i").cast(dec)).as("bt"))
+    val offsets = bucketTotals
+      .join(bucketTotals.select(col("b").as("rb"), col("bt").as("rt")),
+        col("rb") > col("b"), "left")
+      .groupBy("b")
+      .agg(coalesce(sum(col("rt")), lit(0L).cast(dec)).as("b_offset"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy(col("rev_i").desc, col("product_id"))
+    bucketed
+      .withColumn("cum_in", sum(col("rev_i").cast(dec)).over(wb))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("cum", col("b_offset") + col("cum_in"))
+      .select(col("product_id"),
+        (col("rev_i").cast("double") / 10000).as("revenue"),
+        (col("cum").cast("double") / 10000).as("cum_revenue"),
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy("product_id")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_repeat_rate" ->
+      """WITH o AS (SELECT o_custkey AS customer_id,
+        |             CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT) AS ym
+        |           FROM orders),
+        |c AS (SELECT ym, customer_id, COUNT(*) AS n FROM o GROUP BY 1, 2)
+        |SELECT make_date(CAST(ym // 12 AS INT), CAST(ym % 12 + 1 AS INT), 1) AS month,
+        |       COUNT(*) AS n_customers,
+        |       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+        |       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+        |FROM c GROUP BY ym ORDER BY month""".stripMargin,
+    "gold_abc_class" ->
+      s"""WITH ${Tables.salesCte},
+         |r AS (SELECT product_id,
+         |        CAST(SUM(CAST(FLOOR((unit_price*quantity)*10000) AS DECIMAL(28,0)))
+         |          AS BIGINT) AS rev_i
+         |      FROM sales GROUP BY 1),
+         |c AS (SELECT product_id, rev_i,
+         |        SUM(CAST(rev_i AS DECIMAL(38,0)))
+         |          OVER (ORDER BY rev_i DESC, product_id) AS cum,
+         |        SUM(CAST(rev_i AS DECIMAL(38,0))) OVER () AS total
+         |      FROM r)
+         |SELECT product_id, CAST(rev_i AS DOUBLE)/10000 AS revenue,
+         |       CAST(cum AS DOUBLE)/10000 AS cum_revenue,
+         |       CASE WHEN cum*5 <= total*4 THEN 'A'
+         |            WHEN cum*20 <= total*19 THEN 'B' ELSE 'C' END AS abc_class
+         |FROM c ORDER BY product_id""".stripMargin,
     "gold_order_gap" ->
       s"""WITH ${Tables.salesCte},
          |cd AS (SELECT DISTINCT customer_id, CAST(sale_ts AS DATE) AS sale_date
@@ -568,5 +683,7 @@ object Gold {
     "gold_basket_affinity"     -> basketAffinity,
     "gold_cohort_ltv"          -> cohortLtv,
     "gold_order_gap"           -> orderGaps,
-    "gold_price_slope"         -> priceSlope)
+    "gold_price_slope"         -> priceSlope,
+    "gold_abc_class"           -> abcClass,
+    "gold_repeat_rate"         -> repeatRate)
 }

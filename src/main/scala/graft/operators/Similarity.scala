@@ -789,6 +789,91 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Fixed-point scale for the per-dim variance terms entering the
+    * diversity trace sum (12 decimals: far below embedding variance
+    * magnitudes, far above double noise). */
+  val DiversityScale = 1e12
+
+  /** `emb_diversity`: corpus diversity as the expected squared pairwise
+    * Euclidean distance E‖x−y‖² = 2·tr(Cov) — the one-number "how
+    * spread out is this corpus" audit read next to dedup rates when
+    * composing a training mix (a collapsing embedding space shows up
+    * here long before any pairwise scan could run). The identity turns
+    * an O(n²) pairwise statistic into the [[dimStats]] single pass.
+    *
+    * Determinism: per-dim variances come out of [[dimStats]] in
+    * engine-portable IEEE doubles (fixed-point Σx/Σx², < 2⁵³ casts);
+    * summing 64 of them in DOUBLE would be order-dependent, so each is
+    * snapped to the [[DiversityScale]] grid (`FLOOR(v·10¹²+0.5)` —
+    * identical float ops both engines) and summed as DECIMAL, which is
+    * order-independent; the one finished sum casts back exactly. */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    dimStats(spark, dir)
+      .agg(max(col("n")).as("n_vectors"),
+        (sum(floor(col("variance") * lit(DiversityScale) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(DiversityScale)).as("trace_cov"))
+      .select(col("n_vectors"), col("trace_cov"),
+        (col("trace_cov") * lit(2.0)).as("mean_sq_dist"))
+
+  // ---- greedy k-center coreset selection ---------------------------------
+
+  /** Centers selected by [[kcenterSelect]]. */
+  val KCenterK = 16
+
+  /** `emb_kcenter`: greedy k-center (farthest-point-first) coreset
+    * selection — Gonzalez's 2-approximation to the k-center cover: each
+    * round keeps the point FARTHEST from every already-chosen center.
+    * The diverse-subset primitive of data curation (coreset seeding,
+    * active-learning batch selection, eval-set spread maximization) —
+    * the complement of [[Clustering.kmeansAssign]]'s density-seeking
+    * centroids.
+    *
+    * Scale shape: [[KCenterK]] rounds; each is ONE corpus scan with the
+    * min-squared-distance to the chosen centers computed as a codegen
+    * `least` chain over native dot products against in-plan literal
+    * center vectors (d² = ‖x‖² + ‖c‖² − 2⟨x,c⟩ off the precomputed
+    * norms — no join, no shuffle, no state), finished by a global
+    * top-1 `TakeOrdered` reduction. Driver state is k×dim center
+    * METADATA (the IVF/k-means codebook precedent). Deterministic:
+    * the seed is the smallest vec_id, all ties break by vec_id.
+    *
+    * No SQL oracle: the selection is an iterated argmax (each round's
+    * predicate depends on the previous round's winner) — the emb_pca
+    * precedent; SimilaritySpec instead replays the greedy recursion on
+    * the driver and asserts the identical selection sequence, and the
+    * driver gate keeps a rows-only check. */
+  def kcenterSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val first = c.orderBy("vec_id").limit(1).collect()(0)
+    var centers = Vector((first.getLong(0),
+      first.getSeq[Double](1).toArray, first.getDouble(2)))
+    val out = Vector.newBuilder[(Int, Long, Double)]
+    out += ((1, first.getLong(0), Double.PositiveInfinity))
+    (2 to KCenterK).foreach { r =>
+      val minD2 = centers.map { case (_, emb, cn) =>
+        greatest(
+          col("nrm") * col("nrm") + lit(cn * cn) -
+            lit(2.0) * VectorFunctions.dot(col("embedding"),
+              array(emb.map(lit).toSeq: _*)),
+          lit(0.0))
+      }.reduceLeft(least(_, _))
+      val best = c.where(!col("vec_id").isInCollection(centers.map(_._1)))
+        .select(col("vec_id"), col("embedding"), col("nrm"), minD2.as("d2"))
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).collect()(0)
+      centers :+= ((best.getLong(0), best.getSeq[Double](1).toArray,
+        best.getDouble(2)))
+      out += ((r, best.getLong(0), math.sqrt(best.getDouble(3))))
+    }
+    out.result().toDF("sel_idx", "vec_id", "cover_radius")
+      .select(col("sel_idx"), col("vec_id"),
+        // the seed has no prior centers: publish NULL, not Infinity
+        when(col("cover_radius") === Double.PositiveInfinity, lit(null))
+          .otherwise(col("cover_radius")).as("cover_radius"))
+      .orderBy("sel_idx")
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_range" ->
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -863,6 +948,24 @@ object Similarity {
          |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+    "emb_diversity" ->
+      s"""WITH ex AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding AS e
+         |  FROM embeddings),
+         |r AS (SELECT CAST(i - 1 AS INT) AS dim, CAST(e[i] AS DOUBLE) AS v FROM ex),
+         |a AS (SELECT dim, COUNT(*) AS n,
+         |             CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |             CAST(SUM(CAST(FLOOR((v*v)*$CentroidScale) AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+         |      FROM r GROUP BY 1),
+         |v AS (SELECT n,
+         |        sxx/$CentroidScale/n - (sx/$CentroidScale/n)*(sx/$CentroidScale/n)
+         |          AS variance
+         |      FROM a),
+         |t AS (SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+         |        CAST(SUM(CAST(FLOOR(variance*1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)/1e12
+         |          AS trace_cov
+         |      FROM v)
+         |SELECT n_vectors, trace_cov, trace_cov*2.0 AS mean_sq_dist FROM t""".stripMargin,
     "emb_dim_stats" ->
       s"""WITH ex AS (
          |  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding AS e
@@ -965,5 +1068,7 @@ object Similarity {
     "emb_dim_stats"    -> dimStats,
     "ann_range"        -> annRange,
     "emb_gram"         -> gramMatrix,
-    "emb_pca"          -> pcaProject)
+    "emb_pca"          -> pcaProject,
+    "emb_kcenter"      -> kcenterSelect,
+    "emb_diversity"    -> diversity)
 }

@@ -298,6 +298,24 @@ object EventStreams {
       count(lit(1)).as("n"))
   }
 
+  /** Streaming bot/burst detection — the alerting twin of
+    * [[graft.operators.Events.botRate]]: tumbling 1-hour per-user
+    * counts under the watermark, emitting only windows that cross the
+    * batch twin's [[graft.operators.Events.BotMaxPerHour]] threshold.
+    * Epoch-aligned `window(ts, "1 hour")` buckets coincide exactly with
+    * the batch `es DIV 3600` buckets, so an alert here is the same
+    * (user, hour) the batch audit would flag. State is one count per
+    * live (window, user), evicted past the watermark — O(active users
+    * per watermark window) at any stream length. */
+  def botRateStream(events: DataFrame,
+      minPerHour: Long = graft.operators.Events.BotMaxPerHour): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minPerHour)
+      .select(col("w.start").as("hour_start"), col("user_id"), col("n"))
+
   /** Stream-stream interval self-join: pairs of same-user events within
     * `boundSec` seconds (the streaming twin of
     * operators.IntervalJoin.eventPairs). Both sides carry watermarks and

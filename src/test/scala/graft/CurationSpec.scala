@@ -453,4 +453,20 @@ class CurationSpec extends SparkSpec {
       assert(missing == collided, s"customer $c dropped non-collision slots")
     }
   }
+
+  test("dedup soft weights: every cluster carries exactly unit mass") {
+    val w = Curation.dedupWeights(spark, sfDir).collect()
+    assert(w.nonEmpty)
+    w.foreach { r =>
+      assert(r.getAs[Double]("weight") ==
+        1.0 / r.getAs[Long]("cluster_size"), "weight is 1/cluster_size")
+    }
+    val byCluster = w.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.exists(_._2.length > 1), "near-dup clusters exist here")
+    byCluster.values.foreach { g =>
+      assert(g.length == g.head.getAs[Long]("cluster_size").toInt)
+      val mass = g.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"cluster mass $mass")
+    }
+  }
 }

@@ -374,4 +374,50 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(400))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("containment pairs match a brute-force shingle-set recompute") {
+    val got = Dedup.containment(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("containment"))).toSeq
+    val sets = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1).split(" ")
+        r.getLong(0) -> (if (t.length < 3) Set.empty[String]
+                         else t.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val exp = for {
+      a <- ids; b <- ids if a < b
+      na = sets(a).size.toLong; nb = sets(b).size.toLong
+      if math.min(na, nb) >= Dedup.ContainMinShingles
+      inter = (sets(a) & sets(b)).size.toLong
+      c = inter * 1.0 / math.min(na, nb)
+      if c >= Dedup.ContainmentThreshold
+    } yield (a, b, na, nb, c)
+    assert(got == exp)
+    assert(got.nonEmpty, "sf0.001 has planted ≥0.9-containment pairs")
+  }
+
+  test("contamination report rolls decontam up by source exactly") {
+    val dec = Dedup.decontam(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Boolean]("contaminated")))
+    val src = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = dec.groupBy(t => src(t._1)).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.count(_._3).toLong, rows.map(_._2).sum)
+    }
+    val got = Dedup.contamReport(spark, sfDir).collect()
+    assert(got.map(_.getAs[String]("source")).toSet == exp.keySet)
+    got.foreach { r =>
+      val (n, nc, th) = exp(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_train_docs") == n)
+      assert(r.getAs[Long]("n_contaminated") == nc)
+      assert(r.getAs[Long]("total_hits") == th)
+      assert(r.getAs[Double]("contamination_rate") == nc.toDouble / n.toDouble)
+    }
+  }
 }

@@ -494,4 +494,50 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("wau") - ew) <= math.max(3, ew * 3 / 20))
     }
   }
+
+  test("streaks match a brute-force gaps-and-islands recompute") {
+    val got = Events.streaks(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("longest_streak"),
+          r.getAs[Long]("n_streaks"))).toMap
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long").as("eday"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).sorted }
+    assert(got.keySet == days.keySet)
+    days.foreach { case (u, ds) =>
+      // island lengths by scanning consecutive-day runs
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var run = 0L
+      var prev = Long.MinValue
+      ds.foreach { d =>
+        if (run > 0 && d == prev + 1) run += 1
+        else { if (run > 0) lens += run; run = 1 }
+        prev = d
+      }
+      lens += run
+      val (na, ls, ns) = got(u)
+      assert(na == ds.length, s"user $u active days")
+      assert(ls == lens.max, s"user $u longest")
+      assert(ns == lens.length.toLong, s"user $u streak count")
+    }
+  }
+
+  test("gini equals the driver-sorted closed form, bucketed global rank") {
+    val row = Events.activityGini(spark, sfDir).head()
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("x")))
+    val xs = counts.sortBy { case (u, x) => (x, u) }.map(_._2)
+    val n = xs.length.toLong
+    val s1 = xs.sum
+    val s2 = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val gini = (2.0 * s2.toDouble - (n.toDouble + 1.0) * s1.toDouble) /
+      (n.toDouble * s1.toDouble)
+    assert(row.getAs[Long]("n_users") == n)
+    assert(row.getAs[Long]("total_events") == s1)
+    assert(row.getAs[Double]("gini") == gini, "identical IEEE closed form")
+    assert(gini >= 0.0 && gini < 1.0)
+  }
 }

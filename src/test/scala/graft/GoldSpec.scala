@@ -299,4 +299,53 @@ class GoldSpec extends SparkSpec {
     assert(math.abs(out("catA").get - (-2.0)) < 1e-9)
     assert(out("catB").isEmpty, "zero price variance must yield NULL, not NaN")
   }
+
+  test("repeat rate equals a brute-force month/customer recompute") {
+    val got = Gold.repeatRate(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("n_repeat"),
+          r.getAs[Double]("repeat_rate"))).toMap
+    val orders = Tables.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("string")).collect()
+      .map { r =>
+        val d = r.getString(1) // yyyy-MM-dd HH:mm:ss
+        (d.substring(0, 7), r.getLong(0))
+      }
+    val byMonth = orders.groupBy(_._1)
+    assert(got.size == byMonth.size)
+    byMonth.foreach { case (ym, rows) =>
+      val perCust = rows.groupBy(_._2).view.mapValues(_.size)
+      val nCust = perCust.size.toLong
+      val nRep = perCust.count(_._2 >= 2).toLong
+      val (gc, gr, rate) = got(s"$ym-01")
+      assert(gc == nCust, s"$ym customers")
+      assert(gr == nRep, s"$ym repeat")
+      assert(rate == nRep.toDouble / nCust.toDouble, s"$ym rate")
+    }
+  }
+
+  test("abc classification equals the global-cumsum recompute, partitions 80/15/5") {
+    val got = Gold.abcClass(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("product_id"), r.getAs[Double]("revenue"),
+        r.getAs[Double]("cum_revenue"), r.getAs[String]("abc_class")))
+    // brute force on the driver: per-product fixed-point revenue,
+    // global (rev DESC, product_id) cumulative sum, integer thresholds
+    val rev = Tables.sales(spark, sfDir)
+      .select(col("product_id"), col("unit_price"), col("quantity")).collect()
+      .groupBy(_.getAs[Long]("product_id"))
+      .map { case (pid, rows) =>
+        pid -> rows.map(r => math.floor(
+          r.getAs[Double]("unit_price") * r.getAs[Long]("quantity") * 10000).toLong).sum
+      }
+    val total = rev.values.sum
+    var cum = 0L
+    val exp = rev.toSeq.sortBy { case (pid, r) => (-r, pid) }.map { case (pid, r) =>
+      cum += r
+      val cls = if (cum * 5 <= total * 4) "A"
+        else if (cum * 20 <= total * 19) "B" else "C"
+      (pid, r.toDouble / 10000, cum.toDouble / 10000, cls)
+    }.sortBy(_._1)
+    assert(got.toSeq == exp)
+    assert(Set("A", "B", "C").subsetOf(got.map(_._4).toSet))
+  }
 }

@@ -75,4 +75,19 @@ class PlanShapeSpec extends SparkSpec {
       Silver.cdcApplyCustomers(spark, sfDir),
       Athena.monthUnpivot(spark, sfDir)).foreach(df => assertSane(plan(df)))
   }
+
+  test("abc / gini / streaks / containment: bucketed windows, broadcast offsets") {
+    Seq(Gold.abcClass(spark, sfDir),
+      Events.activityGini(spark, sfDir),
+      Events.streaks(spark, sfDir),
+      Dedup.containment(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assertSane(p)
+    }
+    // the two global-cumsum rewrites must broadcast their offset tables
+    Seq(Gold.abcClass(spark, sfDir), Events.activityGini(spark, sfDir))
+      .foreach { df =>
+        assert(plan(df).contains("BroadcastHashJoin"), "offsets not broadcast")
+      }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import graft.sources.Tables
 
 class SimilaritySpec extends SparkSpec {
 
@@ -322,5 +323,76 @@ class SimilaritySpec extends SparkSpec {
       .sortBy { case (v, c) => (-c, v) }.take(Similarity.TopK).map(_._1)
     val got = byQuery(q0).sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("neighbor_id"))
     assert(got.sameElements(expect))
+  }
+
+  test("diversity is 2·tr(Cov) from dim stats and tracks a pairwise sample") {
+    import org.apache.spark.sql.functions.col
+    val row = Similarity.diversity(spark, sfDir).head()
+    val stats = Similarity.dimStats(spark, sfDir).collect()
+    val trace = stats.map(r =>
+      math.floor(r.getAs[Double]("variance") * Similarity.DiversityScale + 0.5))
+      .sum / Similarity.DiversityScale
+    assert(row.getAs[Long]("n_vectors") == stats.head.getAs[Long]("n"))
+    assert(row.getAs[Double]("trace_cov") == trace)
+    assert(row.getAs[Double]("mean_sq_dist") == trace * 2.0)
+    // the identity: E||x-y||^2 over a brute-force sample ≈ 2·tr(Cov)
+    val embs = Tables.table(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>")).limit(200).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val pairs = for (i <- embs.indices; j <- embs.indices if i < j) yield {
+      var s = 0.0; var d = 0
+      while (d < embs(i).length) {
+        val t = embs(i)(d) - embs(j)(d); s += t * t; d += 1
+      }
+      s
+    }
+    val sampleMsd = pairs.sum / pairs.length
+    assert(math.abs(sampleMsd - row.getAs[Double]("mean_sq_dist"))
+      < 0.2 * sampleMsd, s"sample $sampleMsd vs ${row.getAs[Double]("mean_sq_dist")}")
+  }
+
+  test("k-center selection replays the greedy farthest-point recursion exactly") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.kcenterSelect(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("sel_idx"))
+    assert(got.length == Similarity.KCenterK)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val embs = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val nrm = embs.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    var chosen = Vector(embs.head._1)
+    val byId = embs.toMap
+    val expIds = Vector.newBuilder[Long]
+    val expRad = Vector.newBuilder[Double]
+    expIds += embs.head._1
+    (2 to Similarity.KCenterK).foreach { _ =>
+      val cand = embs.filterNot { case (id, _) => chosen.contains(id) }
+        .map { case (id, e) =>
+          val d2 = chosen.map { cid =>
+            val cn = nrm(cid)
+            math.max(nrm(id) * nrm(id) + cn * cn - 2.0 * dot(e, byId(cid)), 0.0)
+          }.min
+          (id, d2)
+        }
+      val (bid, bd2) = cand.minBy { case (id, d2) => (-d2, id) }
+      chosen :+= bid
+      expIds += bid
+      expRad += math.sqrt(bd2)
+    }
+    assert(got.map(_.getAs[Long]("vec_id")).toVector == expIds.result(),
+      "selection sequence must replay the greedy recursion")
+    assert(got.head.isNullAt(got.head.fieldIndex("cover_radius")),
+      "seed has no prior centers")
+    val radii = got.tail.map(_.getAs[Double]("cover_radius"))
+    radii.zip(expRad.result()).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"radius $g vs $e")
+    }
+    // farthest-point radii can never increase
+    assert(radii.sameElements(radii.sorted.reverse) ||
+      radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 }

@@ -72,6 +72,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming bot-rate flags exactly the batch (user, hour) buckets") {
+    import spark.implicits._
+    // threshold 2 (not the production 3): sf0.001's busiest hour has 2
+    // events, and a parity test over an empty flagged set proves nothing
+    val minPerHour = 2L
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minPerHour)
+      .select(col("w.start").cast("string"), col("user_id"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "threshold 2 must flag busy hours at sf0.001")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val streamDf = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams.botRateStream(streamDf, minPerHour)
+      .writeStream.format("memory").queryName("bot_out")
+      .outputMode("complete").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("user_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    // split across two micro-batches: per-window counts must merge
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first.toSeq)
+    q.processAllAvailable()
+    input.addData(second.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("bot_out")
+      .select(col("hour_start").cast("string"), col("user_id"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("stream-static anomaly scoring matches the batch twin exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
