@@ -198,7 +198,26 @@ object DataQuality {
        |  (SELECT CAST(COALESCE(SUM($nullSum), 0) AS BIGINT) FROM $t) AS null_count""".stripMargin
   }
 
+  /** Robust-z threshold for daily-volume anomaly flags. Declared ABOVE
+    * the oracles map: a strict `val` interpolated into another strict
+    * `val`'s string initializes in declaration order, and a forward
+    * reference silently reads 0.0. */
+  val VolumeRobustK = 3.0
+
   val oracles: Map[String, String] = Map(
+    "dq_volume_anomaly" ->
+      s"""WITH d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+         |                  COUNT(*) AS n_events
+         |           FROM events GROUP BY 1),
+         |m AS (SELECT ${Gold.fixedRoundSql("quantile_cont(n_events, 0.5)", 4)} AS med
+         |      FROM d),
+         |x AS (SELECT med,
+         |        ${Gold.fixedRoundSql("quantile_cont(ABS(n_events - med), 0.5)", 4)} AS mad
+         |      FROM d, m GROUP BY med)
+         |SELECT DATE '1970-01-01' + CAST(eday AS INT) AS day, n_events, med, mad,
+         |       ABS(n_events - med) > CAST($VolumeRobustK AS DOUBLE) * mad
+         |         AS volume_anomaly
+         |FROM d, x ORDER BY day""".stripMargin,
     "dq_table_stats" ->
       (statsTables.map(statsSql).mkString("", "\nUNION ALL\n", "\n") +
         "ORDER BY table_name"),
@@ -255,9 +274,43 @@ object DataQuality {
          |FROM b JOIN t USING (event_type)
          |GROUP BY b.event_type, n, m ORDER BY event_type""".stripMargin)
 
+  /** `dq_volume_anomaly`: partition-volume monitoring — daily event
+    * counts flagged against the median/MAD of the daily series (the
+    * "did yesterday's load half-arrive / double-ingest" alarm every
+    * scheduled pipeline needs; robust stats so one bad day cannot
+    * drag its own baseline).
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the fact down to
+    * per-day counts; everything after operates on the DAY series, which
+    * is calendar-bounded (thousands of rows at any corpus size — so
+    * the exact single-group `percentile` here is genuinely scale-safe,
+    * unlike value-distribution quantiles, which need the approx twin).
+    * Both robust stats ride 1-row broadcasts back over the day series.
+    * Integer epoch-day math. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("eday"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily
+      .agg(Gold.fixedRound(Gold.pct("n_events", 0.5, exact = true), 4).as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(max(col("med")).as("med"),
+        Gold.fixedRound(Gold.pct("abs(n_events - med)", 0.5, exact = true), 4)
+          .as("mad"))
+    daily.crossJoin(broadcast(mad))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),
+        col("n_events"), col("med"), col("mad"),
+        (abs(col("n_events") - col("med")) > lit(VolumeRobustK) * col("mad"))
+          .as("volume_anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
     "dq_referential"    -> referentialIntegrity,
-    "dq_drift"          -> drift)
+    "dq_drift"          -> drift,
+    "dq_volume_anomaly" -> volumeAnomaly)
 }

@@ -569,6 +569,77 @@ object Events {
         (col("max_per_hour") >= BotMaxPerHour).as("burst_flag"))
       .orderBy("user_id")
 
+  /** `evt_cart_abandonment`: daily click-without-purchase rate — per
+    * day, how many users clicked and what share never purchased that
+    * day (the retail funnel-leak headline between [[funnel]]'s
+    * sequence view and [[retention]]'s longitudinal view).
+    *
+    * Scale shape: the [[botRate]] two-phase — one partial-aggregating
+    * groupBy on (day, user) computing both flags as max-of-case (no
+    * distinct, no join between the click and purchase streams), then a
+    * day-cardinality rollup. Integer epoch-day math; one IEEE divide
+    * of two exact counts. */
+  def cartAbandonment(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("eday"), col("user_id"), col("event_type"))
+      .groupBy("eday", "user_id")
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+      .where(col("clicked") === 1L)
+      .groupBy("eday")
+      .agg(count(lit(1)).as("n_clickers"),
+        sum(when(col("purchased") === 0L, 1L).otherwise(0L)).as("n_abandoned"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),
+        col("n_clickers"), col("n_abandoned"),
+        (col("n_abandoned").cast("double") / col("n_clickers").cast("double"))
+          .as("abandonment_rate"))
+      .orderBy("day")
+
+  /** Conversion window for [[signupConversion]]. */
+  val ConvertWindowSec = 7L * 86400L
+
+  /** `evt_signup_conversion`: signup-cohort activation — per signup
+    * day, how many users signed up and what share made their first
+    * post-signup purchase within 7 days (the growth-team activation
+    * metric; [[funnel]] measures within-hour sequences, this measures
+    * the cross-day commitment).
+    *
+    * Scale shape: signups collapse to one row per user first (min
+    * aggregate), then ONE user_id-keyed join against the purchase
+    * stream with the time bound in the join condition (co-partitioned
+    * fact⋈fact on the same key the events already shuffle on; per-user
+    * match work bounded by that user's purchases), a min-aggregate for
+    * the first qualifying purchase, and a day-cardinality rollup.
+    * Left join keeps never-converting signups; integer second/day
+    * math end to end. */
+  def signupConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+    val su = e.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("es")).as("signup_es"))
+    val pu = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("es").as("p_es"))
+    su.join(pu, col("user_id") === col("p_uid") &&
+        col("p_es") >= col("signup_es"), "left")
+      .groupBy("user_id", "signup_es")
+      .agg(min(col("p_es")).as("first_purchase_es"))
+      .groupBy(expr("signup_es DIV 86400").as("eday"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("first_purchase_es").isNotNull &&
+          col("first_purchase_es") - col("signup_es") <= ConvertWindowSec, 1L)
+          .otherwise(0L)).as("n_converted_7d"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),
+        col("n_signups"), col("n_converted_7d"),
+        (col("n_converted_7d").cast("double") / col("n_signups").cast("double"))
+          .as("conversion_rate"))
+      .orderBy("day")
+  }
+
   /** Value-space bucket count for the Gini global rank (the
     * [[Gold.abcClass]] / `smp_token_budget` two-phase scheme). */
   val GiniBuckets = 2000L
@@ -648,6 +719,38 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "evt_cart_abandonment" ->
+      """WITH ud AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+        |                   user_id,
+        |                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+        |                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        |            FROM events GROUP BY 1, 2)
+        |SELECT DATE '1970-01-01' + CAST(eday AS INT) AS day,
+        |       COUNT(*) AS n_clickers,
+        |       CAST(SUM(CASE WHEN purchased = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_abandoned,
+        |       CAST(SUM(CASE WHEN purchased = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS abandonment_rate
+        |FROM ud WHERE clicked = 1 GROUP BY eday ORDER BY day""".stripMargin,
+    "evt_signup_conversion" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |su AS (SELECT user_id, MIN(es) AS signup_es FROM e
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |fp AS (SELECT su.user_id, signup_es, MIN(p.es) AS first_purchase_es
+         |       FROM su LEFT JOIN e p ON p.user_id = su.user_id
+         |         AND p.event_type = 'purchase' AND p.es >= su.signup_es
+         |       GROUP BY 1, 2)
+         |SELECT DATE '1970-01-01' + CAST(signup_es // 86400 AS INT) AS day,
+         |       COUNT(*) AS n_signups,
+         |       CAST(SUM(CASE WHEN first_purchase_es IS NOT NULL
+         |                      AND first_purchase_es - signup_es <= $ConvertWindowSec
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
+         |       CAST(SUM(CASE WHEN first_purchase_es IS NOT NULL
+         |                      AND first_purchase_es - signup_es <= $ConvertWindowSec
+         |                     THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+         |FROM fp GROUP BY signup_es // 86400 ORDER BY day""".stripMargin,
     "evt_gini" ->
       """WITH x AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
         |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM x),
@@ -912,5 +1015,7 @@ object Events {
     "evt_user_features"   -> userFeatures,
     "evt_bot_rate"        -> botRate,
     "evt_streaks"         -> streaks,
-    "evt_gini"            -> activityGini)
+    "evt_gini"            -> activityGini,
+    "evt_cart_abandonment" -> cartAbandonment,
+    "evt_signup_conversion" -> signupConversion)
 }

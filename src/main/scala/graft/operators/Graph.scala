@@ -265,8 +265,58 @@ object Graph {
          |       degree, COUNT(*) AS n_nodes
          |FROM deg GROUP BY 1, 2 ORDER BY kind, degree""".stripMargin)
 
+  /** Core order for [[kcore]]. */
+  val KCoreK = 3L
+  /** Peel-round budget: real interaction graphs shed their shell in a
+    * handful of rounds (each round removes every node currently below
+    * k, not one at a time); adversarial path-like graphs could need
+    * more, so the budget is asserted reached-fixpoint in GraphSpec
+    * rather than silently trusted. */
+  val KCoreMaxRounds = 20
+
+  /** `gr_kcore`: the k-core of the co-purchase graph — the maximal
+    * subgraph where every node keeps ≥ k neighbors, the standard dense-
+    * community prefilter (recommender neighborhoods, fraud rings,
+    * graph-embedding vocabularies) that PageRank and triangle counts
+    * are usually run AFTER.
+    *
+    * Scale shape: iterative peeling; each round is ONE partial-
+    * aggregated degree groupBy + two semi-joins of the edge list
+    * against the ≥k survivor set, all keyed on the endpoint columns the
+    * edge table is already bucketed by — the [[pagerankOn]] per-round
+    * shape. The driver sees one COUNT per round (O(1) fixpoint
+    * detection, the [[Curation]] star-CC pattern), never edges. Each
+    * round's survivor edges are localCheckpoint'd so lineage stays flat
+    * across peels. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOn(undirected(spark, dir), KCoreK)
+
+  def kcoreOn(edges0: DataFrame, k: Long): DataFrame = {
+    var e = edges0.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    var nEdges = e.count()
+    var rounds = 0
+    var done = nEdges == 0
+    while (!done && rounds < KCoreMaxRounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("u")
+      val e2 = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val n2 = e2.count()
+      done = n2 == nEdges || n2 == 0
+      e = e2; nEdges = n2; rounds += 1
+    }
+    e.groupBy("u").agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("node_id"),
+        when(col("u") % 2 === 0, "customer").otherwise("product").as("kind"),
+        col("core_degree"))
+      .orderBy("node_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank"  -> pagerank,
     "gr_degrees"   -> degrees,
-    "gr_triangles" -> triangles)
+    "gr_triangles" -> triangles,
+    "gr_kcore"     -> kcore)
 }

@@ -316,6 +316,26 @@ object EventStreams {
       .where(col("n") >= minPerHour)
       .select(col("w.start").as("hour_start"), col("user_id"), col("n"))
 
+  /** Streaming cart-abandonment flags — the per-(day, user) click/
+    * purchase flag layer of [[graft.operators.Events.cartAbandonment]]
+    * as a watermarked daily window aggregate: each closed day emits one
+    * row per active clicker with the purchased flag resolved, and the
+    * tiny day-level rollup (a few hundred rows/year) runs wherever the
+    * alert lands — keeping ONE stateful operator in the stream, the
+    * shape Spark's append-mode planner is happiest with. State is two
+    * max-flags per live (day, user), evicted past the watermark. */
+  def cartFlagsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchased"))
+      .where(col("clicked") === 1L)
+      .select(col("w.start").cast("date").as("day"), col("user_id"),
+        col("purchased"))
+
   /** Stream-stream interval self-join: pairs of same-user events within
     * `boundSec` seconds (the streaming twin of
     * operators.IntervalJoin.eventPairs). Both sides carry watermarks and

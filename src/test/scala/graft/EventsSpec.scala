@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Events
+import graft.operators.{DataQuality, Events}
 import graft.sources.Tables
 
 class EventsSpec extends SparkSpec {
@@ -493,6 +493,82 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("dau") - ed) <= math.max(3, ed * 3 / 20))
       assert(math.abs(r.getAs[Long]("wau") - ew) <= math.max(3, ew * 3 / 20))
     }
+  }
+
+  test("cart abandonment equals a brute-force user-day recompute") {
+    val got = Events.cartAbandonment(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_clickers"), r.getAs[Long]("n_abandoned"),
+          r.getAs[Double]("abandonment_rate"))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val byDay = ev.groupBy(_._1)
+    val expDays = byDay.filter(_._2.exists(_._3 == "click"))
+    assert(got.keySet == expDays.keySet)
+    expDays.foreach { case (day, rows) =>
+      val byUser = rows.groupBy(_._2)
+      val clickers = byUser.filter(_._2.exists(_._3 == "click"))
+      val abandoned = clickers.count(!_._2.exists(_._3 == "purchase"))
+      val (gc, ga, rate) = got(day)
+      assert(gc == clickers.size.toLong, s"$day clickers")
+      assert(ga == abandoned.toLong, s"$day abandoned")
+      assert(rate == abandoned.toDouble / clickers.size.toDouble)
+    }
+  }
+
+  test("signup conversion counts first post-signup purchases within the window") {
+    val got = Events.signupConversion(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val signups: Map[Long, Long] = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._3).min }
+    val purchases: Map[Long, Seq[Long]] =
+      ev.filter(_._2 == "purchase").groupBy(_._1)
+        .map { case (u, rows) => u -> rows.map(_._3).toSeq }
+    val perDay: Map[Long, (Long, Long)] =
+      signups.groupBy(_._2 / 86400).map { case (d, us) =>
+        val conv = us.count { case (u, ses) =>
+          purchases.getOrElse(u, Seq.empty).exists(p =>
+            p >= ses && p - ses <= Events.ConvertWindowSec)
+        }
+        d -> ((us.size.toLong, conv.toLong))
+      }
+    assert(got.length == perDay.size)
+    got.foreach { r =>
+      val d = (java.time.LocalDate.parse(r.getDate(0).toString).toEpochDay)
+      val (n, c) = perDay(d)
+      assert(r.getAs[Long]("n_signups") == n)
+      assert(r.getAs[Long]("n_converted_7d") == c)
+      assert(r.getAs[Double]("conversion_rate") == c.toDouble / n.toDouble)
+    }
+    // the window is live: some cohort converts, some signup never does
+    assert(got.map(_.getAs[Long]("n_converted_7d")).sum > 0)
+  }
+
+  test("daily volume anomaly flags exactly the median/MAD outliers") {
+    val got = DataQuality.volumeAnomaly(spark, sfDir).collect()
+    val counts = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string")).collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.length == counts.size)
+    // flags recompute from the published med/mad columns
+    got.foreach { r =>
+      val n = counts(r.getDate(0).toString)
+      assert(r.getAs[Long]("n_events") == n)
+      val expFlag = math.abs(n - r.getAs[Double]("med")) >
+        DataQuality.VolumeRobustK * r.getAs[Double]("mad")
+      assert(r.getAs[Boolean]("volume_anomaly") == expFlag)
+    }
+    // med is the true median of the daily series (odd/even handled by
+    // the interpolating percentile; check within the fixedRound grid)
+    val sorted = counts.values.toSeq.sorted
+    val med = if (sorted.size % 2 == 1) sorted(sorted.size / 2).toDouble
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    assert(math.abs(got.head.getAs[Double]("med") - med) < 1e-4)
   }
 
   test("streaks match a brute-force gaps-and-islands recompute") {

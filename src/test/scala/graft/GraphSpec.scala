@@ -109,4 +109,30 @@ class GraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("k-core reaches the exact peeling fixpoint (brute-force replay)") {
+    import graft.sources.Tables
+    import scala.collection.mutable
+    val got = Graph.kcore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[String]("kind"),
+        r.getAs[Long]("core_degree")))
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    Tables.sales(spark, sfDir).select("customer_id", "product_id")
+      .distinct().collect().foreach { r =>
+        val u = r.getLong(0) * 2; val v = r.getLong(1) * 2 + 1
+        adj.getOrElseUpdate(u, mutable.Set.empty) += v
+        adj.getOrElseUpdate(v, mutable.Set.empty) += u
+      }
+    var changed = true
+    while (changed) {
+      val drop = adj.filter(_._2.size < Graph.KCoreK).keys.toSeq
+      changed = drop.nonEmpty
+      drop.foreach { n => adj(n).foreach(m => adj(m) -= n); adj -= n }
+    }
+    val exp = adj.map { case (n, s) =>
+      (n, if (n % 2 == 0) "customer" else "product", s.size.toLong) }.toSet
+    assert(got.toSet == exp)
+    assert(got.nonEmpty, "sf0.001 co-purchase graph has a 3-core")
+    got.foreach(t => assert(t._3 >= Graph.KCoreK, s"node ${t._1} under k"))
+  }
 }

@@ -109,6 +109,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming cart flags match the batch user-day flags across a split") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"),
+        col("event_type"))
+      .groupBy("day", "user_id")
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchased"))
+      .where(col("clicked") === 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val streamDf = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.cartFlagsStream(streamDf)
+      .writeStream.format("memory").queryName("cart_out")
+      .outputMode("complete").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("cart_out")
+      .select(col("day").cast("string"), col("user_id"), col("purchased"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("stream-static anomaly scoring matches the batch twin exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
