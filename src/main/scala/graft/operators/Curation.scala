@@ -385,6 +385,34 @@ object Curation {
       .orderBy("doc_id", "epoch")
   }
 
+  /** `smp_mix_report`: realized-vs-target audit of the [[weightedMix]]
+    * recipe — per language, input docs, mix rows the expansion will
+    * emit, the target milli-epoch weight and the realized one (integer
+    * thousandths). The verification step a mix design ships with: a
+    * drifting realized share is the first sign a weight table and a
+    * corpus snapshot have gone out of sync. Recomputes the per-doc
+    * epoch counts arithmetically (no explode — the report never
+    * materializes the expansion) in ONE partial-aggregating groupBy
+    * over the language catalog; all-integer arithmetic. */
+  def mixReport(spark: SparkSession, dir: String): DataFrame = {
+    val wcol = MixWeightsMilli.foldLeft(lit(DefaultMixMilli)) {
+      case (acc, (l, w)) => when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), wcol.as("wm"))
+      .withColumn("n_epochs", expr("wm DIV 1000") +
+        when(portableHash(col("doc_id")) % 1000L < col("wm") % 1000L, 1L)
+          .otherwise(0L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_epochs")).as("n_mix_rows"),
+        max(col("wm")).as("target_milli"))
+      .select(col("lang"), col("n_docs"), col("n_mix_rows"),
+        col("target_milli"),
+        expr("n_mix_rows * 1000 DIV n_docs").as("realized_milli"))
+      .orderBy("lang")
+  }
+
   // ---- temperature-balanced source sampling ------------------------------
 
   /** Fixed-point scale for the per-source √count weights: 6 decimals of
@@ -809,6 +837,24 @@ object Curation {
          |SELECT r.source, CAST(rn AS INT) AS rn, doc_id
          |FROM r JOIN al USING (source) WHERE rn <= alloc
          |ORDER BY source, rn""".stripMargin,
+    "smp_mix_report" -> {
+      val wValues = MixWeightsMilli
+        .map { case (l, w) => s"('$l',${w}::BIGINT)" }.mkString(", ")
+      s"""WITH w(lang, w_milli) AS (VALUES $wValues),
+         |d AS (SELECT doc_id, docs.lang,
+         |             COALESCE(w.w_milli, $DefaultMixMilli) AS wm
+         |      FROM documents docs LEFT JOIN w USING (lang)),
+         |e AS (SELECT doc_id, lang, wm,
+         |             wm // 1000 + CASE WHEN ${portableHashSql("doc_id")} % 1000
+         |                                    < wm % 1000 THEN 1 ELSE 0 END AS n_epochs
+         |      FROM d)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_epochs) AS BIGINT) AS n_mix_rows,
+         |       CAST(MAX(wm) AS BIGINT) AS target_milli,
+         |       CAST(CAST(SUM(n_epochs) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+         |         AS realized_milli
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "smp_weighted" -> {
       val wValues = MixWeightsMilli
         .map { case (l, w) => s"('$l',${w}::BIGINT)" }.mkString(", ")
@@ -907,6 +953,7 @@ object Curation {
     "smp_token_budget"  -> tokenBudgetSelect,
     "smp_stratified" -> stratifiedSample,
     "smp_weighted"   -> weightedMix,
+    "smp_mix_report" -> mixReport,
     "smp_pack"       -> sequencePack,
     "smp_shuffle"    -> corpusShuffle,
     "smp_zorder"     -> zorderKey,

@@ -70,12 +70,21 @@ object FuzzyMatch {
     // dependent on them): the v-join's multiplicity — heavy at depth 2,
     // where templated names share many variants — is collapsed by a
     // 16-byte-row distinct instead of shuffling both name strings per
-    // collision; names rejoin once per surviving pair
+    // collision; names rejoin once per surviving pair.
+    // The join key is xxhash64(variant), not the variant string: the
+    // exploded candidate stream is the dominant shuffle (~L²/2 rows per
+    // record at depth 2) and an 8-byte key halves its bytes; a hash
+    // collision can only ADD a candidate pair, which the exact
+    // levenshtein verify then rejects — recall and precision unchanged.
     val dv = dirty.select(col("d_key"),
-      explode(CharDeletions.neighborhoodCol(spark, col("d_name"), maxEdit)).as("v"))
+        explode(CharDeletions.neighborhoodCol(spark, col("d_name"), maxEdit))
+          .as("v"))
+      .select(col("d_key"), xxhash64(col("v")).as("vh"))
     val cv = cust.select(col("c_custkey").as("clean_key"),
-      explode(CharDeletions.neighborhoodCol(spark, col("c_name"), maxEdit)).as("v"))
-    dv.join(cv, Seq("v"))
+        explode(CharDeletions.neighborhoodCol(spark, col("c_name"), maxEdit))
+          .as("v"))
+      .select(col("clean_key"), xxhash64(col("v")).as("vh"))
+    dv.join(cv, Seq("vh"))
       .select("d_key", "clean_key").distinct()
       .join(dirty, "d_key")
       .join(cust.select(col("c_custkey").as("clean_key"), col("c_name")),

@@ -332,25 +332,58 @@ object Multimodal {
     // expected values derived from doc_id arithmetic, NOT from the
     // parser: the Spark side must synthesize real headers and parse
     // them back correctly for the hash to match
-    "mm_media_meta" ->
-      """SELECT doc_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_type,
-        |       CASE WHEN doc_id % 5 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
-        |            WHEN doc_id % 2 = 0 THEN CAST(33 AS BIGINT)
-        |            ELSE CAST(39 AS BIGINT) END AS byte_len,
-        |       CASE WHEN doc_id % 5 = 0 THEN substring(hex(encode(text)), 1, 8)
-        |            WHEN doc_id % 2 = 0 THEN '89504E47'
-        |            ELSE 'FFD8FFE0' END AS magic,
-        |       CASE WHEN doc_id % 5 = 0 THEN NULL
-        |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-        |       CASE WHEN doc_id % 5 = 0 THEN NULL
-        |            ELSE CAST(16 + (doc_id*7) % 1024 AS BIGINT) END AS width,
-        |       CASE WHEN doc_id % 5 = 0 THEN NULL
-        |            ELSE CAST(16 + (doc_id*13) % 768 AS BIGINT) END AS height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+    "mm_media_meta" -> mediaMetaOracle,
+    "mm_corrupt_rate" ->
+      s"""WITH meta AS (SELECT * FROM ($mediaMetaOracle))
+         |SELECT media_type, COUNT(*) AS n_records,
+         |       CAST(SUM(CASE WHEN format IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_corrupt,
+         |       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+         |       CAST(SUM(CASE WHEN format IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS corrupt_rate
+         |FROM meta GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  private lazy val mediaMetaOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_type,
+      |       CASE WHEN doc_id % 5 = 0 THEN CAST(octet_length(encode(text)) AS BIGINT)
+      |            WHEN doc_id % 2 = 0 THEN CAST(33 AS BIGINT)
+      |            ELSE CAST(39 AS BIGINT) END AS byte_len,
+      |       CASE WHEN doc_id % 5 = 0 THEN substring(hex(encode(text)), 1, 8)
+      |            WHEN doc_id % 2 = 0 THEN '89504E47'
+      |            ELSE 'FFD8FFE0' END AS magic,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            ELSE CAST(16 + (doc_id*7) % 1024 AS BIGINT) END AS width,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            ELSE CAST(16 + (doc_id*13) % 768 AS BIGINT) END AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** `mm_corrupt_rate`: decode-health rollup of [[mediaMeta]] — per
+    * declared media type, record count, parse failures (format NULL:
+    * the declared-type/bytes mismatch the header parser caught), total
+    * bytes, corrupt fraction. The media-pipeline DQ gate read before
+    * any batch decode job is scheduled; a rising rate means an
+    * upstream feed is shipping mislabeled or truncated payloads. One
+    * partial-aggregating groupBy over the type catalog on top of the
+    * existing typed decode seam — payload bytes never leave the
+    * executors. */
+  def corruptRate(spark: SparkSession, dir: String): DataFrame =
+    mediaMeta(spark, dir)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("format").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("byte_len")).as("total_bytes"))
+      .select(col("media_type"), col("n_records"), col("n_corrupt"),
+        col("total_bytes"),
+        (col("n_corrupt").cast("double") / col("n_records").cast("double"))
+          .as("corrupt_rate"))
+      .orderBy("media_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"    -> mediaMeta,
     "mm_frame_samples" -> frameSamples,
-    "mm_exact_dedup"   -> mediaDedup)
+    "mm_exact_dedup"   -> mediaDedup,
+    "mm_corrupt_rate"  -> corruptRate)
 }

@@ -364,6 +364,35 @@ object EventStreams {
         expr("timestampdiff(SECOND, a_ts, b_ts)").as("gap_sec"))
   }
 
+  /** Streaming signup→purchase conversion joiner — the stream-stream
+    * LEFT OUTER twin of [[graft.operators.Events.signupConversion]]'s
+    * time-bounded join: signups match every purchase by the same user
+    * inside the conversion window, and a signup the watermark proves
+    * unmatched emits ONCE with a null purchase time (the
+    * never-converted row the batch twin keeps via its left join).
+    * Both sides carry watermarks and the join condition bounds purchase
+    * time on both ends, so join state evicts at signup_ts + window +
+    * watermark — O(events per window+watermark horizon) at any stream
+    * length. First-purchase resolution and the cohort-day rollup stay
+    * batch-side aggregates over this feed (one stateful op in-stream).
+    * Timestamps second-truncated inside the operator (the repo rule). */
+  def signupJoinStream(events: DataFrame, windowSec: Long): DataFrame = {
+    val su = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"),
+        date_trunc("second", col("ts")).as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val pu = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"),
+        date_trunc("second", col("ts")).as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    su.join(pu,
+      col("s_uid") === col("p_uid") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "leftOuter")
+      .select(col("s_uid").as("user_id"), col("s_ts"), col("p_ts"))
+  }
+
   /** File-stream source over an events directory (the deployment shape:
     * new parquet files land, Spark incrementally processes them). */
   def fileSource(spark: org.apache.spark.sql.SparkSession, path: String,

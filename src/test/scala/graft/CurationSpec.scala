@@ -454,6 +454,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mix report equals the materialized weighted-mix composition") {
+    val report = Curation.mixReport(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_mix_rows"),
+          r.getAs[Long]("target_milli"), r.getAs[Long]("realized_milli"))).toMap
+    val mixRows = Curation.weightedMix(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("lang")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    assert(report.keySet == docs.keySet)
+    report.foreach { case (lang, (n, rows, target, realized)) =>
+      assert(n == docs(lang), s"$lang docs")
+      assert(rows == mixRows.getOrElse(lang, 0L), s"$lang mix rows")
+      assert(realized == rows * 1000 / n, s"$lang realized")
+      // the hash-chosen fractional epoch keeps realized near target
+      assert(math.abs(realized - target) <= 100, s"$lang drift")
+    }
+  }
+
   test("dedup soft weights: every cluster carries exactly unit mass") {
     val w = Curation.dedupWeights(spark, sfDir).collect()
     assert(w.nonEmpty)

@@ -296,4 +296,23 @@ class PipelineSpec extends SparkSpec {
     assert(mgr.count() == 25) // one manager per nation
     assert(mgr.select("region").distinct().count() == 5)
   }
+
+  test("media corrupt rate rolls up decode failures exactly") {
+    val meta = Multimodal.mediaMeta(spark, sfDir).collect()
+    val got = Multimodal.corruptRate(spark, sfDir).collect()
+      .map(r => r.getAs[String]("media_type") ->
+        (r.getAs[Long]("n_records"), r.getAs[Long]("n_corrupt"),
+          r.getAs[Long]("total_bytes"), r.getAs[Double]("corrupt_rate"))).toMap
+    val exp = meta.groupBy(_.getAs[String]("media_type"))
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (t, rows) =>
+      val corrupt = rows.count(_.isNullAt(rows.head.fieldIndex("format")))
+      val (n, nc, tb, rate) = got(t)
+      assert(n == rows.length.toLong)
+      assert(nc == corrupt.toLong)
+      assert(nc > 0, "the synthesized corpus plants corrupt payloads")
+      assert(tb == rows.map(_.getAs[Long]("byte_len")).sum)
+      assert(rate == corrupt.toDouble / rows.length.toDouble)
+    }
+  }
 }

@@ -228,6 +228,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream left-outer signup join emits matches AND proven non-converters") {
+    import spark.implicits._
+    val windowSec = 86400L // 1-day window keeps the test corpus lively
+    // batch expectation: every signup event × every same-user purchase
+    // in [s, s+window], plus a null row per signup with no such purchase
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val purchases = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._3) }
+    val expected: Set[(Long, Long, Option[Long])] =
+      ev.filter(_._2 == "signup").flatMap { case (u, _, ses) =>
+        val hits = purchases.getOrElse(u, Array.empty[Long])
+          .filter(p => p >= ses && p <= ses + windowSec)
+        if (hits.isEmpty) Seq((u, ses, None))
+        else hits.map(p => (u, ses, Some(p))).toSeq
+      }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val streamDf = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.signupJoinStream(streamDf, windowSec)
+      .writeStream.format("memory").queryName("sconv_out")
+      .outputMode("append").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    // sentinel signup+purchase far past every window end: advances both
+    // watermarks so every real signup's outcome is PROVEN and emitted
+    val far = new java.sql.Timestamp(
+      rows.map(_._1.getTime).max + 90L * 86400 * 1000)
+    input.addData(Seq((far, -1L, "signup"), (far, -1L, "purchase")))
+    q.processAllAvailable()
+    val streamed = spark.table("sconv_out")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"),
+        expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', s_ts)"),
+        expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01 00:00:00', p_ts)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    q.stop()
+    assert(streamed == expected)
+    assert(expected.exists(_._3.isEmpty) && expected.exists(_._3.nonEmpty),
+      "corpus exercises both outcomes")
+  }
+
   test("stream-stream interval join matches the batch bucket join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
