@@ -195,6 +195,39 @@ object Athena {
       .where(col("revenue").isNotNull)
       .orderBy("category", "mth")
 
+  /** `ath_yoy_growth`: category revenue by year with year-over-year
+    * growth — the trend readout a BI layer serves next to
+    * [[salesRollup]]'s level totals ("is this category growing?").
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the fact on
+    * (category, year) — everything after runs on category×year rows
+    * (metadata); the prior-year lookup is a broadcast self-join of
+    * that aggregate on (category, year−1), never a window (a lag
+    * window would work too, but the join keeps the tiny table
+    * broadcast-shaped and shuffle-free). Revenue is fixed-point; the
+    * growth ratio divides two exact fixed-point doubles in identical
+    * IEEE ops both engines, NULL for a category's first year. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.products(spark, dir).select("product_id", "category")
+    val cy = Tables.sales(spark, dir)
+      .join(broadcast(p), "product_id")
+      .groupBy(col("category"), year(col("sale_ts")).as("sale_year"))
+      .agg(count(lit(1)).as("n_sales"),
+        sum(floor(col("unit_price") * col("quantity") * lit(10000))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 0))).as("rev_i"))
+    val prev = cy.select(col("category").as("p_cat"),
+      (col("sale_year") + 1).as("p_year"), col("rev_i").as("prev_i"))
+    cy.join(broadcast(prev),
+        col("category") === col("p_cat") && col("sale_year") === col("p_year"),
+        "left")
+      .select(col("category"), col("sale_year"), col("n_sales"),
+        (col("rev_i").cast("double") / 10000).as("revenue"),
+        (col("prev_i").cast("double") / 10000).as("prev_revenue"),
+        ((col("rev_i").cast("double") - col("prev_i").cast("double"))
+          / col("prev_i").cast("double")).as("yoy_growth"))
+      .orderBy("category", "sale_year")
+  }
+
   // ---- DuckDB oracles ----
 
   private val goldCtes =
@@ -244,6 +277,22 @@ object Athena {
   }
 
   val oracles: Map[String, String] = Map(
+    "ath_yoy_growth" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |cy AS (
+         |  SELECT p.category, year(s.sale_ts) AS sale_year, COUNT(*) AS n_sales,
+         |         SUM(CAST(FLOOR(s.unit_price*s.quantity*10000) AS DECIMAL(28,0)))
+         |           AS rev_i
+         |  FROM sales s JOIN products p USING (product_id)
+         |  GROUP BY 1, 2)
+         |SELECT c.category, c.sale_year, c.n_sales,
+         |       CAST(c.rev_i AS DOUBLE)/10000 AS revenue,
+         |       CAST(pr.rev_i AS DOUBLE)/10000 AS prev_revenue,
+         |       (CAST(c.rev_i AS DOUBLE) - CAST(pr.rev_i AS DOUBLE))
+         |         / CAST(pr.rev_i AS DOUBLE) AS yoy_growth
+         |FROM cy c LEFT JOIN cy pr
+         |  ON c.category = pr.category AND c.sale_year = pr.sale_year + 1
+         |ORDER BY c.category, c.sale_year""".stripMargin,
     "ath_daily_revenue" ->
       s"""WITH $goldCtes
          |SELECT sale_date, total_orders, total_items, revenue,
@@ -320,5 +369,6 @@ object Athena {
     "ath_top_products_per_category" -> topProductsPerCategory,
     "ath_category_month_pivot" -> categoryMonthPivot,
     "ath_month_unpivot"        -> monthUnpivot,
-    "ath_sales_rollup"         -> salesRollup)
+    "ath_sales_rollup"         -> salesRollup,
+    "ath_yoy_growth"           -> yoyGrowth)
 }

@@ -718,7 +718,54 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Number of experiment arms for [[abAssign]]. */
+  val AbVariants = 2L
+
+  /** `evt_ab_assign`: deterministic A/B experiment assignment + the
+    * per-variant funnel readout — every user lands in a variant by a
+    * pure hash of their id (no assignment table, no randomness: re-runs,
+    * backfills and late events always agree), then each variant reports
+    * exposed users, clickers, purchasers and the derived conversion
+    * rates. This is the experimentation primitive the reference's
+    * Athena layer would serve next to its funnel queries.
+    *
+    * Scale shape: variant is a map-side expression on user_id; ONE
+    * user_id-keyed partial-aggregating groupBy collapses the event
+    * stream to per-user flags (the [[cartAbandonment]] shape), then a
+    * [[AbVariants]]-cardinality rollup is metadata. The hash is the
+    * engine-portable multiplicative hash (Curation.portableHash), so
+    * the DuckDB oracle reproduces the assignment bit-for-bit; rates
+    * divide two exact counts in one IEEE op each. */
+  def abAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+      .groupBy((Curation.portableHash(col("user_id")) % AbVariants).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("clicked")).as("n_clickers"),
+        sum(col("purchased")).as("n_purchasers"))
+      .select(col("variant"), col("n_users"), col("n_clickers"), col("n_purchasers"),
+        (col("n_clickers").cast("double") / col("n_users").cast("double"))
+          .as("click_rate"),
+        (col("n_purchasers").cast("double") / col("n_users").cast("double"))
+          .as("purchase_rate"))
+      .orderBy("variant")
+
   val oracles: Map[String, String] = Map(
+    "evt_ab_assign" ->
+      s"""WITH u AS (SELECT user_id,
+         |                  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         |                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+         |           FROM events GROUP BY 1)
+         |SELECT ${Curation.portableHashSql("user_id")} % $AbVariants AS variant,
+         |       COUNT(*) AS n_users,
+         |       CAST(SUM(clicked) AS BIGINT) AS n_clickers,
+         |       CAST(SUM(purchased) AS BIGINT) AS n_purchasers,
+         |       CAST(SUM(clicked) AS BIGINT)*1.0/COUNT(*) AS click_rate,
+         |       CAST(SUM(purchased) AS BIGINT)*1.0/COUNT(*) AS purchase_rate
+         |FROM u GROUP BY 1 ORDER BY variant""".stripMargin,
     "evt_cart_abandonment" ->
       """WITH ud AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
         |                   user_id,
@@ -1017,5 +1064,6 @@ object Events {
     "evt_streaks"         -> streaks,
     "evt_gini"            -> activityGini,
     "evt_cart_abandonment" -> cartAbandonment,
-    "evt_signup_conversion" -> signupConversion)
+    "evt_signup_conversion" -> signupConversion,
+    "evt_ab_assign"       -> abAssign)
 }

@@ -473,9 +473,113 @@ object Gold {
       .orderBy("product_id")
   }
 
+  /** `gold_market_share`: brand (sku) revenue share within category —
+    * the merchandising view behind assortment decisions ("which brand
+    * owns this category"), the share-of-shelf companion to
+    * [[productPerformance]]'s absolute totals.
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the fact on
+    * (category, sku) — the only corpus-sized shuffle; the category
+    * totals are an aggregate OF that aggregate (brand-cardinality
+    * input, category-cardinality output — metadata), broadcast back.
+    * No window over the category: share divides the two
+    * fixed-point-exact revenues in one IEEE op, so the result is
+    * order-independent and engine-portable. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.products(spark, dir).select("product_id", "sku", "category")
+    val rev = Tables.sales(spark, dir)
+      .join(broadcast(p), "product_id")
+      .groupBy("category", "sku")
+      .agg(count(lit(1)).as("n_sales"),
+        sum(floor(col("unit_price") * col("quantity") * lit(10000))
+          .cast(DecimalType(28, 0))).as("rev_i"))
+    val catTotals = rev.groupBy("category")
+      .agg(sum(col("rev_i")).as("cat_i"))
+    rev.join(broadcast(catTotals), "category")
+      .select(col("category"), col("sku"), col("n_sales"),
+        (col("rev_i").cast("double") / 10000).as("revenue"),
+        (col("cat_i").cast("double") / 10000).as("category_revenue"),
+        (col("rev_i").cast("double") / col("cat_i").cast("double")).as("share"))
+      .orderBy("category", "sku")
+  }
+
+  /** `gold_new_vs_returning`: monthly revenue split by whether the
+    * customer is in their first-ever purchase month — the
+    * acquisition-vs-retention decomposition growth teams read next to
+    * [[cohortLtv]] (which tracks cohorts forward; this collapses to
+    * the per-month headline).
+    *
+    * Scale shape: the fact collapses to (customer, month) rows in ONE
+    * partial-aggregating groupBy; the first-month lookup is a second
+    * aggregate of THAT table and joins back co-partitioned on
+    * customer_id (no second fact shuffle at a bucketed warehouse);
+    * the month rollup is metadata. Integer month arithmetic,
+    * fixed-point revenue, and the new/returning flag is an exact
+    * integer compare — no window, no state. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables.sales(spark, dir)
+      .select(col("customer_id"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
+        col("unit_price"), col("quantity"))
+      .groupBy("customer_id", "ym")
+      .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
+        .cast(DecimalType(28, 0))).as("rev_i"))
+    val first = cm.groupBy("customer_id").agg(min(col("ym")).as("first_ym"))
+    cm.join(first, "customer_id")
+      .withColumn("is_new", col("ym") === col("first_ym"))
+      .groupBy("ym")
+      .agg(
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_customers"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning_customers"),
+        sum(when(col("is_new"), col("rev_i")).otherwise(lit(0).cast(DecimalType(28, 0))))
+          .as("new_i"),
+        sum(when(!col("is_new"), col("rev_i")).otherwise(lit(0).cast(DecimalType(28, 0))))
+          .as("ret_i"))
+      .select(
+        make_date(expr("ym DIV 12"), col("ym") % 12 + 1, lit(1)).as("month"),
+        col("n_new_customers"), col("n_returning_customers"),
+        (col("new_i").cast("double") / 10000).as("new_revenue"),
+        (col("ret_i").cast("double") / 10000).as("returning_revenue"))
+      .orderBy("month")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_market_share" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |rev AS (
+         |  SELECT p.category, p.sku, COUNT(*) AS n_sales,
+         |         SUM(CAST(FLOOR(s.unit_price*s.quantity*10000) AS DECIMAL(28,0)))
+         |           AS rev_i
+         |  FROM sales s JOIN products p USING (product_id)
+         |  GROUP BY 1, 2),
+         |ct AS (SELECT category, SUM(rev_i) AS cat_i FROM rev GROUP BY 1)
+         |SELECT rev.category, rev.sku, rev.n_sales,
+         |       CAST(rev_i AS DOUBLE)/10000 AS revenue,
+         |       CAST(cat_i AS DOUBLE)/10000 AS category_revenue,
+         |       CAST(rev_i AS DOUBLE)/CAST(cat_i AS DOUBLE) AS share
+         |FROM rev JOIN ct USING (category)
+         |ORDER BY rev.category, rev.sku""".stripMargin,
+    "gold_new_vs_returning" ->
+      s"""WITH ${Tables.salesCte},
+         |cm AS (
+         |  SELECT customer_id,
+         |         year(sale_ts)*12 + month(sale_ts) - 1 AS ym,
+         |         SUM(CAST(FLOOR(unit_price*quantity*10000) AS DECIMAL(28,0))) AS rev_i
+         |  FROM sales GROUP BY 1, 2),
+         |f AS (SELECT customer_id, MIN(ym) AS first_ym FROM cm GROUP BY 1)
+         |SELECT make_date(CAST(ym // 12 AS INT), CAST(ym % 12 + 1 AS INT), 1) AS month,
+         |       CAST(SUM(CASE WHEN ym = first_ym THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_new_customers,
+         |       CAST(SUM(CASE WHEN ym = first_ym THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_returning_customers,
+         |       CAST(SUM(CASE WHEN ym = first_ym THEN rev_i ELSE 0 END) AS DOUBLE)/10000
+         |         AS new_revenue,
+         |       CAST(SUM(CASE WHEN ym = first_ym THEN 0 ELSE rev_i END) AS DOUBLE)/10000
+         |         AS returning_revenue
+         |FROM cm JOIN f USING (customer_id)
+         |GROUP BY ym ORDER BY month""".stripMargin,
     "gold_repeat_rate" ->
       """WITH o AS (SELECT o_custkey AS customer_id,
         |             CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT) AS ym
@@ -685,5 +789,7 @@ object Gold {
     "gold_order_gap"           -> orderGaps,
     "gold_price_slope"         -> priceSlope,
     "gold_abc_class"           -> abcClass,
-    "gold_repeat_rate"         -> repeatRate)
+    "gold_repeat_rate"         -> repeatRate,
+    "gold_market_share"        -> marketShare,
+    "gold_new_vs_returning"    -> newVsReturning)
 }

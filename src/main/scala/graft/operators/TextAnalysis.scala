@@ -160,6 +160,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `txt_lexical`: per-document lexical-diversity profile — token and
+    * type counts, type-token ratio, hapax-legomenon fraction, and the
+    * Simpson repeat probability Σcᵢ(cᵢ−1)/n(n−1) (the chance two
+    * randomly drawn tokens are the same word — the transcendental-free
+    * dual of entropy: machine text and template spam score high, while
+    * [[repRatio]] catches ADJACENT repetition, this catches global
+    * vocabulary collapse).
+    *
+    * Scale shape: explode to (doc, term) → ONE partial-aggregating
+    * groupBy to per-doc term counts → ONE doc-keyed aggregate — the
+    * TF-IDF shuffle discipline, state bounded by a document's
+    * vocabulary. All four sufficient statistics are exact integers;
+    * each ratio is a single IEEE division, identical both engines. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types") * lit(1.0) / col("n_tokens")).as("ttr"),
+        (col("n_hapax") * lit(1.0) / col("n_types")).as("hapax_frac"),
+        when(col("n_tokens") >= 2,
+          col("rep_pairs") * lit(1.0) / (col("n_tokens") * (col("n_tokens") - 1)))
+          .otherwise(lit(0.0)).as("simpson_rep"))
+      .orderBy("doc_id")
+
   /** PII patterns shared by the Spark operator and the DuckDB oracle.
     * Kept to constructs Java regex and RE2 parse identically (classes,
     * bounded repeats, \b, alternation — no lookaround). */
@@ -588,6 +618,26 @@ object TextAnalysis {
          |       len(ctoks) AS n_chunk_tokens,
          |       array_to_string(ctoks, ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "txt_lexical" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         COUNT(*) AS n_types,
+        |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |         CAST(SUM(c*(c-1)) AS BIGINT) AS rep_pairs
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |       n_types*1.0/n_tokens AS ttr,
+        |       n_hapax*1.0/n_types AS hapax_frac,
+        |       CASE WHEN n_tokens >= 2
+        |            THEN rep_pairs*1.0/(n_tokens*(n_tokens-1))
+        |            ELSE 0.0 END AS simpson_rep
+        |FROM d ORDER BY doc_id""".stripMargin,
     "txt_rep_ratio" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -764,5 +814,6 @@ object TextAnalysis {
     "txt_rag"         -> ragChunks,
     "txt_novelty"     -> novelty,
     "txt_vocab"       -> vocab,
-    "txt_oov"         -> oovScore)
+    "txt_oov"         -> oovScore,
+    "txt_lexical"     -> lexicalDiversity)
 }

@@ -616,4 +616,24 @@ class EventsSpec extends SparkSpec {
     assert(row.getAs[Double]("gini") == gini, "identical IEEE closed form")
     assert(gini >= 0.0 && gini < 1.0)
   }
+
+  test("A/B assignment partitions every user deterministically into 2 variants") {
+    val rows = Events.abAssign(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("variant")).toSet == Set(0L, 1L))
+    val totalUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == totalUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clickers") <= r.getAs[Long]("n_users"))
+      val cr = r.getAs[Double]("click_rate")
+      val pr = r.getAs[Double]("purchase_rate")
+      assert(cr >= 0.0 && cr <= 1.0 && pr >= 0.0 && pr <= 1.0)
+    }
+    // hash balance: neither arm is more than 60% of users (sf0.001 has
+    // ~150 users; the multiplicative hash equidistributes sequential ids)
+    val max = rows.map(_.getAs[Long]("n_users")).max
+    assert(max.toDouble / totalUsers < 0.6)
+    // determinism: a re-run yields the identical readout
+    assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
+  }
 }

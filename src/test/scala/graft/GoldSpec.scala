@@ -348,4 +348,50 @@ class GoldSpec extends SparkSpec {
     assert(got.toSeq == exp)
     assert(Set("A", "B", "C").subsetOf(got.map(_._4).toSet))
   }
+
+  test("market shares sum to 1 per category and reconcile with category totals") {
+    val rows = Gold.marketShare(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("category")).foreach { case (cat, rs) =>
+      val shareSum = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9, s"category $cat shares sum $shareSum")
+      val catRev = rs.head.getAs[Double]("category_revenue")
+      val brandSum = rs.map(_.getAs[Double]("revenue")).sum
+      assert(math.abs(brandSum - catRev) < 1e-6, s"category $cat totals")
+    }
+  }
+
+  test("new + returning customers per month equals that month's distinct buyers") {
+    val got = Gold.newVsReturning(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("month").toString ->
+        (r.getAs[Long]("n_new_customers") + r.getAs[Long]("n_returning_customers")))
+      .toMap
+    val exp = Tables.sales(spark, sfDir)
+      .select(date_format(trunc(col("sale_ts"), "month"), "yyyy-MM-dd").as("m"),
+        col("customer_id"))
+      .distinct().groupBy("m").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("m") -> r.getAs[Long]("n")).toMap
+    assert(got == exp)
+    // every month after the first has returning customers; the first has none
+    val first = Gold.newVsReturning(spark, sfDir).collect().minBy(_.getAs[java.sql.Date]("month").toString)
+    assert(first.getAs[Long]("n_returning_customers") == 0L)
+  }
+
+  test("yoy growth is null for a category's first year and matches the ratio") {
+    val rows = Athena.yoyGrowth(spark, sfDir).collect()
+    val byCat = rows.groupBy(_.getAs[String]("category"))
+    byCat.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("sale_year"))
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("yoy_growth")))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur)
+            if cur.getAs[Int]("sale_year") == prev.getAs[Int]("sale_year") + 1 =>
+          val g = cur.getAs[Double]("yoy_growth")
+          val exp = (cur.getAs[Double]("revenue") - prev.getAs[Double]("revenue")) /
+            prev.getAs[Double]("revenue")
+          assert(math.abs(g - exp) < 1e-9)
+          assert(cur.getAs[Double]("prev_revenue") == prev.getAs[Double]("revenue"))
+        case _ => ()
+      }
+    }
+  }
 }

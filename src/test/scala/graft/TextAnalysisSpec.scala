@@ -309,4 +309,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0))
     assert(got.values.forall(v => v._2 < v._1))
   }
+
+  test("lexical diversity matches a driver recompute and stays in bounds") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val got = TextAnalysis.lexicalDiversity(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Double]("ttr"),
+          r.getAs[Double]("hapax_frac"), r.getAs[Double]("simpson_rep"))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = toks.length.toLong
+      val types = counts.size.toLong
+      val hapax = counts.values.count(_ == 1L).toLong
+      val repPairs = counts.values.map(c => c * (c - 1)).sum
+      val (gn, gt, gh, ttr, hf, sr) = got(id)
+      assert(gn == n && gt == types && gh == hapax, s"doc $id counts")
+      assert(ttr == types * 1.0 / n && hf == hapax * 1.0 / types, s"doc $id ratios")
+      val expSr = if (n >= 2) repPairs * 1.0 / (n * (n - 1)) else 0.0
+      assert(sr == expSr, s"doc $id simpson")
+      assert(gh <= gt && gt <= gn)
+      assert(sr >= 0.0 && sr <= 1.0)
+    }
+  }
 }
