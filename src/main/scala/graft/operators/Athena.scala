@@ -228,6 +228,42 @@ object Athena {
       .orderBy("category", "sale_year")
   }
 
+  /** Days after the order date past which the last line shipment counts
+    * as late for [[priorityFulfillment]]. */
+  val LateShipDays = 90
+
+  /** `ath_priority_fulfillment`: per order-priority class, how many
+    * orders shipped their last line more than [[LateShipDays]] days
+    * after the order date — the ops-review SLA view (does paying for
+    * "1-URGENT" actually buy faster fulfillment?), the analytics twin
+    * of TPC-H Q4's priority-checking shape on this schema.
+    *
+    * Scale shape: the line fact collapses to one `MAX(l_shipdate)` row
+    * per order in a partial-aggregating groupBy, then joins the order
+    * header on the SAME key it just aggregated on — co-partitioned, no
+    * second fact shuffle at a bucketed warehouse. The lateness flag is
+    * integer day arithmetic; the priority rollup is metadata-sized
+    * (five classes). */
+  def priorityFulfillment(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"), count(lit(1)).as("n_lines"))
+    Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(lastShip, Seq("o_orderkey"), "left")
+      // an order with no line at all never shipped — the worst lateness
+      .withColumn("late", coalesce(
+        datediff(col("last_ship"), col("o_orderdate")) > LateShipDays,
+        lit(true)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("n_lines"), lit(0L))).as("n_lines"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .withColumn("late_rate",
+        col("n_late").cast("double") / col("n_orders").cast("double"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---- DuckDB oracles ----
 
   private val goldCtes =
@@ -347,6 +383,22 @@ object Athena {
          |         AS estimated_revenue
          |FROM prod_perf GROUP BY category
          |ORDER BY estimated_revenue DESC, category""".stripMargin,
+    "ath_priority_fulfillment" ->
+      s"""WITH ls AS (SELECT l_orderkey AS o_orderkey,
+         |              MAX(l_shipdate) AS last_ship, COUNT(*) AS n_lines
+         |            FROM lineitem GROUP BY 1),
+         |j AS (SELECT o.o_orderpriority, COALESCE(ls.n_lines, 0) AS n_lines,
+         |             CASE WHEN ls.last_ship IS NULL
+         |                    OR date_diff('day', CAST(o.o_orderdate AS DATE),
+         |                                 CAST(ls.last_ship AS DATE))
+         |                       > $LateShipDays
+         |                  THEN 1 ELSE 0 END AS late
+         |      FROM orders o LEFT JOIN ls USING (o_orderkey))
+         |SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+         |       CAST(SUM(late) AS BIGINT) AS n_late,
+         |       CAST(SUM(late) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS late_rate
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ath_sales_rollup" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |sm AS (SELECT p.category, CAST(YEAR(sale_ts) AS INT) AS yr,
@@ -370,5 +422,6 @@ object Athena {
     "ath_category_month_pivot" -> categoryMonthPivot,
     "ath_month_unpivot"        -> monthUnpivot,
     "ath_sales_rollup"         -> salesRollup,
-    "ath_yoy_growth"           -> yoyGrowth)
+    "ath_yoy_growth"           -> yoyGrowth,
+    "ath_priority_fulfillment" -> priorityFulfillment)
 }

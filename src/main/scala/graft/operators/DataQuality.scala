@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Data-quality suite (reference: scripts/data_quality.py).
@@ -177,6 +178,53 @@ object DataQuality {
     ).reduce(_ unionAll _).orderBy("check_name")
   }
 
+  /** Fixed-point tolerance (1e-4 units) under which an order header
+    * total and its recomputed line total count as reconciled: 100 units
+    * = one cent. */
+  val ReconcileTolI = 100L
+
+  /** `dq_order_reconciliation`: cross-table consistency check — does
+    * each order header's `o_totalprice` equal the sum of its lines'
+    * `extendedprice·(1−discount)·(1+tax)`? The classic warehouse
+    * header-vs-detail reconciliation (a failed load, a partial ingest,
+    * or a currency bug shows up here before any gold number is wrong).
+    * One summary row: order counts, within-a-cent match count, and the
+    * total / worst absolute drift.
+    *
+    * Scale shape: lines collapse to one fixed-point total per order in
+    * a partial-aggregating groupBy, then join the header on the SAME
+    * key — co-partitioned at a bucketed warehouse, one fact shuffle.
+    * Both sides floor to 1e-4 BEFORE differencing, so the comparison is
+    * exact integer arithmetic (DECIMAL drift sums are order-independent
+    * and engine-portable); the final rollup is a 1-row aggregate. */
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 0)
+    val lines = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * lit(10000)).cast(dec).as("line_i"))
+      .groupBy("o_orderkey")
+      .agg(sum(col("line_i")).as("lines_i"))
+    Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(10000)).cast(dec).as("header_i"))
+      // left join: a header with NO lines is exactly the failed-load
+      // case this check exists to catch — its whole total is drift
+      .join(lines, Seq("o_orderkey"), "left")
+      .select((col("header_i") - coalesce(col("lines_i"), lit(0).cast(dec)))
+        .cast(DecimalType(38, 0)).as("diff_i"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(abs(col("diff_i")) <= ReconcileTolI, 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(abs(col("diff_i")) > ReconcileTolI, 1L).otherwise(0L))
+          .as("n_mismatched"),
+        (sum(abs(col("diff_i"))).cast("double") / 10000).as("total_abs_drift"),
+        (max(abs(col("diff_i"))).cast("double") / 10000).as("max_abs_drift"))
+      .withColumn("match_rate",
+        col("n_matched").cast("double") / col("n_orders").cast("double"))
+  }
+
   // ---- oracles ----------------------------------------------------------
 
   private val tableCols: Map[String, Seq[String]] = Map(
@@ -205,6 +253,25 @@ object DataQuality {
   val VolumeRobustK = 3.0
 
   val oracles: Map[String, String] = Map(
+    "dq_order_reconciliation" ->
+      s"""WITH l AS (SELECT l_orderkey AS o_orderkey,
+         |             SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*10000)
+         |                 AS DECIMAL(28,0))) AS lines_i
+         |           FROM lineitem GROUP BY 1),
+         |d AS (SELECT CAST(CAST(FLOOR(o_totalprice*10000) AS DECIMAL(28,0))
+         |               - COALESCE(lines_i, 0) AS DECIMAL(38,0)) AS diff_i
+         |      FROM orders LEFT JOIN l USING (o_orderkey)),
+         |a AS (SELECT COUNT(*) AS n_orders,
+         |        CAST(SUM(CASE WHEN ABS(diff_i) <= $ReconcileTolI THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_matched,
+         |        CAST(SUM(CASE WHEN ABS(diff_i) > $ReconcileTolI THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_mismatched,
+         |        CAST(SUM(ABS(diff_i)) AS DOUBLE)/10000 AS total_abs_drift,
+         |        CAST(MAX(ABS(diff_i)) AS DOUBLE)/10000 AS max_abs_drift
+         |      FROM d)
+         |SELECT n_orders, n_matched, n_mismatched, total_abs_drift, max_abs_drift,
+         |       CAST(n_matched AS DOUBLE)/CAST(n_orders AS DOUBLE) AS match_rate
+         |FROM a""".stripMargin,
     "dq_volume_anomaly" ->
       s"""WITH d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
          |                  COUNT(*) AS n_events
@@ -312,5 +379,6 @@ object DataQuality {
     "dq_business_rules" -> businessRules,
     "dq_referential"    -> referentialIntegrity,
     "dq_drift"          -> drift,
-    "dq_volume_anomaly" -> volumeAnomaly)
+    "dq_volume_anomaly" -> volumeAnomaly,
+    "dq_order_reconciliation" -> orderReconciliation)
 }

@@ -543,9 +543,140 @@ object Gold {
       .orderBy("month")
   }
 
+  /** `gold_returns`: per-category return rate and returned revenue from
+    * the line-status flag (`l_returnflag = 'R'`) — the merchandise-
+    * quality view next to [[productPerformance]] (which counts sales;
+    * this counts what came back).
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the line fact after
+    * a broadcast dim join; the return flag collapses map-side into
+    * conditional counters, so the shuffle carries category-cardinality
+    * rows. Returned revenue is fixed-point ([[moneySum]] convention);
+    * the rate is one IEEE division of two exact counters. */
+  def returnsByCategory(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("product_id"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+    val p = Tables.products(spark, dir).select("product_id", "category")
+    li.join(broadcast(p), "product_id")
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(col("qty")).as("total_qty"),
+        sum(when(col("l_returnflag") === "R", col("qty")).otherwise(0L))
+          .as("returned_qty"),
+        moneySum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("returned_revenue"))
+      .withColumn("return_rate",
+        col("n_returned").cast("double") / col("n_lines").cast("double"))
+      .orderBy("category")
+  }
+
+  /** `gold_discount_impact`: per-category gross revenue, discount given,
+    * tax collected and net-of-discount revenue from the line-level
+    * `l_discount`/`l_tax` rates — the margin-decomposition view behind
+    * promotion planning (how much revenue each category's discounts
+    * cost, and the effective realized discount rate).
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the line fact after
+    * a broadcast dim join. All four money measures are independent
+    * fixed-point sums ([[moneySum]]) — exact, order-independent,
+    * merge-safe; the effective rate divides two of them in one IEEE op
+    * (engine-portable, no window, no second scan). */
+  def discountImpact(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("product_id"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+    val p = Tables.products(spark, dir).select("product_id", "category")
+    li.join(broadcast(p), "product_id")
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice")).as("gross_revenue"),
+        moneySum(col("l_extendedprice") * col("l_discount"))
+          .as("discount_amount"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("net_revenue"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * col("l_tax")).as("tax_amount"))
+      .withColumn("effective_discount_rate",
+        col("discount_amount") / col("gross_revenue"))
+      .orderBy("category")
+  }
+
+  /** Order-value histogram bucket width (dollars). */
+  val OrderValueBucket = 25000
+
+  /** `gold_order_value_histogram`: distribution of order header totals
+    * in fixed-width [[OrderValueBucket]] buckets — the basket-size
+    * profile that sizes free-shipping thresholds and flags mix shifts
+    * (read next to [[newVsReturning]]).
+    *
+    * Scale shape: the bucket index is pure per-row arithmetic
+    * (`FLOOR(total/width)` in identical IEEE ops both engines — no
+    * percentile, no sort), so the only shuffle is a histogram groupBy
+    * whose cardinality is the bucket count, with map-side partials.
+    * Min/max of doubles are exact compares; revenue per bucket is
+    * fixed-point. */
+  def orderValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .select(col("o_totalprice"),
+        floor(col("o_totalprice") / lit(OrderValueBucket.toDouble))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"),
+        moneySum(col("o_totalprice")).as("bucket_revenue"))
+      .withColumn("bucket_lo",
+        (col("bucket") * OrderValueBucket).cast("double"))
+      .select("bucket", "bucket_lo", "n_orders", "min_total", "max_total",
+        "bucket_revenue")
+      .orderBy("bucket")
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_returns" ->
+      s"""WITH ${Tables.productsCte},
+         |li AS (SELECT l_partkey AS product_id, l_returnflag,
+         |              CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+         |       FROM lineitem)
+         |SELECT p.category, COUNT(*) AS n_lines,
+         |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_returned,
+         |       CAST(SUM(qty) AS BIGINT) AS total_qty,
+         |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN qty ELSE 0 END) AS BIGINT)
+         |         AS returned_qty,
+         |       ${moneySumSql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END")}
+         |         AS returned_revenue,
+         |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS return_rate
+         |FROM li JOIN products p USING (product_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gold_discount_impact" ->
+      s"""WITH ${Tables.productsCte},
+         |li AS (SELECT l_partkey AS product_id, l_extendedprice, l_discount, l_tax
+         |       FROM lineitem),
+         |g AS (SELECT p.category, COUNT(*) AS n_lines,
+         |             ${moneySumSql("l_extendedprice")} AS gross_revenue,
+         |             ${moneySumSql("l_extendedprice*l_discount")} AS discount_amount,
+         |             ${moneySumSql("l_extendedprice*(1.0-l_discount)")} AS net_revenue,
+         |             ${moneySumSql("l_extendedprice*(1.0-l_discount)*l_tax")} AS tax_amount
+         |      FROM li JOIN products p USING (product_id) GROUP BY 1)
+         |SELECT category, n_lines, gross_revenue, discount_amount, net_revenue,
+         |       tax_amount, discount_amount/gross_revenue AS effective_discount_rate
+         |FROM g ORDER BY category""".stripMargin,
+    "gold_order_value_histogram" ->
+      s"""WITH b AS (SELECT o_totalprice,
+         |             CAST(FLOOR(o_totalprice/$OrderValueBucket.0) AS BIGINT) AS bucket
+         |           FROM orders)
+         |SELECT bucket, CAST(bucket*$OrderValueBucket AS DOUBLE) AS bucket_lo,
+         |       COUNT(*) AS n_orders,
+         |       MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total,
+         |       ${moneySumSql("o_totalprice")} AS bucket_revenue
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "gold_market_share" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |rev AS (
@@ -791,5 +922,8 @@ object Gold {
     "gold_abc_class"           -> abcClass,
     "gold_repeat_rate"         -> repeatRate,
     "gold_market_share"        -> marketShare,
-    "gold_new_vs_returning"    -> newVsReturning)
+    "gold_new_vs_returning"    -> newVsReturning,
+    "gold_returns"             -> returnsByCategory,
+    "gold_discount_impact"     -> discountImpact,
+    "gold_order_value_histogram" -> orderValueHistogram)
 }

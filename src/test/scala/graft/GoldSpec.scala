@@ -394,4 +394,60 @@ class GoldSpec extends SparkSpec {
       }
     }
   }
+
+  test("returns by category: counters reconcile with the raw line fact") {
+    val rows = Gold.returnsByCategory(spark, sfDir).collect()
+    val li = Tables.table(spark, sfDir, "lineitem")
+    assert(rows.map(_.getAs[Long]("n_lines")).sum == li.count())
+    assert(rows.map(_.getAs[Long]("n_returned")).sum ==
+      li.where(col("l_returnflag") === "R").count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("return_rate") >= 0.0 &&
+        r.getAs[Double]("return_rate") <= 1.0)
+      assert(r.getAs[Long]("returned_qty") <= r.getAs[Long]("total_qty"))
+    }
+    // plan: dim join is broadcast, no cartesian
+    val plan = Gold.returnsByCategory(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("discount impact: gross = net + discount within fixed-point tolerance") {
+    Gold.discountImpact(spark, sfDir).collect().foreach { r =>
+      val gross = r.getAs[Double]("gross_revenue")
+      val net   = r.getAs[Double]("net_revenue")
+      val disc  = r.getAs[Double]("discount_amount")
+      // each side floors independently at 1e-4, so per-line error < 2e-4
+      assert(math.abs(gross - (net + disc)) <= 2e-4 * r.getAs[Long]("n_lines"))
+      assert(r.getAs[Double]("effective_discount_rate") >= 0.0 &&
+        r.getAs[Double]("effective_discount_rate") < 1.0)
+    }
+  }
+
+  test("order value histogram covers every order exactly once") {
+    val h = Gold.orderValueHistogram(spark, sfDir).collect()
+    assert(h.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.table(spark, sfDir, "orders").count())
+    h.foreach { r =>
+      val lo = r.getAs[Double]("bucket_lo")
+      assert(r.getAs[Double]("min_total") >= lo)
+      assert(r.getAs[Double]("max_total") < lo + Gold.OrderValueBucket)
+    }
+  }
+
+  test("priority fulfillment: every order counted once, lateness vs brute force") {
+    val rows = Athena.priorityFulfillment(spark, sfDir).collect()
+    val orders = Tables.table(spark, sfDir, "orders")
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders.count())
+    // brute-force recount of late orders across all priorities
+    // (an order with no lines never shipped → late)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ls"))
+    val late = orders.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .where(col("ls").isNull ||
+        datediff(col("ls"), col("o_orderdate")) > Athena.LateShipDays)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_late")).sum == late)
+  }
 }

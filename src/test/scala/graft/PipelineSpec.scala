@@ -315,4 +315,15 @@ class PipelineSpec extends SparkSpec {
       assert(rate == corrupt.toDouble / rows.length.toDouble)
     }
   }
+
+  test("order reconciliation: counts partition orders, drift bounds sane") {
+    val r = DataQuality.orderReconciliation(spark, sfDir).head()
+    val nOrders = r.getAs[Long]("n_orders")
+    assert(nOrders ==
+      graft.sources.Tables.table(spark, sfDir, "orders").count())
+    assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_mismatched") == nOrders)
+    assert(r.getAs[Double]("max_abs_drift") <= r.getAs[Double]("total_abs_drift"))
+    val rate = r.getAs[Double]("match_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
 }
