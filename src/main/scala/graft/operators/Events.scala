@@ -404,6 +404,34 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("event_type", "bucket_lo")
 
+  /** `evt_hourly_profile`: hour-of-day × event-type activity profile
+    * with each cell's share of its type's total — the diurnal-shape
+    * view behind load forecasting and bot triage (a type whose traffic
+    * doesn't breathe with the day is scripted; see [[botRate]] for the
+    * per-user flag).
+    *
+    * Scale shape: ONE partial-aggregating groupBy on a 24×|types| key
+    * space (map-side combine collapses the fact to ≤ 24·types rows
+    * before the shuffle); the per-type totals are an aggregate OF that
+    * aggregate — metadata — broadcast back for the share division.
+    * Hour extraction is integer arithmetic on the second-truncated
+    * timestamp; value mass is fixed-point. */
+  def hourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(hour(col("ts")).as("hour_of_day"), col("event_type"), col("value"))
+      .groupBy("hour_of_day", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Gold.moneySum(col("value")).as("value_sum"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum(col("n_events")).as("type_total"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("hour_of_day"), col("event_type"), col("n_events"),
+        col("value_sum"),
+        (col("n_events").cast("double") / col("type_total").cast("double"))
+          .as("share_of_type"))
+      .orderBy("hour_of_day", "event_type")
+  }
+
   /** Misra-Gries counter budget for heavy-user detection — deliberately
     * below the distinct-user cardinality so the sketch genuinely
     * decrements (and the guarantee, not exactness, is what's tested). */
@@ -989,6 +1017,18 @@ object Events {
          |SELECT c.from_type, c.to_type, n, CAST(n AS DOUBLE)/row_n AS prob
          |FROM c JOIN t USING (from_type)
          |ORDER BY from_type, to_type""".stripMargin,
+    "evt_hourly_profile" ->
+      s"""WITH c AS (
+         |  SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+         |         COUNT(*) AS n_events,
+         |         ${Gold.moneySumSql("value")} AS value_sum
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS type_total
+         |      FROM c GROUP BY 1)
+         |SELECT hour_of_day, event_type, n_events, value_sum,
+         |       CAST(n_events AS DOUBLE)/CAST(type_total AS DOUBLE) AS share_of_type
+         |FROM c JOIN t USING (event_type)
+         |ORDER BY hour_of_day, event_type""".stripMargin,
     "evt_value_histogram" ->
       s"""SELECT event_type,
          |       (CAST(FLOOR(value) AS BIGINT) // $HistBucketWidth)
@@ -1050,6 +1090,7 @@ object Events {
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,
     "evt_value_histogram" -> valueHistogram,
+    "evt_hourly_profile"  -> hourlyProfile,
     "evt_anomaly"         -> valueAnomalies,
     "evt_heavy_users"     -> heavyUsers,
     "evt_transitions"     -> transitions,

@@ -599,9 +599,13 @@ object Similarity {
     * corpus explodes map-side and partial-aggregates per vec_id; the
     * per-label means are #labels rows broadcast back. Two corpus-sized
     * shuffles max (vec agg + output sort), nothing quadratic. */
-  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-vector fixed-point squared distance to the label centroid:
+    * `(vec_id, label, s)` where `s` = Σ FLOOR(t²·scale) as
+    * DECIMAL(38,0) — exact, order-independent, shared by
+    * [[embOutliers]] and [[centroidDistHist]]. */
+  private def centroidDist2I(spark: SparkSession, dir: String): DataFrame = {
     val cent = labelCentroids(spark, dir).select("label", "dim", "centroid")
-    val d2 = Tables.table(spark, dir, "embeddings")
+    Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
       .join(broadcast(cent), Seq("label", "dim"))
@@ -610,6 +614,10 @@ object Similarity {
       .groupBy("vec_id", "label")
       .agg(sum(floor(col("t2") * lit(CentroidScale.toDouble))
         .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+  }
+
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = centroidDist2I(spark, dir)
       .select(col("vec_id"), col("label"),
         (col("s").cast("double") / lit(CentroidScale.toDouble)).as("dist2"))
     val means = d2.groupBy("label")
@@ -624,6 +632,33 @@ object Similarity {
         (col("dist2") > lit(OutlierRatio) * col("mean_d2")).as("is_outlier"))
       .orderBy("vec_id")
   }
+
+  /** Histogram bucket width for [[centroidDistHist]], in fixed-point
+    * [[CentroidScale]] units: 50000/1e6 = 0.05 of squared distance. */
+  val DistHistBucketI = 50000L
+
+  /** `emb_sim_hist`: per-label histogram of squared distance to the
+    * label centroid — the distribution view that PICKS the thresholds
+    * the point ops consume (where to cut [[embOutliers]]' ratio, what
+    * cosine bar [[Similarity]] near-dup should use): a bimodal label
+    * is two clusters, a long tail is label noise.
+    *
+    * Scale shape: reuses [[centroidDist2I]] (one corpus pass, exact
+    * DECIMAL sums), then buckets the INTEGER fixed-point distance with
+    * pure integer division — no doubles anywhere near the bucket
+    * boundary, so the histogram is bit-identical in any engine — and
+    * rolls up per (label, bucket): output is histogram-sized
+    * metadata. */
+  def centroidDistHist(spark: SparkSession, dir: String): DataFrame =
+    centroidDist2I(spark, dir)
+      .select(col("label"),
+        expr(s"CAST(s AS BIGINT) DIV $DistHistBucketI").as("bucket"))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("d2_lo",
+        (col("bucket") * DistHistBucketI).cast("double") / CentroidScale.toDouble)
+      .select("label", "bucket", "d2_lo", "n_vecs")
+      .orderBy("label", "bucket")
 
   /** Unit-normalize every embedding (the preprocessing step that turns
     * cosine search into dot-product search). The kernel is the native
@@ -980,6 +1015,29 @@ object Similarity {
          |       sxx/$CentroidScale/n - (sx/$CentroidScale/n)*(sx/$CentroidScale/n)
          |         AS variance
          |FROM a ORDER BY dim""".stripMargin,
+    "emb_sim_hist" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
+         |         embedding AS e
+         |  FROM embeddings),
+         |r AS (SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+         |             CAST(e[i] AS DOUBLE) AS v FROM ex),
+         |cen AS (SELECT label, dim,
+         |               CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(28,0))) AS DOUBLE)
+         |                 / $CentroidScale / COUNT(*) AS centroid
+         |        FROM r GROUP BY 1, 2),
+         |t AS (SELECT vec_id, r.label,
+         |             (v - centroid)*(v - centroid) AS t2
+         |      FROM r JOIN cen ON r.label = cen.label AND r.dim = cen.dim),
+         |si AS (SELECT vec_id, label,
+         |              CAST(SUM(CAST(FLOOR(t2 * $CentroidScale) AS DECIMAL(38,0))) AS BIGINT)
+         |                AS s
+         |       FROM t GROUP BY 1, 2),
+         |b AS (SELECT label, s // $DistHistBucketI AS bucket FROM si)
+         |SELECT label, bucket,
+         |       CAST(bucket*$DistHistBucketI AS DOUBLE)/$CentroidScale AS d2_lo,
+         |       COUNT(*) AS n_vecs
+         |FROM b GROUP BY 1, 2 ORDER BY label, bucket""".stripMargin,
     "emb_outliers" ->
       s"""WITH ex AS (
          |  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
@@ -1065,6 +1123,7 @@ object Similarity {
     "emb_norm"         -> embNorm,
     "emb_quantize"     -> embQuantize,
     "emb_outliers"     -> embOutliers,
+    "emb_sim_hist"     -> centroidDistHist,
     "emb_dim_stats"    -> dimStats,
     "ann_range"        -> annRange,
     "emb_gram"         -> gramMatrix,

@@ -472,6 +472,74 @@ object TextAnalysis {
     * at every test scale (production would use 32k-256k). */
   val VocabK = 20
 
+  /** `txt_freq_spectrum`: the frequency-of-frequencies table — for each
+    * occurrence count c, how many distinct token types occur exactly c
+    * times, and the token mass they carry. The Zipf/Heaps diagnostic
+    * read before sizing a tokenizer vocabulary (how fat is the hapax
+    * tail a vocab cut abandons?) and the input to Good-Turing
+    * smoothing.
+    *
+    * Scale shape: one partial-aggregated token count (vocab-sized
+    * shuffle), then a second aggregate OVER the counts whose key space
+    * is the distinct count values — O(√mass) rows by Zipf's law, so
+    * the output is metadata at any corpus size. All-integer; no
+    * bucketing approximation needed. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt")
+      .agg(count(lit(1)).as("n_types"))
+      .select(col("cnt").as("token_count"), col("n_types"),
+        (col("cnt") * col("n_types")).as("token_mass"))
+      .orderBy("token_count")
+
+  /** Minimum pair count for a collocation candidate. */
+  val PmiMinSupport = 5
+  /** Collocations reported by [[pmiPairs]]. */
+  val PmiTopK = 50
+
+  /** `txt_pmi_pairs`: top collocations by pointwise-mutual-information
+    * lift — adjacent token pairs that co-occur far above chance
+    * (`p(ab) / (p(a)·p(b))`, support-filtered) — the phrase-mining
+    * signal behind tokenizer merge rules and multi-word entity
+    * detection.
+    *
+    * Scale shape: bigram and unigram counts are partial-aggregated
+    * (vocab-bounded shuffles — the corpus collapses map-side); the two
+    * marginal lookups join on the token key of tables that are
+    * VOCABULARY-sized, not corpus-sized; the two grand totals are
+    * broadcast 1-row aggregates. The lift is computed in one fixed
+    * IEEE expression shape (ratio of probabilities) so it is
+    * bit-identical cross-engine, and the top-k is a
+    * TakeOrderedAndProject with a unique tiebreaker — never a global
+    * sort. */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val bg = Tables.table(spark, dir, "documents")
+      .select(explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+        .as("bigram"))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+    val toks = Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val c1 = toks.groupBy("token").agg(count(lit(1)).as("c1"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    val nu = toks.agg(count(lit(1)).as("nu"))
+    c2.where(col("n_pair") >= PmiMinSupport)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(c1.select(col("token").as("w1"), col("c1").as("n_first")), "w1")
+      .join(c1.select(col("token").as("w2"), col("c1").as("n_second")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("bigram"), col("n_pair"), col("n_first"), col("n_second"),
+        ((col("n_pair").cast("double") / col("nb").cast("double"))
+          / ((col("n_first").cast("double") / col("nu").cast("double"))
+            * (col("n_second").cast("double") / col("nu").cast("double"))))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(PmiTopK)
+  }
+
   /** `txt_vocab`: frequency-ranked tokenizer vocabulary — the top
     * [[VocabK]] tokens by corpus count with contiguous ids (rank order;
     * count ties break on the token), the "train a vocab before training
@@ -556,6 +624,34 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "txt_quality" -> qualityOracleSql,
+    "txt_freq_spectrum" ->
+      """WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
+        |SELECT cnt AS token_count, COUNT(*) AS n_types,
+        |       cnt * COUNT(*) AS token_mass
+        |FROM c GROUP BY cnt ORDER BY token_count""".stripMargin,
+    "txt_pmi_pairs" ->
+      s"""WITH bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |           i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM (SELECT string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 2),
+         |c2 AS (SELECT bigram, COUNT(*) AS n_pair FROM bg GROUP BY 1),
+         |tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+         |c1 AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY 1),
+         |nb AS (SELECT COUNT(*) AS nb FROM bg),
+         |nu AS (SELECT COUNT(*) AS nu FROM tok),
+         |p AS (SELECT bigram, n_pair,
+         |             string_split(bigram, ' ')[1] AS w1,
+         |             string_split(bigram, ' ')[2] AS w2
+         |      FROM c2 WHERE n_pair >= $PmiMinSupport)
+         |SELECT bigram, n_pair, a.c1 AS n_first, b.c1 AS n_second,
+         |       (CAST(n_pair AS DOUBLE)/CAST(nb AS DOUBLE))
+         |         / ((CAST(a.c1 AS DOUBLE)/CAST(nu AS DOUBLE))
+         |           * (CAST(b.c1 AS DOUBLE)/CAST(nu AS DOUBLE))) AS lift
+         |FROM p JOIN c1 a ON p.w1 = a.token JOIN c1 b ON p.w2 = b.token
+         |CROSS JOIN nb CROSS JOIN nu
+         |ORDER BY lift DESC, bigram LIMIT $PmiTopK""".stripMargin,
     "txt_vocab" ->
       s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
          |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
@@ -814,6 +910,8 @@ object TextAnalysis {
     "txt_rag"         -> ragChunks,
     "txt_novelty"     -> novelty,
     "txt_vocab"       -> vocab,
+    "txt_freq_spectrum" -> freqSpectrum,
+    "txt_pmi_pairs"   -> pmiPairs,
     "txt_oov"         -> oovScore,
     "txt_lexical"     -> lexicalDiversity)
 }

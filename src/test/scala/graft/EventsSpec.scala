@@ -636,4 +636,17 @@ class EventsSpec extends SparkSpec {
     // determinism: a re-run yields the identical readout
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
+
+  test("hourly profile: cells cover every event, shares sum to 1 per type") {
+    val rows = Events.hourlyProfile(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      val h = r.getAs[Int]("hour_of_day")
+      assert(h >= 0 && h <= 23)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, cells) =>
+      assert(math.abs(cells.map(_.getAs[Double]("share_of_type")).sum - 1.0) < 1e-9)
+    }
+  }
 }

@@ -395,4 +395,30 @@ class SimilaritySpec extends SparkSpec {
     assert(radii.sameElements(radii.sorted.reverse) ||
       radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
+
+  test("centroid-distance histogram partitions each label's vectors once") {
+    val hist = Similarity.centroidDistHist(spark, sfDir).collect()
+    val perLabel = Tables.table(spark, sfDir, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val got = hist.groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.map(_.getAs[Long]("n_vecs")).sum).toMap
+    assert(got == perLabel)
+    hist.foreach { r =>
+      val lo = r.getAs[Double]("d2_lo")
+      assert(lo >= 0.0)
+      assert(r.getAs[Long]("bucket") * Similarity.DistHistBucketI ==
+        math.round(lo * Similarity.CentroidScale))
+    }
+    // the histogram agrees with the point op: every outlier's dist2
+    // falls in a bucket the histogram counts
+    val out = Similarity.embOutliers(spark, sfDir).collect()
+    val buckets = hist.map(r =>
+      (r.getAs[Int]("label"), r.getAs[Long]("bucket"))).toSet
+    out.foreach { r =>
+      val b = math.floor(r.getAs[Double]("dist2") * Similarity.CentroidScale
+        / Similarity.DistHistBucketI).toLong
+      assert(buckets.contains((r.getAs[Int]("label"), b)))
+    }
+  }
 }

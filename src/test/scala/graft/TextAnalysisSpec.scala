@@ -336,4 +336,45 @@ class TextAnalysisSpec extends SparkSpec {
       assert(sr >= 0.0 && sr <= 1.0)
     }
   }
+
+  test("frequency spectrum: mass sums to the corpus token count") {
+    import graft.sources.Tables
+    val rows = TextAnalysis.freqSpectrum(spark, sfDir).collect()
+    val totalTokens = Tables.table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getAs[Long]("token_mass")).sum == totalTokens)
+    val totalTypes = Tables.table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select("t").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_types")).sum == totalTypes)
+    rows.foreach(r => assert(
+      r.getAs[Long]("token_mass") ==
+        r.getAs[Long]("token_count") * r.getAs[Long]("n_types")))
+  }
+
+  test("pmi pairs: support floor respected, lift matches a driver recompute") {
+    import graft.sources.Tables
+    val rows = TextAnalysis.pmiPairs(spark, sfDir).collect()
+    assert(rows.length <= TextAnalysis.PmiTopK)
+    assert(rows.forall(_.getAs[Long]("n_pair") >= TextAnalysis.PmiMinSupport))
+    // driver recompute on the raw corpus for one reported pair
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.flatMap(_.split(" "))
+    val bigrams = docs.flatMap(_.split(" ").sliding(2)
+      .filter(_.length == 2).map(_.mkString(" ")).toSeq)
+    val r = rows.head
+    val bg = r.getAs[String]("bigram")
+    val Array(w1, w2) = bg.split(" ")
+    assert(r.getAs[Long]("n_pair") == bigrams.count(_ == bg))
+    assert(r.getAs[Long]("n_first") == toks.count(_ == w1))
+    assert(r.getAs[Long]("n_second") == toks.count(_ == w2))
+    val lift = (r.getAs[Long]("n_pair").toDouble / bigrams.length) /
+      ((r.getAs[Long]("n_first").toDouble / toks.length) *
+        (r.getAs[Long]("n_second").toDouble / toks.length))
+    assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-9)
+    // the list is lift-descending with a deterministic tiebreak
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.sameElements(lifts.sortBy(-_)))
+  }
 }
