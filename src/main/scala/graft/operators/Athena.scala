@@ -264,6 +264,32 @@ object Athena {
       .orderBy("o_orderpriority")
   }
 
+  /** `ath_pricing_summary`: the canonical line-status pricing rollup
+    * (the TPC-H Q1 shape on this schema): per (return flag, line
+    * status), quantity/price/discounted/charged totals, averages and
+    * the line count — the one-glance billing reconciliation view.
+    *
+    * Scale shape: ONE partial-aggregating groupBy over a 6-cell key
+    * space — every measure collapses map-side, the shuffle moves ≤
+    * 6×cores rows. All money totals are independent fixed-point sums
+    * ([[Gold.moneySum]]); averages divide two exact aggregates in one
+    * IEEE op each. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        Gold.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        Gold.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Gold.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("count_order").cast("double"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   // ---- DuckDB oracles ----
 
   private val goldCtes =
@@ -383,6 +409,19 @@ object Athena {
          |         AS estimated_revenue
          |FROM prod_perf GROUP BY category
          |ORDER BY estimated_revenue DESC, category""".stripMargin,
+    "ath_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |       ${Gold.moneySumSql("l_extendedprice")} AS sum_base_price,
+         |       ${Gold.moneySumSql("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |       ${Gold.moneySumSql("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")}
+         |         AS sum_charge,
+         |       COUNT(*) AS count_order,
+         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+         |       ${Gold.moneySumSql("l_extendedprice")}
+         |         / CAST(COUNT(*) AS DOUBLE) AS avg_price
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ath_priority_fulfillment" ->
       s"""WITH ls AS (SELECT l_orderkey AS o_orderkey,
          |              MAX(l_shipdate) AS last_ship, COUNT(*) AS n_lines
@@ -423,5 +462,6 @@ object Athena {
     "ath_month_unpivot"        -> monthUnpivot,
     "ath_sales_rollup"         -> salesRollup,
     "ath_yoy_growth"           -> yoyGrowth,
-    "ath_priority_fulfillment" -> priorityFulfillment)
+    "ath_priority_fulfillment" -> priorityFulfillment,
+    "ath_pricing_summary"      -> pricingSummary)
 }

@@ -432,6 +432,36 @@ object Events {
       .orderBy("hour_of_day", "event_type")
   }
 
+  /** Items reported per day by [[trendingItems]]. */
+  val TrendK = 3
+
+  /** `evt_trending`: top-[[TrendK]] items per day by view/click count —
+    * the "what's hot today" merchandising feed, composed from the JSON
+    * item key ([[jsonExtract]]'s column) and the bounded-heap top-k.
+    *
+    * Scale shape: the fact collapses to (day, item) counts in ONE
+    * partial-aggregating groupBy (the JSON probe runs map-side before
+    * the shuffle); the per-day top-k is the bounded-heap
+    * `graft_top_k_by_score` aggregate — map-side partial heaps of k
+    * entries, never a per-day sort window over the item space. Ties
+    * break to the smaller item id (the heap's contract), mirrored in
+    * the oracle's ORDER BY. */
+  def trendingItems(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKByScore.register(spark)
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click"))
+      .select(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy("day", "item").agg(count(lit(1)).as("n"))
+      .groupBy("day")
+      .agg(call_function("graft_top_k_by_score",
+        col("n").cast("double"), col("item"), lit(TrendK)).as("topk"))
+      .select(col("day"), posexplode(col("topk")))
+      .select(col("day"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as("item"), col("col.score").cast("bigint").as("n_events"))
+      .orderBy("day", "rn")
+  }
+
   /** Misra-Gries counter budget for heavy-user detection — deliberately
     * below the distinct-user cardinality so the sketch genuinely
     * decrements (and the guarantee, not exactness, is what's tested). */
@@ -919,6 +949,17 @@ object Events {
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS p99
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_trending" ->
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+         |             CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         |           FROM events WHERE event_type IN ('view', 'click')),
+         |c AS (SELECT day, item, COUNT(*) AS n FROM e GROUP BY 1, 2),
+         |r AS (SELECT day, item, n,
+         |             ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, item)
+         |               AS rn
+         |      FROM c)
+         |SELECT day, CAST(rn AS INT) AS rn, item, CAST(n AS BIGINT) AS n_events
+         |FROM r WHERE rn <= $TrendK ORDER BY day, rn""".stripMargin,
     "evt_json_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -1086,6 +1127,7 @@ object Events {
     "str_sliding_agg"  -> slidingAgg,
     "str_sessionize"   -> sessionize,
     "evt_json_extract" -> jsonExtract,
+    "evt_trending"     -> trendingItems,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

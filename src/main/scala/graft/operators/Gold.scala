@@ -635,9 +635,52 @@ object Gold {
         "bucket_revenue")
       .orderBy("bucket")
 
+  /** `gold_seasonality`: month-of-year revenue index per category —
+    * each calendar month's share of the category's revenue scaled so a
+    * flat category sits at 1.0 (index = 12·month_rev / total_rev). The
+    * demand-planning view behind stocking calendars; a category whose
+    * December index is 3 is a holiday item.
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the fact on
+    * (category, month-of-year) — a ≤ 12·|categories| key space; the
+    * category totals are an aggregate OF that aggregate (metadata),
+    * broadcast back. Fixed-point revenue; the index multiplies the
+    * exact DECIMAL by 12 before ONE IEEE division, so it is bit-equal
+    * cross-engine. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.products(spark, dir).select("product_id", "category")
+    val cm = Tables.sales(spark, dir)
+      .join(broadcast(p), "product_id")
+      .groupBy(col("category"), month(col("sale_ts")).as("mth"))
+      .agg(count(lit(1)).as("n_sales"),
+        sum(floor(col("unit_price") * col("quantity") * lit(10000))
+          .cast(DecimalType(28, 0))).as("rev_i"))
+    val totals = cm.groupBy("category").agg(sum(col("rev_i")).as("cat_i"))
+    cm.join(broadcast(totals), "category")
+      .select(col("category"), col("mth"), col("n_sales"),
+        (col("rev_i").cast("double") / 10000).as("revenue"),
+        ((col("rev_i") * 12).cast("double") / col("cat_i").cast("double"))
+          .as("seasonality_index"))
+      .orderBy("category", "mth")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_seasonality" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |cm AS (
+         |  SELECT p.category, CAST(month(sale_ts) AS INT) AS mth,
+         |         COUNT(*) AS n_sales,
+         |         SUM(CAST(FLOOR(unit_price*quantity*10000) AS DECIMAL(28,0))) AS rev_i
+         |  FROM sales s JOIN products p USING (product_id)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT category, SUM(rev_i) AS cat_i FROM cm GROUP BY 1)
+         |SELECT cm.category, mth, n_sales,
+         |       CAST(rev_i AS DOUBLE)/10000 AS revenue,
+         |       CAST(rev_i*12 AS DOUBLE)/CAST(cat_i AS DOUBLE) AS seasonality_index
+         |FROM cm JOIN t USING (category)
+         |ORDER BY cm.category, mth""".stripMargin,
     "gold_returns" ->
       s"""WITH ${Tables.productsCte},
          |li AS (SELECT l_partkey AS product_id, l_returnflag,
@@ -925,5 +968,6 @@ object Gold {
     "gold_new_vs_returning"    -> newVsReturning,
     "gold_returns"             -> returnsByCategory,
     "gold_discount_impact"     -> discountImpact,
-    "gold_order_value_histogram" -> orderValueHistogram)
+    "gold_order_value_histogram" -> orderValueHistogram,
+    "gold_seasonality"         -> seasonality)
 }

@@ -336,6 +336,25 @@ object EventStreams {
       .select(col("w.start").cast("date").as("day"), col("user_id"),
         col("purchased"))
 
+  /** Streaming trending-items count layer — the per-(day, item)
+    * view/click counts of [[graft.operators.Events.trendingItems]] as a
+    * watermarked daily window aggregate. The JSON item probe runs
+    * map-side (stateless) before the ONE stateful windowed count;
+    * each closed day emits its item counts in append mode, and the
+    * per-day top-k (a k-row bounded heap over a few hundred items)
+    * rolls up batch-side where the feed is served — same division of
+    * labor as [[cartFlagsStream]]. State is one counter per live
+    * (day, item), evicted past the watermark. */
+  def trendingCountsStream(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type").isin("view", "click"))
+      .select(col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("item"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"), col("item"), col("n"))
+
   /** Stream-stream interval self-join: pairs of same-user events within
     * `boundSec` seconds (the streaming twin of
     * operators.IntervalJoin.eventPairs). Both sides carry watermarks and

@@ -436,6 +436,28 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("pricing summary covers every line; charge >= disc price per cell") {
+    val rows = Athena.pricingSummary(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("count_order")).sum ==
+      Tables.table(spark, sfDir, "lineitem").count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+      assert(r.getAs[Double]("avg_qty") > 0.0)
+    }
+  }
+
+  test("seasonality indexes revenue-weight to 12 per category") {
+    val rows = Gold.seasonality(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("category")).foreach { case (_, ms) =>
+      // idx_m = 12·rev_m/total ⇒ Σ_m idx_m = 12 when all 12 months trade
+      assert(ms.length == 12)
+      assert(math.abs(ms.map(_.getAs[Double]("seasonality_index")).sum - 12.0)
+        < 1e-6)
+      assert(ms.forall(_.getAs[Double]("seasonality_index") > 0.0))
+    }
+  }
+
   test("priority fulfillment: every order counted once, lateness vs brute force") {
     val rows = Athena.priorityFulfillment(spark, sfDir).collect()
     val orders = Tables.table(spark, sfDir, "orders")

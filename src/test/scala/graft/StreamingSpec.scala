@@ -147,6 +147,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming trending counts match the batch layer; top-k replays on top") {
+    import spark.implicits._
+    val batchCounts = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "click"))
+      .select(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy("day", "item").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(batchCounts.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "props")
+    val q = EventStreams.trendingCountsStream(streamDf)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("complete").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("props"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2)))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("trend_out")
+      .select(col("day").cast("string"), col("item"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batchCounts)
+    // the batch-side top-k rollup over the streamed counts replays the
+    // full batch operator (heap ties break to the smaller item id)
+    val topFromStream = spark.table("trend_out")
+      .select(col("day").cast("string").as("day"), col("item"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (day, gs) =>
+        gs.sortBy(t => (-t._3, t._2)).take(Events.TrendK)
+          .zipWithIndex.map { case ((_, item, n), i) => (day, i + 1, item, n) }
+          .toSeq
+      }.toSet
+    val batchTop = Events.trendingItems(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(topFromStream == batchTop)
+  }
+
   test("stream-static anomaly scoring matches the batch twin exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
