@@ -272,6 +272,25 @@ object DataQuality {
          |SELECT n_orders, n_matched, n_mismatched, total_abs_drift, max_abs_drift,
          |       CAST(n_matched AS DOUBLE)/CAST(n_orders AS DOUBLE) AS match_rate
          |FROM a""".stripMargin,
+    "dq_error_rate" ->
+      s"""WITH d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+         |                  COUNT(*) AS n_events,
+         |                  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |                    AS BIGINT) AS n_errors
+         |           FROM events GROUP BY 1),
+         |r AS (SELECT eday, n_events, n_errors,
+         |             (n_errors * 100000) // n_events AS rate_m
+         |      FROM d),
+         |m AS (SELECT ${Gold.fixedRoundSql("quantile_cont(rate_m, 0.5)", 4)} AS med
+         |      FROM r),
+         |x AS (SELECT med,
+         |        ${Gold.fixedRoundSql("quantile_cont(ABS(rate_m - med), 0.5)", 4)} AS mad
+         |      FROM r, m GROUP BY med)
+         |SELECT DATE '1970-01-01' + CAST(eday AS INT) AS day, n_events, n_errors,
+         |       CAST(rate_m AS DOUBLE)/100000 AS err_rate,
+         |       ABS(rate_m - med) > CAST($VolumeRobustK AS DOUBLE) * mad
+         |         AS rate_anomaly
+         |FROM r, x ORDER BY day""".stripMargin,
     "dq_volume_anomaly" ->
       s"""WITH d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
          |                  COUNT(*) AS n_events
@@ -374,11 +393,50 @@ object DataQuality {
       .orderBy("day")
   }
 
+  /** `dq_error_rate`: daily error-share monitor — per calendar day, the
+    * fraction of events with `event_type = 'error'`, robust-flagged
+    * against the day series' median/MAD (the [[volumeAnomaly]]
+    * discipline: a deploy that spikes errors trips this without a
+    * moving threshold, and median/MAD shrug off the spike days
+    * themselves).
+    *
+    * Scale shape: ONE partial-aggregating groupBy to the day series;
+    * the rate is snapped to an all-INTEGER 1e-5 grid (`(errs·100000)
+    * DIV n`) BEFORE the median/MAD pass, so the percentile runs over
+    * integers exactly like [[volumeAnomaly]]'s counts (exact percentile
+    * is scale-safe here — days, not values, bound the group) and every
+    * flag compare is engine-portable. Both robust stats are 1-row
+    * broadcasts. */
+  def errorRate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("eday"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .withColumn("rate_m", expr("(n_errors * 100000) DIV n_events"))
+    val med = daily
+      .agg(Gold.fixedRound(Gold.pct("rate_m", 0.5, exact = true), 4).as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(max(col("med")).as("med"),
+        Gold.fixedRound(Gold.pct("abs(rate_m - med)", 0.5, exact = true), 4)
+          .as("mad"))
+    daily.crossJoin(broadcast(mad))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),
+        col("n_events"), col("n_errors"),
+        (col("rate_m").cast("double") / 100000).as("err_rate"),
+        (abs(col("rate_m") - col("med")) > lit(VolumeRobustK) * col("mad"))
+          .as("rate_anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
     "dq_referential"    -> referentialIntegrity,
     "dq_drift"          -> drift,
     "dq_volume_anomaly" -> volumeAnomaly,
-    "dq_order_reconciliation" -> orderReconciliation)
+    "dq_order_reconciliation" -> orderReconciliation,
+    "dq_error_rate"     -> errorRate)
 }

@@ -249,6 +249,51 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Fixed-point grid (1e-6) on which frame features are snapped before
+    * fingerprint grouping in [[frameDedup]]. */
+  val FrameFpScale = 1000000L
+
+  /** `mm_frame_dedup`: duplicate-frame detection across media — frames
+    * whose (grid-snapped) feature vectors coincide, with a canonical
+    * (doc, frame) per class. The visual-dedup pass a vision-training
+    * pipeline runs between frame extraction and embedding (intro
+    * cards, black frames and shared b-roll collapse here before any
+    * GPU spend); exact on the feature grid, the same contract as
+    * [[graft.operators.Dedup]]'s exact pass.
+    *
+    * Scale shape: features are fingerprinted map-side (4 fixed-point
+    * longs per frame — the FLOOR grid makes float features
+    * hash-stable), so the ONE shuffle carries 32-byte keys, never
+    * frames or features; the canonical pick is an integer min over
+    * `doc_id·8 + frame_idx` (frame counts are < 8 by the decode
+    * contract) — exact, order-independent, no window. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    val fps = (0 until 4).map(j =>
+      floor(element_at(col("feat"), j + 1).cast("double")
+        * lit(FrameFpScale.toDouble)).cast("long").as(s"fp$j"))
+    sampleFrames(recs, StubDecoder).toDF()
+      .select(col("doc_id") :: col("frame_idx") :: fps.toList: _*)
+      .groupBy("fp0", "fp1", "fp2", "fp3")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 8 + col("frame_idx")).as("ck"))
+      .where(col("n_frames") >= 2)
+      .select(col("fp0"), col("fp1"), col("fp2"), col("fp3"),
+        col("n_frames"), col("n_docs"),
+        expr("ck DIV 8").as("canon_doc_id"),
+        (col("ck") % 8).as("canon_frame_idx"))
+      .orderBy("fp0", "fp1", "fp2", "fp3")
+  }
+
   /** `mm_exact_dedup`: content-hash exact dedup of media payloads —
     * the first pass of any multimodal curation pipeline (the same
     * crawl image ships under thousands of URLs; hash-grouping payload
@@ -311,6 +356,33 @@ object Multimodal {
         |SELECT doc_id, media_type, byte_len, canonical_id, copies,
         |       doc_id <> canonical_id AS is_dup
         |FROM k JOIN c USING (key) ORDER BY doc_id""".stripMargin,
+    "mm_frame_dedup" -> {
+      val fp = (0 until 4).map(j =>
+        s"""CAST(FLOOR(CAST(CAST((byte_len + frame_idx*31 + ${j * 7}) % 997 AS REAL)
+           |  /CAST(997 AS REAL) AS DOUBLE)*$FrameFpScale) AS BIGINT) AS fp$j"""
+          .stripMargin.replace("\n", "")).mkString(",\n        |       ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |         CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS frame_count
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, byte_len,
+         |         CAST(unnest(generate_series(0, frame_count - 1)) AS BIGINT) AS frame_idx
+         |  FROM m),
+         |p AS (
+         |  SELECT doc_id, frame_idx,
+         |       $fp
+         |  FROM f),
+         |g AS (SELECT fp0, fp1, fp2, fp3, COUNT(*) AS n_frames,
+         |             COUNT(DISTINCT doc_id) AS n_docs,
+         |             MIN(doc_id*8 + frame_idx) AS ck
+         |      FROM p GROUP BY 1, 2, 3, 4)
+         |SELECT fp0, fp1, fp2, fp3, n_frames, n_docs,
+         |       ck // 8 AS canon_doc_id, ck % 8 AS canon_frame_idx
+         |FROM g WHERE n_frames >= 2
+         |ORDER BY fp0, fp1, fp2, fp3""".stripMargin
+    },
     "mm_frame_samples" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -385,5 +457,6 @@ object Multimodal {
     "mm_media_meta"    -> mediaMeta,
     "mm_frame_samples" -> frameSamples,
     "mm_exact_dedup"   -> mediaDedup,
-    "mm_corrupt_rate"  -> corruptRate)
+    "mm_corrupt_rate"  -> corruptRate,
+    "mm_frame_dedup"   -> frameDedup)
 }

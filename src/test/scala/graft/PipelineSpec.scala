@@ -316,6 +316,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("frame dedup: classes are real duplicates with a member canonical") {
+    val classes = Multimodal.frameDedup(spark, sfDir).collect()
+    assert(classes.nonEmpty, "the synthetic corpus plants colliding frames")
+    // rebuild per-frame fingerprints from the frame sample surface
+    val frames = Multimodal.frameSamples(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")))
+    classes.foreach { c =>
+      assert(c.getAs[Long]("n_frames") >= 2)
+      assert(c.getAs[Long]("n_docs") <= c.getAs[Long]("n_frames"))
+      val canon = (c.getAs[Long]("canon_doc_id"), c.getAs[Long]("canon_frame_idx"))
+      assert(frames.contains(canon), s"canonical $canon must be a real frame")
+    }
+    // duplicate classes can never exceed total frames / 2
+    assert(classes.map(_.getAs[Long]("n_frames")).sum <= frames.length)
+  }
+
+  test("daily error rate: counters reconcile, rate on the integer grid") {
+    val rows = DataQuality.errorRate(spark, sfDir).collect()
+    val e = graft.sources.Tables.events(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == e.count())
+    assert(rows.map(_.getAs[Long]("n_errors")).sum ==
+      e.where(col("event_type") === "error").count())
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("err_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      // the rate sits on the 1e-5 integer grid (mod double representation)
+      assert(math.abs(rate * 100000 - math.round(rate * 100000)) < 1e-6)
+      assert(rate <= r.getAs[Long]("n_errors").toDouble /
+        r.getAs[Long]("n_events") + 1e-5)
+    }
+  }
+
   test("order reconciliation: counts partition orders, drift bounds sane") {
     val r = DataQuality.orderReconciliation(spark, sfDir).head()
     val nOrders = r.getAs[Long]("n_orders")
