@@ -90,4 +90,37 @@ class PlanShapeSpec extends SparkSpec {
         assert(plan(df).contains("BroadcastHashJoin"), "offsets not broadcast")
       }
   }
+
+  test("round-5 retail ops: broadcast dims/totals, no window, no cartesian") {
+    Seq(Gold.returnsByCategory(spark, sfDir),
+      Gold.discountImpact(spark, sfDir),
+      Gold.seasonality(spark, sfDir),
+      Gold.marketShare(spark, sfDir),
+      Events.hourlyProfile(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assertSane(p)
+      assert(p.contains("BroadcastHashJoin"), "dim/totals join not broadcast")
+      assert(!p.contains("Window"), "no window belongs in these rollups")
+    }
+    // pure-histogram/summary passes: single aggregate, no join at all
+    Seq(Gold.orderValueHistogram(spark, sfDir),
+      Athena.pricingSummary(spark, sfDir),
+      TextAnalysis.freqSpectrum(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assertSane(p)
+      assert(!p.contains("Join"), "histogram rollups must not join")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    }
+    // co-partitioned fact⋈fact checks shuffle on the SAME key they
+    // aggregate on (one exchange family, no broadcast of the fact)
+    Seq(Athena.priorityFulfillment(spark, sfDir),
+      DataQuality.orderReconciliation(spark, sfDir)).foreach { df =>
+      assertSane(plan(df))
+    }
+    // trending: bounded-heap top-k, never a per-day rank window
+    val t = plan(Events.trendingItems(spark, sfDir))
+    assertSane(t)
+    assert(!t.contains("Window"), "trending must use the bounded heap")
+    assert(t.toLowerCase.contains("topk"), "bounded-heap aggregate missing")
+  }
 }
