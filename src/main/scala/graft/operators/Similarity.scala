@@ -633,6 +633,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** `ann_recall_report`: index-quality evaluation — recall@k of each
+    * approximate ANN method (LSH / IVF / PQ) against the exact top-k,
+    * per method: query count, mean and worst per-query recall, and the
+    * count of perfectly-served queries. The ops gate run after (re)
+    * building an index and before routing traffic to it — the
+    * continuous-monitoring twin of the one-off recall assertions in
+    * CI. Approximate inputs ⇒ no ANSI oracle (rows-only); the spec
+    * pins it to the brute-force recalls.
+    *
+    * Scale shape: every side is a top-k RESULT (|queries|·k rows —
+    * metadata, not corpus); the hit join is keyed on (query, neighbor)
+    * pairs of those small tables and the rollup is a ≤3-row aggregate.
+    * Recall fractions are exact integer counts divided once. */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopKExact(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val methods = Seq(
+      "lsh" -> annTopKLsh(spark, dir),
+      "ivf" -> annTopKIvf(spark, dir),
+      "pq"  -> annTopKPq(spark, dir))
+    methods.map { case (name, approx) =>
+      val hits = exact.join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("found"))
+      hits.agg(
+          lit(name).as("method"),
+          count(lit(1)).as("n_queries"),
+          (sum(col("found")).cast("double") / sum(col("k")).cast("double"))
+            .as("mean_recall"),
+          min(col("found").cast("double") / col("k").cast("double"))
+            .as("min_recall"),
+          sum(when(col("found") === col("k"), 1L).otherwise(0L))
+            .as("n_perfect"))
+    }.reduce(_ unionAll _).orderBy("method")
+  }
+
   /** Histogram bucket width for [[centroidDistHist]], in fixed-point
     * [[CentroidScale]] units: 50000/1e6 = 0.05 of squared distance. */
   val DistHistBucketI = 50000L
@@ -1124,6 +1162,7 @@ object Similarity {
     "emb_quantize"     -> embQuantize,
     "emb_outliers"     -> embOutliers,
     "emb_sim_hist"     -> centroidDistHist,
+    "ann_recall_report" -> annRecallReport,
     "emb_dim_stats"    -> dimStats,
     "ann_range"        -> annRange,
     "emb_gram"         -> gramMatrix,

@@ -472,6 +472,45 @@ object TextAnalysis {
     * at every test scale (production would use 32k-256k). */
   val VocabK = 20
 
+  /** Deflate level for [[compressionRatio]] — zlib's default tradeoff;
+    * the RATIO ordering between repetitive and diverse text is what
+    * the signal uses, and it is stable across levels. */
+  val DeflateLevel = 6
+
+  /** `txt_compress`: per-document Deflate compression ratio — the
+    * model-free redundancy signal (Gopher-style quality filtering):
+    * boilerplate and template spam compress far below natural prose,
+    * and near-random strings compress above it, so both filter cuts
+    * hang off this one column. No ANSI-SQL form (the oracle engine has
+    * no codec) → rows-only, covered by determinism + ordering
+    * properties in the spec.
+    *
+    * Scale shape: pure per-row work in ONE `mapPartitions` pass (the
+    * typed seam the multimodal decode uses) with the Deflater
+    * allocated once per partition and reset per row — no churn, no
+    * shuffle, no state; the scan prunes to (doc_id, text). Deflate
+    * with fixed level/strategy is bit-deterministic for fixed input,
+    * so re-runs are identical anywhere. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(DeflateLevel, false)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset(); d.setInput(raw); d.finish()
+          var compressed = 0L
+          while (!d.finished()) compressed += d.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            compressed.toDouble / math.max(raw.length, 1).toDouble)
+        }
+      }
+      .toDF("doc_id", "raw_len", "compressed_len", "compression_ratio")
+      .orderBy("doc_id")
+  }
+
   /** `txt_freq_spectrum`: the frequency-of-frequencies table — for each
     * occurrence count c, how many distinct token types occur exactly c
     * times, and the token mass they carry. The Zipf/Heaps diagnostic
@@ -912,6 +951,7 @@ object TextAnalysis {
     "txt_vocab"       -> vocab,
     "txt_freq_spectrum" -> freqSpectrum,
     "txt_pmi_pairs"   -> pmiPairs,
+    "txt_compress"    -> compressionRatio,
     "txt_oov"         -> oovScore,
     "txt_lexical"     -> lexicalDiversity)
 }

@@ -396,6 +396,31 @@ class SimilaritySpec extends SparkSpec {
       radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("ann recall report matches brute-force recall per method") {
+    val rows = Similarity.annRecallReport(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("method")).sorted.sameElements(
+      Array("ivf", "lsh", "pq")))
+    val exact = Similarity.annTopKExact(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val byMethod = Map(
+      "lsh" -> Similarity.annTopKLsh(spark, sfDir),
+      "ivf" -> Similarity.annTopKIvf(spark, sfDir),
+      "pq"  -> Similarity.annTopKPq(spark, sfDir))
+    rows.foreach { r =>
+      val m = r.getAs[String]("method")
+      val approx = byMethod(m).collect()
+        .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+      val brute = (exact intersect approx).size.toDouble / exact.size
+      assert(math.abs(r.getAs[Double]("mean_recall") - brute) < 1e-9,
+        s"$m mean recall")
+      assert(r.getAs[Double]("min_recall") <= r.getAs[Double]("mean_recall") + 1e-12)
+      assert(r.getAs[Long]("n_perfect") <= r.getAs[Long]("n_queries"))
+      // the report must reproduce the CI-pinned index quality
+      if (m == "lsh") assert(r.getAs[Double]("mean_recall") == 1.0)
+      else assert(r.getAs[Double]("mean_recall") >= 0.9, s"$m recall")
+    }
+  }
+
   test("centroid-distance histogram partitions each label's vectors once") {
     val hist = Similarity.centroidDistHist(spark, sfDir).collect()
     val perLabel = Tables.table(spark, sfDir, "embeddings")

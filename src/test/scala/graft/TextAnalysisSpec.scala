@@ -337,6 +337,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("compression ratio: deterministic, one row per doc, orders by redundancy") {
+    import spark.implicits._
+    val rows = TextAnalysis.compressionRatio(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.table(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("compressed_len") > 0L)
+      assert(r.getAs[Double]("compression_ratio") ==
+        r.getAs[Long]("compressed_len").toDouble / r.getAs[Long]("raw_len"))
+    }
+    // determinism: a re-run is bit-identical
+    assert(TextAnalysis.compressionRatio(spark, sfDir).collect().toSeq ==
+      rows.toSeq)
+    // ordering property: a highly repetitive doc compresses below a
+    // token-diverse one of the same length (the signal's whole point)
+    val rep = Array.fill(200)("spark").mkString(" ")
+    val div = (0 until 200).map(i => s"tok$i").mkString(" ").take(rep.length)
+    val probe = Seq((1L, rep), (2L, div)).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("cmp").toString
+    probe.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got = TextAnalysis.compressionRatio(spark, dir2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("compression_ratio"))
+      .toMap
+    assert(got(1L) < got(2L), s"repetitive ${got(1L)} !< diverse ${got(2L)}")
+  }
+
   test("frequency spectrum: mass sums to the corpus token count") {
     import graft.sources.Tables
     val rows = TextAnalysis.freqSpectrum(spark, sfDir).collect()
