@@ -432,6 +432,41 @@ object Events {
       .orderBy("hour_of_day", "event_type")
   }
 
+  /** Inactivity gap (days) after which a returning user counts as
+    * reactivated in [[reactivation]]. */
+  val DormantDays = 14
+
+  /** `evt_reactivation`: daily win-back monitor — of each day's active
+    * users, how many return from a ≥ [[DormantDays]]-day dormancy (the
+    * re-engagement campaign readout, the flip side of churn; read next
+    * to [[streaks]]' continuity view).
+    *
+    * Scale shape: the fact collapses to DISTINCT (user, day) in one
+    * shuffle (integer epoch-day math); the previous-active-day lookup
+    * is a lag window partitioned by user — bounded by one user's
+    * active days, never global; the day rollup is calendar-sized
+    * metadata. */
+  def reactivation(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("eday")
+    ud.withColumn("prev", lag(col("eday"), 1).over(w))
+      .groupBy("eday")
+      .agg(count(lit(1)).as("n_active_users"),
+        sum(when(col("prev").isNotNull &&
+            col("eday") - col("prev") >= DormantDays, 1L).otherwise(0L))
+          .as("n_reactivated"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),
+        col("n_active_users"), col("n_reactivated"),
+        (col("n_reactivated").cast("double") / col("n_active_users").cast("double"))
+          .as("reactivation_rate"))
+      .orderBy("day")
+  }
+
   /** Items reported per day by [[trendingItems]]. */
   val TrendK = 3
 
@@ -949,6 +984,23 @@ object Events {
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS p99
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_reactivation" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday
+         |            FROM events),
+         |l AS (SELECT user_id, eday,
+         |             LAG(eday) OVER (PARTITION BY user_id ORDER BY eday) AS prev
+         |      FROM ud),
+         |g AS (SELECT eday, COUNT(*) AS n_active_users,
+         |             CAST(SUM(CASE WHEN prev IS NOT NULL
+         |                            AND eday - prev >= $DormantDays
+         |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_reactivated
+         |      FROM l GROUP BY 1)
+         |SELECT DATE '1970-01-01' + CAST(eday AS INT) AS day,
+         |       n_active_users, n_reactivated,
+         |       CAST(n_reactivated AS DOUBLE)/CAST(n_active_users AS DOUBLE)
+         |         AS reactivation_rate
+         |FROM g ORDER BY day""".stripMargin,
     "evt_trending" ->
       s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
          |             CAST(json_extract(props, '$$.k') AS BIGINT) AS item
@@ -1128,6 +1180,7 @@ object Events {
     "str_sessionize"   -> sessionize,
     "evt_json_extract" -> jsonExtract,
     "evt_trending"     -> trendingItems,
+    "evt_reactivation" -> reactivation,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

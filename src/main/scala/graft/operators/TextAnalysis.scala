@@ -472,6 +472,61 @@ object TextAnalysis {
     * at every test scale (production would use 32k-256k). */
   val VocabK = 20
 
+  /** Pairs reported by [[bpePairs]]. */
+  val BpeTopK = 30
+
+  /** `txt_bpe_pairs`: corpus-wide adjacent CHARACTER-pair counts within
+    * words — the exact statistic byte-pair-encoding training maximizes
+    * at every merge step (step 1 of training a tokenizer on this
+    * corpus; [[vocab]] is the word-level complement). Top pairs with a
+    * deterministic tiebreak, the order BPE would take its first merges
+    * in.
+    *
+    * Scale shape: both explodes are map-side generators (words, then
+    * in-word positions — output ≤ corpus character count); the ONE
+    * shuffle is the pair count over a key space bounded by the
+    * CHARACTER-BIGRAM alphabet (² of the alphabet — metadata), and the
+    * top-k is a TakeOrderedAndProject. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(BpeTopK)
+
+  /** Composite cut for [[qualityEnsemble]]. */
+  val EnsembleBar = 0.55
+
+  /** `txt_quality_ensemble`: the production filter decision — a fixed
+    * linear blend of three INDEPENDENT quality families (surface
+    * heuristics from [[quality]], boilerplate repetition from
+    * [[repRatio]], lexical diversity from [[lexicalDiversity]]) with
+    * one keep flag. Single-signal filters are gameable (spam that is
+    * long enough, diverse enough, OR clean enough); the ensemble is
+    * what LLM-corpus pipelines actually gate on.
+    *
+    * Scale shape: all three component passes key their single shuffle
+    * on doc_id, so the ensemble joins are CO-PARTITIONED (no extra
+    * exchange after the components); the blend is one fixed IEEE
+    * expression — bit-identical cross-engine, no round-off gate
+    * wobble. */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir).select("doc_id", "quality_score")
+    val r = repRatio(spark, dir).select("doc_id", "dup_3gram_ratio")
+    val l = lexicalDiversity(spark, dir).select("doc_id", "ttr")
+    val composite =
+      lit(0.5) * col("quality_score") +
+        lit(0.25) * (lit(1.0) - col("dup_3gram_ratio")) +
+        lit(0.25) * col("ttr")
+    q.join(r, "doc_id").join(l, "doc_id")
+      .select(col("doc_id"), col("quality_score"), col("dup_3gram_ratio"),
+        col("ttr"), composite.as("composite"),
+        (composite >= EnsembleBar).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Deflate level for [[compressionRatio]] — zlib's default tradeoff;
     * the RATIO ordering between repetitive and diverse text is what
     * the signal uses, and it is stable across levels. */
@@ -663,6 +718,39 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "txt_quality" -> qualityOracleSql,
+    "txt_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+         |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair
+         |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+         |            FROM w WHERE len(w) >= 2))
+         |SELECT pair, COUNT(*) AS n FROM p
+         |GROUP BY 1 ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
+    "txt_quality_ensemble" ->
+      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityOracleSql)),
+         |g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+         |r AS (SELECT doc_id,
+         |             CASE WHEN len(g3) > 0
+         |                  THEN (len(g3) - len(list_distinct(g3)))*1.0/len(g3)
+         |                  ELSE 0.0 END AS dup_3gram_ratio
+         |      FROM g),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+         |             FROM documents) GROUP BY 1, 2),
+         |l AS (SELECT doc_id,
+         |             COUNT(*)*1.0/CAST(SUM(c) AS BIGINT) AS ttr
+         |      FROM tf GROUP BY 1),
+         |j AS (SELECT q.doc_id, quality_score, dup_3gram_ratio, ttr,
+         |             0.5*quality_score + 0.25*(1.0 - dup_3gram_ratio) + 0.25*ttr
+         |               AS composite
+         |      FROM q JOIN r ON q.doc_id = r.doc_id
+         |             JOIN l ON q.doc_id = l.doc_id)
+         |SELECT doc_id, quality_score, dup_3gram_ratio, ttr, composite,
+         |       composite >= CAST($EnsembleBar AS DOUBLE) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
     "txt_freq_spectrum" ->
       """WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
@@ -952,6 +1040,8 @@ object TextAnalysis {
     "txt_freq_spectrum" -> freqSpectrum,
     "txt_pmi_pairs"   -> pmiPairs,
     "txt_compress"    -> compressionRatio,
+    "txt_quality_ensemble" -> qualityEnsemble,
+    "txt_bpe_pairs"   -> bpePairs,
     "txt_oov"         -> oovScore,
     "txt_lexical"     -> lexicalDiversity)
 }

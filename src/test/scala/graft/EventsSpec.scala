@@ -637,6 +637,27 @@ class EventsSpec extends SparkSpec {
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("reactivation: actives reconcile, flags replay a driver recompute") {
+    val rows = Events.reactivation(spark, sfDir).collect()
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    assert(rows.map(_.getAs[Long]("n_active_users")).sum == ud.count())
+    // driver replay of the dormancy rule
+    val byUser = ud.collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expReact = byUser.values.flatMap { days =>
+      days.zip(days.tail).collect {
+        case (p, d) if d - p >= Events.DormantDays => d
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      assert(r.getAs[Long]("n_reactivated") == expReact.getOrElse(d, 0L),
+        s"day $d")
+    }
+  }
+
   test("hourly profile: cells cover every event, shares sum to 1 per type") {
     val rows = Events.hourlyProfile(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==

@@ -363,6 +363,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) < got(2L), s"repetitive ${got(1L)} !< diverse ${got(2L)}")
   }
 
+  test("quality ensemble: components bounded, flag consistent, co-keyed rows") {
+    val rows = TextAnalysis.qualityEnsemble(spark, sfDir).collect()
+    assert(rows.length ==
+      graft.sources.Tables.table(spark, sfDir, "documents").count())
+    rows.foreach { r =>
+      val c = r.getAs[Double]("composite")
+      assert(c == 0.5 * r.getAs[Double]("quality_score") +
+        0.25 * (1.0 - r.getAs[Double]("dup_3gram_ratio")) +
+        0.25 * r.getAs[Double]("ttr"))
+      assert(r.getAs[Boolean]("keep") == (c >= TextAnalysis.EnsembleBar))
+      assert(r.getAs[Double]("ttr") > 0.0 && r.getAs[Double]("ttr") <= 1.0)
+    }
+    // the blend must actually discriminate on this corpus
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("bpe pairs match a driver recompute of character-bigram counts") {
+    val rows = TextAnalysis.bpePairs(spark, sfDir).collect()
+    assert(rows.length == TextAnalysis.BpeTopK)
+    val counts = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).toSeq)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exp = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextAnalysis.BpeTopK)
+    assert(rows.map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"))).toSeq
+      == exp)
+  }
+
   test("frequency spectrum: mass sums to the corpus token count") {
     import graft.sources.Tables
     val rows = TextAnalysis.freqSpectrum(spark, sfDir).collect()
