@@ -432,6 +432,43 @@ object Events {
       .orderBy("hour_of_day", "event_type")
   }
 
+  /** Histogram bucket (seconds) for [[conversionLag]]: one hour. */
+  val ConvLagBucketSec = 3600L
+
+  /** `evt_conversion_lag`: view→purchase latency histogram — for every
+    * purchase with a prior view by the same user, the time since that
+    * LAST view, bucketed by hour. The funnel-latency distribution that
+    * sizes retargeting windows and attribution lookbacks (the
+    * aggregate dual of [[attribution]]'s per-event credit).
+    *
+    * Scale shape: one user-keyed shuffle; the last-view lookup is a
+    * running conditional MAX over a (user, time)-ordered window frame
+    * ending 1 ROW before current — bounded by one user's events, the
+    * [[sessionize]] discipline, with the unique event_id tiebreak
+    * making the frame deterministic; the histogram rollup is
+    * bucket-cardinality metadata. Integer second/bucket math
+    * throughout. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_view_es",
+        max(when(col("event_type") === "view", col("es"))).over(w))
+      .where(col("event_type") === "purchase" && col("last_view_es").isNotNull)
+      .select(col("user_id"),
+        expr(s"(es - last_view_es) DIV $ConvLagBucketSec").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("lag_lo_sec", col("bucket") * ConvLagBucketSec)
+      .select("bucket", "lag_lo_sec", "n_conversions", "n_users")
+      .orderBy("bucket")
+  }
+
   /** Inactivity gap (days) after which a returning user counts as
     * reactivated in [[reactivation]]. */
   val DormantDays = 14
@@ -984,6 +1021,22 @@ object Events {
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS p99
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_conversion_lag" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+         |           FROM events WHERE event_type IN ('view', 'purchase')),
+         |l AS (SELECT user_id, event_type, es,
+         |             MAX(CASE WHEN event_type = 'view' THEN es END)
+         |               OVER (PARTITION BY user_id ORDER BY es, event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |               AS lv
+         |      FROM e),
+         |b AS (SELECT user_id, (es - lv) // $ConvLagBucketSec AS bucket
+         |      FROM l WHERE event_type = 'purchase' AND lv IS NOT NULL)
+         |SELECT bucket, bucket*$ConvLagBucketSec AS lag_lo_sec,
+         |       COUNT(*) AS n_conversions,
+         |       COUNT(DISTINCT user_id) AS n_users
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_reactivation" ->
       s"""WITH ud AS (SELECT DISTINCT user_id,
          |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday
@@ -1181,6 +1234,7 @@ object Events {
     "evt_json_extract" -> jsonExtract,
     "evt_trending"     -> trendingItems,
     "evt_reactivation" -> reactivation,
+    "evt_conversion_lag" -> conversionLag,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

@@ -671,6 +671,42 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("method")
   }
 
+  /** `emb_label_confusion`: label-noise audit — for every vector, is
+    * the NEAREST label centroid its own label? The confusion matrix
+    * (label × nearest-centroid label, counts) localizes systematic
+    * mislabeling and adjacent-class bleed without training any
+    * classifier — the curation gate before label-conditioned sampling
+    * trusts the label column.
+    *
+    * Scale shape: the centroid relation is k·dim rows (metadata,
+    * broadcast); candidate distances accumulate as fixed-point DECIMAL
+    * sums in a partial-aggregating groupBy keyed (vec, candidate) —
+    * n·k rows through the shuffle, exact and order-independent; the
+    * argmin is an integer-exact `min(struct(dist, label))` per vector
+    * (ties to the smaller label id), and the matrix rollup is k²
+    * metadata. At mega-label cardinality the candidate set would come
+    * from [[graft.functions.NearestCells]] pruning instead of all-k —
+    * same contract, k is the label catalog here. */
+  def labelConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cent = labelCentroids(spark, dir)
+      .select(col("label").as("cand"), col("dim"), col("centroid"))
+    val dists = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .join(broadcast(cent), Seq("dim"))
+      .select(col("vec_id"), col("label"), col("cand"),
+        ((col("v") - col("centroid")) * (col("v") - col("centroid"))).as("t2"))
+      .groupBy("vec_id", "label", "cand")
+      .agg(sum(floor(col("t2") * lit(CentroidScale.toDouble)).cast(dec)).as("s"))
+    dists.groupBy("vec_id", "label")
+      .agg(min(struct(col("s"), col("cand"))).as("b"))
+      .select(col("label"), col("b.cand").as("nearest_label"))
+      .groupBy("label", "nearest_label")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "nearest_label")
+  }
+
   /** Histogram bucket width for [[centroidDistHist]], in fixed-point
     * [[CentroidScale]] units: 50000/1e6 = 0.05 of squared distance. */
   val DistHistBucketI = 50000L
@@ -1053,6 +1089,28 @@ object Similarity {
          |       sxx/$CentroidScale/n - (sx/$CentroidScale/n)*(sx/$CentroidScale/n)
          |         AS variance
          |FROM a ORDER BY dim""".stripMargin,
+    "emb_label_confusion" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
+         |         embedding AS e
+         |  FROM embeddings),
+         |r AS (SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+         |             CAST(e[i] AS DOUBLE) AS v FROM ex),
+         |cen AS (SELECT label AS cand, dim,
+         |               CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(28,0))) AS DOUBLE)
+         |                 / $CentroidScale / COUNT(*) AS centroid
+         |        FROM r GROUP BY 1, 2),
+         |d AS (SELECT vec_id, r.label, cen.cand,
+         |             SUM(CAST(FLOOR((v - centroid)*(v - centroid) * $CentroidScale)
+         |               AS DECIMAL(38,0))) AS s
+         |      FROM r JOIN cen ON r.dim = cen.dim
+         |      GROUP BY 1, 2, 3),
+         |b AS (SELECT vec_id, label, cand,
+         |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cand) AS rn
+         |      FROM d)
+         |SELECT label, cand AS nearest_label, COUNT(*) AS n_vecs
+         |FROM b WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY label, nearest_label""".stripMargin,
     "emb_sim_hist" ->
       s"""WITH ex AS (
          |  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
@@ -1163,6 +1221,7 @@ object Similarity {
     "emb_outliers"     -> embOutliers,
     "emb_sim_hist"     -> centroidDistHist,
     "ann_recall_report" -> annRecallReport,
+    "emb_label_confusion" -> labelConfusion,
     "emb_dim_stats"    -> dimStats,
     "ann_range"        -> annRange,
     "emb_gram"         -> gramMatrix,

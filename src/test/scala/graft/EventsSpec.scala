@@ -637,6 +637,20 @@ class EventsSpec extends SparkSpec {
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("conversion lag: only viewed purchases counted, buckets non-negative") {
+    val rows = Events.conversionLag(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val purchases = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum <= purchases)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0L)
+      assert(r.getAs[Long]("lag_lo_sec") ==
+        r.getAs[Long]("bucket") * Events.ConvLagBucketSec)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_conversions"))
+    }
+  }
+
   test("reactivation: actives reconcile, flags replay a driver recompute") {
     val rows = Events.reactivation(spark, sfDir).collect()
     val ud = Tables.events(spark, sfDir)

