@@ -664,9 +664,66 @@ object Gold {
       .orderBy("category", "mth")
   }
 
+  /** `gold_stockout`: staleness screen over the availability ledger —
+    * per (store, product), days since the last movement vs that item's
+    * own historical movement cadence; an item silent for ≥3× its usual
+    * gap (or [[StockoutColdDays]] days for single-movement items) is
+    * flagged as a stockout/delisting candidate. The replenishment
+    * worklist read off [[Tables.inventory]]'s ledger.
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the fact to the
+    * (store, product) ledger grain; the corpus max date is a broadcast
+    * 1-row aggregate. The cadence test cross-multiplies exact integer
+    * day counts (`(n−1)·stale > 3·span`) — no division, no doubles, no
+    * window. */
+  def stockoutRisk(spark: SparkSession, dir: String): DataFrame = {
+    val led = Tables.sales(spark, dir)
+      .groupBy("store_id", "product_id")
+      .agg(count(lit(1)).as("n_movements"),
+        min(to_date(col("sale_ts"))).as("first_movement_date"),
+        max(to_date(col("sale_ts"))).as("last_movement_date"))
+    val gmax = led.agg(max(col("last_movement_date")).as("gmax"))
+    led.crossJoin(broadcast(gmax))
+      .select(col("store_id"), col("product_id"), col("n_movements"),
+        col("last_movement_date"),
+        datediff(col("gmax"), col("last_movement_date")).cast("long")
+          .as("stale_days"),
+        datediff(col("last_movement_date"), col("first_movement_date"))
+          .cast("long").as("span_days"))
+      .withColumn("stockout_risk",
+        when(col("n_movements") >= 2,
+          (col("n_movements") - 1) * col("stale_days") > col("span_days") * 3)
+          .otherwise(col("stale_days") > StockoutColdDays))
+      .orderBy("store_id", "product_id")
+  }
+
+  /** Staleness bar (days) for single-movement items in
+    * [[stockoutRisk]]. */
+  val StockoutColdDays = 90L
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_stockout" ->
+      s"""WITH ${Tables.salesCte},
+         |led AS (
+         |  SELECT store_id, product_id, COUNT(*) AS n_movements,
+         |         MIN(CAST(sale_ts AS DATE)) AS first_movement_date,
+         |         MAX(CAST(sale_ts AS DATE)) AS last_movement_date
+         |  FROM sales GROUP BY 1, 2),
+         |g AS (SELECT MAX(last_movement_date) AS gmax FROM led)
+         |SELECT store_id, product_id, n_movements, last_movement_date,
+         |       CAST(date_diff('day', last_movement_date, gmax) AS BIGINT)
+         |         AS stale_days,
+         |       CAST(date_diff('day', first_movement_date, last_movement_date)
+         |         AS BIGINT) AS span_days,
+         |       CASE WHEN n_movements >= 2
+         |            THEN (n_movements - 1)
+         |                   * date_diff('day', last_movement_date, gmax)
+         |                 > date_diff('day', first_movement_date, last_movement_date) * 3
+         |            ELSE date_diff('day', last_movement_date, gmax) > $StockoutColdDays
+         |       END AS stockout_risk
+         |FROM led, g ORDER BY store_id, product_id""".stripMargin,
     "gold_seasonality" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |cm AS (
@@ -969,5 +1026,6 @@ object Gold {
     "gold_returns"             -> returnsByCategory,
     "gold_discount_impact"     -> discountImpact,
     "gold_order_value_histogram" -> orderValueHistogram,
-    "gold_seasonality"         -> seasonality)
+    "gold_seasonality"         -> seasonality,
+    "gold_stockout"            -> stockoutRisk)
 }

@@ -255,6 +255,31 @@ object Graph {
          |          UNION ALL SELECT w FROM t)
          |SELECT p AS product_id, COUNT(*) AS triangles
          |FROM nodes GROUP BY 1 ORDER BY product_id""".stripMargin,
+    "gr_clustering_coeff" ->
+      s"""WITH ${Tables.salesCte},
+         |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
+         |       FROM sales),
+         |e AS (SELECT x.product_id AS a, y.product_id AS b
+         |      FROM bp x JOIN bp y
+         |        ON x.basket_id = y.basket_id AND x.product_id < y.product_id
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+         |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT a AS product_id, COUNT(*) AS degree FROM und GROUP BY 1),
+         |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (SELECT u AS p FROM t UNION ALL SELECT v FROM t
+         |          UNION ALL SELECT w FROM t),
+         |tc AS (SELECT p AS product_id, COUNT(*) AS triangles
+         |       FROM nodes GROUP BY 1)
+         |SELECT d.product_id, d.degree,
+         |       COALESCE(tc.triangles, 0) AS triangles,
+         |       CASE WHEN d.degree >= 2
+         |            THEN CAST(COALESCE(tc.triangles, 0)*2 AS DOUBLE)
+         |                   / CAST(d.degree*(d.degree - 1) AS DOUBLE)
+         |            ELSE 0.0 END AS clustering_coeff
+         |FROM deg d LEFT JOIN tc USING (product_id)
+         |ORDER BY d.product_id""".stripMargin,
     "gr_degrees" ->
       s"""WITH ${Tables.salesCte},
          |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
@@ -264,6 +289,34 @@ object Graph {
          |SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
          |       degree, COUNT(*) AS n_nodes
          |FROM deg GROUP BY 1, 2 ORDER BY kind, degree""".stripMargin)
+
+  /** `gr_clustering_coeff`: local clustering coefficient per product —
+    * `2·T(v) / (deg(v)·(deg(v)−1))` over the support-filtered
+    * co-purchase graph, composing [[triangles]] with the graph's own
+    * degrees. Separates dense substitute clusters (high coefficient)
+    * from pure hubs (high degree, low coefficient) — the
+    * neighborhood-cohesion read merchandisers and graph-feature
+    * pipelines take after the raw counts.
+    *
+    * Scale shape: inherits the |E|^1.5 wedge bound from [[triangles]];
+    * the degree table is one partial-agg groupBy of the edge list and
+    * the final join is keyed on product_id. The coefficient divides
+    * exact integers in one fixed IEEE expression. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(spark, dir)
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("product_id"))
+      .agg(count(lit(1)).as("degree"))
+    deg.join(triangles(spark, dir), Seq("product_id"), "left")
+      .select(col("product_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("product_id")
+  }
 
   /** Core order for [[kcore]]. */
   val KCoreK = 3L
@@ -318,5 +371,6 @@ object Graph {
     "gr_pagerank"  -> pagerank,
     "gr_degrees"   -> degrees,
     "gr_triangles" -> triangles,
+    "gr_clustering_coeff" -> clusteringCoeff,
     "gr_kcore"     -> kcore)
 }

@@ -458,6 +458,24 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("stockout risk: one row per ledger item, cadence rule replayed") {
+    val rows = Gold.stockoutRisk(spark, sfDir).collect()
+    val ledger = Tables.sales(spark, sfDir)
+      .select("store_id", "product_id").distinct().count()
+    assert(rows.length == ledger)
+    assert(rows.exists(_.getAs[Boolean]("stockout_risk")) &&
+      rows.exists(!_.getAs[Boolean]("stockout_risk")),
+      "the flag must discriminate on this corpus")
+    rows.foreach { r =>
+      val (n, stale, span) = (r.getAs[Long]("n_movements"),
+        r.getAs[Long]("stale_days"), r.getAs[Long]("span_days"))
+      assert(stale >= 0 && span >= 0)
+      val exp = if (n >= 2) (n - 1) * stale > span * 3
+        else stale > Gold.StockoutColdDays
+      assert(r.getAs[Boolean]("stockout_risk") == exp)
+    }
+  }
+
   test("priority fulfillment: every order counted once, lateness vs brute force") {
     val rows = Athena.priorityFulfillment(spark, sfDir).collect()
     val orders = Tables.table(spark, sfDir, "orders")

@@ -135,4 +135,22 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 co-purchase graph has a 3-core")
     got.foreach(t => assert(t._3 >= Graph.KCoreK, s"node ${t._1} under k"))
   }
+
+  test("clustering coefficient: bounded, consistent with triangle counts") {
+    val cc = Graph.clusteringCoeff(spark, sfDir).collect()
+    val tri = Graph.triangles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("triangles")).toMap
+    assert(cc.nonEmpty)
+    cc.foreach { r =>
+      val c = r.getAs[Double]("clustering_coeff")
+      assert(c >= 0.0 && c <= 1.0, s"coefficient $c out of range")
+      assert(r.getAs[Long]("triangles") ==
+        tri.getOrElse(r.getAs[Long]("product_id"), 0L))
+      val d = r.getAs[Long]("degree")
+      if (d >= 2)
+        assert(c == 2.0 * r.getAs[Long]("triangles") / (d * (d - 1.0)))
+    }
+    // every triangle-carrying node appears (they all have degree >= 2)
+    assert(tri.keySet.subsetOf(cc.map(_.getAs[Long]("product_id")).toSet))
+  }
 }
