@@ -465,6 +465,63 @@ object Curation {
       .orderBy("source", "rn")
   }
 
+  /** `smp_mix_plan`: water-filling token allocation — given a token
+    * budget (half the corpus here), give every source as many of its
+    * own tokens as possible under a COMMON cap: small sources keep
+    * everything, large ones are leveled down to the water line, and
+    * the integer remainder goes one token each to the first capped
+    * sources in the deterministic order. This is the allocation rule
+    * behind "cap any single crawl at X% of the mix" data governance —
+    * the planning complement of [[temperatureSample]] (which reweights
+    * by √size rather than leveling).
+    *
+    * Algorithm: sources sorted ascending by (tokens, name); a source
+    * is uncapped iff taking it whole still leaves enough headroom for
+    * every LATER source to get at least as much (`n_s·m_remaining ≤
+    * budget − prefix`), which by the classic exchange argument makes
+    * the uncapped set exactly a prefix; capped sources split the
+    * remaining budget by integer division. ALL-integer arithmetic —
+    * the plan is bit-portable and exactly oracle-checkable.
+    *
+    * Scale shape: the corpus collapses to the SOURCE CATALOG in one
+    * partial-aggregating groupBy; everything after (the prefix-sum
+    * self-join — the [[graft.operators.Gold.abcClassOf]] offset
+    * pattern, no window — and two 1-row broadcasts) runs on
+    * catalog-sized metadata. */
+  def mixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.table(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+    val before = col("n2") < col("n_tokens") ||
+      (col("n2") === col("n_tokens") && col("s2") < col("source"))
+    val pre = st
+      .join(st.select(col("source").as("s2"), col("n_tokens").as("n2")),
+        before, "left")
+      .groupBy("source", "n_tokens")
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("prevcum"),
+        (count(col("s2")) + 1).as("idx"))
+    val tot = st.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("nsrc"))
+    val flagged = pre.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total DIV 2"))
+      .withColumn("uncapped",
+        col("n_tokens") * (col("nsrc") - col("idx") + 1)
+          <= col("budget") - col("prevcum"))
+    val u = flagged.agg(
+      coalesce(sum(when(col("uncapped"), col("n_tokens"))), lit(0L)).as("usum"),
+      coalesce(sum(when(col("uncapped"), 1L)), lit(0L)).as("ucnt"))
+    flagged.crossJoin(broadcast(u))
+      .select(col("source"), col("n_tokens"),
+        when(col("uncapped"), col("n_tokens"))
+          .otherwise(
+            expr("(budget - usum) DIV (nsrc - ucnt)") +
+              when(col("idx") - col("ucnt")
+                <= expr("(budget - usum) % (nsrc - ucnt)"), 1L).otherwise(0L))
+          .as("allocation"),
+        (!col("uncapped")).as("capped"))
+      .orderBy("source")
+  }
+
   // ---- deterministic corpus shuffle --------------------------------------
 
   /** Deterministic global training order: each document keyed by its
@@ -736,6 +793,34 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "smp_mix_plan" ->
+      """WITH t AS (SELECT source,
+        |             CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |o AS (SELECT source, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS prevcum,
+        |        ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS idx,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS nsrc,
+        |        CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+        |      FROM t),
+        |f AS (SELECT *, total // 2 AS budget,
+        |        n_tokens * (nsrc - idx + 1) <= total // 2 - prevcum AS uncapped
+        |      FROM o),
+        |u AS (SELECT CAST(COALESCE(SUM(CASE WHEN uncapped THEN n_tokens END), 0)
+        |               AS BIGINT) AS usum,
+        |             CAST(COALESCE(SUM(CASE WHEN uncapped THEN 1 ELSE 0 END), 0)
+        |               AS BIGINT) AS ucnt
+        |      FROM f)
+        |SELECT source, n_tokens,
+        |       CAST(CASE WHEN uncapped THEN n_tokens
+        |            ELSE (budget - usum) // (nsrc - ucnt)
+        |                 + CASE WHEN idx - ucnt <= (budget - usum) % (nsrc - ucnt)
+        |                        THEN 1 ELSE 0 END
+        |       END AS BIGINT) AS allocation,
+        |       NOT uncapped AS capped
+        |FROM f, u ORDER BY source""".stripMargin,
     "smp_negative_sampling" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |p AS (SELECT DISTINCT customer_id, product_id FROM sales),
@@ -960,6 +1045,7 @@ object Curation {
     "smp_dsir"       -> dsirResample,
     "smp_curriculum" -> curriculum,
     "smp_temperature" -> temperatureSample,
+    "smp_mix_plan"    -> mixPlan,
     "smp_negative_sampling" -> negativeSampling,
     "dd_components"  -> dedupComponents,
     "dd_components_star" -> dedupComponentsStar,

@@ -489,4 +489,40 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(mass - 1.0) < 1e-9, s"cluster mass $mass")
     }
   }
+
+  test("mix plan replays sequential water-filling exactly") {
+    val rows = Curation.mixPlan(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("allocation"), r.getAs[Boolean]("capped")))
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    // sequential reference: ascending (tokens, name); take whole while
+    // the headroom supports giving every later source at least as much
+    val asc = rows.sortBy(t => (t._2, t._1))
+    var remaining = budget
+    var m = asc.length
+    val exp = scala.collection.mutable.Map[String, (Long, Boolean)]()
+    val cappedQ = scala.collection.mutable.ArrayBuffer[String]()
+    var levelled = false
+    asc.foreach { case (s, n, _, _) =>
+      // once one source hits the water line, every LARGER source is
+      // capped too (taking it whole would out-allocate a peer)
+      if (!levelled && n * m <= remaining) { exp(s) = (n, false); remaining -= n }
+      else { levelled = true; cappedQ += s }
+      m -= 1
+    }
+    if (cappedQ.nonEmpty) {
+      val base = remaining / cappedQ.length
+      val rem = remaining % cappedQ.length
+      cappedQ.zipWithIndex.foreach { case (s, i) =>
+        exp(s) = (base + (if (i < rem) 1L else 0L), true)
+      }
+    }
+    rows.foreach { case (s, n, alloc, capped) =>
+      assert((alloc, capped) == exp(s), s"source $s")
+      assert(alloc <= n, "never allocate more than a source has")
+    }
+    // the plan spends exactly the budget whenever anything is capped
+    if (rows.exists(_._4)) assert(rows.map(_._3).sum == budget)
+  }
 }
