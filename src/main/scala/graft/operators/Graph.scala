@@ -255,6 +255,22 @@ object Graph {
          |          UNION ALL SELECT w FROM t)
          |SELECT p AS product_id, COUNT(*) AS triangles
          |FROM nodes GROUP BY 1 ORDER BY product_id""".stripMargin,
+    "gr_components" ->
+      s"""WITH RECURSIVE ${Tables.salesCte},
+         |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
+         |       FROM sales),
+         |e AS (SELECT x.product_id AS a, y.product_id AS b
+         |      FROM bp x JOIN bp y
+         |        ON x.basket_id = y.basket_id AND x.product_id < y.product_id
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+         |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM und
+         |  UNION
+         |  SELECT d.v, reach.r FROM und d JOIN reach ON d.u = reach.u),
+         |lbl AS (SELECT u, MIN(r) AS component_id FROM reach GROUP BY 1)
+         |SELECT component_id, COUNT(*) AS n_products
+         |FROM lbl GROUP BY 1 ORDER BY component_id""".stripMargin,
     "gr_clustering_coeff" ->
       s"""WITH ${Tables.salesCte},
          |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
@@ -318,6 +334,25 @@ object Graph {
       .orderBy("product_id")
   }
 
+  /** `gr_components`: connected components of the support-filtered
+    * co-purchase graph — one row per component with its size. The
+    * assortment-structure headline (is the catalog one connected
+    * market or many disjoint niches?) and the partition key for
+    * per-market downstream jobs; reuses the O(log n)-round
+    * large-star/small-star fixpoint battle-tested by the dedup
+    * resolver ([[graft.operators.Curation.componentLabelsStar]]).
+    *
+    * Scale shape: each star round is a keyed join + partial min-agg
+    * with an O(1) driver checksum as the convergence test; the size
+    * rollup is component-cardinality metadata. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.componentLabelsStar(
+        coEdges(spark, dir)
+          .select(col("a").as("a_id"), col("b").as("b_id")))
+      .groupBy(col("lbl").as("component_id"))
+      .agg(count(lit(1)).as("n_products"))
+      .orderBy("component_id")
+
   /** Core order for [[kcore]]. */
   val KCoreK = 3L
   /** Peel-round budget: real interaction graphs shed their shell in a
@@ -372,5 +407,6 @@ object Graph {
     "gr_degrees"   -> degrees,
     "gr_triangles" -> triangles,
     "gr_clustering_coeff" -> clusteringCoeff,
+    "gr_components" -> components,
     "gr_kcore"     -> kcore)
 }

@@ -577,6 +577,60 @@ object Similarity {
           .as("variance"))
       .orderBy("dim")
 
+  /** Two-sample z bar for [[embDrift]]. */
+  val DriftZ = 3.0
+
+  /** `emb_drift`: per-dimension two-cohort drift monitor — the corpus
+    * splits into two deterministic hash cohorts (standing in for
+    * old-batch/new-batch in a feed; the split key would be the batch
+    * column in production) and each dimension's means are compared by
+    * a two-sample z-test. The encoder-regression alarm: a silently
+    * upgraded embedding model shifts dimension means long before any
+    * downstream metric moves; read next to [[dimStats]]' single-cohort
+    * profile.
+    *
+    * Scale shape: ONE posexplode pass with a (cohort × dim)-keyed
+    * partial aggregate (2·dim groups); the cohort pivot is a join of
+    * two dim-sized METADATA tables. Sums are fixed-point DECIMAL
+    * (exact, order-independent); mean/variance/z are the [[dimStats]]
+    * expression shapes — identical IEEE ops cross-engine (√ is
+    * correctly rounded in both). */
+  def embDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stats = Tables.table(spark, dir, "embeddings")
+      .select(
+        (graft.operators.Curation.portableHash(col("vec_id")) % 2 === 0)
+          .as("coh_a"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("coh_a", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * lit(CentroidScale.toDouble)).cast(dec)).as("sx"),
+        sum(floor((col("v") * col("v")) * lit(CentroidScale.toDouble))
+          .cast(dec)).as("sxx"))
+    def mean(sx: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sx.cast("double") / lit(CentroidScale.toDouble) / n
+    def vari(sxx: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sxx.cast("double") / lit(CentroidScale.toDouble) / n -
+        mean(sx, n) * mean(sx, n)
+    val a = stats.where(col("coh_a")).select(col("dim"),
+      col("n").as("n_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = stats.where(!col("coh_a")).select(col("dim"),
+      col("n").as("n_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    a.join(b, "dim")
+      .select(col("dim").cast("int").as("dim"), col("n_a"), col("n_b"),
+        mean(col("sx_a"), col("n_a")).as("mean_a"),
+        mean(col("sx_b"), col("n_b")).as("mean_b"),
+        vari(col("sxx_a"), col("sx_a"), col("n_a")).as("var_a"),
+        vari(col("sxx_b"), col("sx_b"), col("n_b")).as("var_b"))
+      .withColumn("mean_shift", abs(col("mean_a") - col("mean_b")))
+      .withColumn("z", col("mean_shift") /
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      .withColumn("drift", col("z") > DriftZ)
+      .orderBy("dim")
+  }
+
   /** Outlier flag threshold: a vector is an outlier when its squared
     * distance to its label centroid exceeds this multiple of the
     * label's MEAN squared distance — self-calibrating per label, no
@@ -1089,6 +1143,38 @@ object Similarity {
          |       sxx/$CentroidScale/n - (sx/$CentroidScale/n)*(sx/$CentroidScale/n)
          |         AS variance
          |FROM a ORDER BY dim""".stripMargin,
+    "emb_drift" -> {
+      val h = graft.operators.Curation.portableHashSql("vec_id")
+      def m(sx: String, n: String) =
+        s"(CAST($sx AS DOUBLE)/$CentroidScale/$n)"
+      def v(sxx: String, sx: String, n: String) =
+        s"CAST($sxx AS DOUBLE)/$CentroidScale/$n - ${m(sx, n)}*${m(sx, n)}"
+      s"""WITH ex AS (
+         |  SELECT ($h) % 2 = 0 AS coh_a,
+         |         unnest(generate_series(1, len(embedding))) AS i,
+         |         embedding AS e
+         |  FROM embeddings),
+         |r AS (SELECT coh_a, CAST(i - 1 AS INT) AS dim,
+         |             CAST(e[i] AS DOUBLE) AS v FROM ex),
+         |st AS (SELECT coh_a, dim, COUNT(*) AS n,
+         |              SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(38,0))) AS sx,
+         |              SUM(CAST(FLOOR((v*v)*$CentroidScale) AS DECIMAL(38,0))) AS sxx
+         |       FROM r GROUP BY 1, 2),
+         |a AS (SELECT dim, n AS n_a, sx AS sx_a, sxx AS sxx_a FROM st WHERE coh_a),
+         |b AS (SELECT dim, n AS n_b, sx AS sx_b, sxx AS sxx_b FROM st WHERE NOT coh_a),
+         |j AS (SELECT dim, n_a, n_b,
+         |             ${m("sx_a", "n_a")} AS mean_a,
+         |             ${m("sx_b", "n_b")} AS mean_b,
+         |             ${v("sxx_a", "sx_a", "n_a")} AS var_a,
+         |             ${v("sxx_b", "sx_b", "n_b")} AS var_b
+         |      FROM a JOIN b USING (dim)),
+         |z AS (SELECT *, ABS(mean_a - mean_b) AS mean_shift,
+         |             ABS(mean_a - mean_b)/SQRT(var_a/n_a + var_b/n_b) AS z
+         |      FROM j)
+         |SELECT dim, n_a, n_b, mean_a, mean_b, var_a, var_b, mean_shift, z,
+         |       z > CAST($DriftZ AS DOUBLE) AS drift
+         |FROM z ORDER BY dim""".stripMargin
+    },
     "emb_label_confusion" ->
       s"""WITH ex AS (
          |  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS i,
@@ -1222,6 +1308,7 @@ object Similarity {
     "emb_sim_hist"     -> centroidDistHist,
     "ann_recall_report" -> annRecallReport,
     "emb_label_confusion" -> labelConfusion,
+    "emb_drift"        -> embDrift,
     "emb_dim_stats"    -> dimStats,
     "ann_range"        -> annRange,
     "emb_gram"         -> gramMatrix,

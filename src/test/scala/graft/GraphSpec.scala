@@ -136,6 +136,34 @@ class GraphSpec extends SparkSpec {
     got.foreach(t => assert(t._3 >= Graph.KCoreK, s"node ${t._1} under k"))
   }
 
+  test("components partition the co-purchase nodes; sizes match union-find") {
+    import org.apache.spark.sql.functions._
+    val comps = Graph.components(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("component_id") -> r.getAs[Long]("n_products"))
+    // brute-force union-find over the same support-filtered edges
+    val cc = Graph.clusteringCoeff(spark, sfDir).collect()
+    val nodes = cc.map(_.getAs[Long]("product_id"))
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    // recover the edge list from the degree table via the same coEdges
+    // path triangles used: re-derive from sales directly
+    val b = graft.sources.Tables.sales(spark, sfDir)
+      .select(expr("transaction_id DIV 10").as("bk"), col("product_id")).distinct()
+    val edges = b.join(b.select(col("bk"), col("product_id").as("pb")), Seq("bk"))
+      .where(col("product_id") < col("pb"))
+      .groupBy("product_id", "pb").agg(count(lit(1)).as("n"))
+      .where(col("n") >= Graph.TriMinSupport)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, c) =>
+      val (ra, rc) = (find(a), find(c))
+      if (ra != rc) parent(math.max(ra, rc)) = math.min(ra, rc)
+    }
+    val exp = nodes.groupBy(find).map { case (r, ns) => r -> ns.length.toLong }
+    assert(comps.toMap == exp)
+    assert(comps.map(_._2).sum == nodes.length.toLong)
+  }
+
   test("clustering coefficient: bounded, consistent with triangle counts") {
     val cc = Graph.clusteringCoeff(spark, sfDir).collect()
     val tri = Graph.triangles(spark, sfDir).collect()

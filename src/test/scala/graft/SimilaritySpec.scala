@@ -396,6 +396,24 @@ class SimilaritySpec extends SparkSpec {
       radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("embedding drift: cohorts partition the corpus, z-test self-consistent") {
+    val rows = Similarity.embDrift(spark, sfDir).collect()
+    val n = Tables.table(spark, sfDir, "embeddings").count()
+    assert(rows.length == Similarity.Dim)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == n)
+      assert(r.getAs[Double]("var_a") > 0.0 && r.getAs[Double]("var_b") > 0.0)
+      assert(r.getAs[Double]("mean_shift") ==
+        math.abs(r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b")))
+      assert(r.getAs[Boolean]("drift") ==
+        (r.getAs[Double]("z") > Similarity.DriftZ))
+    }
+    // a random hash split of ONE distribution must be mostly flat: at
+    // z>3 the per-dim false-positive rate is ~0.3%, so over 64 dims
+    // more than a few flags would mean the statistic is broken
+    assert(rows.count(_.getAs[Boolean]("drift")) <= 3)
+  }
+
   test("label confusion: every vector classified once, argmin replays brute force") {
     import org.apache.spark.sql.functions._
     val m = Similarity.labelConfusion(spark, sfDir).collect()
