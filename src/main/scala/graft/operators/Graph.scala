@@ -175,8 +175,13 @@ object Graph {
     * oracle-checkable while the Spark plan keeps the skew-safe shape.
     * All three joins are keyed equi-joins (no cartesian anywhere);
     * the per-node count is one partial-aggregated groupBy. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(spark, dir).localCheckpoint()
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(coEdges(spark, dir).localCheckpoint())
+
+  /** [[triangles]] over a caller-provided (ideally checkpointed) edge
+    * set — lets compositions ([[clusteringCoeff]]) reuse ONE
+    * materialized edge list for degrees and wedges. */
+  def trianglesOf(e: DataFrame): DataFrame = {
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
     val lower = col("dega") < col("degb") ||
@@ -319,11 +324,11 @@ object Graph {
     * the final join is keyed on product_id. The coefficient divides
     * exact integers in one fixed IEEE expression. */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(spark, dir)
+    val e = coEdges(spark, dir).localCheckpoint()
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy(col("a").as("product_id"))
       .agg(count(lit(1)).as("degree"))
-    deg.join(triangles(spark, dir), Seq("product_id"), "left")
+    deg.join(trianglesOf(e), Seq("product_id"), "left")
       .select(col("product_id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("clustering_coeff",
