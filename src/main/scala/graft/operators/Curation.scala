@@ -522,6 +522,39 @@ object Curation {
       .orderBy("source")
   }
 
+  /** `smp_interleave`: deterministic round-robin source interleave —
+    * a global training order that cycles sources (doc i of src0, doc i
+    * of src1, …) with each source's own stream hash-shuffled. The
+    * "don't feed 1M contiguous docs from one crawl" serving order for
+    * multi-source training, complementing [[corpusShuffle]] (uniform
+    * global) and [[curriculum]] (quality-major): `order_key =
+    * (rank_within_source − 1) · #sources + source_index` is a total
+    * order, collision-free by construction.
+    *
+    * Scale shape: the within-source rank is a source-partitioned
+    * window (bounded by the largest source — the [[temperatureSample]]
+    * caveat and its hash-prefilter refinement apply); the source index
+    * comes from a catalog-sized self-join (no global window) broadcast
+    * back; emission is a TeraSort-shape range sort on the computed
+    * key. */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), portableHash(col("doc_id")).as("hk"))
+    val srcs = d.select("source").distinct()
+    val idx = srcs
+      .join(srcs.select(col("source").as("s2")), col("s2") < col("source"), "left")
+      .groupBy("source").agg(count(col("s2")).as("s_idx"))
+    val nsrc = srcs.agg(count(lit(1)).as("nsrc"))
+    d.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("hk", "doc_id")))
+      .join(broadcast(idx), "source")
+      .crossJoin(broadcast(nsrc))
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
+        ((col("rn") - 1).cast("long") * col("nsrc") + col("s_idx"))
+          .as("order_key"))
+      .orderBy("order_key")
+  }
+
   // ---- deterministic corpus shuffle --------------------------------------
 
   /** Deterministic global training order: each document keyed by its
@@ -793,6 +826,22 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "smp_interleave" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             ${portableHashSql("doc_id")} AS hk
+         |           FROM documents),
+         |i AS (SELECT source,
+         |             CAST(DENSE_RANK() OVER (ORDER BY source) - 1 AS BIGINT)
+         |               AS s_idx,
+         |             CAST(COUNT(*) OVER () AS BIGINT) AS nsrc
+         |      FROM (SELECT DISTINCT source FROM d)),
+         |r AS (SELECT doc_id, d.source,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+         |               ORDER BY hk, doc_id) AS BIGINT) AS rn,
+         |             s_idx, nsrc
+         |      FROM d JOIN i ON d.source = i.source)
+         |SELECT doc_id, source, rn, (rn - 1) * nsrc + s_idx AS order_key
+         |FROM r ORDER BY order_key""".stripMargin,
     "smp_mix_plan" ->
       """WITH t AS (SELECT source,
         |             CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
@@ -1046,6 +1095,7 @@ object Curation {
     "smp_curriculum" -> curriculum,
     "smp_temperature" -> temperatureSample,
     "smp_mix_plan"    -> mixPlan,
+    "smp_interleave"  -> interleave,
     "smp_negative_sampling" -> negativeSampling,
     "dd_components"  -> dedupComponents,
     "dd_components_star" -> dedupComponentsStar,

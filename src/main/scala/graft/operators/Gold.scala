@@ -664,6 +664,38 @@ object Gold {
       .orderBy("category", "mth")
   }
 
+  /** Partners per brand in [[alsoBought]]. */
+  val AlsoBoughtK = 3
+
+  /** `gold_also_bought`: the "customers also bought" serving feed — per
+    * brand, its top-[[AlsoBoughtK]] co-purchase partners by lift
+    * (pairs from [[basketAffinity]]). The recommendation
+    * view merchandising actually ships; affinity pairs are the
+    * analysis view, this is the per-anchor ranked cut.
+    *
+    * Scale shape: everything downstream of the affinity pairs is
+    * BRAND-CATALOG-sized metadata — the symmetrize union doubles a
+    * catalog² table and the per-anchor rank window is bounded by the
+    * partner catalog. Lift ties break on the partner name, so the cut
+    * is deterministic and exactly oracle-checkable. */
+  def alsoBought(spark: SparkSession, dir: String): DataFrame = {
+    val aff = basketAffinity(spark, dir)
+      .select(col("sku_a"), col("sku_b"), col("n_ab"), col("lift"))
+    val sym = aff
+      .select(col("sku_a").as("sku"), col("sku_b").as("partner"),
+        col("n_ab"), col("lift"))
+      .unionAll(aff.select(col("sku_b").as("sku"), col("sku_a").as("partner"),
+        col("n_ab"), col("lift")))
+    sym
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sku")
+          .orderBy(col("lift").desc, col("partner"))))
+      .where(col("rn") <= AlsoBoughtK)
+      .select(col("sku"), col("rn").cast("int").as("rn"), col("partner"),
+        col("n_ab"), col("lift"))
+      .orderBy("sku", "rn")
+  }
+
   /** `gold_stockout`: staleness screen over the availability ledger —
     * per (store, product), days since the last movement vs that item's
     * own historical movement cadence; an item silent for ≥3× its usual
@@ -704,6 +736,30 @@ object Gold {
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_also_bought" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |b AS (SELECT DISTINCT transaction_id // 10 AS basket_id, sku
+         |      FROM sales JOIN products USING (product_id)),
+         |nb AS (SELECT COUNT(DISTINCT basket_id) AS n_baskets FROM b),
+         |per AS (SELECT sku, COUNT(*) AS n_sku FROM b GROUP BY 1),
+         |pr AS (SELECT a.sku AS sku_a, c.sku AS sku_b, COUNT(*) AS n_ab
+         |       FROM b a JOIN b c ON a.basket_id = c.basket_id AND a.sku < c.sku
+         |       GROUP BY 1, 2),
+         |aff AS (SELECT sku_a, sku_b, n_ab,
+         |               (CAST(n_ab AS DOUBLE)*CAST(n_baskets AS DOUBLE))
+         |                 /(CAST(pa.n_sku AS DOUBLE)*CAST(pb.n_sku AS DOUBLE)) AS lift
+         |        FROM pr JOIN per pa ON sku_a = pa.sku
+         |                JOIN per pb ON sku_b = pb.sku
+         |        CROSS JOIN nb),
+         |sym AS (SELECT sku_a AS sku, sku_b AS partner, n_ab, lift FROM aff
+         |        UNION ALL
+         |        SELECT sku_b, sku_a, n_ab, lift FROM aff),
+         |r AS (SELECT sku, partner, n_ab, lift,
+         |             ROW_NUMBER() OVER (PARTITION BY sku
+         |               ORDER BY lift DESC, partner) AS rn
+         |      FROM sym)
+         |SELECT sku, CAST(rn AS INT) AS rn, partner, n_ab, lift
+         |FROM r WHERE rn <= $AlsoBoughtK ORDER BY sku, rn""".stripMargin,
     "gold_stockout" ->
       s"""WITH ${Tables.salesCte},
          |led AS (
@@ -1027,5 +1083,6 @@ object Gold {
     "gold_discount_impact"     -> discountImpact,
     "gold_order_value_histogram" -> orderValueHistogram,
     "gold_seasonality"         -> seasonality,
-    "gold_stockout"            -> stockoutRisk)
+    "gold_stockout"            -> stockoutRisk,
+    "gold_also_bought"         -> alsoBought)
 }

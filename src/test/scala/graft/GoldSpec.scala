@@ -458,6 +458,27 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("also-bought: k partners per brand, lift-descending, symmetric source") {
+    val rows = Gold.alsoBought(spark, sfDir).collect()
+    val aff = Gold.basketAffinity(spark, sfDir).collect()
+      .flatMap { r =>
+        val (a, b) = (r.getAs[String]("sku_a"), r.getAs[String]("sku_b"))
+        val (n, l) = (r.getAs[Long]("n_ab"), r.getAs[Double]("lift"))
+        Seq((a, b, n, l), (b, a, n, l))
+      }
+    val exp = aff.groupBy(_._1).flatMap { case (sku, ps) =>
+      ps.sortBy(p => (-p._4, p._2)).take(Gold.AlsoBoughtK)
+        .zipWithIndex.map { case ((_, p, n, l), i) => (sku, i + 1, p, n, l) }
+        .toSeq
+    }.toSet
+    assert(rows.map(r => (r.getAs[String]("sku"), r.getAs[Int]("rn"),
+      r.getAs[String]("partner"), r.getAs[Long]("n_ab"),
+      r.getAs[Double]("lift"))).toSet == exp)
+    rows.groupBy(_.getAs[String]("sku")).values.foreach { g =>
+      assert(g.length <= Gold.AlsoBoughtK)
+    }
+  }
+
   test("stockout risk: one row per ledger item, cadence rule replayed") {
     val rows = Gold.stockoutRisk(spark, sfDir).collect()
     val ledger = Tables.sales(spark, sfDir)
