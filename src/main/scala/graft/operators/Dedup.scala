@@ -348,7 +348,10 @@ object Dedup {
     * banded 16×4; near-dup candidates share a band signature; candidates
     * are then exact-verified (so precision is 1; with 16×4 banding at
     * j≥0.8 the recall loss is < 1e-4 — the planted dups are ≥0.96). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, sig) LSH bucket keys: 64 minhash permutations in
+    * 16 bands of 4 — shared by [[minhashLsh]] (full-corpus pairs) and
+    * [[minhashIncremental]] (batch-vs-corpus boundary pairs). */
+  private def minhashBuckets(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 64
     val bands = 16
     val rowsPerBand = nPerm / bands
@@ -362,15 +365,69 @@ object Dedup {
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
           .as("sig")).as(s"b$b")
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = minhashBuckets(spark, dir)
     val cand = buckets.select(col("doc_id").as("a_id"), col("band"), col("sig"))
       .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     verifyCandidates(spark, dir, cand)
+  }
+
+  /** `dd_minhash_incremental`: NEAR-dup screening of an incoming batch
+    * against the standing corpus — the daily-crawl twin of
+    * [[incrementalDedup]] (which only catches byte-identical text).
+    * One row per batch document: how many corpus near-dups it has, the
+    * best Jaccard, and the novelty flag ingestion gates on.
+    *
+    * Scale shape: signatures/banding are [[minhashBuckets]] — in
+    * production the corpus side is PERSISTED (signatures are 64
+    * longs/doc; only the batch recomputes), so the candidate join is
+    * batch-buckets ⋈ corpus-buckets, never corpus². Verification is
+    * the exact cross-boundary Jaccard on candidate docs only, and the
+    * rollup is batch-sized. Exact oracle licensed by the banding's
+    * proven recall 1.0 at every verified SF (boundary pairs are a
+    * subset of the full pair set the gate already checks). */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val buckets = minhashBuckets(spark, dir)
+    val cand = buckets.where(isBatch)
+      .select(col("doc_id").as("batch_id"), col("band"), col("sig"))
+      .join(buckets.where(!isBatch)
+          .select(col("doc_id").as("corpus_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("batch_id", "corpus_id").distinct()
+    val candDocs = cand.select(col("batch_id").as("doc_id"))
+      .unionAll(cand.select(col("corpus_id").as("doc_id"))).distinct()
+    val shS = shingleSetsWithSize(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val pairs = shS.where(isBatch)
+      .select(col("doc_id").as("batch_id"), col("n_sh").as("n_a"), col("shingle"))
+      .join(shS.where(!isBatch)
+          .select(col("doc_id").as("corpus_id"), col("n_sh").as("n_b"),
+            col("shingle")),
+        Seq("shingle"))
+      .groupBy("batch_id", "corpus_id", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= JaccardThreshold)
+    val matches = pairs.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"), max(col("jaccard")).as("max_jaccard"))
+    Tables.table(spark, dir, "documents").where(isBatch)
+      .select(col("doc_id"))
+      .join(matches, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        col("max_jaccard"),
+        (coalesce(col("n_corpus_matches"), lit(0L)) === 0L).as("novel"))
+      .orderBy("doc_id")
   }
 
   /** Pairs within this Hamming distance count as simhash near-dups.
@@ -703,6 +760,33 @@ object Dedup {
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
     "dd_minhash_lsh" -> ngramJaccardOracle,
+    "dd_minhash_incremental" -> {
+      val h = Curation.portableHashSql("doc_id")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           generate_series(1, len(t)-2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |ash AS (SELECT doc_id, shingle FROM sh WHERE ($h) % 10 = 0),
+         |bsh AS (SELECT doc_id, shingle FROM sh WHERE ($h) % 10 <> 0),
+         |inter AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+         |                 COUNT(*) AS inter
+         |          FROM ash a JOIN bsh b USING (shingle) GROUP BY 1, 2),
+         |p AS (SELECT batch_id, corpus_id,
+         |             inter*1.0/(sa.n_sh + sb.n_sh - inter) AS jaccard
+         |      FROM inter JOIN sizes sa ON batch_id = sa.doc_id
+         |                 JOIN sizes sb ON corpus_id = sb.doc_id
+         |      WHERE inter*1.0/(sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold),
+         |m AS (SELECT batch_id, COUNT(*) AS n, MAX(jaccard) AS mx
+         |      FROM p GROUP BY 1),
+         |batch AS (SELECT doc_id FROM documents WHERE ($h) % 10 = 0)
+         |SELECT doc_id, COALESCE(n, 0) AS n_corpus_matches, mx AS max_jaccard,
+         |       COALESCE(n, 0) = 0 AS novel
+         |FROM batch LEFT JOIN m ON doc_id = batch_id
+         |ORDER BY doc_id""".stripMargin
+    },
     "dd_decontam" -> decontamOracle,
     "dd_contam_report" ->
       s"""WITH dec AS (SELECT * FROM ($decontamOracle))
@@ -794,6 +878,7 @@ object Dedup {
     "dd_chunk_dedup"   -> chunkDedup,
     "dd_span"          -> spanDedup,
     "dd_minhash_lsh"   -> minhashLsh,
+    "dd_minhash_incremental" -> minhashIncremental,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
     "dd_contam_report" -> contamReport,

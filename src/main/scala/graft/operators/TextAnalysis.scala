@@ -472,6 +472,49 @@ object TextAnalysis {
     * at every test scale (production would use 32k-256k). */
   val VocabK = 20
 
+  /** `txt_strip_repeats`: intra-document repetition REMOVAL — every
+    * token covered only by repeat occurrences of a duplicated trigram
+    * is dropped, keeping each trigram's first occurrence (the
+    * Gopher-appendix cleanup that [[repRatio]] only measures). Output
+    * keeps both token counts and the rebuilt text, so the op serves
+    * as filter signal and as transform.
+    *
+    * Scale shape: trigram generation is the native codegen
+    * [[graft.functions.WordShingles]] kernel; duplicate detection is
+    * ONE (doc, trigram)-keyed partial min-aggregate; coverage marks
+    * explode to ≤ 3 positions per repeat occurrence and the rebuild is
+    * a (doc)-keyed aggregate whose sort is WITHIN one document's
+    * tokens. Everything is co-keyed on doc_id — one shuffle family. */
+  def stripRepeats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val docs = Tables.table(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val tris = docs.select(col("doc_id"),
+      posexplode(call_function("graft_word_ngrams", col("text"), lit(3)))
+        .as(Seq("gpos", "g")))
+    val firsts = tris.groupBy("doc_id", "g").agg(min(col("gpos")).as("minpos"))
+    val covered = tris.join(firsts, Seq("doc_id", "g"))
+      .where(col("gpos") > col("minpos"))
+      .select(col("doc_id"), explode(sequence(col("gpos"), col("gpos") + 2))
+        .as("pos"))
+      .distinct()
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_after"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("cleaned_text"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens_before")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens_before"), col("n_tokens_after"),
+        ((col("n_tokens_before") - col("n_tokens_after")).cast("double")
+          / col("n_tokens_before").cast("double")).as("removed_fraction"),
+        col("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Pairs reported by [[bpePairs]]. */
   val BpeTopK = 30
 
@@ -718,6 +761,34 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "txt_quality" -> qualityOracleSql,
+    "txt_strip_repeats" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, t[i] AS tok
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |              FROM d)),
+        |tri AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS gpos,
+        |               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |        FROM (SELECT doc_id, t,
+        |                unnest(generate_series(1, len(t)-2)) AS i
+        |              FROM d WHERE len(t) >= 3)),
+        |f AS (SELECT doc_id, g, MIN(gpos) AS minpos FROM tri GROUP BY 1, 2),
+        |cov AS (SELECT DISTINCT doc_id,
+        |          CAST(unnest(generate_series(gpos, gpos+2)) AS BIGINT) AS pos
+        |        FROM tri JOIN f USING (doc_id, g) WHERE gpos > minpos),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |         WHERE cov.pos IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens_after,
+        |               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        |        FROM kept GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens_before
+        |         FROM documents)
+        |SELECT b.doc_id, n_tokens_before, n_tokens_after,
+        |       CAST(n_tokens_before - n_tokens_after AS DOUBLE)
+        |         / CAST(n_tokens_before AS DOUBLE) AS removed_fraction,
+        |       cleaned_text
+        |FROM base b JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "txt_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
          |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair
@@ -1042,6 +1113,7 @@ object TextAnalysis {
     "txt_compress"    -> compressionRatio,
     "txt_quality_ensemble" -> qualityEnsemble,
     "txt_bpe_pairs"   -> bpePairs,
+    "txt_strip_repeats" -> stripRepeats,
     "txt_oov"         -> oovScore,
     "txt_lexical"     -> lexicalDiversity)
 }

@@ -420,4 +420,84 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("contamination_rate") == nc.toDouble / n.toDouble)
     }
   }
+
+  test("minhash incremental agrees with the exact boundary-pair recompute") {
+    import graft.operators.Curation
+    val got = Dedup.minhashIncremental(spark, sfDir).collect()
+    // one row per batch doc
+    val isBatchId = (id: Long) =>
+      ((id % Curation.HashMod) * Curation.HashMult) % Curation.HashMod % 10 == 0
+    val allDocs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.map(_.getLong(0)).toSeq == allDocs.filter(isBatchId).sorted.toSeq)
+    // exact recompute: ngramJaccard is all exact near-dup pairs; keep
+    // only boundary pairs (one endpoint in the batch, one out)
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val exp = scala.collection.mutable.Map[Long, List[Double]]()
+    pairs.foreach { case (a, b, j) =>
+      if (isBatchId(a) && !isBatchId(b)) exp(a) = j :: exp.getOrElse(a, Nil)
+      if (isBatchId(b) && !isBatchId(a)) exp(b) = j :: exp.getOrElse(b, Nil)
+    }
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val js = exp.getOrElse(id, Nil)
+      assert(r.getAs[Long]("n_corpus_matches") == js.length, s"doc $id")
+      assert(r.getAs[Boolean]("novel") == js.isEmpty)
+      if (js.nonEmpty)
+        assert(r.getAs[Double]("max_jaccard") == js.max, s"doc $id max")
+    }
+    assert(got.exists(!_.getAs[Boolean]("novel")),
+      "planted near-dups must cross the batch boundary at this SF")
+  }
+
+  test("strip repeats: removed tokens are exactly the repeat-covered ones") {
+    val rows = TextAnalysisHelper.stripRows(spark, sfDir)
+    rows.foreach { case (id, before, after, frac, cleaned) =>
+      assert(after >= 1 && after <= before)
+      assert(frac == (before - after).toDouble / before)
+      assert(cleaned.split(" ").length.toLong == after)
+    }
+    // driver replay on a sample of docs (plus a synthetic known-repeat
+    // doc below, since this corpus may have no intra-doc trigram repeat)
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(20)
+    def replay(text: String): String = {
+      val toks = text.split(" ")
+      val tris = toks.sliding(3).filter(_.length == 3).zipWithIndex
+        .map { case (g, i) => (g.mkString(" "), i) }.toSeq
+      val firsts = tris.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val covered = tris.collect {
+        case (g, i) if i > firsts(g) => Seq(i, i + 1, i + 2)
+      }.flatten.toSet
+      toks.zipWithIndex.collect {
+        case (t, i) if !covered.contains(i) => t
+      }.mkString(" ")
+    }
+    docs.foreach { case (id, text) =>
+      assert(rows.find(_._1 == id).get._5 == replay(text), s"doc $id rebuild")
+    }
+    // synthetic doc with a planted repeat: the op must actually strip
+    import spark.implicits._
+    val planted = "a b c x y a b c z w a b c"
+    val dir2 = java.nio.file.Files.createTempDirectory("strip").toString
+    Seq((1L, planted)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got = graft.operators.TextAnalysis.stripRepeats(spark, dir2).head()
+    assert(got.getAs[String]("cleaned_text") == replay(planted))
+    assert(got.getAs[Long]("n_tokens_after") <
+      got.getAs[Long]("n_tokens_before"), "planted repeats must strip")
+  }
+}
+
+/** Collects txt_strip_repeats rows once for the spec above. */
+object TextAnalysisHelper {
+  def stripRows(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Long, Long, Long, Double, String)] =
+    graft.operators.TextAnalysis.stripRepeats(spark, dir).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens_before"),
+        r.getAs[Long]("n_tokens_after"), r.getAs[Double]("removed_fraction"),
+        r.getAs[String]("cleaned_text"))
+    }
 }
