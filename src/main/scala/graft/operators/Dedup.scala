@@ -348,12 +348,21 @@ object Dedup {
     * banded 16×4; near-dup candidates share a band signature; candidates
     * are then exact-verified (so precision is 1; with 16×4 banding at
     * j≥0.8 the recall loss is < 1e-4 — the planted dups are ≥0.96). */
-  /** (doc_id, band, sig) LSH bucket keys: 64 minhash permutations in
-    * 16 bands of 4 — shared by [[minhashLsh]] (full-corpus pairs) and
-    * [[minhashIncremental]] (batch-vs-corpus boundary pairs). */
-  private def minhashBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val nPerm = 64
-    val bands = 16
+  /** MinHash banding geometry: 64 permutations in 16 bands of 4 —
+    * shared by the batch bucket table and the streaming per-row
+    * signature (graft.streaming.DocumentStreams), which MUST agree
+    * bit-for-bit for the stream-static screen to hit the same
+    * buckets. */
+  val MinhashPerms = 64
+  val MinhashBands = 16
+
+  /** (doc_id, band, sig) LSH bucket keys — shared by [[minhashLsh]]
+    * (full-corpus pairs), [[minhashIncremental]] (batch-vs-corpus
+    * boundary pairs) and the streaming ingest screen (as the static
+    * side). */
+  private[graft] def minhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nPerm = MinhashPerms
+    val bands = MinhashBands
     val rowsPerBand = nPerm / bands
     val sh = shingleSets(spark, dir)
     val h = xxhash64(col("shingle"))

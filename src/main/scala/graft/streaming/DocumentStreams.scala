@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming document-ingest operators: the stream-side halves of the
+  * corpus-maintenance contracts in [[graft.operators.Dedup]].
+  */
+object DocumentStreams {
+
+  /** Streaming near-dup ingest screen — the stream-static half of
+    * [[graft.operators.Dedup.minhashIncremental]]: each arriving
+    * document's MinHash band keys are computed PER ROW (no shuffle, no
+    * state — the banded signature collapses to 16 map-side
+    * expressions), then joined against the standing corpus bucket
+    * table. Emits one row per (doc, corpus-candidate, band) hit; the
+    * tiny per-doc rollup + exact Jaccard verify run batch-side where
+    * the quarantine decision lands — the same division of labor as the
+    * trending and cart-flag streams.
+    *
+    * The per-row signature MUST equal the batch path's bit-for-bit
+    * (same shingle kernel, same integer-literal permutation seeds,
+    * same band hash) — asserted by the parity spec; a drifted seed
+    * type (int vs long literal) silently empties every bucket hit. */
+  def nearDupScreenStream(docs: DataFrame, corpusBuckets: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.WordShingles.register(spark)
+    val perms = Dedup.MinhashPerms
+    val bands = Dedup.MinhashBands
+    val rowsPerBand = perms / bands
+    val withSh = docs
+      .withColumn("shs",
+        call_function("graft_word_shingles", col("text"), lit(3)))
+      .where(size(col("shs")) > 0)
+    // per-row minima: transform+array_min are CodegenFallback, but this
+    // is the STREAM side — micro-batch row counts, not the 100 TB scan
+    // (the batch/corpus side uses the aggregated native path)
+    val mCols = (0 until perms).map(i =>
+      expr(s"array_min(transform(shs, s -> xxhash64($i, xxhash64(s))))")
+        .as(s"m$i"))
+    val sigs = withSh.select((col("doc_id") +: mCols): _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i")): _*).as("sig")).as(s"b$b")
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .join(corpusBuckets
+          .select(col("doc_id").as("corpus_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("doc_id"), col("corpus_id"), col("band"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.Events
 import graft.sources.Tables
-import graft.streaming.EventStreams
+import graft.streaming.{DocumentStreams, EventStreams}
 import graft.streaming.EventStreams.{Evt, SessionOut}
 
 class StreamingSpec extends SparkSpec {
@@ -193,6 +193,42 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(topFromStream == batchTop)
+  }
+
+  test("streaming near-dup screen hits exactly the batch candidate buckets") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val corpusBuckets = Dedup.minhashBuckets(spark, sfDir).where(!isBatch)
+    // batch-side expectation: batch buckets ⋈ corpus buckets
+    val expected = Dedup.minhashBuckets(spark, sfDir).where(isBatch)
+      .select(col("doc_id"), col("band"), col("sig"))
+      .join(corpusBuckets.select(col("doc_id").as("corpus_id"), col("band"),
+        col("sig")), Seq("band", "sig"))
+      .select("doc_id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "planted near-dups must cross the boundary")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamDf = input.toDF().toDF("doc_id", "text")
+    val q = DocumentStreams.nearDupScreenStream(streamDf, corpusBuckets)
+      .writeStream.format("memory").queryName("screen_out")
+      .outputMode("append").start()
+    val batchDocs = Tables.table(spark, sfDir, "documents").where(isBatch)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = batchDocs.splitAt(batchDocs.length / 2)
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("screen_out")
+      .select("doc_id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(streamed == expected,
+      "per-row streaming signature must hit the same buckets as the batch path")
   }
 
   test("stream-static anomaly scoring matches the batch twin exactly") {
