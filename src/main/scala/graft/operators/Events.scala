@@ -483,7 +483,14 @@ object Events {
     * is a lag window partitioned by user — bounded by one user's
     * active days, never global; the day rollup is calendar-sized
     * metadata. */
-  def reactivation(spark: SparkSession, dir: String): DataFrame = {
+  def reactivation(spark: SparkSession, dir: String): DataFrame =
+    reactivationWithGap(spark, dir, DormantDays.toLong)
+
+  /** [[reactivation]] with a caller-chosen dormancy gap (the streaming
+    * parity spec exercises a small gap where this corpus has no
+    * 14-day dormancy). */
+  def reactivationWithGap(spark: SparkSession, dir: String,
+      gapDays: Long): DataFrame = {
     val ud = Tables.events(spark, dir)
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
@@ -494,7 +501,7 @@ object Events {
       .groupBy("eday")
       .agg(count(lit(1)).as("n_active_users"),
         sum(when(col("prev").isNotNull &&
-            col("eday") - col("prev") >= DormantDays, 1L).otherwise(0L))
+            col("eday") - col("prev") >= gapDays, 1L).otherwise(0L))
           .as("n_reactivated"))
       .select(
         date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),

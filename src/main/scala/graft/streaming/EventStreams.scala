@@ -336,6 +336,54 @@ object EventStreams {
       .select(col("w.start").cast("date").as("day"), col("user_id"),
         col("purchased"))
 
+  final case class UserDay(user_id: Long, eday: Long)
+  final case class ReactState(lastDay: Long)
+  final case class ReactOut(user_id: Long, eday: Long, gap_days: Long)
+
+  /** Shared with the batch twin. */
+  val DormantDays: Long = graft.operators.Events.DormantDays.toLong
+
+  /** Streaming reactivation detector — the stateful twin of
+    * [[graft.operators.Events.reactivation]]: O(1) state per user (the
+    * last active epoch day), emitting a (user, day, gap) event when a
+    * user returns after ≥ [[DormantDays]] days. This is the state shape
+    * windows cannot express (the gap spans unbounded history), and the
+    * emitted feed drives the win-back campaign directly; the per-day
+    * rate rollup stays batch-side.
+    *
+    * Delivery contract: micro-batches are processed in event-time
+    * order per user WITHIN a batch, and state advances monotonically
+    * (max day), so time-ordered delivery per user — the per-key
+    * ordering a keyed log gives — reproduces the batch answer exactly
+    * (asserted by the parity spec on time-split batches). A late event
+    * older than the state is counted against the LATEST day, the
+    * standard at-ingest semantics. */
+  def reactivationStream(userDays: Dataset[UserDay],
+      gapDays: Long = DormantDays): Dataset[ReactOut] = {
+    import userDays.sparkSession.implicits._
+    userDays
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        reactivationGroup(gapDays))
+  }
+
+  private[streaming] def reactivationGroup(gapDays: Long)(
+      userId: Long, days: Iterator[UserDay],
+      state: GroupState[ReactState]): Iterator[ReactOut] = {
+    val sorted = days.toSeq.map(_.eday).distinct.sorted
+    var last = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
+    val out = Seq.newBuilder[ReactOut]
+    sorted.foreach { d =>
+      if (d > last) {
+        if (last != Long.MinValue && d - last >= gapDays)
+          out += ReactOut(userId, d, d - last)
+        last = d
+      }
+    }
+    state.update(ReactState(last))
+    out.result().iterator
+  }
+
   /** Streaming trending-items count layer — the per-(day, item)
     * view/click counts of [[graft.operators.Events.trendingItems]] as a
     * watermarked daily window aggregate. The JSON item probe runs

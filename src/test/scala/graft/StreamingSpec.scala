@@ -195,6 +195,38 @@ class StreamingSpec extends SparkSpec {
     assert(topFromStream == batchTop)
   }
 
+  test("streaming reactivation replays the batch monitor on time-split batches") {
+    import spark.implicits._
+    val gap = 2L
+    val batch = Events.reactivationWithGap(spark, sfDir, gap).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        r.getAs[Long]("n_reactivated")).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserDay]
+    val q = EventStreams.reactivationStream(input.toDS(), gap)
+      .writeStream.format("memory").queryName("react_out")
+      .outputMode("append").start()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+      .distinct().collect()
+      .map(r => EventStreams.UserDay(r.getLong(0), r.getLong(1)))
+      .sortBy(_.eday)
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("react_out").collect()
+      .groupBy(_.getAs[Long]("eday")).view.mapValues(_.length.toLong).toMap
+    q.stop()
+    val expNonZero = batch.filter(_._2 > 0)
+    assert(streamed == expNonZero,
+      "per-day reactivation counts must replay the batch monitor")
+    assert(expNonZero.nonEmpty, "this corpus must contain dormancy gaps")
+  }
+
   test("streaming near-dup screen hits exactly the batch candidate buckets") {
     import spark.implicits._
     import graft.operators.{Curation, Dedup}
