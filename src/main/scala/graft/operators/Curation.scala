@@ -304,6 +304,27 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Folds for [[kfoldAssign]]. */
+  val KFolds = 5L
+
+  /** `smp_kfold`: leakage-safe k-fold assignment — every document gets
+    * a fold by hashing its near-dup CLUSTER id, so no fold's held-out
+    * set ever contains a near-duplicate of another fold's training
+    * data (the [[leakageSafeSplit]] guard, generalized from one
+    * train/val/test cut to cross-validation).
+    *
+    * Scale shape: identical to [[leakageSafeSplit]] — the component
+    * fixpoint dominates; fold assignment is one pure per-row hash. */
+  def kfoldAssign(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = componentLabels(
+      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))
+    Tables.table(spark, dir, "documents").select("doc_id")
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("fold", portableHash(col("cluster_id")) % KFolds)
+      .orderBy("doc_id")
+  }
+
   // ---- token-budget selection --------------------------------------------
 
   /** Quality-bucket granularity for the token-budget global order. A
@@ -907,6 +928,11 @@ object Curation {
          |SELECT event_type, CAST(rn AS INT) AS rn, event_id
          |FROM r WHERE rn <= $StratumSampleK
          |ORDER BY event_type, rn""".stripMargin,
+    "smp_kfold" ->
+      s"""WITH RECURSIVE $componentsCtes
+         |SELECT doc_id, cluster_id,
+         |       ${portableHashSql("cluster_id")} % $KFolds AS fold
+         |FROM asg ORDER BY doc_id""".stripMargin,
     "smp_leakage_split" ->
       s"""WITH RECURSIVE $componentsCtes
          |SELECT doc_id, cluster_id,
@@ -1084,6 +1110,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_split"      -> trainValTestSplit,
     "smp_leakage_split" -> leakageSafeSplit,
+    "smp_kfold"      -> kfoldAssign,
     "smp_token_budget"  -> tokenBudgetSelect,
     "smp_stratified" -> stratifiedSample,
     "smp_weighted"   -> weightedMix,

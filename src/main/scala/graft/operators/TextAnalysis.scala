@@ -515,6 +515,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `txt_length_profile`: per-source document-length distribution —
+    * docs, total tokens, mean and p10/p50/p90 token counts per source.
+    * The mix-design companion of [[corpusProfile]]: sequence-packing
+    * efficiency and truncation loss are both length-distribution
+    * functions, so this table is read before setting context lengths
+    * per source.
+    *
+    * Scale shape: ONE partial-aggregating groupBy to the source
+    * catalog. The exact `percentile` is the oracle path; its per-group
+    * buffer holds one SOURCE's distinct lengths — the same
+    * at-100-TB hazard as the value-quantile family, so the
+    * [[lengthProfileApprox]] twin (Greenwald-Khanna, identical plan,
+    * PercentileScaleSpec tolerance) is the scale path. */
+  def lengthProfile(spark: SparkSession, dir: String): DataFrame =
+    lengthProfileImpl(spark, dir, exactPct = true)
+
+  /** The 100-TB twin on `approx_percentile` — same plan and schema. */
+  def lengthProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    lengthProfileImpl(spark, dir, exactPct = false)
+
+  private def lengthProfileImpl(spark: SparkSession, dir: String,
+      exactPct: Boolean): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Gold.fixedRound(Gold.pct("n_tokens", 0.1, exactPct), 4).as("p10_tokens"),
+        Gold.fixedRound(Gold.pct("n_tokens", 0.5, exactPct), 4).as("p50_tokens"),
+        Gold.fixedRound(Gold.pct("n_tokens", 0.9, exactPct), 4).as("p90_tokens"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+
   /** Pairs reported by [[bpePairs]]. */
   val BpeTopK = 30
 
@@ -761,6 +796,17 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "txt_quality" -> qualityOracleSql,
+    "txt_length_profile" ->
+      s"""WITH t AS (SELECT source,
+         |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |           FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       ${Gold.fixedRoundSql("quantile_cont(n_tokens, 0.1)", 4)} AS p10_tokens,
+         |       ${Gold.fixedRoundSql("quantile_cont(n_tokens, 0.5)", 4)} AS p50_tokens,
+         |       ${Gold.fixedRoundSql("quantile_cont(n_tokens, 0.9)", 4)} AS p90_tokens,
+         |       CAST(SUM(n_tokens) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "txt_strip_repeats" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |tok AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, t[i] AS tok
@@ -1114,6 +1160,7 @@ object TextAnalysis {
     "txt_quality_ensemble" -> qualityEnsemble,
     "txt_bpe_pairs"   -> bpePairs,
     "txt_strip_repeats" -> stripRepeats,
+    "txt_length_profile" -> lengthProfile,
     "txt_oov"         -> oovScore,
     "txt_lexical"     -> lexicalDiversity)
 }

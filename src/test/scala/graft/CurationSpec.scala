@@ -490,6 +490,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("kfold: near-dup clusters never straddle folds, folds near-balanced") {
+    val rows = Curation.kfoldAssign(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("fold")))
+    assert(rows.length ==
+      graft.sources.Tables.table(spark, sfDir, "documents").count())
+    rows.foreach { case (_, _, f) => assert(f >= 0 && f < Curation.KFolds) }
+    // leakage guard: every member of a cluster lands in the same fold
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1, "cluster split across folds")
+    }
+    // the hash spreads clusters: no fold owns more than half the corpus
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).values
+    assert(sizes.max < rows.length / 2)
+  }
+
   test("interleave: total collision-free order that round-robins sources") {
     val rows = Curation.interleave(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),

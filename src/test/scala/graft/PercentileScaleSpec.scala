@@ -93,4 +93,25 @@ class PercentileScaleSpec extends SparkSpec {
     // customers sitting exactly on a shifted edge can change score
     assert(differ <= n / 50, s"$differ of $n RFM score triples differ")
   }
+
+  test("approx length profile: same schema, quantiles within rank tolerance") {
+    import graft.operators.TextAnalysis
+    val exact = TextAnalysis.lengthProfile(spark, bigDir).collect()
+    val approx = TextAnalysis.lengthProfileApprox(spark, bigDir)
+    assert(approx.schema ==
+      TextAnalysis.lengthProfile(spark, bigDir).schema)
+    val am = approx.collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("p10_tokens"), r.getAs[Double]("p50_tokens"),
+          r.getAs[Double]("p90_tokens"))).toMap
+    exact.foreach { r =>
+      val (a10, a50, a90) = am(r.getAs[String]("source"))
+      // token lengths are small integers: the sketch lands within a
+      // few grid steps of the exact quantile
+      assert(math.abs(a10 - r.getAs[Double]("p10_tokens")) <= 3.0)
+      assert(math.abs(a50 - r.getAs[Double]("p50_tokens")) <= 3.0)
+      assert(math.abs(a90 - r.getAs[Double]("p90_tokens")) <= 3.0)
+      // counts/sums are exact in both variants
+    }
+  }
 }
