@@ -98,6 +98,36 @@ object FuzzyMatch {
   private def posHashSql(idExpr: String): String =
     s"(((($idExpr) % ${Curation.HashMod}) * ${Curation.HashMult}) % ${Curation.HashMod})"
 
+  /** `xf_golden_record`: master-data survivorship — every dirty record
+    * resolves to its BEST master (minimum edit distance, ties to the
+    * smaller master key) or is flagged unmatched. The decision layer on
+    * top of [[fuzzyMatch]]'s candidate pairs: pairs are the audit
+    * trail, this is the assignment a warehouse merge actually applies.
+    *
+    * Scale shape: the argmin is a bounded per-record window (a dirty
+    * record's candidates come from its deletion neighborhoods — O(L)
+    * buckets, a handful of masters each); the unmatched left join is
+    * keyed on the dirty record id. Deterministic tiebreaks make the
+    * assignment reproducible and exactly oracle-checkable. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyMatch(spark, dir)
+    val best = pairs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("d_key")
+          .orderBy(col("dist"), col("clean_key"))))
+      .where(col("rn") === 1)
+      .select(col("d_key"), col("clean_key").as("master_key"), col("dist"))
+    val nCand = pairs.groupBy("d_key").agg(count(lit(1)).as("n_candidates"))
+    Tables.table(spark, dir, "customer")
+      .select(col("c_custkey").as("d_key"))
+      .join(best, Seq("d_key"), "left")
+      .join(nCand, Seq("d_key"), "left")
+      .select(col("d_key"), col("master_key"), col("dist"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("master_key").isNull.as("unmatched"))
+      .orderBy("d_key")
+  }
+
   /** DuckDB single-deletion list of `s`. */
   private def del1Sql(s: String): String =
     s"list_transform(generate_series(1, length($s)), " +
@@ -116,9 +146,39 @@ object FuzzyMatch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "xf_fuzzy_match"  -> fuzzyMatch,
-    "xf_fuzzy_match2" -> fuzzyMatchD2)
+    "xf_fuzzy_match2" -> fuzzyMatchD2,
+    "xf_golden_record" -> goldenRecord)
 
   val oracles: Map[String, String] = Map(
+    "xf_golden_record" ->
+      s"""WITH dirty AS (
+         |  SELECT c_custkey AS d_key,
+         |         substr(c_name, 1, CAST(1 + ${posHashSql("c_custkey")}
+         |             % length(c_name) AS INT) - 1)
+         |         || substr(c_name, CAST(1 + ${posHashSql("c_custkey")}
+         |             % length(c_name) AS INT) + 1) AS d_name
+         |  FROM customer),
+         |dv AS (SELECT d_key, d_name, unnest(${neighborhoodSql("d_name")}) AS v
+         |       FROM dirty),
+         |cv AS (SELECT c_custkey AS clean_key, c_name,
+         |              unnest(${neighborhoodSql("c_name")}) AS v
+         |       FROM customer),
+         |cand AS (SELECT DISTINCT d_key, d_name, clean_key, c_name
+         |         FROM dv JOIN cv USING (v)),
+         |p AS (SELECT d_key, clean_key, levenshtein(d_name, c_name) AS dist
+         |      FROM cand WHERE levenshtein(d_name, c_name) <= 1),
+         |b AS (SELECT d_key, clean_key, dist,
+         |             ROW_NUMBER() OVER (PARTITION BY d_key
+         |               ORDER BY dist, clean_key) AS rn
+         |      FROM p),
+         |nc AS (SELECT d_key, COUNT(*) AS n_candidates FROM p GROUP BY 1)
+         |SELECT c.c_custkey AS d_key, b.clean_key AS master_key, b.dist,
+         |       COALESCE(nc.n_candidates, 0) AS n_candidates,
+         |       b.clean_key IS NULL AS unmatched
+         |FROM customer c
+         |LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON c.c_custkey = b.d_key
+         |LEFT JOIN nc ON c.c_custkey = nc.d_key
+         |ORDER BY d_key""".stripMargin,
     "xf_fuzzy_match" ->
       s"""WITH dirty AS (
          |  SELECT c_custkey AS d_key,

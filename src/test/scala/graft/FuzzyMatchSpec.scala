@@ -73,4 +73,29 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(self == n) // recall 1 by construction: two deletions per name
     assert(rows.forall(_.getInt(3) <= 2))
   }
+
+  test("golden record: every record resolved, argmin replays the pair table") {
+    val got = FuzzyMatch.goldenRecord(spark, sfDir).collect()
+    val n = graft.sources.Tables.table(spark, sfDir, "customer").count()
+    assert(got.length == n)
+    val pairs = FuzzyMatch.fuzzyMatch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    got.foreach { r =>
+      val id = r.getAs[Long]("d_key")
+      pairs.get(id) match {
+        case Some(ps) =>
+          val (_, mk, d) = ps.minBy(p => (p._3, p._2))
+          assert(r.getAs[Long]("master_key") == mk, s"record $id")
+          assert(r.getAs[Int]("dist") == d)
+          assert(r.getAs[Long]("n_candidates") == ps.length.toLong)
+          assert(!r.getAs[Boolean]("unmatched"))
+        case None =>
+          assert(r.getAs[Boolean]("unmatched"))
+          assert(r.getAs[Long]("n_candidates") == 0L)
+      }
+    }
+    // the synthesized dirty names carry one deletion each: everyone matches
+    assert(got.forall(!_.getAs[Boolean]("unmatched")))
+  }
 }
