@@ -260,6 +260,16 @@ object Graph {
          |          UNION ALL SELECT w FROM t)
          |SELECT p AS product_id, COUNT(*) AS triangles
          |FROM nodes GROUP BY 1 ORDER BY product_id""".stripMargin,
+    "gr_support_hist" ->
+      s"""WITH ${Tables.salesCte},
+         |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
+         |       FROM sales),
+         |e AS (SELECT x.product_id AS a, y.product_id AS b, COUNT(*) AS n_co
+         |      FROM bp x JOIN bp y
+         |        ON x.basket_id = y.basket_id AND x.product_id < y.product_id
+         |      GROUP BY 1, 2)
+         |SELECT n_co, COUNT(*) AS n_pairs
+         |FROM e GROUP BY 1 ORDER BY n_co""".stripMargin,
     "gr_components" ->
       s"""WITH RECURSIVE ${Tables.salesCte},
          |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
@@ -358,6 +368,31 @@ object Graph {
       .agg(count(lit(1)).as("n_products"))
       .orderBy("component_id")
 
+  /** `gr_support_hist`: co-purchase support histogram — how many
+    * product pairs co-occur in exactly n baskets (UNFILTERED — this is
+    * the view that justifies [[TriMinSupport]]: the threshold should
+    * sit past the noise knee, and this table shows where the knee
+    * is). Every graph op downstream inherits the cut; this is its
+    * audit.
+    *
+    * Scale shape: the pair aggregate is the same basket self-join the
+    * edge list uses (bounded by per-basket distinct products²); the
+    * histogram is a second aggregate over PAIR-count values — O(max
+    * support) rows, metadata. */
+  def supportHist(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.sales(spark, dir)
+      .select(expr("transaction_id DIV 10").as("basket_id"), col("product_id"))
+      .distinct()
+    b.join(b.select(col("basket_id"), col("product_id").as("pb")),
+        Seq("basket_id"))
+      .where(col("product_id") < col("pb"))
+      .groupBy(col("product_id"), col("pb"))
+      .agg(count(lit(1)).as("n_co"))
+      .groupBy("n_co")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("n_co")
+  }
+
   /** Core order for [[kcore]]. */
   val KCoreK = 3L
   /** Peel-round budget: real interaction graphs shed their shell in a
@@ -413,5 +448,6 @@ object Graph {
     "gr_triangles" -> triangles,
     "gr_clustering_coeff" -> clusteringCoeff,
     "gr_components" -> components,
+    "gr_support_hist" -> supportHist,
     "gr_kcore"     -> kcore)
 }

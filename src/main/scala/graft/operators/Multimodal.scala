@@ -294,6 +294,31 @@ object Multimodal {
       .orderBy("fp0", "fp1", "fp2", "fp3")
   }
 
+  /** Width bucket (pixels) for [[resolutionHist]]. */
+  val ResolutionBucket = 128L
+
+  /** `mm_resolution_hist`: decoded-resolution histogram — per format,
+    * how many assets land in each [[ResolutionBucket]]-pixel width
+    * band (with the height range seen there). The resize-policy design
+    * input a vision-data pipeline reads before fixing model input
+    * dims; corrupt payloads (no parsed header) are excluded — they're
+    * [[corruptRate]]'s row.
+    *
+    * Scale shape: dims come from the same typed header-parse seam as
+    * [[mediaMeta]] (payloads never move), the bucket is integer
+    * division, and the rollup is histogram-sized. */
+  def resolutionHist(spark: SparkSession, dir: String): DataFrame =
+    mediaMeta(spark, dir)
+      .where(col("format").isNotNull)
+      .select(col("format"), col("height"),
+        expr(s"width DIV $ResolutionBucket").as("wbucket"),
+        (expr(s"width DIV $ResolutionBucket") * ResolutionBucket).as("width_lo"))
+      .groupBy("format", "wbucket", "width_lo")
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("height")).as("min_height"),
+        max(col("height")).as("max_height"))
+      .orderBy("format", "wbucket")
+
   /** `mm_exact_dedup`: content-hash exact dedup of media payloads —
     * the first pass of any multimodal curation pipeline (the same
     * crawl image ships under thousands of URLs; hash-grouping payload
@@ -356,6 +381,14 @@ object Multimodal {
         |SELECT doc_id, media_type, byte_len, canonical_id, copies,
         |       doc_id <> canonical_id AS is_dup
         |FROM k JOIN c USING (key) ORDER BY doc_id""".stripMargin,
+    "mm_resolution_hist" ->
+      s"""WITH meta AS (SELECT * FROM ($mediaMetaOracle))
+         |SELECT format, width // $ResolutionBucket AS wbucket,
+         |       (width // $ResolutionBucket) * $ResolutionBucket AS width_lo,
+         |       COUNT(*) AS n_assets,
+         |       MIN(height) AS min_height, MAX(height) AS max_height
+         |FROM meta WHERE format IS NOT NULL
+         |GROUP BY 1, 2, 3 ORDER BY format, wbucket""".stripMargin,
     "mm_frame_dedup" -> {
       val fp = (0 until 4).map(j =>
         s"""CAST(FLOOR(CAST(CAST((byte_len + frame_idx*31 + ${j * 7}) % 997 AS REAL)
@@ -458,5 +491,6 @@ object Multimodal {
     "mm_frame_samples" -> frameSamples,
     "mm_exact_dedup"   -> mediaDedup,
     "mm_corrupt_rate"  -> corruptRate,
-    "mm_frame_dedup"   -> frameDedup)
+    "mm_frame_dedup"   -> frameDedup,
+    "mm_resolution_hist" -> resolutionHist)
 }

@@ -136,6 +136,20 @@ class GraphSpec extends SparkSpec {
     got.foreach(t => assert(t._3 >= Graph.KCoreK, s"node ${t._1} under k"))
   }
 
+  test("support histogram: pairs above the cut equal the edge-list size") {
+    val hist = Graph.supportHist(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("n_co") -> r.getAs[Long]("n_pairs")).toMap
+    assert(hist.nonEmpty)
+    // the histogram's >= TriMinSupport mass must equal the support-
+    // filtered edge count every graph op consumes
+    val edgeCount = Graph.clusteringCoeff(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("degree")).head.getLong(0) / 2
+    val aboveCut = hist.collect {
+      case (s, n) if s >= Graph.TriMinSupport => n
+    }.sum
+    assert(aboveCut == edgeCount)
+  }
+
   test("components partition the co-purchase nodes; sizes match union-find") {
     import org.apache.spark.sql.functions._
     val comps = Graph.components(spark, sfDir).collect()

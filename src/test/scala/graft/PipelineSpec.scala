@@ -316,6 +316,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("resolution histogram covers every parseable asset, ranges in-bucket") {
+    val hist = Multimodal.resolutionHist(spark, sfDir).collect()
+    val meta = Multimodal.mediaMeta(spark, sfDir).collect()
+      .filterNot(_.isNullAt(4)) // format column
+    assert(hist.map(_.getAs[Long]("n_assets")).sum == meta.length.toLong)
+    hist.foreach { r =>
+      assert(r.getAs[Long]("width_lo") ==
+        r.getAs[Long]("wbucket") * Multimodal.ResolutionBucket)
+      assert(r.getAs[Long]("min_height") <= r.getAs[Long]("max_height"))
+    }
+  }
+
   test("frame dedup: classes are real duplicates with a member canonical") {
     val classes = Multimodal.frameDedup(spark, sfDir).collect()
     assert(classes.nonEmpty, "the synthetic corpus plants colliding frames")
