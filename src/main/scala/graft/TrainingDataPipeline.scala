@@ -26,6 +26,10 @@ object TrainingDataPipeline {
     * the corpus should stop a training run, not feed it). */
   val MinSurvivorFrac = 0.15
 
+  /** Boilerplate budget: a doc losing more than this fraction of its
+    * tokens to repeated-trigram removal is template spam. */
+  val MaxRemovedFrac = 0.2
+
   final case class RunResult(
       stageCounts: Seq[(String, Long)],
       dqPassed: Boolean,
@@ -49,13 +53,22 @@ object TrainingDataPipeline {
     val nearCanonical = Curation.canonicalByQuality(spark, srcDir)
       .where(col("is_canonical")).select("doc_id")
 
-    // stage 3 — quality ∧ language gate
-    val qualityPass = TextAnalysis.quality(spark, srcDir)
-      .where(col("passed")).select("doc_id")
+    // stage 3 — quality ENSEMBLE ∧ language gate: the blended filter
+    // (surface heuristics + repetition + lexical diversity) is harder
+    // to game than any single signal; single-signal `passed` remains a
+    // component inside the ensemble
+    val qualityPass = TextAnalysis.qualityEnsemble(spark, srcDir)
+      .where(col("keep")).select("doc_id")
     val langPass = TextAnalysis.langId(spark, srcDir)
       .where(col("pred_lang") === "en").select("doc_id")
 
-    // stage 4 — benchmark decontamination: any eval-set n-gram overlap
+    // stage 4 — boilerplate budget: documents whose repeated-trigram
+    // removal would strip more than MaxRemovedFrac are template spam
+    // (the stripRepeats transform doubles as this filter signal)
+    val repetitionPass = TextAnalysis.stripRepeats(spark, srcDir)
+      .where(col("removed_fraction") <= MaxRemovedFrac).select("doc_id")
+
+    // stage 5 — benchmark decontamination: any eval-set n-gram overlap
     // disqualifies (decontam itself excludes the eval docs)
     val decontamPass = Dedup.decontam(spark, srcDir)
       .where(!col("contaminated")).select("doc_id")
@@ -65,6 +78,7 @@ object TrainingDataPipeline {
       "near_dup"      -> nearCanonical,
       "quality"       -> qualityPass,
       "lang"          -> langPass,
+      "repetition"    -> repetitionPass,
       "decontam"      -> decontamPass)
 
     // fold the survivor set through the stages; count each frontier
@@ -86,12 +100,15 @@ object TrainingDataPipeline {
 
     // final manifest: survivors in the deterministic training order
     // (bijective-hash shuffle key — the smp_shuffle contract), with
-    // lang + quality riding along for downstream mixing
+    // lang + quality for downstream mixing and the leakage-safe CV
+    // fold (near-dup clusters never straddle folds) riding along
     val manifest = frontier
       .join(docs, Seq("doc_id"))
       .join(TextAnalysis.quality(spark, srcDir)
         .select("doc_id", "quality_score"), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("quality_score"),
+      .join(Curation.kfoldAssign(spark, srcDir)
+        .select("doc_id", "fold"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("fold"),
         Curation.portableHash(col("doc_id")).as("shuffle_key"))
       .orderBy("shuffle_key", "doc_id")
     val path = s"$lakeBase/curated/manifest"

@@ -23,11 +23,20 @@ class TrainingDataPipelineSpec extends SparkSpec {
     val keys = m.map(r => (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
     assert(keys.sortBy(identity).sameElements(keys) ||
       keys.sorted.sameElements(keys))
-    // survivors are all English and quality-passing by construction
-    val q = graft.operators.TextAnalysis.quality(spark, sfDir)
-      .where(col("passed")).select("doc_id").collect()
+    // survivors all pass the ensemble gate and the boilerplate budget
+    val q = graft.operators.TextAnalysis.qualityEnsemble(spark, sfDir)
+      .where(col("keep")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     m.foreach(r => assert(q.contains(r.getAs[Long]("doc_id"))))
+    val rep = graft.operators.TextAnalysis.stripRepeats(spark, sfDir)
+      .where(col("removed_fraction") <= TrainingDataPipeline.MaxRemovedFrac)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    m.foreach(r => assert(rep.contains(r.getAs[Long]("doc_id"))))
+    // the manifest carries a leakage-safe CV fold for every survivor
+    m.foreach { r =>
+      val f = r.getAs[Long]("fold")
+      assert(f >= 0 && f < graft.operators.Curation.KFolds)
+    }
   }
 
   test("curation pipeline is deterministic across runs") {
