@@ -272,6 +272,16 @@ object DataQuality {
          |SELECT n_orders, n_matched, n_mismatched, total_abs_drift, max_abs_drift,
          |       CAST(n_matched AS DOUBLE)/CAST(n_orders AS DOUBLE) AS match_rate
          |FROM a""".stripMargin,
+    "dq_hour_coverage" ->
+      """WITH hd AS (SELECT DISTINCT
+        |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+        |              CAST(hour(ts) AS BIGINT) AS hr
+        |            FROM events),
+        |g AS (SELECT eday, COUNT(*) AS n_active_hours FROM hd GROUP BY 1)
+        |SELECT DATE '1970-01-01' + CAST(eday AS INT) AS day, n_active_hours,
+        |       24 - n_active_hours AS n_silent_hours,
+        |       n_active_hours < 24 AS coverage_gap
+        |FROM g ORDER BY day""".stripMargin,
     "dq_error_rate" ->
       s"""WITH d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
          |                  COUNT(*) AS n_events,
@@ -431,6 +441,31 @@ object DataQuality {
       .orderBy("day")
   }
 
+  /** `dq_hour_coverage`: ingestion-gap detector — per calendar day,
+    * how many of the 24 hours carried at least one event; a day with
+    * silent hours means a feed outage or a partial partition (the
+    * finer-grained companion of [[volumeAnomaly]], which only sees
+    * whole-day totals). Boundary days flag by construction — exactly
+    * the partial partitions a backfill needs to re-pull.
+    *
+    * Scale shape: the fact collapses to DISTINCT (day, hour) pairs in
+    * one shuffle (≤ 24 rows/day); the day rollup is calendar-sized.
+    * Pure integer epoch math. */
+  def hourCoverage(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"),
+        hour(col("ts")).cast("long").as("hr"))
+      .distinct()
+      .groupBy("eday")
+      .agg(count(lit(1)).as("n_active_hours"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),
+        col("n_active_hours"),
+        (lit(24L) - col("n_active_hours")).as("n_silent_hours"),
+        (col("n_active_hours") < 24).as("coverage_gap"))
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
@@ -438,5 +473,6 @@ object DataQuality {
     "dq_drift"          -> drift,
     "dq_volume_anomaly" -> volumeAnomaly,
     "dq_order_reconciliation" -> orderReconciliation,
-    "dq_error_rate"     -> errorRate)
+    "dq_error_rate"     -> errorRate,
+    "dq_hour_coverage"  -> hourCoverage)
 }

@@ -439,6 +439,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dd_method_report`: the dedup dashboard — one row per method with
+    * its pair count and the distinct documents it touches. The
+    * side-by-side view a curation review reads first (how much do the
+    * exact / Jaccard / MinHash / containment families overlap and
+    * disagree on THIS corpus); `minhash_lsh` equalling `ngram_jaccard`
+    * row-for-row is the banding's recall contract made visible.
+    *
+    * Scale shape: every input is an existing operator's (small) result
+    * set; each method contributes two metadata-sized aggregates
+    * (1-row count × distinct-endpoint count) and the union is four
+    * rows. */
+  def methodReport(spark: SparkSession, dir: String): DataFrame = {
+    def pairStats(name: String, pairs: DataFrame): DataFrame = {
+      val p = pairs.select(col("a_id"), col("b_id"))
+      val s = p.agg(count(lit(1)).as("n_pairs"))
+      val d = p.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+        .distinct().agg(count(lit(1)).as("n_docs"))
+      s.crossJoin(d).select(lit(name).as("method"), col("n_pairs"), col("n_docs"))
+    }
+    val ex = exact(spark, dir).where(col("n_copies") >= 2)
+      .agg(
+        coalesce(sum(expr("n_copies * (n_copies - 1) DIV 2")), lit(0L))
+          .as("n_pairs"),
+        coalesce(sum(col("n_copies")), lit(0L)).as("n_docs"))
+      .select(lit("exact").as("method"), col("n_pairs"), col("n_docs"))
+    ex.unionAll(pairStats("ngram_jaccard", ngramJaccard(spark, dir)))
+      .unionAll(pairStats("minhash_lsh", minhashLsh(spark, dir)))
+      .unionAll(pairStats("containment", containment(spark, dir)))
+      .orderBy("method")
+  }
+
   /** Pairs within this Hamming distance count as simhash near-dups.
     * 7 suits short (~50-token) docs at the 64-bit width, where even
     * 0.97-Jaccard dups flip several signature bits.
@@ -769,6 +800,27 @@ object Dedup {
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
     "dd_minhash_lsh" -> ngramJaccardOracle,
+    "dd_method_report" -> {
+      def pairSql(name: String, sub: String) =
+        s"""SELECT '$name' AS method,
+           |       (SELECT COUNT(*) FROM ($sub)) AS n_pairs,
+           |       (SELECT COUNT(*) FROM (SELECT a_id AS id FROM ($sub)
+           |                              UNION SELECT b_id FROM ($sub))) AS n_docs"""
+          .stripMargin
+      s"""SELECT * FROM (
+         |SELECT 'exact' AS method,
+         |       CAST(COALESCE(SUM(n*(n-1)//2), 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs
+         |FROM (SELECT COUNT(*) AS n FROM documents GROUP BY sha256(text)
+         |      HAVING COUNT(*) >= 2)
+         |UNION ALL
+         |${pairSql("ngram_jaccard", ngramJaccardOracle)}
+         |UNION ALL
+         |${pairSql("minhash_lsh", ngramJaccardOracle)}
+         |UNION ALL
+         |${pairSql("containment", containmentOracle)}
+         |) ORDER BY method""".stripMargin
+    },
     "dd_minhash_incremental" -> {
       val h = Curation.portableHashSql("doc_id")
       s"""WITH sh AS (
@@ -888,6 +940,7 @@ object Dedup {
     "dd_span"          -> spanDedup,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_minhash_incremental" -> minhashIncremental,
+    "dd_method_report" -> methodReport,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
     "dd_contam_report" -> contamReport,

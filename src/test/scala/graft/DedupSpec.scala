@@ -421,6 +421,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("method report: minhash row equals jaccard row; counts replay the ops") {
+    val rows = Dedup.methodReport(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    assert(rows.keySet ==
+      Set("exact", "ngram_jaccard", "minhash_lsh", "containment"))
+    // the banding's recall contract, visible in the dashboard
+    assert(rows("minhash_lsh") == rows("ngram_jaccard"))
+    val jp = Dedup.ngramJaccard(spark, sfDir).collect()
+    assert(rows("ngram_jaccard")._1 == jp.length.toLong)
+    assert(rows("ngram_jaccard")._2 ==
+      jp.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length.toLong)
+    val ex = Dedup.exact(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_copies")).filter(_ >= 2)
+    assert(rows("exact")._1 == ex.map(n => n * (n - 1) / 2).sum)
+    assert(rows("exact")._2 == ex.sum)
+  }
+
   test("minhash incremental agrees with the exact boundary-pair recompute") {
     import graft.operators.Curation
     val got = Dedup.minhashIncremental(spark, sfDir).collect()
