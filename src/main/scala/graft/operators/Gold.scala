@@ -733,9 +733,72 @@ object Gold {
     * [[stockoutRisk]]. */
   val StockoutColdDays = 90L
 
+  /** Movers reported by [[topMovers]]. */
+  val MoversK = 20
+
+  /** `gold_top_movers`: fastest-growing products — revenue in the
+    * second half of the trading window vs the first, top-[[MoversK]]
+    * by growth ratio among products that traded in BOTH halves. The
+    * trend-detection feed behind "rising product" merchandising (the
+    * product-grain companion of [[graft.operators.Athena.yoyGrowth]]'s
+    * category view).
+    *
+    * Scale shape: the window midpoint is a broadcast 1-row min/max
+    * aggregate (integer epoch-day midpoint — deterministic, no
+    * percentile); halves collapse in ONE conditional fixed-point
+    * aggregate per product; the ratio is one IEEE division and the
+    * cut is a TakeOrderedAndProject with a unique tiebreak. */
+  def topMovers(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sales(spark, dir)
+      .select(col("product_id"),
+        datediff(to_date(col("sale_ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"),
+        col("unit_price"), col("quantity"))
+    val mid = s.agg(expr("(MIN(eday) + MAX(eday)) DIV 2").as("mid"))
+    val dec = DecimalType(28, 0)
+    s.crossJoin(broadcast(mid))
+      .groupBy("product_id")
+      .agg(
+        sum(when(col("eday") <= col("mid"),
+          floor(col("unit_price") * col("quantity") * lit(10000)).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("h1_i"),
+        sum(when(col("eday") > col("mid"),
+          floor(col("unit_price") * col("quantity") * lit(10000)).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("h2_i"))
+      .where(col("h1_i") > 0 && col("h2_i") > 0)
+      .select(col("product_id"),
+        (col("h1_i").cast("double") / 10000).as("h1_revenue"),
+        (col("h2_i").cast("double") / 10000).as("h2_revenue"),
+        (col("h2_i").cast("double") / col("h1_i").cast("double"))
+          .as("growth_ratio"))
+      .orderBy(col("growth_ratio").desc, col("product_id"))
+      .limit(MoversK)
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_top_movers" ->
+      s"""WITH ${Tables.salesCte},
+         |s AS (SELECT product_id,
+         |             date_diff('day', DATE '1970-01-01', CAST(sale_ts AS DATE)) AS eday,
+         |             unit_price, quantity
+         |      FROM sales),
+         |m AS (SELECT (MIN(eday) + MAX(eday)) // 2 AS mid FROM s),
+         |g AS (SELECT product_id,
+         |        SUM(CASE WHEN eday <= mid
+         |                 THEN CAST(FLOOR(unit_price*quantity*10000) AS DECIMAL(28,0))
+         |                 ELSE 0 END) AS h1_i,
+         |        SUM(CASE WHEN eday > mid
+         |                 THEN CAST(FLOOR(unit_price*quantity*10000) AS DECIMAL(28,0))
+         |                 ELSE 0 END) AS h2_i
+         |      FROM s, m GROUP BY 1)
+         |SELECT product_id,
+         |       CAST(h1_i AS DOUBLE)/10000 AS h1_revenue,
+         |       CAST(h2_i AS DOUBLE)/10000 AS h2_revenue,
+         |       CAST(h2_i AS DOUBLE)/CAST(h1_i AS DOUBLE) AS growth_ratio
+         |FROM g WHERE h1_i > 0 AND h2_i > 0
+         |ORDER BY growth_ratio DESC, product_id LIMIT $MoversK""".stripMargin,
     "gold_also_bought" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |b AS (SELECT DISTINCT transaction_id // 10 AS basket_id, sku
@@ -1084,5 +1147,6 @@ object Gold {
     "gold_order_value_histogram" -> orderValueHistogram,
     "gold_seasonality"         -> seasonality,
     "gold_stockout"            -> stockoutRisk,
-    "gold_also_bought"         -> alsoBought)
+    "gold_also_bought"         -> alsoBought,
+    "gold_top_movers"          -> topMovers)
 }

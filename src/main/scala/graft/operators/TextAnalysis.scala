@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.{RollingHash, Shingles}
 import graft.sources.Tables
 
@@ -550,6 +551,55 @@ object TextAnalysis {
         col("total_tokens").cast("double") / col("n_docs").cast("double"))
       .orderBy("source")
 
+  /** `txt_source_divergence`: pairwise total-variation distance between
+    * source unigram distributions — which crawls are linguistically
+    * interchangeable and which add genuinely new text (the statistical
+    * companion of [[graft.operators.Dedup.crossOverlap]]'s verbatim
+    * view; both feed mix design). TVD needs the full union vocabulary,
+    * but the identity `TVD = 1 + (Σ_shared|p−q| − Σ_shared(p+q))/2`
+    * reduces it to SHARED tokens only — one-sided mass cancels — so
+    * the join never materializes either side's private vocabulary.
+    *
+    * Scale shape: per-(source, token) counts are one vocab-bounded
+    * partial aggregate; per-token source lists explode to ≤ catalog²
+    * pairs per DISTINCT token (the crossOverlap discipline — per-token
+    * state bounded by the SOURCE CATALOG, never document frequency);
+    * numerators cross-multiply as DECIMAL — exact at any corpus size,
+    * no double until the single final division, which both engines run
+    * on identical inputs. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val d18 = DecimalType(18, 0)
+    val d38 = DecimalType(38, 0)
+    val tc = Tables.table(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val per = tc.groupBy("source").agg(sum(col("c")).as("n"))
+    val pairs = tc.groupBy("token")
+      .agg(sort_array(collect_list(struct(col("source"), col("c")))).as("scs"))
+      .where(size(col("scs")) >= 2)
+      .select(explode(col("scs")).as("a"), col("scs"))
+      .select(col("a"), explode(col("scs")).as("b"))
+      .where(col("a.source") < col("b.source"))
+    val j = pairs
+      .join(broadcast(per.select(col("source").as("sa"), col("n").as("n_a"))),
+        col("a.source") === col("sa"))
+      .join(broadcast(per.select(col("source").as("sb"), col("n").as("n_b"))),
+        col("b.source") === col("sb"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("n_a"), col("n_b"),
+        (col("a.c").cast(d18) * col("n_b").cast(d18)).as("x"),
+        (col("b.c").cast(d18) * col("n_a").cast(d18)).as("y"))
+    j.groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_shared_tokens"),
+        sum(abs(col("x") - col("y")).cast(d38)).as("sabs"),
+        sum((col("x") + col("y")).cast(d38)).as("ssum"))
+      .select(col("src_a"), col("src_b"), col("n_shared_tokens"),
+        (lit(1.0) + (col("sabs").cast("double") - col("ssum").cast("double"))
+          / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("tvd"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Pairs reported by [[bpePairs]]. */
   val BpeTopK = 30
 
@@ -796,6 +846,27 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "txt_quality" -> qualityOracleSql,
+    "txt_source_divergence" ->
+      """WITH tc AS (SELECT source, token, COUNT(*) AS c
+        |            FROM (SELECT source, unnest(string_split(text,' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
+        |      FROM tc a JOIN tc b ON a.token = b.token AND a.source < b.source),
+        |j AS (SELECT src_a, src_b, pa.n AS n_a, pb.n AS n_b,
+        |             CAST(ca AS DECIMAL(18,0)) * CAST(pb.n AS DECIMAL(18,0)) AS x,
+        |             CAST(cb AS DECIMAL(18,0)) * CAST(pa.n AS DECIMAL(18,0)) AS y
+        |      FROM p JOIN per pa ON src_a = pa.source
+        |             JOIN per pb ON src_b = pb.source),
+        |g AS (SELECT src_a, src_b, n_a, n_b, COUNT(*) AS n_shared_tokens,
+        |             SUM(CAST(ABS(x - y) AS DECIMAL(38,0))) AS sabs,
+        |             SUM(CAST(x + y AS DECIMAL(38,0))) AS ssum
+        |      FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, n_shared_tokens,
+        |       1.0 + (CAST(sabs AS DOUBLE) - CAST(ssum AS DOUBLE))
+        |         / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS tvd
+        |FROM g ORDER BY src_a, src_b""".stripMargin,
     "txt_length_profile" ->
       s"""WITH t AS (SELECT source,
          |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
@@ -1161,6 +1232,7 @@ object TextAnalysis {
     "txt_bpe_pairs"   -> bpePairs,
     "txt_strip_repeats" -> stripRepeats,
     "txt_length_profile" -> lengthProfile,
+    "txt_source_divergence" -> sourceDivergence,
     "txt_oov"         -> oovScore,
     "txt_lexical"     -> lexicalDiversity)
 }

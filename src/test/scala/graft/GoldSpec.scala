@@ -479,6 +479,19 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("top movers: ratio-descending, both halves traded, k-bounded") {
+    val rows = Gold.topMovers(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Gold.MoversK)
+    val ratios = rows.map(_.getAs[Double]("growth_ratio"))
+    assert(ratios.sameElements(ratios.sortBy(-_)))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("h1_revenue") > 0.0)
+      assert(r.getAs[Double]("h2_revenue") > 0.0)
+      assert(math.abs(r.getAs[Double]("growth_ratio") -
+        r.getAs[Double]("h2_revenue") / r.getAs[Double]("h1_revenue")) < 1e-9)
+    }
+  }
+
   test("stockout risk: one row per ledger item, cadence rule replayed") {
     val rows = Gold.stockoutRisk(spark, sfDir).collect()
     val ledger = Tables.sales(spark, sfDir)

@@ -394,6 +394,34 @@ class TextAnalysisSpec extends SparkSpec {
       == exp)
   }
 
+  test("source divergence: all pairs present, TVD in [0,1], matches replay") {
+    import graft.sources.Tables
+    val rows = TextAnalysis.sourceDivergence(spark, sfDir).collect()
+    val sources = Tables.table(spark, sfDir, "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("tvd")
+      assert(t >= 0.0 && t <= 1.0, s"tvd $t out of range")
+    }
+    // driver replay of one pair's full-vocabulary TVD
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val first = rows.head
+    def dist(src: String): Map[String, Long] =
+      docs.filter(_._1 == src).flatMap(_._2.split(" "))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (da, db) = (dist(first.getAs[String]("src_a")),
+      dist(first.getAs[String]("src_b")))
+    val (na, nb) = (da.values.sum.toDouble, db.values.sum.toDouble)
+    val tvd = (da.keySet ++ db.keySet).toSeq.map { t =>
+      math.abs(da.getOrElse(t, 0L) / na - db.getOrElse(t, 0L) / nb)
+    }.sum / 2.0
+    assert(math.abs(first.getAs[Double]("tvd") - tvd) < 1e-9,
+      "shared-token identity must reproduce the full-vocabulary TVD")
+  }
+
   test("frequency spectrum: mass sums to the corpus token count") {
     import graft.sources.Tables
     val rows = TextAnalysis.freqSpectrum(spark, sfDir).collect()
