@@ -272,6 +272,26 @@ object DataQuality {
          |SELECT n_orders, n_matched, n_mismatched, total_abs_drift, max_abs_drift,
          |       CAST(n_matched AS DOUBLE)/CAST(n_orders AS DOUBLE) AS match_rate
          |FROM a""".stripMargin,
+    "dq_benford" -> {
+      // exponent suffix: a bare decimal literal parses as DECIMAL in
+      // DuckDB and the decimal→double conversion can land an ulp off
+      // the strtod parse; `...e0` is an approximate-numeric literal,
+      // parsed directly as DOUBLE in both engines
+      val cases = (1 to 9)
+        .map(d => s"WHEN digit = $d THEN ${BenfordExpected(d)}e0")
+        .mkString("CASE ", " ", " ELSE 0.0e0 END")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+         |             AS VARCHAR), 1, 1) AS INT) AS digit
+         |           FROM orders),
+         |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM g)
+         |SELECT digit, n_orders,
+         |       CAST(n_orders AS DOUBLE)/CAST(total AS DOUBLE) AS observed_frac,
+         |       $cases AS expected_frac,
+         |       ABS(CAST(n_orders AS DOUBLE)/CAST(total AS DOUBLE)
+         |           - ($cases)) AS abs_dev
+         |FROM g, t ORDER BY digit""".stripMargin
+    },
     "dq_hour_coverage" ->
       """WITH hd AS (SELECT DISTINCT
         |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
@@ -466,6 +486,45 @@ object DataQuality {
         (col("n_active_hours") < 24).as("coverage_gap"))
       .orderBy("day")
 
+  /** Benford expected first-digit fractions, log10(1+1/d), computed
+    * ONCE here and interpolated as identical double literals into both
+    * the Spark plan and the oracle SQL (shortest-repr round-trip, so
+    * both engines parse the same bits — no libm call in either
+    * plan). */
+  // lazy: the strict `oracles` val above interpolates this map, and a
+  // strict forward reference would read null (the VolumeRobustK trap)
+  private[operators] lazy val BenfordExpected: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** `dq_benford`: first-digit distribution of order totals vs
+    * Benford's law — the classic fabricated-amounts screen (organic
+    * transaction amounts follow Benford closely; a generator, a unit
+    * bug, or fraud shows up as a flat or spiked digit histogram). One
+    * row per leading digit with observed vs expected share and the
+    * absolute deviation.
+    *
+    * Scale shape: the digit is pure per-row string arithmetic on the
+    * integer part; the histogram is a ≤9-cell partial-agg groupBy and
+    * the total is an aggregate of the aggregate (metadata). */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "orders")
+      .select(expr(
+        "substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1)")
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    val tot = d.agg(sum(col("n_orders")).as("total"))
+    val expected = (1 to 9).foldLeft(lit(0.0)) { (acc, dig) =>
+      when(col("digit") === dig, lit(BenfordExpected(dig))).otherwise(acc)
+    }
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        (col("n_orders").cast("double") / col("total").cast("double"))
+          .as("observed_frac"),
+        expected.as("expected_frac"))
+      .withColumn("abs_dev", abs(col("observed_frac") - col("expected_frac")))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
@@ -474,5 +533,6 @@ object DataQuality {
     "dq_volume_anomaly" -> volumeAnomaly,
     "dq_order_reconciliation" -> orderReconciliation,
     "dq_error_rate"     -> errorRate,
-    "dq_hour_coverage"  -> hourCoverage)
+    "dq_hour_coverage"  -> hourCoverage,
+    "dq_benford"        -> benford)
 }

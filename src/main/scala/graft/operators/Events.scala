@@ -432,6 +432,30 @@ object Events {
       .orderBy("hour_of_day", "event_type")
   }
 
+  /** `evt_behavior_diversity`: per-user behavioral concentration — the
+    * Simpson repeat probability over the user's event-TYPE mix
+    * (Σc(c−1)/n(n−1)): near 1 = a single-action loop (scripted
+    * clients, crawlers — the content-free cousin of [[botRate]]'s
+    * rate flag), low = organically mixed behavior. The
+    * transcendental-free entropy dual, the [[TextAnalysis
+    * .lexicalDiversity]] statistic applied to event streams.
+    *
+    * Scale shape: two co-keyed partial aggregates (user×type, then
+    * user), all-integer sufficient statistics, one IEEE division. */
+  def behaviorDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("rep"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        when(col("n_events") >= 2,
+          col("rep").cast("double")
+            / (col("n_events") * (col("n_events") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("simpson"))
+      .orderBy("user_id")
+
   /** Histogram bucket (seconds) for [[conversionLag]]: one hour. */
   val ConvLagBucketSec = 3600L
 
@@ -1028,6 +1052,19 @@ object Events {
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS p99
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_behavior_diversity" ->
+      """WITH tc AS (SELECT user_id, event_type, COUNT(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |             COUNT(*) AS n_types,
+        |             CAST(SUM(c*(c-1)) AS BIGINT) AS rep
+        |      FROM tc GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |       CASE WHEN n_events >= 2
+        |            THEN CAST(rep AS DOUBLE)
+        |                   / CAST(n_events*(n_events-1) AS DOUBLE)
+        |            ELSE 0.0 END AS simpson
+        |FROM g ORDER BY user_id""".stripMargin,
     "evt_conversion_lag" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
@@ -1242,6 +1279,7 @@ object Events {
     "evt_trending"     -> trendingItems,
     "evt_reactivation" -> reactivation,
     "evt_conversion_lag" -> conversionLag,
+    "evt_behavior_diversity" -> behaviorDiversity,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

@@ -260,6 +260,34 @@ object Graph {
          |          UNION ALL SELECT w FROM t)
          |SELECT p AS product_id, COUNT(*) AS triangles
          |FROM nodes GROUP BY 1 ORDER BY product_id""".stripMargin,
+    "gr_assortativity" ->
+      s"""WITH ${Tables.salesCte},
+         |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
+         |       FROM sales),
+         |e AS (SELECT x.product_id AS a, y.product_id AS b
+         |      FROM bp x JOIN bp y
+         |        ON x.basket_id = y.basket_id AND x.product_id < y.product_id
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+         |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY 1),
+         |p AS (SELECT dx.d AS dx, dy.d AS dy
+         |      FROM und JOIN deg dx ON und.a = dx.a
+         |               JOIN deg dy ON und.b = dy.a),
+         |s AS (SELECT COUNT(*) AS n,
+         |             SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+         |             SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+         |             SUM(CAST(dx*dy AS DECIMAL(38,0))) AS sxy,
+         |             SUM(CAST(dx*dx AS DECIMAL(38,0))) AS sxx,
+         |             SUM(CAST(dy*dy AS DECIMAL(38,0))) AS syy
+         |      FROM p)
+         |SELECT n AS n_dir_edges,
+         |       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / SQRT((n * CAST(sxx AS DOUBLE)
+         |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |                * (n * CAST(syy AS DOUBLE)
+         |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |         AS assortativity
+         |FROM s""".stripMargin,
     "gr_support_hist" ->
       s"""WITH ${Tables.salesCte},
          |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
@@ -393,6 +421,44 @@ object Graph {
       .orderBy("n_co")
   }
 
+  /** `gr_assortativity`: degree assortativity of the co-purchase graph
+    * — the Pearson correlation of endpoint degrees over undirected
+    * edges, one scalar: positive = hubs connect to hubs (a
+    * rich-club catalog), negative = hubs fan out to niche items. Read
+    * with [[degrees]]' histogram when deciding whether hub-salting is
+    * needed on the edge key.
+    *
+    * Scale shape: the [[graft.operators.Gold.priceSlope]] discipline —
+    * five exact DECIMAL(38,0) sufficient statistics over the
+    * bidirected edge list (order-independent, engine-portable), then
+    * the closed form in identical IEEE ops; degrees come from one
+    * partial-agg groupBy joined back on each endpoint. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = coEdges(spark, dir)
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+      .select(col("dx"), col("dy"))
+    pairs.agg(
+        count(lit(1)).as("n_dir_edges"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dy").cast(dec)).as("sy"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+        sum((col("dy") * col("dy")).cast(dec)).as("syy"))
+      .select(col("n_dir_edges"),
+        ((col("n_dir_edges") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n_dir_edges") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n_dir_edges") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("assortativity"))
+  }
+
   /** Core order for [[kcore]]. */
   val KCoreK = 3L
   /** Peel-round budget: real interaction graphs shed their shell in a
@@ -449,5 +515,6 @@ object Graph {
     "gr_clustering_coeff" -> clusteringCoeff,
     "gr_components" -> components,
     "gr_support_hist" -> supportHist,
+    "gr_assortativity" -> assortativity,
     "gr_kcore"     -> kcore)
 }

@@ -637,6 +637,19 @@ class EventsSpec extends SparkSpec {
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("behavior diversity: bounded, single-type users at 1, counts reconcile") {
+    val rows = Events.behaviorDiversity(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("simpson")
+      assert(s >= 0.0 && s <= 1.0)
+      if (r.getAs[Long]("n_types") == 1L && r.getAs[Long]("n_events") >= 2)
+        assert(s == 1.0, "a one-type user repeats with certainty")
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_events"))
+    }
+  }
+
   test("conversion lag: only viewed purchases counted, buckets non-negative") {
     val rows = Events.conversionLag(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -136,6 +136,38 @@ class GraphSpec extends SparkSpec {
     got.foreach(t => assert(t._3 >= Graph.KCoreK, s"node ${t._1} under k"))
   }
 
+  test("assortativity: in [-1,1], matches a driver Pearson recompute") {
+    val r = Graph.assortativity(spark, sfDir).head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    // recompute from the clustering-coefficient degree table
+    val deg = Graph.clusteringCoeff(spark, sfDir).collect()
+      .map(x => x.getAs[Long]("product_id") -> x.getAs[Long]("degree")).toMap
+    val b = graft.sources.Tables.sales(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr("transaction_id DIV 10").as("bk"),
+        org.apache.spark.sql.functions.col("product_id"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).values.toSeq.flatMap { g =>
+        val ps = g.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }.groupBy(identity).iterator.collect {
+        // .iterator first: Map.collect with a pair-valued function
+        // would rebuild a Map keyed on the left endpoint (the trap the
+        // triangle census above documents)
+        case (p, os) if os.size >= Graph.TriMinSupport.toInt => p
+      }.toSeq
+    val xy = b.flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum.toDouble, xy.map(_._2).sum.toDouble)
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val syy = xy.map(p => p._2 * p._2).sum.toDouble
+    val exp = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(a - exp) < 1e-9, s"$a vs $exp")
+    assert(r.getAs[Long]("n_dir_edges") == xy.length.toLong)
+  }
+
   test("support histogram: pairs above the cut equal the edge-list size") {
     val hist = Graph.supportHist(spark, sfDir).collect()
       .map(r => r.getAs[Long]("n_co") -> r.getAs[Long]("n_pairs")).toMap
