@@ -272,6 +272,24 @@ object DataQuality {
          |SELECT n_orders, n_matched, n_mismatched, total_abs_drift, max_abs_drift,
          |       CAST(n_matched AS DOUBLE)/CAST(n_orders AS DOUBLE) AS match_rate
          |FROM a""".stripMargin,
+    "dq_temporal_integrity" ->
+      """WITH j AS (SELECT CAST(l_shipdate AS DATE) AS ship,
+        |             CAST(o_orderdate AS DATE) AS placed
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (SELECT COUNT(*) AS n_lines,
+        |        CAST(SUM(CASE WHEN ship < placed THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS sbo,
+        |        CAST(SUM(CASE WHEN date_diff('day', placed, ship) > 365
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS sol
+        |      FROM j)
+        |SELECT rule, n_violations, n_lines,
+        |       CAST(n_violations AS DOUBLE)/CAST(n_lines AS DOUBLE)
+        |         AS violation_rate
+        |FROM (
+        |  SELECT 'ship_before_order' AS rule, sbo AS n_violations, n_lines FROM a
+        |  UNION ALL
+        |  SELECT 'ship_over_year_late', sol, n_lines FROM a)
+        |ORDER BY rule""".stripMargin,
     "dq_benford" -> {
       // exponent suffix: a bare decimal literal parses as DECIMAL in
       // DuckDB and the decimal→double conversion can land an ulp off
@@ -525,6 +543,39 @@ object DataQuality {
       .orderBy("digit")
   }
 
+  /** `dq_temporal_integrity`: cross-field time-order rules over the
+    * order↔line relationship — lines shipped BEFORE their order was
+    * placed, and orders placed after their own last shipment window
+    * closes, per rule: violation count and rate. The referential
+    * check's temporal sibling ([[referentialIntegrity]] catches broken
+    * keys; this catches broken clocks — a timezone bug or a backfill
+    * with swapped columns shows up here first).
+    *
+    * Scale shape: ONE orderkey-keyed fact⋈fact join (co-partitioned at
+    * a bucketed warehouse) with all rule counters collapsing in a
+    * single aggregate pass; integer day arithmetic. */
+  def temporalIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("placed")),
+        Seq("o_orderkey"))
+    val agg = j.agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("ship") < col("placed"), 1L).otherwise(0L))
+        .as("ship_before_order"),
+      sum(when(datediff(col("ship"), col("placed")) > 365, 1L).otherwise(0L))
+        .as("ship_over_year_late"))
+    agg.select(
+        lit("ship_before_order").as("rule"),
+        col("ship_before_order").as("n_violations"), col("n_lines"))
+      .unionAll(agg.select(lit("ship_over_year_late").as("rule"),
+        col("ship_over_year_late").as("n_violations"), col("n_lines")))
+      .withColumn("violation_rate",
+        col("n_violations").cast("double") / col("n_lines").cast("double"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
@@ -534,5 +585,6 @@ object DataQuality {
     "dq_order_reconciliation" -> orderReconciliation,
     "dq_error_rate"     -> errorRate,
     "dq_hour_coverage"  -> hourCoverage,
-    "dq_benford"        -> benford)
+    "dq_benford"        -> benford,
+    "dq_temporal_integrity" -> temporalIntegrity)
 }

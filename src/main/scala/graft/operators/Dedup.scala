@@ -439,6 +439,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dd_df_hist`: shingle document-frequency histogram — how many
+    * distinct shingles occur in exactly df documents. The
+    * [[ShingleDfCap]] audit (the [[graft.operators.Graph.supportHist]]
+    * discipline applied to the dedup family): the cap must sit past
+    * the natural-text knee, and the exactness precondition "max df ≤
+    * cap" is this table's last row. Zipf makes the output O(√mass)
+    * rows — metadata at any corpus size.
+    *
+    * Scale shape: one vocab-bounded (doc, shingle)-distinct aggregate,
+    * then an aggregate over df values. */
+  def dfHist(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .groupBy("df")
+      .agg(count(lit(1)).as("n_shingles"))
+      .orderBy("df")
+
   /** `dd_method_report`: the dedup dashboard — one row per method with
     * its pair count and the distinct documents it touches. The
     * side-by-side view a curation review reads first (how much do the
@@ -800,6 +817,16 @@ object Dedup {
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
     "dd_minhash_lsh" -> ngramJaccardOracle,
+    "dd_df_hist" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |d AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT df, COUNT(*) AS n_shingles
+        |FROM d GROUP BY 1 ORDER BY df""".stripMargin,
     "dd_method_report" -> {
       def pairSql(name: String, sub: String) =
         s"""SELECT '$name' AS method,
@@ -941,6 +968,7 @@ object Dedup {
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_minhash_incremental" -> minhashIncremental,
     "dd_method_report" -> methodReport,
+    "dd_df_hist"       -> dfHist,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
     "dd_contam_report" -> contamReport,

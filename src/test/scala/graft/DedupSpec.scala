@@ -421,6 +421,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df histogram: mass = distinct (doc,shingle) pairs; cap precondition visible") {
+    val hist = Dedup.dfHist(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("df") -> r.getAs[Long]("n_shingles"))
+    assert(hist.nonEmpty)
+    // Σ df·n = total (doc, shingle) incidences
+    val totalIncidence = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.wordShinglesNative(spark, col("text"), 3))
+          .as("s")).count()
+    assert(hist.map { case (df, n) => df * n }.sum == totalIncidence)
+    // the exactness precondition the span/jaccard ops assert is the
+    // last row of this table
+    assert(hist.map(_._1).max <= Dedup.ShingleDfCap,
+      "max df must sit under the candidate-generation cap at test scale")
+  }
+
   test("method report: minhash row equals jaccard row; counts replay the ops") {
     val rows = Dedup.methodReport(spark, sfDir).collect()
       .map(r => r.getAs[String]("method") ->

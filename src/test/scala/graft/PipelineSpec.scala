@@ -360,6 +360,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("temporal integrity: rule counts replay a brute-force scan") {
+    val rows = DataQuality.temporalIntegrity(spark, sfDir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Long]("n_lines"))).toMap
+    assert(rows.keySet == Set("ship_before_order", "ship_over_year_late"))
+    val j = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("s"))
+      .join(graft.sources.Tables.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("p")),
+        col("l_orderkey") === col("o_orderkey"))
+    val n = j.count()
+    assert(rows.values.forall(_._2 == n))
+    assert(rows("ship_before_order")._1 == j.where(col("s") < col("p")).count())
+    assert(rows("ship_over_year_late")._1 ==
+      j.where(datediff(col("s"), col("p")) > 365).count())
+  }
+
   test("order reconciliation: counts partition orders, drift bounds sane") {
     val r = DataQuality.orderReconciliation(spark, sfDir).head()
     val nOrders = r.getAs[Long]("n_orders")
