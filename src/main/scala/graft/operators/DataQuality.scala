@@ -272,6 +272,12 @@ object DataQuality {
          |SELECT n_orders, n_matched, n_mismatched, total_abs_drift, max_abs_drift,
          |       CAST(n_matched AS DOUBLE)/CAST(n_orders AS DOUBLE) AS match_rate
          |FROM a""".stripMargin,
+    "dq_event_dups" ->
+      """SELECT COUNT(*) AS n_events,
+        |       COUNT(DISTINCT event_id) AS n_distinct_ids,
+        |       COUNT(*) - COUNT(DISTINCT event_id) AS n_duplicates,
+        |       COUNT(*) = COUNT(DISTINCT event_id) AS ids_unique
+        |FROM events""".stripMargin,
     "dq_temporal_integrity" ->
       """WITH j AS (SELECT CAST(l_shipdate AS DATE) AS ship,
         |             CAST(o_orderdate AS DATE) AS placed
@@ -576,6 +582,25 @@ object DataQuality {
       .orderBy("rule")
   }
 
+  /** `dq_event_dups`: event-stream key-uniqueness check — total events
+    * vs distinct event_ids in one pass (the events-table complement of
+    * [[tableStatsQuery]], which covers the warehouse tables; duplicate
+    * ids mean an at-least-once producer is replaying and downstream
+    * counts are inflated). One row; on a real cluster this is the
+    * check that decides whether `dropDuplicatesWithinWatermark` must
+    * sit in the ingest path.
+    *
+    * Scale shape: a single aggregate pass — the exact distinct is one
+    * shuffle of ids; the documented 100-TB swap is
+    * `approx_count_distinct` (the [[tableStatsApprox]] precedent). */
+  def eventDups(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct_ids"))
+      .select(col("n_events"), col("n_distinct_ids"),
+        (col("n_events") - col("n_distinct_ids")).as("n_duplicates"),
+        (col("n_events") === col("n_distinct_ids")).as("ids_unique"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
@@ -586,5 +611,6 @@ object DataQuality {
     "dq_error_rate"     -> errorRate,
     "dq_hour_coverage"  -> hourCoverage,
     "dq_benford"        -> benford,
-    "dq_temporal_integrity" -> temporalIntegrity)
+    "dq_temporal_integrity" -> temporalIntegrity,
+    "dq_event_dups"     -> eventDups)
 }

@@ -456,6 +456,36 @@ object Events {
           .otherwise(lit(0.0)).as("simpson"))
       .orderBy("user_id")
 
+  /** Bucket width (seconds) for [[gapHistogram]]: ten minutes. */
+  val GapHistBucketSec = 600L
+
+  /** `evt_gap_histogram`: inter-event time distribution — per event
+    * type, a histogram of the gaps between a user's consecutive events
+    * of that type. The burstiness profile that calibrates session
+    * gaps, retention nudge timing and bot thresholds (a scripted
+    * client's gaps concentrate in one bucket; organic gaps spread).
+    *
+    * Scale shape: one (user, type)-keyed lag window (bounded by one
+    * user's events of one type — the [[sessionize]] discipline), then
+    * a histogram-cardinality groupBy; integer second/bucket math. */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("es", "event_id")
+    e.withColumn("prev", lag(col("es"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr(s"(es - prev) DIV $GapHistBucketSec").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("gap_lo_sec", col("bucket") * GapHistBucketSec)
+      .select("event_type", "bucket", "gap_lo_sec", "n_gaps")
+      .orderBy("event_type", "bucket")
+  }
+
   /** Histogram bucket (seconds) for [[conversionLag]]: one hour. */
   val ConvLagBucketSec = 3600L
 
@@ -1052,6 +1082,19 @@ object Events {
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS p99
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_gap_histogram" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+         |           FROM events),
+         |l AS (SELECT event_type, es,
+         |             LAG(es) OVER (PARTITION BY user_id, event_type
+         |                           ORDER BY es, event_id) AS prev
+         |      FROM e),
+         |b AS (SELECT event_type, (es - prev) // $GapHistBucketSec AS bucket
+         |      FROM l WHERE prev IS NOT NULL)
+         |SELECT event_type, bucket, bucket*$GapHistBucketSec AS gap_lo_sec,
+         |       COUNT(*) AS n_gaps
+         |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "evt_behavior_diversity" ->
       """WITH tc AS (SELECT user_id, event_type, COUNT(*) AS c
         |            FROM events GROUP BY 1, 2),
@@ -1280,6 +1323,7 @@ object Events {
     "evt_reactivation" -> reactivation,
     "evt_conversion_lag" -> conversionLag,
     "evt_behavior_diversity" -> behaviorDiversity,
+    "evt_gap_histogram" -> gapHistogram,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

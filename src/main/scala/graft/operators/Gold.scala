@@ -733,6 +733,41 @@ object Gold {
     * [[stockoutRisk]]. */
   val StockoutColdDays = 90L
 
+  /** `gold_aov_monthly`: monthly average-order-value trend with the
+    * month-over-month delta — the board-deck headline next to
+    * [[newVsReturning]]'s split and [[repeatRate]]'s loyalty view
+    * (price increases, mix shifts and promo depth all land in AOV
+    * first).
+    *
+    * Scale shape: ONE fact groupBy on the month key (orders counted
+    * distinct within it — the order key is a prefix of the line key,
+    * so the distinct stays inside the same shuffle); the
+    * previous-month lookup is a broadcast self-join of the
+    * metadata-sized month table (the [[graft.operators.Athena
+    * .yoyGrowth]] pattern, never a window). Integer month math,
+    * fixed-point revenue, one IEEE division per cell. */
+  def aovMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 0)
+    val m = Tables.sales(spark, dir)
+      .select((year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
+        expr("transaction_id DIV 10").as("order_key"),
+        col("unit_price"), col("quantity"))
+      .groupBy("ym")
+      .agg(countDistinct(col("order_key")).as("n_orders"),
+        sum(floor(col("unit_price") * col("quantity") * lit(10000)).cast(dec))
+          .as("rev_i"))
+      .withColumn("aov",
+        col("rev_i").cast("double") / 10000 / col("n_orders").cast("double"))
+    val prev = m.select((col("ym") + 1).as("p_ym"), col("aov").as("prev_aov"))
+    m.join(broadcast(prev), col("ym") === col("p_ym"), "left")
+      .select(
+        make_date(expr("ym DIV 12"), col("ym") % 12 + 1, lit(1)).as("month"),
+        col("n_orders"),
+        (col("rev_i").cast("double") / 10000).as("revenue"),
+        col("aov"), (col("aov") - col("prev_aov")).as("mom_delta"))
+      .orderBy("month")
+  }
+
   /** Movers reported by [[topMovers]]. */
   val MoversK = 20
 
@@ -778,6 +813,22 @@ object Gold {
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_aov_monthly" ->
+      s"""WITH ${Tables.salesCte},
+         |m AS (SELECT year(sale_ts)*12 + month(sale_ts) - 1 AS ym,
+         |             COUNT(DISTINCT transaction_id // 10) AS n_orders,
+         |             SUM(CAST(FLOOR(unit_price*quantity*10000) AS DECIMAL(28,0)))
+         |               AS rev_i
+         |      FROM sales GROUP BY 1),
+         |a AS (SELECT ym, n_orders, rev_i,
+         |             CAST(rev_i AS DOUBLE)/10000/CAST(n_orders AS DOUBLE) AS aov
+         |      FROM m)
+         |SELECT make_date(CAST(x.ym // 12 AS INT), CAST(x.ym % 12 + 1 AS INT), 1)
+         |         AS month,
+         |       x.n_orders, CAST(x.rev_i AS DOUBLE)/10000 AS revenue, x.aov,
+         |       x.aov - p.aov AS mom_delta
+         |FROM a x LEFT JOIN a p ON x.ym = p.ym + 1
+         |ORDER BY month""".stripMargin,
     "gold_top_movers" ->
       s"""WITH ${Tables.salesCte},
          |s AS (SELECT product_id,
@@ -1148,5 +1199,6 @@ object Gold {
     "gold_seasonality"         -> seasonality,
     "gold_stockout"            -> stockoutRisk,
     "gold_also_bought"         -> alsoBought,
-    "gold_top_movers"          -> topMovers)
+    "gold_top_movers"          -> topMovers,
+    "gold_aov_monthly"         -> aovMonthly)
 }

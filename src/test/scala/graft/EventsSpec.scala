@@ -637,6 +637,19 @@ class EventsSpec extends SparkSpec {
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("gap histogram: gap count = events minus first-per-(user,type)") {
+    val rows = Events.gapHistogram(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    val firsts = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == total - firsts)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0L)
+      assert(r.getAs[Long]("gap_lo_sec") ==
+        r.getAs[Long]("bucket") * Events.GapHistBucketSec)
+    }
+  }
+
   test("behavior diversity: bounded, single-type users at 1, counts reconcile") {
     val rows = Events.behaviorDiversity(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==

@@ -479,6 +479,27 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("monthly AOV: orders/revenue reconcile; deltas chain between months") {
+    val rows = Gold.aovMonthly(spark, sfDir).collect()
+      .sortBy(_.getAs[java.sql.Date]("month").toString)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum >=
+      Tables.table(spark, sfDir, "orders").count(),
+      "an order spanning months is counted in each month it ships")
+    val revTotal = rows.map(_.getAs[Double]("revenue")).sum
+    val daily = Gold.dailySalesSummary(spark, sfDir)
+      .agg(sum("revenue")).head.getDouble(0)
+    assert(math.abs(revTotal - daily) < 1.0)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mom_delta")))
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        val pm = p.getAs[java.sql.Date]("month").toLocalDate
+        if (c.getAs[java.sql.Date]("month").toLocalDate == pm.plusMonths(1))
+          assert(math.abs(c.getAs[Double]("mom_delta") -
+            (c.getAs[Double]("aov") - p.getAs[Double]("aov"))) < 1e-9)
+      case _ => ()
+    }
+  }
+
   test("top movers: ratio-descending, both halves traded, k-bounded") {
     val rows = Gold.topMovers(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= Gold.MoversK)
