@@ -456,6 +456,28 @@ object Events {
           .otherwise(lit(0.0)).as("simpson"))
       .orderBy("user_id")
 
+  /** `evt_activity_curve`: the power-user survival curve — for every
+    * observed per-user event count k, how many users produced ≥ k
+    * events. The engagement artifact behind "N% of users generate M%
+    * of activity" claims and power-user tier cuts; [[activityGini]]
+    * compresses this curve to one scalar, this is the curve itself.
+    *
+    * Scale shape: users collapse to counts (one shuffle), counts to a
+    * histogram (metadata); the ≥k suffix-cumulative runs as a
+    * self-join over the HISTOGRAM (count-of-counts rows — O(√mass) by
+    * the usual heavy-tail argument), never a window over users. */
+  def activityCurve(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_users_exact"))
+    hist
+      .join(hist.select(col("k").as("k2"), col("n_users_exact").as("n2")),
+        col("k2") >= col("k"), "left")
+      .groupBy("k", "n_users_exact")
+      .agg(sum(col("n2")).as("n_users_at_least"))
+      .orderBy("k")
+  }
+
   /** Bucket width (seconds) for [[gapHistogram]]: ten minutes. */
   val GapHistBucketSec = 600L
 
@@ -1082,6 +1104,13 @@ object Events {
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
          |       ${Gold.fixedRoundSql("quantile_cont(value, 0.99)", 4)} AS p99
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_activity_curve" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS k FROM events GROUP BY 1),
+        |h AS (SELECT k, COUNT(*) AS n_users_exact FROM c GROUP BY 1)
+        |SELECT a.k, a.n_users_exact,
+        |       CAST(SUM(b.n_users_exact) AS BIGINT) AS n_users_at_least
+        |FROM h a LEFT JOIN h b ON b.k >= a.k
+        |GROUP BY 1, 2 ORDER BY a.k""".stripMargin,
     "evt_gap_histogram" ->
       s"""WITH e AS (SELECT user_id, event_type, event_id,
          |             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
@@ -1324,6 +1353,7 @@ object Events {
     "evt_conversion_lag" -> conversionLag,
     "evt_behavior_diversity" -> behaviorDiversity,
     "evt_gap_histogram" -> gapHistogram,
+    "evt_activity_curve" -> activityCurve,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

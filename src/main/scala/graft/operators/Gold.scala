@@ -768,6 +768,37 @@ object Gold {
       .orderBy("month")
   }
 
+  /** `gold_category_hhi`: brand concentration per category — the
+    * Herfindahl–Hirschman index (Σ share², 1/n_brands = perfectly
+    * split, 1 = monopoly) over brand revenue shares. The antitrust-
+    * standard scalar behind assortment-diversification decisions; the
+    * one-number compression of [[marketShare]]'s full table.
+    *
+    * Scale shape: ONE fact groupBy to (category, brand) fixed-point
+    * revenues; both Σrev² and (Σrev)² derive from exact DECIMAL sums
+    * of that metadata-sized table, and HHI is one IEEE division —
+    * identical in both engines. */
+  def categoryHhi(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.products(spark, dir).select("product_id", "sku", "category")
+    val rev = Tables.sales(spark, dir)
+      .join(broadcast(p), "product_id")
+      .groupBy("category", "sku")
+      .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
+        .cast(DecimalType(28, 0))).as("rev_i"))
+    rev.groupBy("category")
+      .agg(count(lit(1)).as("n_brands"),
+        sum(col("rev_i")).as("tot"),
+        // cast to 19 digits BEFORE squaring: 19+19 = 38 stays inside
+        // both engines' decimal width (28×28 would overflow DuckDB's)
+        sum(col("rev_i").cast(DecimalType(19, 0))
+          * col("rev_i").cast(DecimalType(19, 0))).as("sq"))
+      .select(col("category"), col("n_brands"),
+        (col("tot").cast("double") / 10000).as("category_revenue"),
+        (col("sq").cast("double")
+          / (col("tot").cast("double") * col("tot").cast("double"))).as("hhi"))
+      .orderBy("category")
+  }
+
   /** Movers reported by [[topMovers]]. */
   val MoversK = 20
 
@@ -813,6 +844,23 @@ object Gold {
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_category_hhi" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |rev AS (
+         |  SELECT p.category, p.sku,
+         |         SUM(CAST(FLOOR(s.unit_price*s.quantity*10000) AS DECIMAL(28,0)))
+         |           AS rev_i
+         |  FROM sales s JOIN products p USING (product_id)
+         |  GROUP BY 1, 2),
+         |g AS (SELECT category, COUNT(*) AS n_brands,
+         |             SUM(rev_i) AS tot,
+         |             SUM(CAST(rev_i AS DECIMAL(19,0)) * CAST(rev_i AS DECIMAL(19,0)))
+         |               AS sq
+         |      FROM rev GROUP BY 1)
+         |SELECT category, n_brands,
+         |       CAST(tot AS DOUBLE)/10000 AS category_revenue,
+         |       CAST(sq AS DOUBLE)/(CAST(tot AS DOUBLE)*CAST(tot AS DOUBLE)) AS hhi
+         |FROM g ORDER BY category""".stripMargin,
     "gold_aov_monthly" ->
       s"""WITH ${Tables.salesCte},
          |m AS (SELECT year(sale_ts)*12 + month(sale_ts) - 1 AS ym,
@@ -1200,5 +1248,6 @@ object Gold {
     "gold_stockout"            -> stockoutRisk,
     "gold_also_bought"         -> alsoBought,
     "gold_top_movers"          -> topMovers,
-    "gold_aov_monthly"         -> aovMonthly)
+    "gold_aov_monthly"         -> aovMonthly,
+    "gold_category_hhi"        -> categoryHhi)
 }

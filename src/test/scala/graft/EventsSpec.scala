@@ -637,6 +637,27 @@ class EventsSpec extends SparkSpec {
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("activity curve: monotone non-increasing, anchored at total users") {
+    val rows = Events.activityCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("k"))
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_users_at_least") == users,
+      "every user has >= min observed count")
+    val atLeast = rows.map(_.getAs[Long]("n_users_at_least"))
+    atLeast.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "survival curve must not rise")
+      case _ => ()
+    }
+    assert(rows.map(_.getAs[Long]("n_users_exact")).sum == users)
+    // each row's at-least equals the suffix sum of exact counts
+    val exact = rows.map(r => r.getAs[Long]("k") -> r.getAs[Long]("n_users_exact"))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Long]("n_users_at_least") ==
+        exact.filter(_._1 >= k).map(_._2).sum)
+    }
+  }
+
   test("gap histogram: gap count = events minus first-per-(user,type)") {
     val rows = Events.gapHistogram(spark, sfDir).collect()
     val total = Tables.events(spark, sfDir).count()

@@ -479,6 +479,23 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("category HHI: bounded by [1/n, 1], replays market-share squares") {
+    val rows = Gold.categoryHhi(spark, sfDir).collect()
+    val shares = Gold.marketShare(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("category"))
+    rows.foreach { r =>
+      val cat = r.getAs[String]("category")
+      val h = r.getAs[Double]("hhi")
+      val n = r.getAs[Long]("n_brands")
+      assert(h >= 1.0 / n - 1e-12 && h <= 1.0, s"$cat hhi $h")
+      val exp = shares(cat).map(s => {
+        val sh = s.getAs[Double]("share"); sh * sh
+      }).sum
+      assert(math.abs(h - exp) < 1e-9, s"$cat vs share-squares $exp")
+      assert(n == shares(cat).length.toLong)
+    }
+  }
+
   test("monthly AOV: orders/revenue reconcile; deltas chain between months") {
     val rows = Gold.aovMonthly(spark, sfDir).collect()
       .sortBy(_.getAs[java.sql.Date]("month").toString)
