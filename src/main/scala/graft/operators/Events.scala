@@ -478,6 +478,34 @@ object Events {
       .orderBy("k")
   }
 
+  /** Duration bucket (seconds) for [[sessionHistogram]]: five
+    * minutes. */
+  val SessDurBucketSec = 300L
+
+  /** `evt_session_histogram`: session shape distributions — one
+    * long-form table with two metrics: sessions per event-count and
+    * sessions per 5-minute duration band, over [[sessionize]]'s
+    * output. The reporting view session-length product decisions read
+    * (and the input to choosing [[SessionGapSec]] itself).
+    *
+    * Scale shape: inherits the one user-keyed shuffle from
+    * [[sessionize]]; both rollups are histogram-cardinality
+    * aggregates of the (already session-grain) output, unioned as two
+    * metadata-sized frames. */
+  def sessionHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+    val byEvents = s.groupBy(col("n_events").as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(lit("n_events").as("metric"), col("bucket"),
+        col("bucket").as("lo"), col("n_sessions"))
+    val byDur = s
+      .select(expr(s"duration_sec DIV $SessDurBucketSec").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_sessions"))
+      .select(lit("duration").as("metric"), col("bucket"),
+        (col("bucket") * SessDurBucketSec).as("lo"), col("n_sessions"))
+    byEvents.unionAll(byDur).orderBy("metric", "bucket")
+  }
+
   /** Bucket width (seconds) for [[gapHistogram]]: ten minutes. */
   val GapHistBucketSec = 600L
 
@@ -1329,6 +1357,28 @@ object Events {
          |SELECT window_start, event_type, COUNT(*) AS n_events,
          |       ${Gold.moneySumSql("value")} AS sum_value
          |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "evt_session_histogram" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |l AS (SELECT *, LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+         |      FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR es - prev > $SessionGapSec
+         |                     THEN 1 ELSE 0 END AS new_s FROM l),
+         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS session_idx FROM f),
+         |sess AS (SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |                MAX(es) - MIN(es) AS duration_sec
+         |         FROM s GROUP BY 1, 2),
+         |be AS (SELECT 'n_events' AS metric, n_events AS bucket,
+         |              n_events AS lo, COUNT(*) AS n_sessions
+         |       FROM sess GROUP BY 2),
+         |bd AS (SELECT 'duration' AS metric,
+         |              duration_sec // $SessDurBucketSec AS bucket,
+         |              (duration_sec // $SessDurBucketSec) * $SessDurBucketSec AS lo,
+         |              COUNT(*) AS n_sessions
+         |       FROM sess GROUP BY 2, 3)
+         |SELECT * FROM (SELECT * FROM be UNION ALL SELECT * FROM bd)
+         |ORDER BY metric, bucket""".stripMargin,
     "str_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id,
          |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -1354,6 +1404,7 @@ object Events {
     "evt_behavior_diversity" -> behaviorDiversity,
     "evt_gap_histogram" -> gapHistogram,
     "evt_activity_curve" -> activityCurve,
+    "evt_session_histogram" -> sessionHistogram,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

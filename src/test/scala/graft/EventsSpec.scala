@@ -637,6 +637,22 @@ class EventsSpec extends SparkSpec {
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("session histogram: both metrics partition the session set") {
+    val rows = Events.sessionHistogram(spark, sfDir).collect()
+    val nSessions = Events.sessionize(spark, sfDir).count()
+    Seq("n_events", "duration").foreach { m =>
+      val mass = rows.filter(_.getAs[String]("metric") == m)
+        .map(_.getAs[Long]("n_sessions")).sum
+      assert(mass == nSessions, s"metric $m must cover every session")
+    }
+    rows.foreach { r =>
+      if (r.getAs[String]("metric") == "duration")
+        assert(r.getAs[Long]("lo") ==
+          r.getAs[Long]("bucket") * Events.SessDurBucketSec)
+      else assert(r.getAs[Long]("lo") == r.getAs[Long]("bucket"))
+    }
+  }
+
   test("activity curve: monotone non-increasing, anchored at total users") {
     val rows = Events.activityCurve(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("k"))
