@@ -439,6 +439,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Curve floor for [[thresholdCurve]]. */
+  val CurveMinJaccard = 0.5
+
+  /** `dd_threshold_curve`: near-dup pair counts at every Jaccard decile
+    * from [[CurveMinJaccard]] up — the threshold-tuning audit for
+    * [[JaccardThreshold]] itself (the third of the tuning-constant
+    * audit series next to [[dfHist]] and
+    * [[graft.operators.Graph.supportHist]]): the production cut should
+    * sit past the curve's knee, and this table shows where candidate
+    * volume explodes as the bar drops.
+    *
+    * Scale shape: the same single df-capped self-join as
+    * [[ngramJaccard]] (exact via the banned-shingle correction), with
+    * the decile bucket a FLOOR of the identical-IEEE jaccard — the
+    * histogram and its ≥-suffix run over ≤ 10 metadata rows. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val hist = pairIntersections(spark, dir, ShingleDfCap)
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= CurveMinJaccard)
+      .select(floor(col("jaccard") * 10).cast("long").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs_exact"))
+    hist
+      .join(hist.select(col("decile").as("d2"), col("n_pairs_exact").as("n2")),
+        col("d2") >= col("decile"), "left")
+      .groupBy("decile", "n_pairs_exact")
+      .agg(sum(col("n2")).as("n_pairs_at_least"))
+      .withColumn("jaccard_lo", col("decile").cast("double") / 10)
+      .select("decile", "jaccard_lo", "n_pairs_exact", "n_pairs_at_least")
+      .orderBy("decile")
+  }
+
   /** `dd_df_hist`: shingle document-frequency histogram — how many
     * distinct shingles occur in exactly df documents. The
     * [[ShingleDfCap]] audit (the [[graft.operators.Graph.supportHist]]
@@ -817,6 +849,30 @@ object Dedup {
     // minhash+LSH is exact-verified; at these similarities its recall is
     // 1.0, so the exact-Jaccard oracle applies to it too.
     "dd_minhash_lsh" -> ngramJaccardOracle,
+    "dd_threshold_curve" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           generate_series(1, len(t)-2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT inter*1.0/(sa.n_sh + sb.n_sh - inter) AS jaccard
+         |      FROM inter JOIN sizes sa ON a_id = sa.doc_id
+         |                 JOIN sizes sb ON b_id = sb.doc_id
+         |      WHERE inter*1.0/(sa.n_sh + sb.n_sh - inter) >= $CurveMinJaccard),
+         |h AS (SELECT CAST(FLOOR(jaccard*10) AS BIGINT) AS decile,
+         |             COUNT(*) AS n_pairs_exact
+         |      FROM j GROUP BY 1)
+         |SELECT a.decile, CAST(a.decile AS DOUBLE)/10 AS jaccard_lo,
+         |       a.n_pairs_exact,
+         |       CAST(SUM(b.n_pairs_exact) AS BIGINT) AS n_pairs_at_least
+         |FROM h a LEFT JOIN h b ON b.decile >= a.decile
+         |GROUP BY 1, 2, 3 ORDER BY a.decile""".stripMargin,
     "dd_df_hist" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -969,6 +1025,7 @@ object Dedup {
     "dd_minhash_incremental" -> minhashIncremental,
     "dd_method_report" -> methodReport,
     "dd_df_hist"       -> dfHist,
+    "dd_threshold_curve" -> thresholdCurve,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
     "dd_contam_report" -> contamReport,

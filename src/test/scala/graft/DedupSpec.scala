@@ -421,6 +421,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("threshold curve: non-increasing suffix, 0.8-decile mass = jaccard pairs") {
+    val rows = Dedup.thresholdCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty)
+    val atLeast = rows.map(_.getAs[Long]("n_pairs_at_least"))
+    atLeast.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a); case _ => ()
+    }
+    // pairs at >= 0.8 per the curve must equal the production op's count
+    val prodPairs = Dedup.ngramJaccard(spark, sfDir).count()
+    val ge8 = rows.filter(_.getAs[Long]("decile") >= 8L)
+      .map(_.getAs[Long]("n_pairs_exact")).sum
+    assert(ge8 == prodPairs, "curve must agree with the production cut")
+    rows.foreach(r => assert(r.getAs[Double]("jaccard_lo") ==
+      r.getAs[Long]("decile").toDouble / 10))
+  }
+
   test("df histogram: mass = distinct (doc,shingle) pairs; cap precondition visible") {
     val hist = Dedup.dfHist(spark, sfDir).collect()
       .map(r => r.getAs[Long]("df") -> r.getAs[Long]("n_shingles"))
