@@ -799,6 +799,39 @@ object Gold {
       .orderBy("category")
   }
 
+  /** `gold_first_purchase_category`: acquisition category mix — for
+    * each cohort month, which category won customers' FIRST-ever
+    * purchase. The "what brings people in the door" view read next to
+    * [[cohortLtv]] (which tracks value after acquisition; this
+    * explains the acquisition itself).
+    *
+    * Scale shape: the first purchase is an integer-exact
+    * `min(struct(ts, transaction_id, product_id))` per customer — one
+    * partial-aggregating groupBy, deterministic tiebreak, NO window;
+    * the category join is a broadcast dim probe on customer-sized
+    * metadata and the (month, category) rollup is calendar×catalog
+    * cells. */
+  def firstPurchaseCategory(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables.sales(spark, dir)
+      .groupBy("customer_id")
+      .agg(min(struct(col("sale_ts"), col("transaction_id"),
+        col("product_id"))).as("f"))
+      .select(col("customer_id"), col("f.sale_ts").as("first_ts"),
+        col("f.product_id").as("product_id"))
+    first
+      .join(broadcast(Tables.products(spark, dir)
+        .select("product_id", "category")), "product_id")
+      .groupBy(
+        (year(col("first_ts")) * 12 + month(col("first_ts")) - 1).as("ym"),
+        col("category"))
+      .agg(count(lit(1)).as("n_new_customers"))
+      .select(
+        make_date(expr("ym DIV 12"), col("ym") % 12 + 1, lit(1))
+          .as("cohort_month"),
+        col("category"), col("n_new_customers"))
+      .orderBy("cohort_month", "category")
+  }
+
   /** Movers reported by [[topMovers]]. */
   val MoversK = 20
 
@@ -844,6 +877,22 @@ object Gold {
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_first_purchase_category" ->
+      s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
+         |r AS (SELECT customer_id, sale_ts, product_id,
+         |             ROW_NUMBER() OVER (PARTITION BY customer_id
+         |               ORDER BY sale_ts, transaction_id, product_id) AS rn
+         |      FROM sales),
+         |f AS (SELECT customer_id, sale_ts AS first_ts, product_id
+         |      FROM r WHERE rn = 1),
+         |g AS (SELECT year(first_ts)*12 + month(first_ts) - 1 AS ym,
+         |             p.category, COUNT(*) AS n_new_customers
+         |      FROM f JOIN products p USING (product_id)
+         |      GROUP BY 1, 2)
+         |SELECT make_date(CAST(ym // 12 AS INT), CAST(ym % 12 + 1 AS INT), 1)
+         |         AS cohort_month,
+         |       category, n_new_customers
+         |FROM g ORDER BY cohort_month, category""".stripMargin,
     "gold_category_hhi" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |rev AS (
@@ -1249,5 +1298,6 @@ object Gold {
     "gold_also_bought"         -> alsoBought,
     "gold_top_movers"          -> topMovers,
     "gold_aov_monthly"         -> aovMonthly,
-    "gold_category_hhi"        -> categoryHhi)
+    "gold_category_hhi"        -> categoryHhi,
+    "gold_first_purchase_category" -> firstPurchaseCategory)
 }

@@ -37,7 +37,13 @@ object Tables {
   }
 
   /** Reference `sale_transactions`: lineitem enriched with the customer
-    * key from orders. transaction_id is unique (linenumber ∈ [1,7]). */
+    * key from orders. NB: transaction_id is NOT unique — the sf0.1
+    * testdata carries duplicate (l_orderkey, l_linenumber) rows with
+    * different products (600k rows, 457k distinct ids), so the ×10
+    * packing collides. linenumber stays ≤ 7, so `DIV 10` still
+    * recovers the order/basket key exactly; but any operator using
+    * transaction_id as an ORDERING tiebreak must add a further key
+    * (e.g. product_id) to get a total order both engines agree on. */
   def sales(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val o  = table(spark, dir, "orders").select("o_orderkey", "o_custkey")

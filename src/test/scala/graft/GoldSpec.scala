@@ -479,6 +479,18 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("first-purchase category: one vote per customer, months match cohorts") {
+    val rows = Gold.firstPurchaseCategory(spark, sfDir).collect()
+    val customers = Tables.sales(spark, sfDir)
+      .select("customer_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new_customers")).sum == customers)
+    // cohort month per customer must match cohortLtv's first-month view
+    val cohorts = Gold.cohortLtv(spark, sfDir).collect()
+      .map(_.getAs[java.sql.Date]("cohort_month").toString).toSet
+    rows.foreach(r =>
+      assert(cohorts.contains(r.getAs[java.sql.Date]("cohort_month").toString)))
+  }
+
   test("category HHI: bounded by [1/n, 1], replays market-share squares") {
     val rows = Gold.categoryHhi(spark, sfDir).collect()
     val shares = Gold.marketShare(spark, sfDir).collect()
