@@ -478,6 +478,35 @@ object Events {
       .orderBy("k")
   }
 
+  /** `evt_daily_new_users`: daily growth accounting — per day, active
+    * users split into first-ever-seen and returning (the events-side
+    * analog of [[graft.operators.Gold.newVsReturning]]'s revenue
+    * split; DAU alone hides whether growth is acquisition or
+    * retention).
+    *
+    * Scale shape: the fact collapses to DISTINCT (user, day) in one
+    * shuffle; the first-seen day is a second aggregate of THAT table
+    * joined back co-partitioned on user_id; the day rollup is
+    * calendar metadata. Integer epoch-day math, no window. */
+  def dailyNewUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("eday")).as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy("eday")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("eday") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("eday").cast("int")).as("day"),
+        col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .orderBy("day")
+  }
+
   /** Duration bucket (seconds) for [[sessionHistogram]]: five
     * minutes. */
   val SessDurBucketSec = 300L
@@ -1357,6 +1386,18 @@ object Events {
          |SELECT window_start, event_type, COUNT(*) AS n_events,
          |       ${Gold.moneySumSql("value")} AS sum_value
          |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "evt_daily_new_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(eday) AS first_day FROM ud GROUP BY 1),
+        |g AS (SELECT eday, COUNT(*) AS n_active,
+        |             CAST(SUM(CASE WHEN eday = first_day THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n_new
+        |      FROM ud JOIN f USING (user_id) GROUP BY 1)
+        |SELECT DATE '1970-01-01' + CAST(eday AS INT) AS day,
+        |       n_active, n_new, n_active - n_new AS n_returning
+        |FROM g ORDER BY day""".stripMargin,
     "evt_session_histogram" ->
       s"""WITH e AS (SELECT user_id, event_id,
          |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -1405,6 +1446,7 @@ object Events {
     "evt_gap_histogram" -> gapHistogram,
     "evt_activity_curve" -> activityCurve,
     "evt_session_histogram" -> sessionHistogram,
+    "evt_daily_new_users" -> dailyNewUsers,
     "evt_quantiles"    -> valueQuantiles,
     "evt_funnel"          -> funnel,
     "evt_retention"       -> retention,

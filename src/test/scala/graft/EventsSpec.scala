@@ -637,6 +637,21 @@ class EventsSpec extends SparkSpec {
     assert(Events.abAssign(spark, sfDir).collect().toSeq == rows.toSeq)
   }
 
+  test("daily new users: news sum to the user base, actives match DAU") {
+    val rows = Events.dailyNewUsers(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users,
+      "every user is new exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("n_active"))
+      assert(r.getAs[Long]("n_new") >= 0 && r.getAs[Long]("n_returning") >= 0)
+    }
+    // the first observed day is all-new by definition
+    val first = rows.minBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+    assert(first.getAs[Long]("n_returning") == 0L)
+  }
+
   test("session histogram: both metrics partition the session set") {
     val rows = Events.sessionHistogram(spark, sfDir).collect()
     val nSessions = Events.sessionize(spark, sfDir).count()
