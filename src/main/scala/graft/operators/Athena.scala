@@ -278,7 +278,7 @@ object Athena {
     Tables.table(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_quantity"))).as("sum_qty"),
         Gold.moneySum(col("l_extendedprice")).as("sum_base_price"),
         Gold.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("sum_disc_price"),
@@ -411,13 +411,13 @@ object Athena {
          |ORDER BY estimated_revenue DESC, category""".stripMargin,
     "ath_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
          |       ${Gold.moneySumSql("l_extendedprice")} AS sum_base_price,
          |       ${Gold.moneySumSql("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
          |       ${Gold.moneySumSql("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")}
          |         AS sum_charge,
          |       COUNT(*) AS count_order,
-         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         |       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE)
          |         / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
          |       ${Gold.moneySumSql("l_extendedprice")}
          |         / CAST(COUNT(*) AS DOUBLE) AS avg_price

@@ -327,13 +327,6 @@ object Curation {
 
   // ---- token-budget selection --------------------------------------------
 
-  /** Quality-bucket granularity for the token-budget global order. A
-    * strictly higher bucket implies strictly higher quality_score
-    * (floor is monotone), so bucket-major order composed with in-bucket
-    * (score DESC, doc_id) order IS the exact global
-    * (score DESC, doc_id) order. */
-  val TokenBudgetQScale = 1000.0
-
   /** `smp_token_budget`: select the highest-quality documents until a
     * token budget is exhausted — "give me the best T tokens", the
     * subsetting step between scoring and tokenization in an LLM data
@@ -342,33 +335,19 @@ object Curation {
     *
     * The global quality-ordered cumulative sum is the scale hazard: a
     * naive `SUM OVER (ORDER BY score)` window funnels the corpus
-    * through ONE task. Two-phase instead: (1) in-bucket cumulative sums
-    * windowed by coarse quality bucket (≤ ~1400 buckets partition the
-    * corpus evenly — each window partition is ~n/1400 rows); (2) each
-    * bucket's prefix offset = total tokens of strictly-higher buckets,
-    * computed on the ~1400-row bucket aggregate with a tiny non-equi
-    * self-join (metadata, broadcast back). cum = offset + in-bucket
-    * cum, exactly the single-window result at any corpus size. */
+    * through ONE task. [[SkewUtils.prefixSum]] in exact
+    * (score DESC, doc_id) order instead — balanced even when quality
+    * scores mode-concentrate (clip-capped corpora pile up at exactly
+    * 0.0/1.0; the range partitioner splits those ties on doc_id),
+    * which is precisely where a quality-bucketed window collapses. */
   def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
     val q = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      .withColumn("q_bucket",
-        floor(col("quality_score") * TokenBudgetQScale).cast("long"))
-    val bucketTotals = q.groupBy("q_bucket")
-      .agg(sum(col("n_tokens")).as("bucket_tokens"))
-    val offsets = bucketTotals
-      .join(bucketTotals.select(col("q_bucket").as("rb"),
-        col("bucket_tokens").as("rt")), col("rb") > col("q_bucket"), "left")
-      .groupBy("q_bucket")
-      .agg(coalesce(sum(col("rt")), lit(0L)).as("bucket_offset"))
     val budget = q.agg(expr("sum(n_tokens) DIV 2").as("budget"))
-    val wb = Window.partitionBy("q_bucket")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-    q.withColumn("cum_in_bucket", sum(col("n_tokens")).over(wb))
-      .join(broadcast(offsets), Seq("q_bucket"))
+    SkewUtils.prefixSum(q,
+        Seq(col("quality_score").desc, col("doc_id").asc),
+        col("n_tokens"), "cum_tokens")
       .crossJoin(broadcast(budget))
-      .withColumn("cum_tokens",
-        (col("bucket_offset") + col("cum_in_bucket")).cast("long"))
       .where(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         col("cum_tokens"))

@@ -910,22 +910,17 @@ object Events {
       .orderBy("day")
   }
 
-  /** Value-space bucket count for the Gini global rank (the
-    * [[Gold.abcClass]] / `smp_token_budget` two-phase scheme). */
-  val GiniBuckets = 2000L
-
   /** `evt_gini`: Gini coefficient of per-user event counts — the
     * one-number activity-concentration audit ("do 1% of accounts
     * generate 90% of traffic?") read before sampling or rate-limit
     * design; 0 = uniform, →1 = one user dominates.
     *
     * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over counts sorted ascending
-    * needs a GLOBAL rank — the scale hazard. Two-phase: value-space
-    * bucket from a broadcast 1-row min/max aggregate (monotone in x,
-    * ties share a bucket), in-bucket `row_number`, strictly-lower-bucket
-    * population offsets from a ≤[[GiniBuckets]]-row aggregate broadcast
-    * back — rank = offset + in-bucket row number, exactly the global
-    * (x, user_id) rank at any user count. Σx and Σ i·x accumulate as
+    * needs a GLOBAL rank — the scale hazard. [[SkewUtils.prefixSum]]
+    * with weight 1 IS the exact global (x, user_id) rank at any user
+    * count, and stays balanced under the defining skew of this
+    * statistic (most users tied at x = 1: the range partitioner splits
+    * the tie on user_id). Σx and Σ i·x accumulate as
     * DECIMAL(38,0) (order-independent, bit-equal to DuckDB HUGEINT);
     * only the three FINISHED statistics are cast to double (< 2⁵³ at
     * verified scales → exact) and the closed form runs as the identical
@@ -935,25 +930,14 @@ object Events {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = Tables.events(spark, dir)
       .groupBy("user_id").agg(count(lit(1)).as("x"))
-    val stats = x.agg(min(col("x")).as("minx"), max(col("x")).as("maxx"))
-    val bucketed = x.crossJoin(broadcast(stats))
-      .withColumn("b", expr(s"((x - minx) * $GiniBuckets) DIV (maxx - minx + 1)"))
-    val bucketCounts = bucketed.groupBy("b").agg(count(lit(1)).as("bc"))
-    val offsets = bucketCounts
-      .join(bucketCounts.select(col("b").as("lb"), col("bc").as("lc")),
-        col("lb") < col("b"), "left")
-      .groupBy("b").agg(coalesce(sum(col("lc")), lit(0L)).as("b_offset"))
-    val wb = Window.partitionBy("b").orderBy("x", "user_id")
     val nd  = col("n").cast("double")
     val s1d = col("s1").cast("double")
     val s2d = col("s2").cast("double")
-    bucketed
-      .withColumn("rn", row_number().over(wb))
-      .join(broadcast(offsets), Seq("b"))
-      .withColumn("i", (col("b_offset") + col("rn")).cast(dec))
+    SkewUtils.prefixSum(x, Seq(col("x").asc, col("user_id").asc),
+        lit(1L), "i")
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x").cast(dec)).as("s1"),
-        sum(col("i") * col("x").cast(dec)).as("s2"))
+        sum(col("i").cast(dec) * col("x").cast(dec)).as("s2"))
       .select(col("n").cast("long").as("n_users"),
         col("s1").cast("long").as("total_events"),
         ((lit(2.0) * s2d - (nd + lit(1.0)) * s1d) / (nd * s1d)).as("gini"))

@@ -410,12 +410,6 @@ object Gold {
 
   // ---- ABC / Pareto classification ---------------------------------------
 
-  /** Value-space bucket count for the ABC global cumulative sum (the
-    * `smp_token_budget` two-phase scheme: ≤ this many window
-    * partitions, each holding only the products whose revenue falls in
-    * one value slice). */
-  val AbcBuckets = 2000L
-
   /** `gold_abc_class`: ABC (Pareto) inventory classification — class A
     * products cover the top 80% of cumulative revenue, B the next 15%,
     * C the tail (the merchandising standard for stocking priority;
@@ -424,15 +418,13 @@ object Gold {
     *
     * Scale shape: the hazard is the revenue-ordered global cumulative
     * sum — a bare `SUM OVER (ORDER BY revenue DESC)` funnels every
-    * product through ONE task. Two-phase instead, the
-    * [[Curation.tokenBudgetSelect]] scheme with a VALUE-SPACE bucket:
+    * product through ONE task. [[SkewUtils.prefixSum]] instead:
     * per-product fixed-point revenue (one partial-agg groupBy of the
-    * fact), bucket index from a broadcast 1-row min/max aggregate
-    * (monotone: higher revenue ⇒ same-or-higher bucket, and equal
-    * revenues always share a bucket — so bucket-major DESC composed
-    * with in-bucket (revenue DESC, product_id) order IS the exact
-    * global order), in-bucket cumulative sums windowed per bucket, and
-    * a ≤[[AbcBuckets]]-row bucket-offset aggregate broadcast back.
+    * fact), then the range-partitioned two-pass scan in exact
+    * (revenue DESC, product_id) order — balanced under the power-law
+    * revenue distribution this statistic targets, because the
+    * RangePartitioner samples the full sort tuple (a heavy tied
+    * revenue splits across partitions on product_id).
     * Cumulative sums ride as DECIMAL(38,0); the A/B thresholds compare
     * `5·cum ≤ 4·total` / `20·cum ≤ 19·total` in exact integer
     * arithmetic, so the class boundary can never move under double
@@ -446,24 +438,11 @@ object Gold {
     val rev = sales.groupBy("product_id")
       .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
         .cast(DecimalType(28, 0))).cast("long").as("rev_i"))
-    val stats = rev.agg(min(col("rev_i")).as("minr"), max(col("rev_i")).as("maxr"),
-      sum(col("rev_i").cast(dec)).as("total"))
-    val bucketed = rev.crossJoin(broadcast(stats))
-      .withColumn("b",
-        expr(s"((rev_i - minr) * $AbcBuckets) DIV (maxr - minr + 1)"))
-    val bucketTotals = bucketed.groupBy("b")
-      .agg(sum(col("rev_i").cast(dec)).as("bt"))
-    val offsets = bucketTotals
-      .join(bucketTotals.select(col("b").as("rb"), col("bt").as("rt")),
-        col("rb") > col("b"), "left")
-      .groupBy("b")
-      .agg(coalesce(sum(col("rt")), lit(0L).cast(dec)).as("b_offset"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("b").orderBy(col("rev_i").desc, col("product_id"))
-    bucketed
-      .withColumn("cum_in", sum(col("rev_i").cast(dec)).over(wb))
-      .join(broadcast(offsets), Seq("b"))
-      .withColumn("cum", col("b_offset") + col("cum_in"))
+    val total = rev.agg(sum(col("rev_i").cast(dec)).as("total"))
+    SkewUtils.prefixSum(rev,
+        Seq(col("rev_i").desc, col("product_id").asc),
+        col("rev_i").cast(dec), "cum")
+      .crossJoin(broadcast(total))
       .select(col("product_id"),
         (col("rev_i").cast("double") / 10000).as("revenue"),
         (col("cum").cast("double") / 10000).as("cum_revenue"),
@@ -556,7 +535,7 @@ object Gold {
   def returnsByCategory(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_partkey").as("product_id"), col("l_returnflag"),
-        col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+        floor(col("l_quantity")).as("qty"), col("l_extendedprice"))
     val p = Tables.products(spark, dir).select("product_id", "category")
     li.join(broadcast(p), "product_id")
       .groupBy("category")
@@ -1008,7 +987,7 @@ object Gold {
     "gold_returns" ->
       s"""WITH ${Tables.productsCte},
          |li AS (SELECT l_partkey AS product_id, l_returnflag,
-         |              CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+         |              CAST(FLOOR(l_quantity) AS BIGINT) AS qty, l_extendedprice
          |       FROM lineitem)
          |SELECT p.category, COUNT(*) AS n_lines,
          |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)

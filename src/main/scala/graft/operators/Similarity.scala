@@ -207,7 +207,7 @@ object Similarity {
     * one row per train doc (hits count, max threshold-passing cosine),
     * so the exact oracle checks the full contract; SimilaritySpec
     * asserts candidate recall 1.0 vs the brute-force train×eval scan
-    * at every verified SF (the CLAUDE.md oracle rule). */
+    * at every verified SF (the SURVEY.md §6 oracle rule). */
   def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val isEval = Curation.portableHash(col("vec_id")) % Dedup.DecontamBenchMod === 0

@@ -37,6 +37,59 @@ object SkewUtils {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Exact distributed prefix sum (running total) of `weight` in the
+    * total order given by `order` — the scale-safe replacement for a
+    * bare `SUM(...) OVER (ORDER BY ...)` window, which funnels the
+    * whole input through ONE task.
+    *
+    * Scheme (the classic two-pass parallel scan):
+    *   1. `repartitionByRange(order)` — the RangePartitioner samples
+    *      the FULL sort tuple, so partitions are balanced under ANY
+    *      value distribution: a 99%-identical-value corpus still
+    *      splits evenly because the unique tiebreaker inside `order`
+    *      spreads the tied rows across range boundaries. (This is why
+    *      range-scan beats value-space bucketing here: equi-width
+    *      buckets collapse under Zipf skew, and even equi-depth
+    *      `approx_percentile` edges cannot split a single heavy tied
+    *      value across buckets.)
+    *   2. Per-partition running totals via a window keyed on
+    *      `spark_partition_id()` — each window partition is exactly
+    *      one balanced range partition (~n/P rows).
+    *   3. Partition offsets: a ≤P-row per-partition total aggregate,
+    *      prefix-summed by a tiny non-equi self-join (range partitions
+    *      are ordered by construction: every row in partition i sorts
+    *      before every row in partition i+1) and broadcast back.
+    *
+    * Exactness: global cum(r) = offset(pid) + local cum(r), in exactly
+    * the `order` total order — no tie-order change, so DuckDB oracles
+    * written against `SUM OVER (ORDER BY ...)` match bit-for-bit.
+    * Determinism: `order` MUST be a total order (include a unique
+    * tiebreaker). Range boundaries are sampled with partition-index
+    * seeds (deterministic), and even if boundaries moved, cum depends
+    * only on the global order, never on where the cuts fall.
+    *
+    * `weight`'s Spark SQL type is preserved (pass a DECIMAL(38,0) cast
+    * for money per the fixed-point rule; `lit(1L)` turns the cum into
+    * the exact global rank). */
+  def prefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+      out: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(p, order: _*)
+      .withColumn("__psum_pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__psum_pid").orderBy(order: _*)
+    val totals = parted.groupBy("__psum_pid").agg(sum(weight).as("__psum_t"))
+    val offsets = totals
+      .join(totals.select(col("__psum_pid").as("__b_pid"),
+        col("__psum_t").as("__b_t")), col("__b_pid") < col("__psum_pid"), "left")
+      .groupBy("__psum_pid")
+      .agg(coalesce(sum(col("__b_t")), lit(0)).as("__psum_off"))
+    parted.withColumn("__psum_local", sum(weight).over(w))
+      .join(broadcast(offsets), Seq("__psum_pid"))
+      .withColumn(out, col("__psum_off") + col("__psum_local"))
+      .drop("__psum_pid", "__psum_local", "__psum_off")
+  }
+
   /** Two-phase salted aggregation for holistic hot-key sums when even
     * partial aggregation overflows a task (extreme single-key skew):
     * pre-aggregate on (key, salt), then merge per key. */

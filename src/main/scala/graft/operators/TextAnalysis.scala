@@ -681,13 +681,25 @@ object TextAnalysis {
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(DeflateLevel, false)
         val buf = new Array[Byte](64 * 1024)
-        it.map { case (id, text) =>
-          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          d.reset(); d.setInput(raw); d.finish()
-          var compressed = 0L
-          while (!d.finished()) compressed += d.deflate(buf)
-          (id, raw.length.toLong, compressed,
-            compressed.toDouble / math.max(raw.length, 1).toDouble)
+        // d.end() when the iterator drains: native zlib memory is NOT
+        // JVM heap — without an explicit end, each completed task leaks
+        // it until GC finalization, which accumulates on executors
+        // running thousands of tasks
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) d.end()
+            h
+          }
+          def next(): (Long, Long, Long, Double) = {
+            val (id, text) = it.next()
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            d.reset(); d.setInput(raw); d.finish()
+            var compressed = 0L
+            while (!d.finished()) compressed += d.deflate(buf)
+            (id, raw.length.toLong, compressed,
+              compressed.toDouble / math.max(raw.length, 1).toDouble)
+          }
         }
       }
       .toDF("doc_id", "raw_len", "compressed_len", "compression_ratio")

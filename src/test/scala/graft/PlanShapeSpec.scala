@@ -76,7 +76,7 @@ class PlanShapeSpec extends SparkSpec {
       Athena.monthUnpivot(spark, sfDir)).foreach(df => assertSane(plan(df)))
   }
 
-  test("abc / gini / streaks / containment: bucketed windows, broadcast offsets") {
+  test("abc / gini / streaks / containment: partitioned scans, broadcast offsets") {
     Seq(Gold.abcClass(spark, sfDir),
       Events.activityGini(spark, sfDir),
       Events.streaks(spark, sfDir),

@@ -37,6 +37,53 @@ class SkewUtilsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("prefixSum equals the single-window global cumsum (asc, desc, rank)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ties in x are the interesting case: the tiebreaker k decides order
+    val df = Seq((3L, "a"), (1L, "b"), (3L, "c"), (2L, "d"), (1L, "e"),
+      (2L, "f"), (3L, "g")).toDF("x", "k")
+    def naive(order: Seq[org.apache.spark.sql.Column],
+        w: org.apache.spark.sql.Column) =
+      df.withColumn("cum", sum(w).over(Window.orderBy(order: _*)))
+        .select("k", "cum").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def scanned(order: Seq[org.apache.spark.sql.Column],
+        w: org.apache.spark.sql.Column) =
+      SkewUtils.prefixSum(df, order, w, "cum")
+        .select("k", "cum").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val asc = Seq(col("x").asc, col("k").asc)
+    val desc = Seq(col("x").desc, col("k").asc)
+    assert(scanned(asc, col("x")) == naive(asc, col("x")))
+    assert(scanned(desc, col("x")) == naive(desc, col("x")))
+    // weight 1 = exact global rank
+    assert(scanned(asc, lit(1L)) == naive(asc, lit(1L)))
+  }
+
+  test("prefixSum range partitions stay balanced on a 99%-tied corpus") {
+    import spark.implicits._
+    // the distribution that collapses value-space bucketing: 99% of rows
+    // share ONE value (every 1-event user in a Gini rank, every clipped
+    // quality score). The range partitioner must split the tie across
+    // partitions on the unique tiebreaker.
+    val n = 20000
+    val df = (1 to n)
+      .map(i => (if (i % 100 == 0) i.toLong else 7L, f"k$i%06d"))
+      .toDF("x", "k")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val pops = df.repartitionByRange(p, col("x").asc, col("k").asc)
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(pops.length == p, s"expected $p non-empty partitions, got ${pops.length}")
+    assert(pops.max <= 2L * n / p,
+      s"skewed range partition: max=${pops.max} vs bound ${2L * n / p}")
+    // and the cum over that corpus is still the exact global cumsum
+    val cum = SkewUtils.prefixSum(df, Seq(col("x").asc, col("k").asc),
+      col("x"), "cum")
+    val last = cum.orderBy(col("cum").desc).select("cum").head.getLong(0)
+    val total = df.agg(sum("x")).head.getLong(0)
+    assert(last == total)
+  }
+
   test("salted sum equals direct sum") {
     val li = Tables.table(spark, sfDir, "lineitem")
     val salted = SkewUtils.saltedSum(li, "l_partkey", "l_quantity", buckets = 8)
