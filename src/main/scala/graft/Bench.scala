@@ -8,26 +8,64 @@ import org.apache.spark.sql.SparkSession
   * computed and consumed by the executors) — a bare .count() would let
   * Spark prune columns and skip most of the work being measured.
   *
-  * Timing protocol: `SPARK_GRAFT_BENCH_ITERS` (default 2) FULL sweeps
+  * Timing protocol: `SPARK_GRAFT_BENCH_ITERS` (default 3) FULL sweeps
   * of the query set, per-query time = min across sweeps. Sweep 1 pays
   * codegen/JIT; a host-contention burst is localized in time, so it
   * lands in one sweep and the min recovers the steady state — the
   * 97→280 s recorded-total spread of round 3 came from single-sweep
   * runs with no such insurance.
   *
+  * Adjudicability (round-5 verdict): same-code totals have measured
+  * ~2× apart across rounds purely from host contention, making
+  * round-over-round deltas unattributable. Two additions fix that in
+  * the artifact itself:
+  *   - per-sweep HOST TELEMETRY — /proc/loadavg before/after and the
+  *     /proc/stat busy-fraction delta over the sweep, so a slow sweep
+  *     on a loaded host is visibly a loaded-host sweep;
+  *   - an ISOLATED re-time of the slowest queries — after the sweeps,
+  *     the top-`SPARK_GRAFT_BENCH_ISOLATE` (default 10) queries by min
+  *     sweep time run again back-to-back (min of 2), giving a
+  *     steady-state figure comparable across rounds even when the
+  *     sweeps were noisy.
+  *
   * Artifacts: besides the stdout line (the driver contract), the FULL
-  * result — every sweep's time per query plus a variance summary — is
-  * written to `SPARK_GRAFT_BENCH_OUT` (default `bench_out/bench.json`),
-  * so a truncated stdout tail can never lose the record.
+  * result — every sweep's time per query plus variance, telemetry and
+  * isolated re-times — is written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out/bench.json`), so a truncated stdout tail can never lose
+  * the record.
   */
 object Bench {
+
+  private def readFirstLine(path: String): Option[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().nextOption() finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** 1-minute load average — the host-wide run-queue pressure. */
+  private def loadAvg: Double =
+    readFirstLine("/proc/loadavg").map(_.split(" ")(0).toDouble).getOrElse(-1.0)
+
+  /** (busy, total) jiffies from /proc/stat's aggregate cpu line. */
+  private def cpuJiffies: (Long, Long) =
+    readFirstLine("/proc/stat") match {
+      case Some(l) if l.startsWith("cpu ") =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal ...
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        (f.sum - idle, f.sum)
+      case _ => (-1L, -1L)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default 2 sweeps (min-of-sweeps absorbs JIT + contention bursts);
+    // default 3 sweeps (min-of-sweeps absorbs JIT + contention bursts);
     // an EXPLICIT value is honored as given — iters=1 is a deliberate
     // cold-start measurement, not a mistake to clamp away
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
-      .map(v => math.max(1, v.toInt)).getOrElse(2)
+      .map(v => math.max(1, v.toInt)).getOrElse(3)
+    val isolateN = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+      .map(_.toInt).getOrElse(10)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
     val spark = SparkConfigs.local(SparkSession.builder(),
       SparkConfigs.cpusFromEnv(32)).getOrCreate()
@@ -42,45 +80,71 @@ object Bench {
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val failed = scala.collection.mutable.Set[String]()
-    (1 to iters).foreach { _ =>
-      names.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name
-        }
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+    def runOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
       }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val sweepTelemetry = (1 to iters).map { _ =>
+      val (b0, t0j) = cpuJiffies
+      val l0 = loadAvg
+      val w0 = System.nanoTime()
+      names.foreach(n => times(n) = times(n) :+ runOnce(n))
+      val (b1, t1j) = cpuJiffies
+      val l1 = loadAvg
+      val wall = (System.nanoTime() - w0) / 1e9
+      val busyFrac =
+        if (t1j > t0j) (b1 - b0).toDouble / (t1j - t0j).toDouble else -1.0
+      (wall, l0, l1, busyFrac)
+    }
+
+    // isolated steady-state re-times of the slowest queries: min of 2
+    // back-to-back runs each, AFTER all sweeps (fully warmed)
+    val mins = names.map(n => n -> times(n).min)
+    val isolated = mins.sortBy(-_._2).take(math.max(0, isolateN)).map {
+      case (n, _) => n -> math.min(runOnce(n), runOnce(n))
     }
 
     def obj(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val mins = names.map(n => n -> times(n).min)
     val total = mins.map(_._2).sum
     val sumMax = names.map(times(_).max).sum
     val relSpread = if (total > 0) (sumMax - total) / total else 0.0
     val qs = obj(mins.map { case (k, v) => k -> v.toString })
     val runs = obj(names.map(n => n -> times(n).mkString("[", ",", "]")))
+    val iso = obj(isolated.map { case (k, v) => k -> v.toString })
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val variance = obj(Seq(
       "iters" -> iters.toString, "sum_min" -> total.toString,
       "sum_max" -> sumMax.toString, "rel_spread" -> relSpread.toString))
+    val host = obj(Seq(
+      "cpus" -> Runtime.getRuntime.availableProcessors().toString,
+      "sweep_wall_sec" -> sweepTelemetry.map(_._1).mkString("[", ",", "]"),
+      "loadavg_pre" -> sweepTelemetry.map(_._2).mkString("[", ",", "]"),
+      "loadavg_post" -> sweepTelemetry.map(_._3).mkString("[", ",", "]"),
+      "cpu_busy_frac" -> sweepTelemetry.map(_._4).mkString("[", ",", "]")))
 
     val full = obj(Seq(
       "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
-      "queries" -> qs, "runs" -> runs, "variance" -> variance,
-      "errors" -> errs, "sf" -> ("\"" + sfDir + "\"")))
+      "queries" -> qs, "runs" -> runs, "isolated" -> iso, "variance" -> variance,
+      "host" -> host, "errors" -> errs, "sf" -> ("\"" + sfDir + "\"")))
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, full)
 
-    // the driver-scraped line: min-of-sweeps per query + the variance
-    // summary (not the per-sweep lists — keep the line compact)
+    // the driver-scraped line: min-of-sweeps per query + isolated
+    // re-times + variance + host telemetry (not the per-sweep lists —
+    // keep the line compact)
     println(obj(Seq(
       "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
-      "queries" -> qs, "variance" -> variance, "errors" -> errs,
+      "queries" -> qs, "isolated" -> iso, "variance" -> variance,
+      "host" -> host, "errors" -> errs,
       "sf" -> ("\"" + sfDir + "\""), "artifact" -> ("\"" + outPath + "\""))))
     spark.stop()
   }
