@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, HashJoin, SortMergeJoinExec}
+
+/** Golden physical-plan fingerprints for EVERY driver query.
+  *
+  * At a 200+-query inventory, a silent broadcast→shuffle flip, a lost
+  * pushdown, or a window losing its partition spec is invisible in
+  * green oracles (correct, slower) until it burns a cluster. The cheap
+  * insurance: canonicalize each query's physical plan down to its
+  * SHAPE — node names, join types + build sides, exchange partitioning
+  * class, codegen span structure; no expression ids, no paths, no
+  * sizes — hash it, and pin the hash per key in a checked-in file.
+  * An intentional plan change regenerates the file in the same commit:
+  *
+  *   SPARK_GRAFT_REGEN_FPS=1 sbt "testOnly graft.PlanFingerprintSpec"
+  *
+  * The full shapes are committed next to the hashes
+  * (plan_shapes.txt) so a review can diff WHAT changed, not just that
+  * something did.
+  */
+object PlanFingerprint {
+
+  /** Canonical shape: stable across runs, hosts and data paths at a
+    * fixed SF; sensitive to operator structure, join strategy/side,
+    * exchange kind and codegen span boundaries. */
+  def shape(df: DataFrame): String = {
+    val sb = new StringBuilder
+    def label(p: SparkPlan): String = p match {
+      case _: AdaptiveSparkPlanExec => "AdaptivePlan"
+      case e: ShuffleExchangeExec =>
+        s"Exchange[${e.outputPartitioning.getClass.getSimpleName}]"
+      case j: HashJoin => s"${j.nodeName}[${j.joinType},${j.buildSide}]"
+      case j: SortMergeJoinExec => s"${j.nodeName}[${j.joinType}]"
+      case j: BroadcastNestedLoopJoinExec =>
+        s"${j.nodeName}[${j.joinType},${j.buildSide}]"
+      // strip per-plan counters: "WholeStageCodegen (3)" → "WholeStageCodegen"
+      case p => p.nodeName.replaceAll("\\s*\\(\\d+\\)$", "")
+    }
+    def go(p: SparkPlan, d: Int): Unit = {
+      sb.append("  " * d).append(label(p)).append('\n')
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      kids.foreach(go(_, d + 1))
+      // scalar/broadcast subqueries are not children but are part of
+      // the executed shape (1-row broadcast aggregates ride here)
+      p.subqueries.foreach { sq => sb.append("  " * (d + 1)).append("Subquery\n"); go(sq, d + 2) }
+    }
+    go(df.queryExecution.executedPlan, 0)
+    sb.toString
+  }
+
+  def hash(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    d.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
+}
+
+class PlanFingerprintSpec extends SparkSpec {
+  private val fpPath = Paths.get("src/test/resources/plan_fingerprints.tsv")
+  private val shapesPath = Paths.get("src/test/resources/plan_shapes.txt")
+
+  test("every query's physical-plan fingerprint matches the golden file") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val shapes = names.map { n =>
+      n -> PlanFingerprint.shape(SparkEntry.queries(n)(spark, sfDir))
+    }
+    val current = shapes.map { case (n, s) => n -> PlanFingerprint.hash(s) }
+
+    if (sys.env.contains("SPARK_GRAFT_REGEN_FPS")) {
+      Files.createDirectories(fpPath.getParent)
+      Files.write(fpPath, current.map { case (n, h) => s"$n\t$h" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(shapesPath, shapes.map { case (n, s) => s"==== $n\n$s" }
+        .mkString.getBytes(StandardCharsets.UTF_8))
+      info(s"regenerated ${current.size} fingerprints")
+    } else {
+      assert(Files.exists(fpPath),
+        "no golden fingerprints: run SPARK_GRAFT_REGEN_FPS=1 sbt \"testOnly graft.PlanFingerprintSpec\"")
+      val golden = new String(Files.readAllBytes(fpPath), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)
+        .map { l => val Array(n, h) = l.split("\t"); n -> h }.toMap
+      val missing = names.filterNot(golden.contains)
+      val stale = golden.keySet -- names
+      val changed = current.filter { case (n, h) => golden.get(n).exists(_ != h) }
+      val goldenShapes = new String(Files.readAllBytes(shapesPath),
+        StandardCharsets.UTF_8).split("(?m)^==== ").filter(_.nonEmpty)
+        .map { b => val i = b.indexOf('\n'); b.take(i) -> b.drop(i + 1) }.toMap
+      val detail = changed.take(3).map { case (n, _) =>
+        s"--- $n: golden plan ---\n${goldenShapes.getOrElse(n, "?")}" +
+          s"--- $n: current plan ---\n${shapes.toMap.apply(n)}"
+      }.mkString("\n")
+      assert(missing.isEmpty && stale.isEmpty && changed.isEmpty,
+        s"plan fingerprints drifted.\n  new keys: $missing\n  stale keys: $stale\n" +
+          s"  changed: ${changed.map(_._1).mkString(", ")}\n$detail\n" +
+          "intentional? regenerate: SPARK_GRAFT_REGEN_FPS=1 sbt \"testOnly graft.PlanFingerprintSpec\"")
+    }
+  }
+}
