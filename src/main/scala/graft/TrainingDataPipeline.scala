@@ -33,7 +33,21 @@ object TrainingDataPipeline {
   final case class RunResult(
       stageCounts: Seq[(String, Long)],
       dqPassed: Boolean,
-      manifestPath: String)
+      manifestPath: String,
+      sigIndexPath: String)
+
+  /** Ingest gate for a NEW batch against an already-curated corpus:
+    * screen (doc_id, text) rows through the persisted MinHash
+    * signature index a [[run]] wrote ([[Dedup.screenAgainstIndex]] —
+    * corpus signatures are read, never recomputed; corpus text is
+    * fetched only for candidate docs), and admit only novel documents.
+    * The daily-crawl entry point: batch-sized work against a 100-TB
+    * standing corpus. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame,
+      corpusDocs: DataFrame, sigIndexPath: String): DataFrame = {
+    val screen = Dedup.screenAgainstIndex(spark, batch, corpusDocs, sigIndexPath)
+    batch.join(screen.where(col("novel")).select("doc_id"), Seq("doc_id"), "left_semi")
+  }
 
   /** Full curation run over `<srcDir>/documents.parquet`; writes the
     * final training manifest under `<lakeBase>/curated/manifest`. */
@@ -114,6 +128,15 @@ object TrainingDataPipeline {
     val path = s"$lakeBase/curated/manifest"
     manifest.write.mode("overwrite").parquet(path)
 
-    RunResult(stageCounts, dqPassed, path)
+    // the standing near-dup index for future [[ingestBatch]] screens:
+    // banded signatures of the SURVIVOR corpus, persisted so tomorrow's
+    // batch never re-shingles today's corpus
+    val sigPath = s"$lakeBase/curated/sig_index"
+    val curatedDocs = graft.sources.Tables.table(spark, srcDir, "documents")
+      .select("doc_id", "text")
+      .join(frontier, Seq("doc_id"), "left_semi")
+    Dedup.writeSignatureIndex(spark, curatedDocs, sigPath)
+
+    RunResult(stageCounts, dqPassed, path, sigPath)
   }
 }

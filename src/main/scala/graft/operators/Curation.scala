@@ -579,10 +579,18 @@ object Curation {
     * Scale shape: one quality scan (pure per-row codegen) followed by a
     * global range sort — Spark samples partition boundaries and sorts
     * each range independently (the TeraSort shape); no global window,
-    * no single-reducer stage. */
+    * no single-reducer stage. Balanced even when quality scores
+    * MODE-CONCENTRATE (clip-capped corpora pile into one decile): the
+    * range boundaries are sampled over the full (q_bucket,
+    * shuffle_key, doc_id) tuple, so a heavy decile splits across
+    * partitions on the hash key — asserted by CurationSpec's planted
+    * 99%-one-decile test. */
   def curriculum(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.quality(spark, dir)
-      .select(col("doc_id"),
+    curriculumOf(TextAnalysis.quality(spark, dir)
+      .select("doc_id", "quality_score"))
+
+  def curriculumOf(q: DataFrame): DataFrame =
+    q.select(col("doc_id"),
         floor(col("quality_score") * lit(10.0)).cast("int").as("q_bucket"))
       .withColumn("shuffle_key", portableHash(col("doc_id")))
       .orderBy(col("q_bucket").desc, col("shuffle_key"), col("doc_id"))

@@ -28,17 +28,23 @@ object Dedup {
   /** (doc_id, shingle) pairs — distinct 3-word shingles per doc
     * (native codegen shingling; the interpreted HOF version is the
     * reference semantics, asserted equal in DedupSpec). */
+  private def shingleSetsOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(Shingles.wordShinglesNative(spark, col("text"), 3)).as("shingle"))
+
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(Shingles.wordShinglesNative(spark, col("text"), 3)).as("shingle"))
+    shingleSetsOf(spark, Tables.table(spark, dir, "documents"))
 
   /** Shingle sets with the per-doc set size riding along (window count
     * instead of a separate aggregate — halves the scans of the corpus:
     * the jaccard join then needs no extra size joins). */
-  private def shingleSetsWithSize(spark: SparkSession, dir: String): DataFrame =
-    shingleSets(spark, dir).withColumn("n_sh",
+  private def shingleSetsWithSizeOf(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    shingleSetsOf(spark, docs).withColumn("n_sh",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+
+  private def shingleSetsWithSize(spark: SparkSession, dir: String): DataFrame =
+    shingleSetsWithSizeOf(spark, Tables.table(spark, dir, "documents"))
 
   /** Jaccard ≥ threshold from per-pair intersection counts
     * (a_id, b_id, n_a, n_b, inter). */
@@ -360,11 +366,15 @@ object Dedup {
     * (full-corpus pairs), [[minhashIncremental]] (batch-vs-corpus
     * boundary pairs) and the streaming ingest screen (as the static
     * side). */
-  private[graft] def minhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    minhashBucketsOf(spark, Tables.table(spark, dir, "documents"))
+
+  private[graft] def minhashBucketsOf(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
     val nPerm = MinhashPerms
     val bands = MinhashBands
     val rowsPerBand = nPerm / bands
-    val sh = shingleSets(spark, dir)
+    val sh = shingleSetsOf(spark, docs)
     val h = xxhash64(col("shingle"))
     val perms: Seq[Column] =
       (0 until nPerm).map(i => min(xxhash64(lit(i), h)).as(s"m$i"))
@@ -431,6 +441,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_corpus_matches"), max(col("jaccard")).as("max_jaccard"))
     Tables.table(spark, dir, "documents").where(isBatch)
       .select(col("doc_id"))
+      .join(matches, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        col("max_jaccard"),
+        (coalesce(col("n_corpus_matches"), lit(0L)) === 0L).as("novel"))
+      .orderBy("doc_id")
+  }
+
+  /** Persist the banded MinHash signature index of a corpus — the
+    * standing near-dup index a daily ingest screens against. 16 rows
+    * of (doc_id, band, sig) per document (two longs each): build once,
+    * append per accepted batch; the corpus TEXT is never re-shingled
+    * by later screens. */
+  def writeSignatureIndex(spark: SparkSession, docs: DataFrame,
+      path: String): Unit =
+    minhashBucketsOf(spark, docs).write.mode("overwrite").parquet(path)
+
+  /** Screen an incoming batch (doc_id, text) against a PERSISTED
+    * signature index — [[minhashIncremental]]'s production form. The
+    * corpus side of the candidate join is the index read back from
+    * `indexPath` (signatures are never recomputed); `corpusDocs` is
+    * touched only to fetch the exact shingle sets of CANDIDATE corpus
+    * docs (left-semi pruned — at scale a few rows per batch doc, vs
+    * the whole corpus for a recompute). Output: one row per batch doc
+    * with its corpus near-dup count, best exact Jaccard and the
+    * novelty flag ingestion gates on. */
+  def screenAgainstIndex(spark: SparkSession, batch: DataFrame,
+      corpusDocs: DataFrame, indexPath: String): DataFrame = {
+    val batchBuckets = minhashBucketsOf(spark, batch)
+    val corpusBuckets = spark.read.parquet(indexPath)
+    val cand = batchBuckets
+      .select(col("doc_id").as("batch_id"), col("band"), col("sig"))
+      .join(corpusBuckets
+          .select(col("doc_id").as("corpus_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("batch_id", "corpus_id").distinct()
+    val bSh = shingleSetsWithSizeOf(spark, batch)
+      .join(cand.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val cSh = shingleSetsWithSizeOf(spark, corpusDocs)
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val matches = bSh
+      .select(col("doc_id").as("batch_id"), col("n_sh").as("n_a"), col("shingle"))
+      .join(cSh.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_b"),
+        col("shingle")), Seq("shingle"))
+      .groupBy("batch_id", "corpus_id", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= JaccardThreshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+    batch.select(col("doc_id"))
       .join(matches, col("doc_id") === col("batch_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),

@@ -225,6 +225,34 @@ class CurationSpec extends SparkSpec {
     assert(allDocs.forall(id => !ids.contains(id)))
   }
 
+  test("curriculum: range-sorted with no window; balanced under one-decile mode concentration") {
+    import spark.implicits._
+    // plan shape: a TeraSort-style range exchange, never a decile window
+    val plan = Curation.curriculum(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "decile window snuck into curriculum")
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(400))
+    // 99% of scores in ONE decile (a clip-capped corpus): the range
+    // boundaries sample the hash key too, so the heavy decile must
+    // split across partitions instead of collapsing into one
+    val n = 20000
+    val q = (1 to n)
+      .map(i => (i.toLong, if (i % 100 == 0) 0.05 else 0.73))
+      .toDF("doc_id", "quality_score")
+    // probe the RANGE PARTITIONER itself (a pinned partition count —
+    // curriculum's orderBy uses the same partitioner, then AQE may
+    // coalesce adjacent small ranges by SIZE, which preserves balance)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val pops = Curation.curriculumOf(q)
+      .repartitionByRange(p, col("q_bucket").desc, col("shuffle_key"),
+        col("doc_id"))
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .count().collect().map(_.getAs[Long]("count"))
+    assert(pops.length == p, s"expected $p partitions, got ${pops.length}")
+    assert(pops.max <= 2L * n / p,
+      s"mode-concentrated decile collapsed: max=${pops.max}, bound=${2L * n / p}")
+  }
+
   test("curriculum orders by quality decile desc, hash-shuffled within decile") {
     val out = Curation.curriculum(spark, sfDir)
     val plan = out.queryExecution.executedPlan.toString

@@ -39,6 +39,49 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("second batch ingests against the first run's persisted signatures, no recompute") {
+    import spark.implicits._
+    val r = TrainingDataPipeline.run(spark, sfDir, tmpBase())
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val survivors = spark.read.parquet(r.manifestPath).select("doc_id")
+    val corpus = docs.join(survivors, Seq("doc_id"), "left_semi")
+    // batch: one exact copy of a curated doc (must be screened out) and
+    // one genuinely novel document (must be admitted)
+    val srcRow = corpus.orderBy("doc_id").head()
+    val srcId = srcRow.getLong(0)
+    val batch = Seq(
+      (900000001L, srcRow.getString(1)),
+      (900000002L, "completely unprecedented prose about cerulean walrus " +
+        "accordions orbiting a bespoke marzipan observatory nobody indexed"))
+      .toDF("doc_id", "text")
+    val screen = graft.operators.Dedup
+      .screenAgainstIndex(spark, batch, corpus, r.sigIndexPath)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(screen(900000001L) == false, "planted duplicate not caught")
+    assert(screen(900000002L) == true, "novel doc wrongly flagged")
+    val admitted = TrainingDataPipeline
+      .ingestBatch(spark, batch, corpus, r.sigIndexPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(900000002L))
+    // NO-RECOMPUTE proof (the codebook no-retrain pattern): scramble
+    // every corpus text except the candidate source doc. If the screen
+    // re-derived corpus signatures from corpusDocs, the scrambled texts
+    // would bucket differently and the planted dup would go undetected;
+    // it is still caught → the candidate join used the PERSISTED index,
+    // and corpus text was only read for candidate docs.
+    val scrambled = corpus.select(col("doc_id"),
+      when(col("doc_id") === srcId, col("text"))
+        .otherwise(concat(lit("scrambled "), xxhash64(col("text")).cast("string")))
+        .as("text"))
+    val screen2 = graft.operators.Dedup
+      .screenAgainstIndex(spark, batch, scrambled, r.sigIndexPath)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(screen2(900000001L) == false,
+      "dup missed against scrambled corpus: screen recomputed signatures")
+    assert(screen2(900000002L) == true)
+  }
+
   test("curation pipeline is deterministic across runs") {
     val a = TrainingDataPipeline.run(spark, sfDir, tmpBase())
     val b = TrainingDataPipeline.run(spark, sfDir, tmpBase())
