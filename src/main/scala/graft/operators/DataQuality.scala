@@ -252,7 +252,77 @@ object DataQuality {
     * reference silently reads 0.0. */
   val VolumeRobustK = 3.0
 
+  /** Columns profiled by [[nullProfile]], with their string-ness —
+    * HARDCODED (not reflected off the live schema) so the static
+    * oracle SQL and the Spark plan enumerate the identical column set;
+    * DataQualitySpec asserts the list matches the parquet schema, so
+    * schema drift fails CI instead of silently shrinking the profile. */
+  val ProfileColumns: Seq[(String, Seq[(String, Boolean)])] = Seq(
+    "customer" -> Seq("c_custkey" -> false, "c_name" -> true,
+      "c_nationkey" -> false, "c_acctbal" -> false, "c_mktsegment" -> true),
+    "orders" -> Seq("o_orderkey" -> false, "o_custkey" -> false,
+      "o_orderstatus" -> true, "o_totalprice" -> false,
+      "o_orderdate" -> false, "o_orderpriority" -> true),
+    "part" -> Seq("p_partkey" -> false, "p_name" -> true, "p_brand" -> true,
+      "p_type" -> true, "p_size" -> false, "p_retailprice" -> false),
+    "supplier" -> Seq("s_suppkey" -> false, "s_name" -> true,
+      "s_nationkey" -> false, "s_acctbal" -> false),
+    "documents" -> Seq("doc_id" -> false, "text" -> true, "lang" -> true,
+      "source" -> true, "n_chars" -> false))
+
+  /** `dq_null_profile`: column-level completeness profile — per
+    * (table, column): row count, null count, null rate, and for string
+    * columns the blank count (empty/whitespace-only). The profiler
+    * beneath [[tableStats]]' table-level totals: a feed whose
+    * `o_orderdate` suddenly nulls 3% of rows moves THIS table before
+    * any business aggregate notices.
+    *
+    * Scale shape: ONE map-side-partial aggregate pass per table (every
+    * column's null/blank counters collapse in the same agg — no
+    * per-column scans), producing a single row that explodes into
+    * per-column rows driver-side of the shuffle: output is
+    * column-catalog-sized metadata at any row count. */
+  def nullProfile(spark: SparkSession, dir: String): DataFrame =
+    ProfileColumns.map { case (t, cols) =>
+      val df = Tables.table(spark, dir, t)
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap { case (c, isStr) =>
+          Seq(sum(col(c).isNull.cast("long")).as(s"__nn_$c")) ++
+            (if (isStr) Seq(sum((col(c).isNotNull &&
+              trim(col(c)) === "").cast("long")).as(s"__nb_$c"))
+            else Nil)
+        }
+      val melted = cols.flatMap { case (c, isStr) =>
+        Seq(lit(c): Column,
+          struct(col(s"__nn_$c").as("n_null"),
+            (if (isStr) col(s"__nb_$c") else lit(null).cast("long"))
+              .as("n_blank")))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(t).as("table_name"), col("n_rows"),
+          explode(map(melted: _*)).as(Seq("column_name", "m")))
+        .select(col("table_name"), col("column_name"), col("n_rows"),
+          col("m.n_null").as("n_null"), col("m.n_blank").as("n_blank"),
+          (col("m.n_null").cast("double") / col("n_rows").cast("double"))
+            .as("null_rate"))
+    }.reduce(_ unionAll _).orderBy("table_name", "column_name")
+
+  private def nullProfileOracle: String =
+    ProfileColumns.map { case (t, cols) =>
+      cols.map { case (c, isStr) =>
+        val blank = if (isStr)
+          s"CAST(SUM(CASE WHEN $c IS NOT NULL AND TRIM($c) = '' THEN 1 ELSE 0 END) AS BIGINT)"
+        else "CAST(NULL AS BIGINT)"
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_null,
+           |  $blank AS n_blank,
+           |  CAST(COUNT(*) - COUNT($c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS null_rate FROM $t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }.mkString("\nUNION ALL\n") + "\nORDER BY table_name, column_name"
+
   val oracles: Map[String, String] = Map(
+    "dq_null_profile" -> nullProfileOracle,
     "dq_order_reconciliation" ->
       s"""WITH l AS (SELECT l_orderkey AS o_orderkey,
          |             SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*10000)
@@ -612,5 +682,6 @@ object DataQuality {
     "dq_hour_coverage"  -> hourCoverage,
     "dq_benford"        -> benford,
     "dq_temporal_integrity" -> temporalIntegrity,
-    "dq_event_dups"     -> eventDups)
+    "dq_event_dups"     -> eventDups,
+    "dq_null_profile"   -> nullProfile)
 }

@@ -1007,7 +1007,118 @@ object Events {
           .as("purchase_rate"))
       .orderBy("variant")
 
+  /** `evt_power_curve`: event concentration by user decile — users
+    * ranked by activity (heaviest first), split into ten equal-count
+    * deciles, each with its user count, event mass, share, and the
+    * cumulative share ("the top 10% of users generate X% of events").
+    * The capacity-planning/abuse view that [[activityGini]] compresses
+    * to one number; this is the curve itself.
+    *
+    * Scale shape: the global rank is [[SkewUtils.prefixSum]] with
+    * weight 1 (range-partitioned, exact, balanced even with most users
+    * tied at one event); decile totals are ONE partial-agg groupBy to
+    * ten rows, and the cumulative share is a ≤10×10 broadcast
+    * self-join — metadata. Shares divide exact longs, one IEEE op
+    * each. */
+  def powerCurve(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+    val tot = x.agg(count(lit(1)).as("n"), sum(col("x")).as("te"))
+    val dec = SkewUtils.prefixSum(x,
+        Seq(col("x").desc, col("user_id").asc), lit(1L), "i")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((i - 1) * 10) DIV n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("decile_events"),
+        max(col("te")).as("te"))
+    dec
+      .join(broadcast(dec.select(col("decile").as("d2"),
+        col("decile_events").as("e2"))), col("d2") <= col("decile"))
+      .groupBy("decile", "n_users", "decile_events", "te")
+      .agg(sum(col("e2")).as("cum_events"))
+      .select(col("decile"), col("n_users"), col("decile_events"),
+        (col("decile_events").cast("double") / col("te").cast("double"))
+          .as("event_share"),
+        (col("cum_events").cast("double") / col("te").cast("double"))
+          .as("cum_event_share"))
+      .orderBy("decile")
+  }
+
+  /** `evt_type_cooccurrence`: event-type co-occurrence lift at the
+    * user-day grain — for every pair of event types, how many user-days
+    * contain both, and the lift over independence
+    * (P(a,b)·N / (P(a)·P(b))). The feature-interaction audit behind
+    * "users who search also purchase" claims, complementing
+    * [[transitions]] (which orders consecutive pairs; this counts
+    * unordered co-presence).
+    *
+    * Scale shape: ONE distinct-shuffle to (user, day, type); the pair
+    * join is keyed on (user, day) with per-key multiplicity ≤ the type
+    * CATALOG (never corpus-sized), collapsing map-side to ≤ catalog²
+    * rows; marginals are a catalog-sized aggregate broadcast back.
+    * Lift multiplies/divides exact longs cast to double — the same
+    * IEEE sequence in both engines. */
+  def typeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+    val tot = ud.select("user_id", "d").distinct().agg(count(lit(1)).as("n_ud"))
+    val per = ud.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    ud.select(col("user_id"), col("d"), col("event_type").as("type_a"))
+      .join(ud.select(col("user_id"), col("d"), col("event_type").as("type_b")),
+        Seq("user_id", "d"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(per.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(per.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (col("n_both").cast("double") * col("n_ud").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "evt_power_curve" ->
+      """WITH x AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS te FROM x),
+        |r AS (SELECT x.x,
+        |        ((ROW_NUMBER() OVER (ORDER BY x.x DESC, x.user_id)) - 1) * 10 // t.n
+        |          AS decile
+        |      FROM x CROSS JOIN t),
+        |d AS (SELECT decile, COUNT(*) AS n_users,
+        |             CAST(SUM(x) AS BIGINT) AS decile_events
+        |      FROM r GROUP BY 1)
+        |SELECT d.decile, d.n_users, d.decile_events,
+        |       CAST(d.decile_events AS DOUBLE) / CAST(t.te AS DOUBLE)
+        |         AS event_share,
+        |       CAST(CAST(SUM(d2.decile_events) AS BIGINT) AS DOUBLE)
+        |         / CAST(t.te AS DOUBLE) AS cum_event_share
+        |FROM d JOIN d d2 ON d2.decile <= d.decile CROSS JOIN t
+        |GROUP BY d.decile, d.n_users, d.decile_events, t.te
+        |ORDER BY d.decile""".stripMargin,
+    "evt_type_cooccurrence" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        |            FROM events),
+        |t AS (SELECT COUNT(*) AS n_ud
+        |      FROM (SELECT DISTINCT user_id, d FROM ud)),
+        |per AS (SELECT event_type, COUNT(*) AS n_t FROM ud GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             COUNT(*) AS n_both
+        |      FROM ud a JOIN ud b
+        |        ON a.user_id = b.user_id AND a.d = b.d
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both, pa.n_t AS n_a, pb.n_t AS n_b,
+        |       CAST(p.n_both AS DOUBLE) * CAST(t.n_ud AS DOUBLE)
+        |         / (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE)) AS lift
+        |FROM p JOIN per pa ON pa.event_type = p.type_a
+        |       JOIN per pb ON pb.event_type = p.type_b CROSS JOIN t
+        |ORDER BY type_a, type_b""".stripMargin,
     "evt_ab_assign" ->
       s"""WITH u AS (SELECT user_id,
          |                  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
@@ -1451,5 +1562,7 @@ object Events {
     "evt_gini"            -> activityGini,
     "evt_cart_abandonment" -> cartAbandonment,
     "evt_signup_conversion" -> signupConversion,
+    "evt_power_curve"     -> powerCurve,
+    "evt_type_cooccurrence" -> typeCooccurrence,
     "evt_ab_assign"       -> abAssign)
 }

@@ -853,9 +853,67 @@ object Gold {
       .limit(MoversK)
   }
 
+  /** `gold_inventory_turnover`: per-store movement-velocity rollup over
+    * the availability ledger — product count, units moved, the store's
+    * active month span, units per product-month, and the share of SLOW
+    * MOVERS (items with fewer movements than the store has active
+    * months — sub-monthly velocity). The assortment-health view read
+    * next to [[stockoutRisk]] (which flags individual stale items;
+    * this rolls velocity up to the store).
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the fact to the
+    * (store, product) ledger grain; the store month-span is an
+    * aggregate OF that ledger joined back co-keyed on store_id; the
+    * slow-mover test compares exact integers (no division). Month
+    * arithmetic is pure integer (y·12+m); the only doubles are the two
+    * output rates, each one IEEE division of exact longs. */
+  def inventoryTurnover(spark: SparkSession, dir: String): DataFrame = {
+    val led = Tables.sales(spark, dir)
+      .withColumn("ym",
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).cast("long"))
+      .groupBy("store_id", "product_id")
+      .agg(sum(col("quantity")).as("units"), count(lit(1)).as("n_mv"),
+        min(col("ym")).as("ym0"), max(col("ym")).as("ym1"))
+    val span = led.groupBy("store_id")
+      .agg((max(col("ym1")) - min(col("ym0")) + 1).as("span_months"))
+    led.join(span, Seq("store_id"))
+      .groupBy("store_id", "span_months")
+      .agg(count(lit(1)).as("n_products"), sum(col("units")).as("units_sold"),
+        sum(when(col("n_mv") < col("span_months"), 1L).otherwise(0L))
+          .as("n_slow_movers"))
+      .select(col("store_id"), col("n_products"), col("units_sold"),
+        col("span_months"),
+        (col("units_sold").cast("double") /
+          (col("n_products").cast("double") * col("span_months").cast("double")))
+          .as("units_per_product_month"),
+        (col("n_slow_movers").cast("double") / col("n_products").cast("double"))
+          .as("slow_mover_share"))
+      .orderBy("store_id")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_inventory_turnover" ->
+      s"""WITH ${Tables.salesCte},
+         |led AS (SELECT store_id, product_id,
+         |          CAST(SUM(quantity) AS BIGINT) AS units,
+         |          COUNT(*) AS n_mv,
+         |          MIN(YEAR(sale_ts)*12 + MONTH(sale_ts) - 1) AS ym0,
+         |          MAX(YEAR(sale_ts)*12 + MONTH(sale_ts) - 1) AS ym1
+         |        FROM sales GROUP BY 1, 2),
+         |sp AS (SELECT store_id,
+         |         CAST(MAX(ym1) - MIN(ym0) + 1 AS BIGINT) AS span_months
+         |       FROM led GROUP BY 1)
+         |SELECT l.store_id, COUNT(*) AS n_products,
+         |       CAST(SUM(l.units) AS BIGINT) AS units_sold, sp.span_months,
+         |       CAST(SUM(l.units) AS DOUBLE)
+         |         / (CAST(COUNT(*) AS DOUBLE) * CAST(sp.span_months AS DOUBLE))
+         |         AS units_per_product_month,
+         |       CAST(SUM(CASE WHEN l.n_mv < sp.span_months THEN 1 ELSE 0 END)
+         |              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS slow_mover_share
+         |FROM led l JOIN sp USING (store_id)
+         |GROUP BY l.store_id, sp.span_months ORDER BY store_id""".stripMargin,
     "gold_first_purchase_category" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |r AS (SELECT customer_id, sale_ts, product_id,
@@ -1274,6 +1332,7 @@ object Gold {
     "gold_order_value_histogram" -> orderValueHistogram,
     "gold_seasonality"         -> seasonality,
     "gold_stockout"            -> stockoutRisk,
+    "gold_inventory_turnover"  -> inventoryTurnover,
     "gold_also_bought"         -> alsoBought,
     "gold_top_movers"          -> topMovers,
     "gold_aov_monthly"         -> aovMonthly,

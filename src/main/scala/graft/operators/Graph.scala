@@ -181,7 +181,11 @@ object Graph {
   /** [[triangles]] over a caller-provided (ideally checkpointed) edge
     * set — lets compositions ([[clusteringCoeff]]) reuse ONE
     * materialized edge list for degrees and wedges. */
-  def trianglesOf(e: DataFrame): DataFrame = {
+  /** Each triangle exactly once as (src, v, w) in the compact-forward
+    * (degree, id) orientation — the skew-bounded enumeration shared by
+    * [[trianglesOf]] (per-node counts) and [[edgeJaccard]] (per-edge
+    * support). */
+  private def triangleTriples(e: DataFrame): DataFrame = {
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
     val lower = col("dega") < col("degb") ||
@@ -201,14 +205,58 @@ object Graph {
         (col("dv") === col("dw") && col("v") < col("w")))
     // the closing edge v–w, if present, is oriented v→w (v precedes w
     // in the same (deg, id) order the wedge filter used)
-    val tri = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select("src", "v", "w")
+  }
+
+  def trianglesOf(e: DataFrame): DataFrame = {
+    val tri = triangleTriples(e)
     tri.select(col("src").as("p"))
       .unionAll(tri.select(col("v").as("p")))
       .unionAll(tri.select(col("w").as("p")))
       .groupBy(col("p").as("product_id"))
       .agg(count(lit(1)).as("triangles"))
       .orderBy("product_id")
+  }
+
+  /** `gr_edge_jaccard`: neighbor-set Jaccard per co-purchase edge —
+    * |N(a)∩N(b)| / |N(a)∪N(b)| for every support-filtered edge (a,b).
+    * The substitute-vs-complement signal: a high-Jaccard edge joins
+    * products bought alongside the SAME basket neighborhood (likely
+    * substitutes/accessories of one cluster); a low-Jaccard edge
+    * bridges communities. Per-edge refinement of [[clusteringCoeff]]'s
+    * per-node density.
+    *
+    * |N(a)∩N(b)| is the edge's triangle support, from the SAME
+    * degree-oriented [[triangleTriples]] enumeration as
+    * [[triangles]] — wedge work stays |E|^1.5-bounded under hub skew —
+    * exploded to the three canonical edges of each triangle and
+    * partial-agg counted; |N(a)∪N(b)| = deg(a) + deg(b) − |∩| from one
+    * degree aggregate joined on each endpoint. Zero-support edges stay
+    * present via the left join (jaccard 0). */
+  def edgeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(spark, dir).localCheckpoint()
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    val tri = triangleTriples(e)
+    val sup = tri.select(least(col("src"), col("v")).as("a"),
+        greatest(col("src"), col("v")).as("b"))
+      .unionAll(tri.select(least(col("src"), col("w")).as("a"),
+        greatest(col("src"), col("w")).as("b")))
+      .unionAll(tri.select(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    e.join(sup, Seq("a", "b"), "left")
+      .join(deg.select(col("a"), col("d").as("deg_a")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("deg_b")), Seq("b"))
+      .select(col("a").as("product_a"), col("b").as("product_b"),
+        coalesce(col("sup"), lit(0L)).as("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        (coalesce(col("sup"), lit(0L)).cast("double") /
+          (col("deg_a") + col("deg_b") - coalesce(col("sup"), lit(0L)))
+            .cast("double")).as("jaccard"))
+      .orderBy("product_a", "product_b")
   }
 
   private def prRound(prev: String, out: String): String =
@@ -288,6 +336,31 @@ object Graph {
          |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
          |         AS assortativity
          |FROM s""".stripMargin,
+    "gr_edge_jaccard" ->
+      s"""WITH ${Tables.salesCte},
+         |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
+         |       FROM sales),
+         |e AS (SELECT x.product_id AS a, y.product_id AS b
+         |      FROM bp x JOIN bp y
+         |        ON x.basket_id = y.basket_id AND x.product_id < y.product_id
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+         |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY 1),
+         |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup AS (SELECT a, b, COUNT(*) AS sup FROM (
+         |          SELECT u AS a, v AS b FROM t
+         |          UNION ALL SELECT u, w FROM t
+         |          UNION ALL SELECT v, w FROM t) GROUP BY 1, 2)
+         |SELECT e.a AS product_a, e.b AS product_b,
+         |       COALESCE(sup.sup, 0) AS common_neighbors,
+         |       da.d AS deg_a, db.d AS deg_b,
+         |       CAST(COALESCE(sup.sup, 0) AS DOUBLE)
+         |         / CAST(da.d + db.d - COALESCE(sup.sup, 0) AS DOUBLE) AS jaccard
+         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+         |JOIN deg da ON da.a = e.a JOIN deg db ON db.a = e.b
+         |ORDER BY product_a, product_b""".stripMargin,
     "gr_support_hist" ->
       s"""WITH ${Tables.salesCte},
          |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
@@ -515,6 +588,7 @@ object Graph {
     "gr_clustering_coeff" -> clusteringCoeff,
     "gr_components" -> components,
     "gr_support_hist" -> supportHist,
+    "gr_edge_jaccard" -> edgeJaccard,
     "gr_assortativity" -> assortativity,
     "gr_kcore"     -> kcore)
 }

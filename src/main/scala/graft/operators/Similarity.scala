@@ -551,6 +551,63 @@ object Similarity {
           .as("centroid"))
       .orderBy("label", "dim")
 
+  /** `emb_silhouette`: per-label mean silhouette against label
+    * centroids — s = (b − a) / max(a, b) with a = distance to the own
+    * label's centroid, b = the nearest OTHER label centroid; the
+    * one-table answer to "are these labels actually separated in
+    * embedding space?", read with [[labelConfusion]] (which counts
+    * boundary violations; this measures margin).
+    *
+    * Scale shape: centroids are [[labelCentroids]]' fixed-point
+    * aggregate collected as label-catalog × dim METADATA (the codebook
+    * precedent) and re-entered as in-plan literals, so the per-vector
+    * pass is L native dot products in ONE codegen projection — no
+    * join, no shuffle; the rollup is a label-catalog-sized aggregate.
+    * Distances use d² = ⟨x,x⟩ + ⟨c,c⟩ − 2⟨x,c⟩ with every dot product
+    * an engine-evaluated sequential accumulation (the
+    * `list_dot_product` parity contract of [[hardNegatives]]), and the
+    * mean silhouette crosses engines through the fixed-point
+    * [[CentroidScale]] path. */
+  def labelSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDotProduct.register(spark)
+    val cent = labelCentroids(spark, dir)
+      .select("label", "dim", "centroid").collect()
+      .groupBy(_.getInt(0)).map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val labels = cent.keys.toSeq.sorted
+    require(labels.size >= 2, "silhouette needs at least two labels")
+    val c = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("xx", VectorFunctions.dot(col("e"), col("e")))
+    def distTo(l: Int): org.apache.spark.sql.Column = {
+      val arr = array(cent(l).map(lit).toSeq: _*)
+      sqrt(greatest(
+        col("xx") + VectorFunctions.dot(arr, arr) -
+          lit(2.0) * VectorFunctions.dot(col("e"), arr),
+        lit(0.0)))
+    }
+    val a = labels.tail
+      .foldLeft(when(col("label") === labels.head, distTo(labels.head))) {
+        (acc, l) => acc.when(col("label") === l, distTo(l))
+      }
+    val b = least(labels.map(l =>
+      when(col("label") =!= l, distTo(l))): _*)
+    val sil = when(greatest(col("a"), col("b")) > 0,
+      (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .otherwise(lit(0.0))
+    c.withColumn("a", a).withColumn("b", b)
+      .select(col("label"), sil.as("sil"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("sil") * lit(CentroidScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+          / lit(CentroidScale.toDouble) / count(lit(1)))
+          .as("mean_silhouette"))
+      .orderBy("label")
+  }
+
   /** `emb_dim_stats`: per-dimension mean and variance of the corpus —
     * the embedding drift monitor (a re-embedded corpus whose dimension
     * profile moves has a model/version skew; also the input to
@@ -1093,6 +1150,38 @@ object Similarity {
         |              unnest(generate_series(1, len(e))) AS i FROM n)
         |SELECT vec_id, CAST(i - 1 AS INT) AS dim, nrm, e[i]/nrm AS u
         |FROM ex ORDER BY vec_id, dim""".stripMargin,
+    "emb_silhouette" ->
+      s"""WITH c AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |ex AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+         |              embedding AS e2
+         |       FROM embeddings),
+         |d AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+         |             CAST(e2[i] AS DOUBLE) AS v FROM ex),
+         |cent AS (SELECT label, dim,
+         |           CAST(SUM(CAST(FLOOR(v*$CentroidScale) AS DECIMAL(28,0)))
+         |                AS DOUBLE) / $CentroidScale / COUNT(*) AS cv
+         |         FROM d GROUP BY 1, 2),
+         |cl AS (SELECT label AS clabel, list(cv ORDER BY dim) AS ce
+         |       FROM cent GROUP BY 1),
+         |dist AS (SELECT c.vec_id, c.label, cl.clabel,
+         |           SQRT(GREATEST(list_dot_product(c.e, c.e)
+         |                + list_dot_product(cl.ce, cl.ce)
+         |                - 2.0*list_dot_product(c.e, cl.ce), 0.0)) AS dist
+         |         FROM c CROSS JOIN cl),
+         |ab AS (SELECT vec_id, MAX(label) AS label,
+         |         MAX(CASE WHEN label = clabel THEN dist END) AS a,
+         |         MIN(CASE WHEN label <> clabel THEN dist END) AS b
+         |       FROM dist GROUP BY vec_id),
+         |s AS (SELECT label,
+         |        CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+         |             ELSE 0.0 END AS sil
+         |      FROM ab)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |       CAST(SUM(CAST(FLOOR(sil * $CentroidScale) AS DECIMAL(38,0)))
+         |            AS DOUBLE) / $CentroidScale / COUNT(*) AS mean_silhouette
+         |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
     "emb_centroids" ->
       s"""WITH ex AS (
          |  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
@@ -1310,6 +1399,7 @@ object Similarity {
     "ann_topk_ivf"     -> annTopKIvf,
     "ann_topk_pq"      -> annTopKPq,
     "emb_centroids"    -> labelCentroids,
+    "emb_silhouette"   -> labelSilhouette,
     "emb_norm"         -> embNorm,
     "emb_quantize"     -> embQuantize,
     "emb_outliers"     -> embOutliers,

@@ -624,6 +624,76 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(BpeTopK)
 
+  /** Merge rounds trained by [[bpeTrain]]. */
+  val BpeMerges = 12
+
+  /** Greedy left-to-right replacement of one adjacent symbol pair —
+    * the standard BPE apply step ("aaa" under merge (a,a) → ["aa","a"],
+    * never the overlapping ["a","aa"]). */
+  private[graft] def bpeMergeOnce(syms: IndexedSeq[String], l: String,
+      r: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** `txt_bpe_train`: train the first [[BpeMerges]] BPE merges over the
+    * corpus — the actual tokenizer-training loop whose round-0 pair
+    * table [[bpePairs]] previews. Each round merges the
+    * highest-frequency adjacent symbol pair (ties by (left, right)
+    * lexicographic — fully deterministic), emitting the merge table a
+    * tokenizer would serialize.
+    *
+    * Scale shape: the corpus is touched ONCE — training state is the
+    * word-frequency table (vocab-sized: Heaps-law sublinear in corpus
+    * mass), `localCheckpoint`'d per round (the k-core fixpoint
+    * pattern). A round is one vocab-table flatMap for weighted pair
+    * counts (partial-agg to the pair alphabet), one top-1
+    * TakeOrdered, and one vocab-table map applying the merge — no
+    * corpus rescan, no window, no driver state beyond the k-row merge
+    * table. No ANSI-SQL form (each round's pair table depends on the
+    * previous round's argmax — the emb_kcenter precedent): rows-only,
+    * with TextAnalysisSpec replaying the full greedy recursion on the
+    * driver and asserting the identical merge sequence. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var words = Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.split("").toIndexedSeq.filter(_.nonEmpty), f) }
+      .toDF("syms", "freq")
+      .localCheckpoint()
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    (1 to BpeMerges).foreach { round =>
+      val top = words.as[(scala.collection.immutable.Seq[String], Long)]
+        .flatMap { case (syms, f) =>
+          syms.sliding(2).collect { case scala.collection.immutable.Seq(a, b) => (a, b, f) }
+        }
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum(col("f")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, pf) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((round, l, r, pf))
+        words = words.as[(scala.collection.immutable.Seq[String], Long)]
+          .map { case (syms, f) => (bpeMergeOnce(syms.toIndexedSeq, l, r), f) }
+          .toDF("syms", "freq")
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("merge_idx", "left", "right", "pair_freq")
+      .orderBy("merge_idx")
+  }
+
   /** Composite cut for [[qualityEnsemble]]. */
   val EnsembleBar = 0.55
 
@@ -1242,6 +1312,7 @@ object TextAnalysis {
     "txt_compress"    -> compressionRatio,
     "txt_quality_ensemble" -> qualityEnsemble,
     "txt_bpe_pairs"   -> bpePairs,
+    "txt_bpe_train"   -> bpeTrain,
     "txt_strip_repeats" -> stripRepeats,
     "txt_length_profile" -> lengthProfile,
     "txt_source_divergence" -> sourceDivergence,

