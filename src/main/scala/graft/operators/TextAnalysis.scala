@@ -147,17 +147,35 @@ object TextAnalysis {
     * repeats within the document. Native codegen n-gram expression, pure
     * per-row arithmetic — no shuffle besides the output sort. */
   def repRatio(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.WordShingles.register(spark)
-    val g2 = call_function("graft_word_ngrams", col("text"), lit(2))
-    val g3 = call_function("graft_word_ngrams", col("text"), lit(3))
-    def dupRatio(g: org.apache.spark.sql.Column) =
-      when(size(g) > 0,
-        (size(g) - size(array_distinct(g))) * lit(1.0) / size(g))
-        .otherwise(lit(0.0))
+    import spark.implicits._
+    // intra-document: one per-row pass in the typed seam — count n-gram
+    // occurrences and distinct n-grams with a hash set, never
+    // materializing the gram arrays the round-5 formulation built (and
+    // deduped) per row twice
+    def stats(toks: Array[String], n: Int): (Int, Int) = {
+      val total = math.max(0, toks.length - n + 1)
+      if (total == 0) return (0, 0)
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString); i += 1
+      }
+      (total, seen.size)
+    }
     Tables.table(spark, dir, "documents")
-      .select(col("doc_id"),
-        size(g2).as("n_2grams"), dupRatio(g2).as("dup_2gram_ratio"),
-        size(g3).as("n_3grams"), dupRatio(g3).as("dup_3gram_ratio"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val (n2, d2) = stats(toks, 2)
+        val (n3, d3) = stats(toks, 3)
+        (id, n2, if (n2 > 0) (n2 - d2) * 1.0 / n2 else 0.0,
+          n3, if (n3 > 0) (n3 - d3) * 1.0 / n3 else 0.0)
+      })
+      .toDF("doc_id", "n_2grams", "dup_2gram_ratio",
+        "n_3grams", "dup_3gram_ratio")
       .orderBy("doc_id")
   }
 
@@ -480,39 +498,48 @@ object TextAnalysis {
     * keeps both token counts and the rebuilt text, so the op serves
     * as filter signal and as transform.
     *
-    * Scale shape: trigram generation is the native codegen
-    * [[graft.functions.WordShingles]] kernel; duplicate detection is
-    * ONE (doc, trigram)-keyed partial min-aggregate; coverage marks
-    * explode to ≤ 3 positions per repeat occurrence and the rebuild is
-    * a (doc)-keyed aggregate whose sort is WITHIN one document's
-    * tokens. Everything is co-keyed on doc_id — one shuffle family. */
+    * Scale shape: the whole computation is INTRA-document, so it runs
+    * as ONE per-row kernel in the typed `mapPartitions` seam (the
+    * [[compressionRatio]] pattern): tokenize, hash-map first trigram
+    * occurrences, mark covered positions, rebuild — O(tokens) per doc,
+    * zero shuffles, zero joins (the round-5 three-explode +
+    * (doc, trigram)-keyed join formulation spent 3 corpus shuffles to
+    * compute a per-row function; this is the plan a 100-TB run wants:
+    * a pure scan). */
   def stripRepeats(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.WordShingles.register(spark)
-    val docs = Tables.table(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val tris = docs.select(col("doc_id"),
-      posexplode(call_function("graft_word_ngrams", col("text"), lit(3)))
-        .as(Seq("gpos", "g")))
-    val firsts = tris.groupBy("doc_id", "g").agg(min(col("gpos")).as("minpos"))
-    val covered = tris.join(firsts, Seq("doc_id", "g"))
-      .where(col("gpos") > col("minpos"))
-      .select(col("doc_id"), explode(sequence(col("gpos"), col("gpos") + 2))
-        .as("pos"))
-      .distinct()
-    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens_after"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
-          .as("cleaned_text"))
-      .join(docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens_before")),
-        Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens_before"), col("n_tokens_after"),
-        ((col("n_tokens_before") - col("n_tokens_after")).cast("double")
-          / col("n_tokens_before").cast("double")).as("removed_fraction"),
-        col("cleaned_text"))
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        // split(..., -1) keeps trailing empty tokens — the SQL split
+        // semantics the oracle's string_split mirrors
+        val toks = text.split(" ", -1)
+        val n = toks.length
+        val covered = new Array[Boolean](n)
+        val firstAt = new java.util.HashMap[String, Integer]()
+        var i = 0
+        while (i + 2 < n) {
+          val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+          if (firstAt.putIfAbsent(g, i) != null) {
+            covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
+          }
+          i += 1
+        }
+        val kept = new StringBuilder
+        var after = 0L
+        i = 0
+        while (i < n) {
+          if (!covered(i)) {
+            if (after > 0) kept.append(' ')
+            kept.append(toks(i)); after += 1
+          }
+          i += 1
+        }
+        (id, n.toLong, after,
+          (n - after).toDouble / n.toDouble, kept.toString)
+      })
+      .toDF("doc_id", "n_tokens_before", "n_tokens_after",
+        "removed_fraction", "cleaned_text")
       .orderBy("doc_id")
   }
 
