@@ -449,6 +449,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dd_lsh_calibration`: measured vs theoretical banding S-curve —
+    * per exact-Jaccard decile (≥ [[CurveMinJaccard]]): the exact pair
+    * count, how many of those pairs actually share a MinHash band, the
+    * empirical collision rate, and the theoretical
+    * 1 − (1 − j^r)^b at the decile midpoint for the configured
+    * (b, r) = ([[MinhashBands]], [[MinhashPerms]]/[[MinhashBands]]).
+    * The closing audit of the tuning series ([[dfHist]],
+    * [[thresholdCurve]], [[Graph.supportHist]]): it shows whether the
+    * production banding delivers the recall the theory promises at the
+    * production threshold, and how much sub-threshold candidate mass
+    * it drags in.
+    *
+    * Scale shape: the exact side is the one df-capped self-join of
+    * [[thresholdCurve]]; the collision side is the banded-bucket
+    * candidate join of [[minhashLsh]] (df-capped by the bucket
+    * population cap); both collapse to decile-keyed metadata before
+    * meeting in a ≤10-row join. No ANSI form (band signatures are
+    * xxhash64) → rows-only; DedupSpec asserts the ≥-threshold deciles
+    * collide at rate 1.0 (the standing recall license) and the
+    * theoretical column against a driver recompute. */
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val r = MinhashPerms / MinhashBands
+    val exact = pairIntersections(spark, dir, ShingleDfCap)
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= CurveMinJaccard)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 10).cast("long").as("decile"))
+    val buckets = minhashBuckets(spark, dir)
+    val cand = buckets.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+      .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .withColumn("collides", lit(1L))
+    val perDecile = exact
+      .join(cand, Seq("a_id", "b_id"), "left")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("collides"), lit(0L))).as("n_collide"))
+    // theoretical S-curve at the decile midpoint: driver-side constants
+    // (squaring chain, no pow dependence)
+    val theo = (0 to 10).map { d =>
+      val m = math.min(1.0, (d + 0.5) / 10.0)
+      var jr = 1.0
+      (1 to r).foreach(_ => jr *= m)
+      var miss = 1.0
+      (1 to MinhashBands).foreach(_ => miss *= (1.0 - jr))
+      d.toLong -> (1.0 - miss)
+    }
+    val theoDf = org.apache.spark.sql.functions.typedLit(theo.toMap)
+    perDecile
+      .select(col("decile"),
+        (col("decile").cast("double") / 10).as("jaccard_lo"),
+        col("n_pairs"), col("n_collide"),
+        (col("n_collide").cast("double") / col("n_pairs").cast("double"))
+          .as("empirical_rate"),
+        element_at(theoDf, col("decile")).as("theoretical_rate"))
+      .orderBy("decile")
+  }
+
   /** Persist the banded MinHash signature index of a corpus — the
     * standing near-dup index a daily ingest screens against. 16 rows
     * of (doc_id, band, sig) per document (two longs each): build once,
@@ -1091,6 +1152,7 @@ object Dedup {
     "dd_method_report" -> methodReport,
     "dd_df_hist"       -> dfHist,
     "dd_threshold_curve" -> thresholdCurve,
+    "dd_lsh_calibration" -> lshCalibration,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
     "dd_contam_report" -> contamReport,

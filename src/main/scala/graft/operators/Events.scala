@@ -1082,7 +1082,80 @@ object Events {
       .orderBy("type_a", "type_b")
   }
 
+  /** Seasonal-naive lag: one week of hours. */
+  val SeasonalLagHours = 168L
+
+  /** `evt_seasonal_baseline`: seasonal-naive forecast backtest — per
+    * event type, predict each hour's event count with the count from
+    * the same hour LAST WEEK, and score MAE and signed bias over the
+    * dense hour grid. The capacity-planning sanity baseline every
+    * fancier forecast must beat; persistent bias also doubles as a
+    * trend/instrumentation-drift alarm next to [[volumeAnomaly]]-style
+    * monitors.
+    *
+    * Scale shape: the corpus collapses to (type, hour) counts in ONE
+    * partial-agg groupBy — everything after runs on the CALENDAR grid
+    * (types × hours: metadata at any corpus size), densified from a
+    * broadcast 1-row span so zero-event hours score as zeros instead
+    * of silently dropping. Errors are exact integer differences;
+    * MAE/bias each divide two exact longs once. */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val hc = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " DIV 3600").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val span = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = hc.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"),
+        col("h0"))
+    val dense = grid.join(hc, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), col("h0"),
+        coalesce(col("n"), lit(0L)).as("actual"))
+    val pred = dense.select(col("event_type"),
+      (col("h") + SeasonalLagHours).as("h"), col("actual").as("predicted"))
+    dense.where(col("h") >= col("h0") + SeasonalLagHours)
+      .join(pred, Seq("event_type", "h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("actual")).as("total_actual"),
+        sum(abs(col("actual") - col("predicted"))).as("abs_err"),
+        sum(col("actual") - col("predicted")).as("sum_err"))
+      .select(col("event_type"), col("n_hours"), col("total_actual"),
+        (col("abs_err").cast("double") / col("n_hours").cast("double"))
+          .as("mae"),
+        (col("sum_err").cast("double") / col("n_hours").cast("double"))
+          .as("bias"))
+      .orderBy("event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "evt_seasonal_baseline" ->
+      s"""WITH hc AS (SELECT event_type,
+         |              CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+         |              COUNT(*) AS n
+         |            FROM events GROUP BY 1, 2),
+         |sp AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+         |g AS (SELECT ty.event_type, gs.h, gs.h0
+         |      FROM (SELECT DISTINCT event_type FROM hc) ty
+         |      CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h, h0
+         |                  FROM sp) gs),
+         |d AS (SELECT g.event_type, g.h, g.h0, COALESCE(hc.n, 0) AS actual
+         |      FROM g LEFT JOIN hc
+         |        ON hc.event_type = g.event_type AND hc.h = g.h),
+         |p AS (SELECT event_type, h + $SeasonalLagHours AS h,
+         |             actual AS predicted FROM d),
+         |s AS (SELECT d.event_type, d.actual, p.predicted
+         |      FROM d JOIN p ON p.event_type = d.event_type AND p.h = d.h
+         |      WHERE d.h >= d.h0 + $SeasonalLagHours)
+         |SELECT event_type, COUNT(*) AS n_hours,
+         |       CAST(SUM(actual) AS BIGINT) AS total_actual,
+         |       CAST(SUM(ABS(actual - predicted)) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS mae,
+         |       CAST(SUM(actual - predicted) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS bias
+         |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin,
     "evt_power_curve" ->
       """WITH x AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
         |t AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS te FROM x),
@@ -1564,5 +1637,6 @@ object Events {
     "evt_signup_conversion" -> signupConversion,
     "evt_power_curve"     -> powerCurve,
     "evt_type_cooccurrence" -> typeCooccurrence,
+    "evt_seasonal_baseline" -> seasonalBaseline,
     "evt_ab_assign"       -> abAssign)
 }

@@ -721,6 +721,43 @@ object TextAnalysis {
       .orderBy("merge_idx")
   }
 
+  /** `txt_apply_bpe`: tokenize the corpus with the [[bpeTrain]] merge
+    * table — per document, the character-symbol count before, the BPE
+    * token count after all [[BpeMerges]] merges, and the resulting
+    * compression. The consumer half of the tokenizer loop: the table
+    * that says what K merges BUY on this corpus (and the per-doc token
+    * counts a packing/budget step would take as input).
+    *
+    * Scale shape: the merge table is K-row METADATA collected once and
+    * closed over; application is ONE typed per-row pass (per word,
+    * chars → symbols, merges replayed in training order) — zero
+    * shuffles beyond the output sort. Rows-only (inherits the
+    * iterated-argmax non-SQL form of training); the spec replays
+    * train + apply on the driver and asserts per-doc equality. */
+  def applyBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        var before = 0L
+        var after = 0L
+        text.split(" ", -1).foreach { w =>
+          var syms: IndexedSeq[String] =
+            w.split("").toIndexedSeq.filter(_.nonEmpty)
+          before += syms.length
+          merges.foreach { case (l, r) => syms = bpeMergeOnce(syms, l, r) }
+          after += syms.length
+        }
+        (id, before, after,
+          after.toDouble / math.max(before, 1L).toDouble)
+      })
+      .toDF("doc_id", "n_symbols_before", "n_tokens_after",
+        "compression_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Composite cut for [[qualityEnsemble]]. */
   val EnsembleBar = 0.55
 
@@ -1340,6 +1377,7 @@ object TextAnalysis {
     "txt_quality_ensemble" -> qualityEnsemble,
     "txt_bpe_pairs"   -> bpePairs,
     "txt_bpe_train"   -> bpeTrain,
+    "txt_apply_bpe"   -> applyBpe,
     "txt_strip_repeats" -> stripRepeats,
     "txt_length_profile" -> lengthProfile,
     "txt_source_divergence" -> sourceDivergence,

@@ -260,6 +260,48 @@ object EventStreams {
     * ALONE — a replay with a re-stamped timestamp is still dropped —
     * and evicts state past the watermark, so state is O(events per
     * watermark window). */
+  /** Monitored columns of the event stream: (name, is-string). */
+  val CompletenessCols: Seq[(String, Boolean)] =
+    Seq("user_id" -> false, "event_type" -> true, "value" -> false,
+      "props" -> true)
+
+  /** Shared window-completeness aggregation — applied to the
+    * watermarked stream by [[completenessMonitorStream]] and to the
+    * static frame by the parity spec, so the two can never drift. */
+  private[graft] def completenessWindowed(events: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      CompletenessCols.flatMap { case (c, isStr) =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"__nn_$c")) ++
+          (if (isStr) Seq(sum((col(c).isNotNull && trim(col(c)) === "")
+            .cast("long")).as(s"__nb_$c"))
+          else Nil)
+      }
+    val melted = CompletenessCols.flatMap { case (c, isStr) =>
+      Seq(lit(c): org.apache.spark.sql.Column,
+        struct(col(s"__nn_$c").as("n_null"),
+          (if (isStr) col(s"__nb_$c") else lit(null).cast("long"))
+            .as("n_blank")))
+    }
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start"), col("n_rows"),
+        explode(map(melted: _*)).as(Seq("column_name", "m")))
+      .select(col("window_start"), col("column_name"), col("n_rows"),
+        col("m.n_null").as("n_null"), col("m.n_blank").as("n_blank"))
+  }
+
+  /** Streaming column-completeness monitor — the stream twin of
+    * [[graft.operators.DataQuality.nullProfile]]: per 5-minute window,
+    * null/blank counters for every monitored event column. All
+    * counters collapse into ONE stateless windowed aggregate (one
+    * state row per window, evicted at the watermark — no per-key
+    * explosion); the per-column melt is a projection after the agg.
+    * The alerting layer reads null-rate spikes per window — a feed
+    * that starts nulling `props` shows here a micro-batch later. */
+  def completenessMonitorStream(events: DataFrame): DataFrame =
+    completenessWindowed(events.withWatermark("ts", "10 minutes"))
+
   def dedupStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

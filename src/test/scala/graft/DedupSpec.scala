@@ -438,6 +438,31 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("decile").toDouble / 10))
   }
 
+  test("lsh calibration: threshold deciles collide at 1.0; theory column exact") {
+    val rows = Dedup.lshCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val r = Dedup.MinhashPerms / Dedup.MinhashBands
+    rows.foreach { row =>
+      val d = row.getAs[Long]("decile")
+      val emp = row.getAs[Double]("empirical_rate")
+      assert(emp >= 0.0 && emp <= 1.0)
+      // the standing recall license: every >= threshold pair collides
+      if (d >= (Dedup.JaccardThreshold * 10).toLong)
+        assert(emp == 1.0, s"decile $d: recall < 1")
+      // theoretical column equals the closed form at the midpoint
+      val m = math.min(1.0, (d + 0.5) / 10.0)
+      var jr = 1.0; (1 to r).foreach(_ => jr *= m)
+      var miss = 1.0; (1 to Dedup.MinhashBands).foreach(_ => miss *= (1.0 - jr))
+      assert(row.getAs[Double]("theoretical_rate") == 1.0 - miss)
+      assert(row.getAs[Long]("n_collide") <= row.getAs[Long]("n_pairs"))
+    }
+    // decile pair counts agree with the threshold curve's exact counts
+    val curve = Dedup.thresholdCurve(spark, sfDir).collect()
+      .map(x => x.getAs[Long]("decile") -> x.getAs[Long]("n_pairs_exact")).toMap
+    rows.foreach(row => assert(
+      row.getAs[Long]("n_pairs") == curve(row.getAs[Long]("decile"))))
+  }
+
   test("df histogram: mass = distinct (doc,shingle) pairs; cap precondition visible") {
     val hist = Dedup.dfHist(spark, sfDir).collect()
       .map(r => r.getAs[Long]("df") -> r.getAs[Long]("n_shingles"))

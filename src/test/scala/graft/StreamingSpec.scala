@@ -526,6 +526,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == closed)
   }
 
+  test("streaming completeness monitor matches the batch windowed profile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start").cast("string"), col("column_name"),
+        col("n_rows"), col("n_null"), col("n_blank"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val batch = norm(EventStreams.completenessWindowed(src))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double, String)]
+    val streamDf = input.toDF()
+      .toDF("ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.completenessMonitorStream(streamDf)
+      .writeStream.format("memory").queryName("compl_out")
+      .outputMode("complete").start()
+    val rows = src.collect().map(r => (r.getTimestamp(0), r.getLong(1),
+      r.getString(2), r.getDouble(3), r.getString(4)))
+    // counters are per-window algebraic: a batch split must not matter
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a.toSeq); q.processAllAvailable()
+    input.addData(b.toSeq); q.processAllAvailable()
+    val streamed = norm(spark.table("compl_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("stream-static cluster routing matches the batch k-means assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

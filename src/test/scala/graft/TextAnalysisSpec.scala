@@ -434,6 +434,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.head._4 == got.map(_._4).max)
   }
 
+  test("apply_bpe matches a driver replay of train + apply") {
+    val merges = TextAnalysis.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val got = TextAnalysis.applyBpe(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_symbols_before"), r.getAs[Long]("n_tokens_after")))
+      .toMap
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      var before = 0L; var after = 0L
+      text.split(" ", -1).foreach { w =>
+        var syms: IndexedSeq[String] = w.split("").toIndexedSeq.filter(_.nonEmpty)
+        before += syms.length
+        merges.foreach { case (l, r) =>
+          syms = TextAnalysis.bpeMergeOnce(syms, l, r)
+        }
+        after += syms.length
+      }
+      assert(got(id) == ((before, after)), s"doc $id")
+      assert(after <= before)
+    }
+    // merges actually fire on this corpus: global compression < 1
+    val (tb, ta) = got.values.foldLeft((0L, 0L)) {
+      case ((b, a), (db, da)) => (b + db, a + da)
+    }
+    assert(ta < tb, "BPE merges never applied")
+  }
+
   test("source divergence: all pairs present, TVD in [0,1], matches replay") {
     import graft.sources.Tables
     val rows = TextAnalysis.sourceDivergence(spark, sfDir).collect()
