@@ -439,12 +439,10 @@ object Curation {
     * Scale shape: per-source counts partial-aggregate map-side; the
     * allocation table is #sources rows, broadcast both into the rank
     * join and (as a 1-row total) into the weight normalizer. The
-    * per-source rank is a window over the source partition — bounded by
-    * the LARGEST source (~n/#sources); at 100 TB with a handful of
-    * mega-sources, replace the exact rank with a hash-threshold
-    * prefilter (keep hk < alloc/count × 2³¹ ± slack, then exact-rank
-    * only the boundary slice) — same output, the window input drops to
-    * the slack band. */
+    * per-source rank is [[SkewUtils.groupRank]] — the range-partitioned
+    * global scan minus broadcast group offsets — so a mega-source
+    * splits across partitions on (hk, doc_id) instead of funnelling
+    * through one window task. */
   def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -457,8 +455,8 @@ object Curation {
     val alloc = st.crossJoin(broadcast(tot))
       .select(col("source"),
         expr("((n_total DIV 2) * qs) DIV s_q").as("alloc"))
-    val ranked = d.withColumn("rn",
-      row_number().over(Window.partitionBy("source").orderBy("hk", "doc_id")))
+    val ranked = SkewUtils.groupRank(d, "source",
+      Seq(col("hk").asc, col("doc_id").asc), "rn")
     ranked.join(broadcast(alloc), "source")
       .where(col("rn") <= col("alloc"))
       .select(col("source"), col("rn").cast("int").as("rn"), col("doc_id"))
@@ -531,12 +529,12 @@ object Curation {
     * (rank_within_source − 1) · #sources + source_index` is a total
     * order, collision-free by construction.
     *
-    * Scale shape: the within-source rank is a source-partitioned
-    * window (bounded by the largest source — the [[temperatureSample]]
-    * caveat and its hash-prefilter refinement apply); the source index
-    * comes from a catalog-sized self-join (no global window) broadcast
-    * back; emission is a TeraSort-shape range sort on the computed
-    * key. */
+    * Scale shape: the within-source rank is [[SkewUtils.groupRank]]
+    * (range-partitioned global scan minus broadcast group offsets — a
+    * mega-source splits across partitions instead of filling one
+    * window task); the source index comes from a catalog-sized
+    * self-join (no global window) broadcast back; emission is a
+    * TeraSort-shape range sort on the computed key. */
   def interleave(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), portableHash(col("doc_id")).as("hk"))
@@ -545,8 +543,7 @@ object Curation {
       .join(srcs.select(col("source").as("s2")), col("s2") < col("source"), "left")
       .groupBy("source").agg(count(col("s2")).as("s_idx"))
     val nsrc = srcs.agg(count(lit(1)).as("nsrc"))
-    d.withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy("hk", "doc_id")))
+    SkewUtils.groupRank(d, "source", Seq(col("hk").asc, col("doc_id").asc), "rn")
       .join(broadcast(idx), "source")
       .crossJoin(broadcast(nsrc))
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),

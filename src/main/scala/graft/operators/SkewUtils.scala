@@ -90,6 +90,33 @@ object SkewUtils {
       .drop("__psum_pid", "__psum_local", "__psum_off")
   }
 
+  /** Exact per-group rank (1-based, ROW_NUMBER semantics) in the order
+    * `order` within each `group` — the skew-proof replacement for
+    * `row_number().over(Window.partitionBy(group).orderBy(order))`,
+    * whose window partition is ONE WHOLE GROUP (a 100-TB single-source
+    * corpus funnels through one task).
+    *
+    * Decomposition: the global rank under the total order
+    * (group asc, order...) is a [[prefixSum]] with weight 1 (range
+    * partitioned — a huge group splits across partitions on the
+    * in-group order's unique tiebreaker); subtracting the
+    * strictly-lower-group population (a group-catalog-sized aggregate,
+    * prefix-summed by a tiny non-equi self-join and broadcast back)
+    * recovers the in-group 1-based rank exactly. Requires `order` to
+    * total-order rows WITHIN a group (unique tiebreaker included). */
+  def groupRank(df: DataFrame, group: String, order: Seq[Column],
+      out: String): DataFrame = {
+    val counts = df.groupBy(group).agg(count(lit(1)).as("__c"))
+    val offs = counts
+      .join(counts.select(col(group).as("__g2"), col("__c").as("__c2")),
+        col("__g2") < col(group), "left")
+      .groupBy(group).agg(coalesce(sum(col("__c2")), lit(0L)).as("__goff"))
+    prefixSum(df, col(group).asc +: order, lit(1L), "__grank")
+      .join(broadcast(offs), Seq(group))
+      .withColumn(out, col("__grank") - col("__goff"))
+      .drop("__grank", "__goff")
+  }
+
   /** Two-phase salted aggregation for holistic hot-key sums when even
     * partial aggregation overflows a task (extreme single-key skew):
     * pre-aggregate on (key, salt), then merge per key. */

@@ -55,7 +55,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan(Events.transitions(spark, sfDir)).contains("BroadcastHashJoin"))
   }
 
-  test("temperature sampling: allocation and totals broadcast, one source window") {
+  test("temperature sampling: allocation and totals broadcast, no source window") {
     val p = plan(Curation.temperatureSample(spark, sfDir))
     assertSane(p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -84,6 +84,26 @@ class SkewUtilsSpec extends SparkSpec {
     assert(last == total)
   }
 
+  test("groupRank equals the per-group row_number window, incl. one mega-group") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 99% of rows in ONE group — the distribution that breaks the
+    // window formulation's per-group partition
+    val n = 5000
+    val df = (1 to n)
+      .map(i => (if (i % 100 == 0) s"s${i % 7}" else "mega", f"k$i%05d"))
+      .toDF("g", "k")
+    val expect = df.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val got = SkewUtils.groupRank(df, "g", Seq(col("k").asc), "rn")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("k")) ->
+        r.getAs[Long]("rn")).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (k, v) => assert(got(k) == v.toLong, s"$k") }
+  }
+
   test("salted sum equals direct sum") {
     val li = Tables.table(spark, sfDir, "lineitem")
     val salted = SkewUtils.saltedSum(li, "l_partkey", "l_quantity", buckets = 8)
