@@ -608,6 +608,86 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** MMR candidate-pool size and final selection size. */
+  val MmrPool = 20
+  val MmrK = 5
+  /** Relevance/diversity blend: score = λ·sim(q,d) − (1−λ)·max sim(d,S). */
+  val MmrLambda = 0.5
+
+  /** `emb_mmr_rerank`: maximal-marginal-relevance rerank of each
+    * query's top-[[MmrPool]] cosine candidates down to [[MmrK]]
+    * diverse results — the standard retrieval de-duplication step
+    * between ANN and a RAG prompt (plain top-k returns five copies of
+    * the same boilerplate; MMR trades relevance against similarity to
+    * the already-selected set).
+    *
+    * Scale shape: candidate generation is the broadcast-query scored
+    * scan + bounded-heap top-[[MmrPool]] of [[annTopKExact]]; the
+    * greedy rerank runs per QUERY GROUP in `mapGroups` with state
+    * bounded by pool×dim CONSTANTS (pool² dot products per query —
+    * never corpus-sized). Deterministic: candidates sorted
+    * (cosine DESC, id), argmax ties break by (score DESC, id ASC).
+    * Rows-only (greedy iterated argmax — the emb_kcenter precedent);
+    * the spec replays the recursion on the driver. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TopKByScore.register(spark)
+    val c = corpus(spark, dir)
+    val q = querySet(c)
+    val pool = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_nrm")).as("cosine"))
+      .groupBy("query_id")
+      .agg(call_function("graft_top_k_by_score",
+        col("cosine"), col("neighbor_id"), lit(MmrPool)).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("cand"))
+      .select(col("query_id"), col("cand.id").as("neighbor_id"),
+        col("cand.score").as("cosine"))
+    pool
+      .join(c.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .as[(Long, Long, Double, Seq[Double], Double)]
+      .groupByKey(_._2)
+      .mapGroups { (qid, it) =>
+        val cands = it.toArray.map { case (nid, _, cos, emb, nrm) =>
+          (nid, cos, emb.toArray, nrm)
+        }.sortBy { case (nid, cos, _, _) => (-cos, nid) }
+        def sim(a: (Long, Double, Array[Double], Double),
+            b: (Long, Double, Array[Double], Double)): Double = {
+          var s = 0.0; var i = 0
+          while (i < a._3.length) { s += a._3(i) * b._3(i); i += 1 }
+          s / (a._4 * b._4)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        while (selected.length < math.min(MmrK, cands.length)) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          cands.indices.foreach { i =>
+            if (!selected.contains(i)) {
+              val maxSel = if (selected.isEmpty) 0.0
+                else selected.map(j => sim(cands(i), cands(j))).max
+              val s = MmrLambda * cands(i)._2 - (1.0 - MmrLambda) * maxSel
+              if (s > bestScore ||
+                  (s == bestScore && bestIdx >= 0 &&
+                    cands(i)._1 < cands(bestIdx)._1)) {
+                bestIdx = i; bestScore = s
+              }
+            }
+          }
+          selected += bestIdx
+        }
+        (qid, selected.toSeq.zipWithIndex.map { case (i, r) =>
+          (r + 1, cands(i)._1, cands(i)._2)
+        })
+      }
+      .flatMap { case (qid, sel) =>
+        sel.map { case (r, nid, cos) => (qid, r, nid, cos) }
+      }
+      .toDF("query_id", "mmr_rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** `emb_dim_stats`: per-dimension mean and variance of the corpus —
     * the embedding drift monitor (a re-embedded corpus whose dimension
     * profile moves has a model/version skew; also the input to
@@ -1412,5 +1492,6 @@ object Similarity {
     "emb_gram"         -> gramMatrix,
     "emb_pca"          -> pcaProject,
     "emb_kcenter"      -> kcenterSelect,
+    "emb_mmr_rerank"   -> mmrRerank,
     "emb_diversity"    -> diversity)
 }

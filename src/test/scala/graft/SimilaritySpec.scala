@@ -216,6 +216,56 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.loadPqCodebooks(spark, fakeDir, s"$tmp/pq") == pq)
   }
 
+  test("mmr rerank matches the driver-replayed greedy recursion") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.mmrRerank(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("mmr_rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    // driver replay: per query, brute-force the candidate pool and the
+    // greedy MMR selection from raw embeddings
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val queries = vecs.keys.filter(_ % Similarity.QueryModulus == 0).toSeq.sorted
+    var checked = 0
+    queries.foreach { qid =>
+      val qe = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, e) => (id, dot(e, qe) / (nrm(e) * nrm(qe)), e) }
+        .sortBy { case (id, cos, _) => (-cos, id) }
+        .take(Similarity.MmrPool)
+      val sel = scala.collection.mutable.ArrayBuffer[Int]()
+      while (sel.length < math.min(Similarity.MmrK, pool.length)) {
+        var bi = -1; var bs = Double.NegativeInfinity
+        pool.indices.foreach { i =>
+          if (!sel.contains(i)) {
+            val maxSel = if (sel.isEmpty) 0.0
+              else sel.map(j => dot(pool(i)._3, pool(j)._3) /
+                (nrm(pool(i)._3) * nrm(pool(j)._3))).max
+            val s = Similarity.MmrLambda * pool(i)._2 -
+              (1.0 - Similarity.MmrLambda) * maxSel
+            if (s > bs || (s == bs && bi >= 0 && pool(i)._1 < pool(bi)._1)) {
+              bi = i; bs = s
+            }
+          }
+        }
+        sel += bi
+      }
+      sel.zipWithIndex.foreach { case (i, r) =>
+        assert(got((qid, r + 1)) == pool(i)._1,
+          s"query $qid rank ${r + 1}")
+        checked += 1
+      }
+    }
+    assert(checked == got.size && checked > 0)
+  }
+
   test("ANN plans broadcast the query set, never the corpus") {
     Seq(Similarity.annTopKExact(spark, sfDir),
         Similarity.annTopKPq(spark, sfDir)).foreach { df =>

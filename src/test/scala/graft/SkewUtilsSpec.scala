@@ -84,6 +84,27 @@ class SkewUtilsSpec extends SparkSpec {
     assert(last == total)
   }
 
+  test("prefixSum equals the window cumsum on seeded random datasets") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 500 + rnd.nextInt(1500)
+      // heavy ties in x by design (nextInt(20)); k unique
+      val data = (1 to n).map(i =>
+        (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(1000).toLong))
+      val df = data.toDF("x", "k", "w")
+      Seq(Seq(col("x").asc, col("k").asc),
+        Seq(col("x").desc, col("k").asc)).foreach { ord =>
+        val expect = df.withColumn("cum", sum(col("w")).over(Window.orderBy(ord: _*)))
+          .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+        val got = SkewUtils.prefixSum(df, ord, col("w"), "cum")
+          .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum")).toMap
+        assert(got == expect, s"trial $trial, order $ord")
+      }
+    }
+  }
+
   test("groupRank equals the per-group row_number window, incl. one mega-group") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
