@@ -891,9 +891,66 @@ object Gold {
       .orderBy("store_id")
   }
 
+  /** `gold_assortment_overlap`: store-pair assortment similarity — for
+    * every pair of stores, the count of products both have sold,
+    * Jaccard of their assortments, and mutual containment. The
+    * network-planning view ("are these two stores interchangeable?")
+    * — the retail twin of [[Dedup.crossOverlap]]'s source matrix.
+    *
+    * Scale shape: ONE distinct-shuffle to (store, product); the pair
+    * expansion is keyed on product_id with per-key multiplicity ≤ the
+    * STORE catalog (collect_set state is store-catalog-bounded), so a
+    * universally-stocked product contributes |stores|² pair rows, never
+    * corpus-sized work; per-store sizes broadcast back. */
+  def assortmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.sales(spark, dir)
+      .select("store_id", "product_id").distinct()
+    val per = sp.groupBy("store_id").agg(count(lit(1)).as("n_products"))
+    sp.select(col("store_id").as("store_a"), col("product_id"))
+      .join(sp.select(col("store_id").as("store_b"), col("product_id")),
+        Seq("product_id"))
+      .where(col("store_a") < col("store_b"))
+      .groupBy("store_a", "store_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(per.select(col("store_id").as("store_a"),
+        col("n_products").as("n_a"))), Seq("store_a"))
+      .join(broadcast(per.select(col("store_id").as("store_b"),
+        col("n_products").as("n_b"))), Seq("store_b"))
+      .select(col("store_a"), col("store_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("n_common").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"))
+      .orderBy("store_a", "store_b")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_assortment_overlap" ->
+      s"""WITH ${Tables.salesCte},
+         |sp AS (SELECT DISTINCT store_id, product_id FROM sales),
+         |per AS (SELECT store_id, COUNT(*) AS n FROM sp GROUP BY 1),
+         |p AS (SELECT a.store_id AS store_a, b.store_id AS store_b,
+         |             COUNT(*) AS n_common
+         |      FROM sp a JOIN sp b
+         |        ON a.product_id = b.product_id AND a.store_id < b.store_id
+         |      GROUP BY 1, 2)
+         |SELECT p.store_a, p.store_b, p.n_common,
+         |       pa.n AS n_a, pb.n AS n_b,
+         |       CAST(p.n_common AS DOUBLE)
+         |         / CAST(pa.n + pb.n - p.n_common AS DOUBLE) AS jaccard,
+         |       CAST(p.n_common AS DOUBLE) / CAST(pa.n AS DOUBLE)
+         |         AS containment_a,
+         |       CAST(p.n_common AS DOUBLE) / CAST(pb.n AS DOUBLE)
+         |         AS containment_b
+         |FROM p JOIN per pa ON pa.store_id = p.store_a
+         |       JOIN per pb ON pb.store_id = p.store_b
+         |ORDER BY store_a, store_b""".stripMargin,
     "gold_inventory_turnover" ->
       s"""WITH ${Tables.salesCte},
          |led AS (SELECT store_id, product_id,
@@ -1333,6 +1390,7 @@ object Gold {
     "gold_seasonality"         -> seasonality,
     "gold_stockout"            -> stockoutRisk,
     "gold_inventory_turnover"  -> inventoryTurnover,
+    "gold_assortment_overlap"  -> assortmentOverlap,
     "gold_also_bought"         -> alsoBought,
     "gold_top_movers"          -> topMovers,
     "gold_aov_monthly"         -> aovMonthly,

@@ -220,6 +220,53 @@ object Graph {
       .orderBy("product_id")
   }
 
+  /** BFS round cap — also the semantic distance horizon: both engines
+    * score only nodes within this many hops (identical cut). */
+  val BfsMaxRounds = 20
+
+  /** `gr_bfs_distance`: exact hop distance from the catalog HUB (the
+    * max-degree product, ties to the smallest id) to every reachable
+    * product in the support-filtered co-purchase graph, capped at
+    * [[BfsMaxRounds]] hops — "how far is this item from the center of
+    * the co-purchase universe", the merchandising locality measure
+    * behind cross-sell reach (read with [[components]]: same frontier
+    * machinery, distance instead of membership).
+    *
+    * Scale shape: classic frontier BFS — each round is ONE keyed
+    * equi-join of the (shrinking) frontier against the edge list plus
+    * an anti-join against the visited set, both co-keyed on node id;
+    * frontiers are `localCheckpoint`'d so lineage stays flat (the
+    * k-core/components fixpoint pattern). The seed is a 1-row
+    * TakeOrdered. The DuckDB oracle replays the identical search as a
+    * bounded recursive CTE, so the result is exact at every SF. */
+  def bfsDistance(spark: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(spark, dir).localCheckpoint()
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    val seed = deg.orderBy(col("d").desc, col("a")).limit(1)
+      .select(col("a").as("node"), lit(0L).as("dist"))
+    var dist = seed.localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (round < BfsMaxRounds && !done) {
+      val next = frontier
+        .join(und, frontier("node") === und("a"))
+        .select(col("b").as("node"), (col("dist") + 1).as("dist"))
+        .distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+      round += 1
+    }
+    dist.select(col("node").as("product_id"), col("dist"))
+      .orderBy("product_id")
+  }
+
   /** `gr_edge_jaccard`: neighbor-set Jaccard per co-purchase edge —
     * |N(a)∩N(b)| / |N(a)∪N(b)| for every support-filtered edge (a,b).
     * The substitute-vs-complement signal: a high-Jaccard edge joins
@@ -336,6 +383,24 @@ object Graph {
          |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
          |         AS assortativity
          |FROM s""".stripMargin,
+    "gr_bfs_distance" ->
+      s"""WITH RECURSIVE ${Tables.salesCte},
+         |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
+         |       FROM sales),
+         |e AS (SELECT x.product_id AS a, y.product_id AS b
+         |      FROM bp x JOIN bp y
+         |        ON x.basket_id = y.basket_id AND x.product_id < y.product_id
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+         |und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+         |seed AS (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1),
+         |reach(n, dist) AS (
+         |  SELECT u, 0 FROM seed
+         |  UNION
+         |  SELECT und.v, reach.dist + 1 FROM und JOIN reach ON und.u = reach.n
+         |  WHERE reach.dist < $BfsMaxRounds)
+         |SELECT n AS product_id, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY 1 ORDER BY product_id""".stripMargin,
     "gr_edge_jaccard" ->
       s"""WITH ${Tables.salesCte},
          |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
@@ -589,6 +654,7 @@ object Graph {
     "gr_components" -> components,
     "gr_support_hist" -> supportHist,
     "gr_edge_jaccard" -> edgeJaccard,
+    "gr_bfs_distance" -> bfsDistance,
     "gr_assortativity" -> assortativity,
     "gr_kcore"     -> kcore)
 }

@@ -65,7 +65,7 @@ class SimilaritySpec extends SparkSpec {
     import graft.functions.VectorFunctions
     // the derived LSH parameters (bits/tables) and the bucket cap are
     // functions of n: recall 1.0 at one SF does not certify another, so
-    // the exact-oracle license (CLAUDE.md) is asserted at each verified
+    // the exact-oracle license (SURVEY.md §6) is asserted at each verified
     // scale factor against the uncapped all-pairs scan
     for (dir <- allSfDirs) {
       val c = graft.sources.Tables.table(spark, dir, "embeddings")
