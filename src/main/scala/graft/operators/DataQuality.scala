@@ -307,6 +307,52 @@ object DataQuality {
             .as("null_rate"))
     }.reduce(_ unionAll _).orderBy("table_name", "column_name")
 
+  /** `dq_key_profile`: candidate-key discovery — per (table, column):
+    * row count, non-null distinct count, and the unique-key flag
+    * (distinct == rows). The profiling step before declaring primary
+    * keys / dedup keys on an unfamiliar feed, next to [[nullProfile]]'s
+    * completeness view.
+    *
+    * Scale shape: the exact path is ONE aggregate per table whose
+    * multi-DISTINCT plans as a single Expand (#cols-way map-side
+    * replication — no per-column scans); the [[keyProfileApprox]] twin
+    * swaps in mergeable HLL sketches (one pass, no Expand) — the
+    * 100-TB path, tolerance-tested against exact like
+    * [[tableStatsApprox]]. */
+  def keyProfile(spark: SparkSession, dir: String): DataFrame =
+    keyProfileImpl(spark, dir, exact = true)
+
+  def keyProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    keyProfileImpl(spark, dir, exact = false)
+
+  private def keyProfileImpl(spark: SparkSession, dir: String,
+      exact: Boolean): DataFrame =
+    ProfileColumns.map { case (t, cols) =>
+      val df = Tables.table(spark, dir, t)
+      val aggs = count(lit(1)).as("n_rows") +: cols.map { case (c, _) =>
+        (if (exact) countDistinct(col(c))
+        else approx_count_distinct(col(c))).as(s"__d_$c")
+      }
+      val melted = cols.flatMap { case (c, _) =>
+        Seq(lit(c): Column, col(s"__d_$c"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(t).as("table_name"), col("n_rows"),
+          explode(map(melted: _*)).as(Seq("column_name", "n_distinct")))
+        .select(col("table_name"), col("column_name"), col("n_rows"),
+          col("n_distinct"),
+          (col("n_distinct") === col("n_rows")).as("is_unique_key"))
+    }.reduce(_ unionAll _).orderBy("table_name", "column_name")
+
+  private def keyProfileOracle: String =
+    ProfileColumns.map { case (t, cols) =>
+      cols.map { case (c, _) =>
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  COUNT(*) AS n_rows, COUNT(DISTINCT $c) AS n_distinct,
+           |  COUNT(DISTINCT $c) = COUNT(*) AS is_unique_key FROM $t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }.mkString("\nUNION ALL\n") + "\nORDER BY table_name, column_name"
+
   private def nullProfileOracle: String =
     ProfileColumns.map { case (t, cols) =>
       cols.map { case (c, isStr) =>
@@ -323,6 +369,7 @@ object DataQuality {
 
   val oracles: Map[String, String] = Map(
     "dq_null_profile" -> nullProfileOracle,
+    "dq_key_profile" -> keyProfileOracle,
     "dq_order_reconciliation" ->
       s"""WITH l AS (SELECT l_orderkey AS o_orderkey,
          |             SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*10000)
@@ -683,5 +730,6 @@ object DataQuality {
     "dq_benford"        -> benford,
     "dq_temporal_integrity" -> temporalIntegrity,
     "dq_event_dups"     -> eventDups,
-    "dq_null_profile"   -> nullProfile)
+    "dq_null_profile"   -> nullProfile,
+    "dq_key_profile"    -> keyProfile)
 }

@@ -683,11 +683,32 @@ object TextAnalysis {
     * counts (partial-agg to the pair alphabet), one top-1
     * TakeOrdered, and one vocab-table map applying the merge — no
     * corpus rescan, no window, no driver state beyond the k-row merge
-    * table. No ANSI-SQL form (each round's pair table depends on the
-    * previous round's argmax — the emb_kcenter precedent): rows-only,
-    * with TextAnalysisSpec replaying the full greedy recursion on the
-    * driver and asserting the identical merge sequence. */
+    * table. The trained table is CACHED per corpus dir (the IVF
+    * codebook train-once contract): [[applyBpe]] and repeated calls
+    * never re-run the merge loop. No ANSI-SQL form (each round's pair
+    * table depends on the previous round's argmax — the emb_kcenter
+    * precedent): rows-only, with TextAnalysisSpec replaying the full
+    * greedy recursion on the driver and asserting the identical merge
+    * sequence. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergesFor(spark, dir).toDF("merge_idx", "left", "right", "pair_freq")
+      .orderBy("merge_idx")
+  }
+
+  private val bpeBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(Int, String, String, Long)]]()
+
+  /** Drop the cached merge table for a corpus dir rewritten in place. */
+  def invalidateBpe(dir: String): Unit = bpeBooks.remove(dir)
+
+  /** The trained merge table, computed once per corpus dir. */
+  private[graft] def bpeMergesFor(spark: SparkSession,
+      dir: String): Vector[(Int, String, String, Long)] =
+    bpeBooks.computeIfAbsent(dir, _ => trainBpeMerges(spark, dir))
+
+  private def trainBpeMerges(spark: SparkSession,
+      dir: String): Vector[(Int, String, String, Long)] = {
     import spark.implicits._
     var words = Tables.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -717,8 +738,7 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    merges.result().toDF("merge_idx", "left", "right", "pair_freq")
-      .orderBy("merge_idx")
+    merges.result()
   }
 
   /** `txt_apply_bpe`: tokenize the corpus with the [[bpeTrain]] merge
@@ -736,8 +756,7 @@ object TextAnalysis {
     * train + apply on the driver and asserts per-doc equality. */
   def applyBpe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeTrain(spark, dir).collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val merges = bpeMergesFor(spark, dir).map { case (_, l, r, _) => (l, r) }
     Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>

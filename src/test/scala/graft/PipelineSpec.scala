@@ -170,6 +170,23 @@ class PipelineSpec extends SparkSpec {
     assert(stats("customer") == Tables.table(spark, sfDir, "customer").count())
   }
 
+  test("approx key profile tracks exact distinct counts within sketch error") {
+    val exact = DataQuality.keyProfile(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Boolean]("is_unique_key"))).toMap
+    // key columns really profile as unique, a category column as not
+    assert(exact(("customer", "c_custkey"))._2)
+    assert(!exact(("customer", "c_mktsegment"))._2)
+    val approx = DataQuality.keyProfileApprox(spark, sfDir).collect()
+    approx.foreach { r =>
+      val (ed, _) = exact((r.getAs[String]("table_name"),
+        r.getAs[String]("column_name")))
+      val ad = r.getAs[Long]("n_distinct")
+      assert(math.abs(ad - ed).toDouble <= math.max(5.0, 0.1 * ed),
+        s"${r.getAs[String]("table_name")}.${r.getAs[String]("column_name")}: $ad vs $ed")
+    }
+  }
+
   test("approx table stats track exact stats within sketch error") {
     val exact = DataQuality.tableStatsQuery(spark, sfDir).collect()
       .map(r => r.getAs[String]("table_name") ->
