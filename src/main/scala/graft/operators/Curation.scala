@@ -775,7 +775,7 @@ object Curation {
   /** CTE chain ending in `asg(doc_id, cluster_id)` — the recursive
     * transitive-closure resolution of the n-gram-Jaccard near-dup
     * pairs. Shared by the components and canonical-selection oracles. */
-  private val componentsCtes: String =
+  private[operators] val componentsCtes: String =
     s"""${Dedup.ngramPairCtes},
        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
        |          UNION ALL SELECT b_id, a_id FROM pairs),

@@ -510,6 +510,44 @@ object Dedup {
       .orderBy("decile")
   }
 
+  /** `dd_source_dup_profile`: per-source duplication scorecard — for
+    * each source: docs, exact-duplicate docs (non-canonical members of
+    * identical-text clusters), docs sitting in a near-dup component,
+    * and both rates. The data-sourcing audit ("which crawl pays for
+    * its storage") that [[methodReport]] aggregates corpus-wide —
+    * this is the breakdown a mix designer actually acts on.
+    *
+    * Scale shape: the exact side is the [[exact]] hash-groupBy
+    * (32-byte digests shuffle, never text) joined back by digest; the
+    * near side reuses [[Curation.dedupComponents]]'s one-keyed-join
+    * fixpoint; the rollup is a source-catalog-sized aggregate. Rates
+    * divide exact longs once each. */
+  def sourceDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+    val exd = d.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .join(exact(spark, dir).select("content_hash", "canonical_doc_id"),
+        Seq("content_hash"))
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("canonical_doc_id")).as("is_exact_dup"))
+    val near = Curation.dedupComponents(spark, dir)
+      .select(col("doc_id"), (col("cluster_size") > 1).as("in_near_cluster"))
+    d.select("doc_id", "source")
+      .join(exd, Seq("doc_id"))
+      .join(near, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_exact_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("in_near_cluster"), 1L).otherwise(0L))
+          .as("n_near_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_exact_dups"),
+        (col("n_exact_dups").cast("double") / col("n_docs").cast("double"))
+          .as("exact_dup_rate"),
+        col("n_near_dup_docs"),
+        (col("n_near_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("near_dup_rate"))
+      .orderBy("source")
+  }
+
   /** Persist the banded MinHash signature index of a corpus — the
     * standing near-dup index a daily ingest screens against. 16 rows
     * of (doc_id, band, sig) per document (two longs each): build once,
@@ -874,11 +912,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val oracles: Map[String, String] = Map(
+  // lazy: the source-dup oracle composes Curation.componentsCtes, which
+  // itself composes Dedup.ngramPairCtes — eager init would deadlock into
+  // a null during mutual object initialization
+  lazy val oracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
         |       MIN(doc_id) AS canonical_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_source_dup_profile" ->
+      s"""WITH RECURSIVE ${Curation.componentsCtes},
+         |exd AS (SELECT doc_id,
+         |          doc_id > MIN(doc_id) OVER (PARTITION BY text) AS is_exact_dup
+         |        FROM documents),
+         |nearf AS (SELECT doc_id,
+         |            COUNT(*) OVER (PARTITION BY cluster_id) > 1 AS in_near
+         |          FROM asg)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN exd.is_exact_dup THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_exact_dups,
+         |       CAST(SUM(CASE WHEN exd.is_exact_dup THEN 1 ELSE 0 END)
+         |            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+         |       CAST(SUM(CASE WHEN nearf.in_near THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_near_dup_docs,
+         |       CAST(SUM(CASE WHEN nearf.in_near THEN 1 ELSE 0 END)
+         |            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS near_dup_rate
+         |FROM documents d JOIN exd USING (doc_id) JOIN nearf USING (doc_id)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     "dd_bloom" -> {
       val h = s"${Curation.portableHashSql("doc_id")} % 10"
       s"""WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
@@ -1153,6 +1213,7 @@ object Dedup {
     "dd_df_hist"       -> dfHist,
     "dd_threshold_curve" -> thresholdCurve,
     "dd_lsh_calibration" -> lshCalibration,
+    "dd_source_dup_profile" -> sourceDupProfile,
     "dd_simhash"       -> simhash,
     "dd_decontam"      -> decontam,
     "dd_contam_report" -> contamReport,

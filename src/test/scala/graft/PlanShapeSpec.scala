@@ -123,4 +123,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!t.contains("Window"), "trending must use the bounded heap")
     assert(t.toLowerCase.contains("topk"), "bounded-heap aggregate missing")
   }
+
+  test("round-6 ops: broadcast marginals, no cartesian, silhouette joins nothing") {
+    Seq(Events.powerCurve(spark, sfDir),
+      Events.typeCooccurrence(spark, sfDir),
+      Events.seasonalBaseline(spark, sfDir),
+      Gold.inventoryTurnover(spark, sfDir),
+      Gold.assortmentOverlap(spark, sfDir),
+      DataQuality.nullProfile(spark, sfDir),
+      DataQuality.keyProfile(spark, sfDir),
+      Graph.edgeJaccard(spark, sfDir)).foreach(df => assertSane(plan(df)))
+    // marginal/total joins ride broadcasts
+    Seq(Events.typeCooccurrence(spark, sfDir),
+      Gold.assortmentOverlap(spark, sfDir)).foreach { df =>
+      assert(plan(df).contains("BroadcastHashJoin"), "marginals not broadcast")
+    }
+    // silhouette is a pure projection + label-catalog aggregate: the
+    // centroid codebook enters as literals, never a join
+    val s = plan(Similarity.labelSilhouette(spark, sfDir))
+    assertSane(s)
+    assert(!s.contains("Join"), "silhouette must not join the centroid table")
+    // null profile: one agg pass per table, no join anywhere
+    assert(!plan(DataQuality.nullProfile(spark, sfDir)).contains("Join"))
+    // power curve: the global rank is the range-partitioned prefix scan
+    assert(plan(Events.powerCurve(spark, sfDir)).toLowerCase
+      .contains("rangepartitioning"), "prefix scan missing its range exchange")
+  }
 }
