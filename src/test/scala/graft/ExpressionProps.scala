@@ -216,4 +216,17 @@ object ExpressionProps extends Properties("graft.functions") {
             (t * (k + 1) <= n || est.contains(id))
         }
     }
+
+  private val bpeSym: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "bc")
+
+  property("bpeMergeOnce equals the left-greedy recursive reference") =
+    Prop.forAll(Gen.listOf(bpeSym), bpeSym, bpeSym) { (xs, l, r) =>
+      def ref(s: List[String]): List[String] = s match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: ref(rest)
+        case a :: rest => a :: ref(rest)
+        case Nil => Nil
+      }
+      graft.operators.TextAnalysis
+        .bpeMergeOnce(xs.toIndexedSeq, l, r).toList == ref(xs)
+    }
 }
