@@ -928,9 +928,78 @@ object Gold {
       .orderBy("store_a", "store_b")
   }
 
+  /** `gold_revenue_autocorr`: lag-1 autocorrelation of monthly revenue
+    * — one number: is next month's revenue predictable from this
+    * month's (persistence/momentum), or is the series noise? The
+    * first statistic a forecasting effort checks (an AR(1) fit is only
+    * worth building if this is materially nonzero), read with
+    * [[seasonality]] (which decomposes by calendar month; this
+    * measures serial dependence).
+    *
+    * Scale shape + determinism: the fact collapses to the MONTHLY
+    * revenue series (calendar metadata) in one fixed-point partial-agg
+    * groupBy; the lag pairing is a ym = ym+1 self-join of that
+    * metadata; the Pearson statistic rides five exact DECIMAL(38,0)
+    * sufficient statistics with the closed form in identical IEEE ops
+    * — the [[Graph.assortativity]] template. Monthly revenue is
+    * descaled to whole currency units (integer DIV) before squaring so
+    * cross products stay in BIGINT range at any realistic monthly
+    * volume. */
+  def revenueAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = Tables.sales(spark, dir)
+      .withColumn("ym",
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).cast("long"))
+      .groupBy("ym")
+      .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
+        .cast(DecimalType(28, 0))).cast("long").as("rev_i"))
+      .select(col("ym"), expr("rev_i DIV 10000").as("rev_d"))
+    val pairs = m.select((col("ym") + 1).as("ym"), col("rev_d").as("x"))
+      .join(m.select(col("ym"), col("rev_d").as("y")), Seq("ym"))
+      .select("x", "y")
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .select(col("n_pairs"),
+        ((col("n_pairs") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n_pairs") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n_pairs") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("autocorr"))
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_revenue_autocorr" ->
+      s"""WITH ${Tables.salesCte},
+         |m AS (SELECT YEAR(sale_ts)*12 + MONTH(sale_ts) - 1 AS ym,
+         |        CAST(SUM(CAST(FLOOR((unit_price*quantity)*10000)
+         |             AS DECIMAL(28,0))) AS BIGINT) // 10000 AS rev_d
+         |      FROM sales GROUP BY 1),
+         |p AS (SELECT a.rev_d AS x, b.rev_d AS y
+         |      FROM m a JOIN m b ON b.ym = a.ym + 1),
+         |s AS (SELECT COUNT(*) AS n,
+         |        SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         |        SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         |        SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+         |        SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+         |        SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+         |      FROM p)
+         |SELECT n AS n_pairs,
+         |       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / SQRT((n * CAST(sxx AS DOUBLE)
+         |                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |                * (n * CAST(syy AS DOUBLE)
+         |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |         AS autocorr
+         |FROM s""".stripMargin,
     "gold_assortment_overlap" ->
       s"""WITH ${Tables.salesCte},
          |sp AS (SELECT DISTINCT store_id, product_id FROM sales),
@@ -1391,6 +1460,7 @@ object Gold {
     "gold_stockout"            -> stockoutRisk,
     "gold_inventory_turnover"  -> inventoryTurnover,
     "gold_assortment_overlap"  -> assortmentOverlap,
+    "gold_revenue_autocorr"    -> revenueAutocorr,
     "gold_also_bought"         -> alsoBought,
     "gold_top_movers"          -> topMovers,
     "gold_aov_monthly"         -> aovMonthly,

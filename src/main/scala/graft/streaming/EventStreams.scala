@@ -302,6 +302,36 @@ object EventStreams {
   def completenessMonitorStream(events: DataFrame): DataFrame =
     completenessWindowed(events.withWatermark("ts", "10 minutes"))
 
+  /** Shared window key-cardinality aggregation — HLL distinct counts
+    * per monitored column per window; one row of sketch state per
+    * window (mergeable, order-independent → batch-split parity is
+    * EXACT, not approximate-vs-approximate). */
+  private[graft] def keyCardinalityWindowed(events: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      CompletenessCols.map { case (c, _) =>
+        approx_count_distinct(col(c)).as(s"__d_$c")
+      }
+    val melted = CompletenessCols.flatMap { case (c, _) =>
+      Seq(lit(c): org.apache.spark.sql.Column, col(s"__d_$c"))
+    }
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start"), col("n_rows"),
+        explode(map(melted: _*)).as(Seq("column_name", "n_distinct")))
+  }
+
+  /** Streaming key-cardinality monitor — the stream twin of
+    * [[graft.operators.DataQuality.keyProfileApprox]]: per 5-minute
+    * window, HLL distinct counts for every monitored event column in
+    * ONE stateless windowed aggregate (sketches merge across
+    * micro-batches; state is one sketch row per window, evicted at the
+    * watermark). The duplicate-flood / id-rollover alarm: a feed that
+    * starts reusing event keys shows a distinct-count collapse here a
+    * micro-batch later. */
+  def keyCardinalityMonitorStream(events: DataFrame): DataFrame =
+    keyCardinalityWindowed(events.withWatermark("ts", "10 minutes"))
+
   def dedupStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

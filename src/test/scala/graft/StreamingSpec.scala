@@ -556,6 +556,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming key-cardinality monitor matches the batch windowed sketches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start").cast("string"), col("column_name"),
+        col("n_rows"), col("n_distinct"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = norm(EventStreams.keyCardinalityWindowed(src))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double, String)]
+    val streamDf = input.toDF()
+      .toDF("ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.keyCardinalityMonitorStream(streamDf)
+      .writeStream.format("memory").queryName("keycard_out")
+      .outputMode("complete").start()
+    val rows = src.collect().map(r => (r.getTimestamp(0), r.getLong(1),
+      r.getString(2), r.getDouble(3), r.getString(4)))
+    // HLL sketches merge associatively: a batch split must give the
+    // IDENTICAL estimates, not merely close ones
+    val (a, b) = rows.splitAt(rows.length / 3)
+    input.addData(a.toSeq); q.processAllAvailable()
+    input.addData(b.toSeq); q.processAllAvailable()
+    val streamed = norm(spark.table("keycard_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("stream-static cluster routing matches the batch k-means assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
