@@ -608,6 +608,73 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Fixed-point scale for NDCG gain weights (1/log2(rank+1) floored
+    * to integers so per-query DCG sums are EXACT integer adds in both
+    * engines — double addition order never enters). */
+  val NdcgScale = 1000000000L
+
+  /** w(rank) = floor(NdcgScale / log2(rank+1)); the constants embed as
+    * literals in BOTH the Spark plan and the oracle SQL, so the only
+    * transcendental is evaluated once, on the driver. */
+  private[graft] val ndcgWeights: IndexedSeq[Long] =
+    (1 to TopK).map(i =>
+      math.floor(NdcgScale.toDouble / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Cumulative ideal gains: idcg(m) for m relevant docs in the top-k. */
+  private[graft] val ndcgIdeal: IndexedSeq[Long] =
+    ndcgWeights.scanLeft(0L)(_ + _)
+
+  /** `emb_retrieval_metrics`: retrieval-quality scorecard per query —
+    * MRR, precision@k and NDCG@k of [[annTopKExact]]'s top-k under
+    * same-label relevance (the embedding benchmark's standard proxy:
+    * a neighbor is relevant iff it shares the query's label). The
+    * eval harness a retrieval/RAG stack runs after every embedding or
+    * index change; [[annRecallReport]] scores the INDEX against exact
+    * search, this scores exact search against the labels.
+    *
+    * Scale shape: the top-k table is bounded (queries × k); label
+    * lookups are two keyed joins against the (vec_id, label)
+    * projection; per-label corpus totals broadcast back for the ideal
+    * DCG. All gains are fixed-point integer literals ([[ndcgWeights]])
+    * so every per-query sum is exact; each output metric is one IEEE
+    * division. */
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val labelSizes = labels.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val wCase = (1 to TopK).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("rn") === i, lit(ndcgWeights(i - 1))).otherwise(acc)
+    }
+    val perQ = annTopKExact(spark, dir)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("q_label"), col("rn"),
+        (col("q_label") === col("n_label")).cast("long").as("rel"))
+      .groupBy("query_id", "q_label")
+      .agg(sum(col("rel")).as("n_rel_at_k"),
+        min(when(col("rel") === 1L, col("rn"))).as("first_rel_rank"),
+        sum(col("rel") * wCase).as("dcg_i"))
+    val mCol = least(lit(TopK), col("n_label") - 1)
+    val idcgCase = (0 to TopK).foldLeft(lit(0L)) { (acc, m) =>
+      when(mCol === m, lit(ndcgIdeal(m))).otherwise(acc)
+    }
+    perQ
+      .join(broadcast(labelSizes.select(col("label").as("q_label"),
+        col("n_label"))), Seq("q_label"))
+      .withColumn("idcg_i", idcgCase)
+      .select(col("query_id"), col("n_rel_at_k"),
+        when(col("first_rel_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank").cast("double")).as("mrr"),
+        (col("n_rel_at_k").cast("double") / lit(TopK).cast("double"))
+          .as("precision_at_k"),
+        when(col("idcg_i") > 0,
+          col("dcg_i").cast("double") / col("idcg_i").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg_at_k"))
+      .orderBy("query_id")
+  }
+
   /** MMR candidate-pool size and final selection size. */
   val MmrPool = 20
   val MmrK = 5
@@ -1230,6 +1297,47 @@ object Similarity {
         |              unnest(generate_series(1, len(e))) AS i FROM n)
         |SELECT vec_id, CAST(i - 1 AS INT) AS dim, nrm, e[i]/nrm AS u
         |FROM ex ORDER BY vec_id, dim""".stripMargin,
+    "emb_retrieval_metrics" -> {
+      val wCase = (1 to TopK)
+        .map(i => s"WHEN $i THEN ${ndcgWeights(i - 1)}")
+        .mkString("CASE rn ", " ", " ELSE 0 END")
+      val idcgCase = (0 to TopK)
+        .map(m => s"WHEN $m THEN ${ndcgIdeal(m)}")
+        .mkString(s"CASE LEAST($TopK, ls.n_label - 1) ", " ", " ELSE 0 END")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id % $QueryModulus = 0),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |         list_dot_product(c.e, q.qe)
+         |           / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+         |  FROM c, q WHERE c.vec_id <> q.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored),
+         |t AS (SELECT query_id, neighbor_id, rn FROM r WHERE rn <= $TopK),
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |ls AS (SELECT label, COUNT(*) AS n_label FROM lb GROUP BY 1),
+         |j AS (SELECT t.query_id, ql.label AS q_label, t.rn,
+         |        CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+         |      FROM t JOIN lb ql ON ql.vec_id = t.query_id
+         |             JOIN lb nl ON nl.vec_id = t.neighbor_id),
+         |a AS (SELECT query_id, q_label,
+         |        CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+         |        MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel_rank,
+         |        CAST(SUM(rel * ($wCase)) AS BIGINT) AS dcg_i
+         |      FROM j GROUP BY 1, 2)
+         |SELECT a.query_id, a.n_rel_at_k,
+         |       CASE WHEN a.first_rel_rank IS NULL THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(1 AS DOUBLE) / CAST(a.first_rel_rank AS DOUBLE)
+         |       END AS mrr,
+         |       CAST(a.n_rel_at_k AS DOUBLE) / CAST($TopK AS DOUBLE)
+         |         AS precision_at_k,
+         |       CASE WHEN ($idcgCase) > 0
+         |            THEN CAST(a.dcg_i AS DOUBLE) / CAST(($idcgCase) AS DOUBLE)
+         |            ELSE CAST(0 AS DOUBLE) END AS ndcg_at_k
+         |FROM a JOIN ls ON ls.label = a.q_label
+         |ORDER BY query_id""".stripMargin
+    },
     "emb_silhouette" ->
       s"""WITH c AS (SELECT vec_id, label,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1493,5 +1601,6 @@ object Similarity {
     "emb_pca"          -> pcaProject,
     "emb_kcenter"      -> kcenterSelect,
     "emb_mmr_rerank"   -> mmrRerank,
+    "emb_retrieval_metrics" -> retrievalMetrics,
     "emb_diversity"    -> diversity)
 }
