@@ -68,7 +68,31 @@ object Multimodal {
 
     /** (format, width, height) or None. */
     def parse(p: Array[Byte]): Option[(String, Long, Long)] =
-      parsePng(p).orElse(parseJpeg(p))
+      parsePng(p).orElse(parseJpeg(p)).orElse(parseGif(p))
+
+    /** GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+      * descriptor's 2-byte LITTLE-endian width and height — the
+      * endianness twin of PNG's big-endian IHDR (a parser that gets
+      * byte order wrong passes one format and garbles the other). */
+    def parseGif(p: Array[Byte]): Option[(String, Long, Long)] =
+      if (p.length >= 10 &&
+          p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+          (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+        Some(("gif",
+          (p(6) & 0xFFL) | ((p(7) & 0xFFL) << 8),
+          (p(8) & 0xFFL) | ((p(9) & 0xFFL) << 8)))
+      else None
+
+    /** Minimal GIF89a header (13 bytes): signature + LE dims + packed
+      * fields/background/aspect zeroed. */
+    def synthGif(w: Long, h: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(13)
+      "GIF89a".foreach(c => out.write(c.toInt))
+      out.write((w & 0xFF).toInt); out.write(((w >> 8) & 0xFF).toInt)
+      out.write((h & 0xFF).toInt); out.write(((h >> 8) & 0xFF).toInt)
+      out.write(0); out.write(0); out.write(0)
+      out.toByteArray
+    }
 
     /** PNG: 8-byte signature, then the IHDR chunk (must be first per
       * spec): 4-byte length, "IHDR", 4-byte BE width, 4-byte BE
@@ -174,6 +198,28 @@ object Multimodal {
         else if (id % 2 == 0) MediaHeaders.synthPng(w, h)
         else MediaHeaders.synthJpeg(w, h)
       MediaRecord(id, declared, payload)
+    }).mapPartitions(_.map(HeaderDecoder.decode))
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Contract query: GIF metadata decode — the LITTLE-endian twin of
+    * [[mediaMeta]]'s PNG/JPEG pass: real `GIF89a` headers carrying
+    * doc_id-derived dims through [[MediaHeaders.parseGif]], with every
+    * 7th payload corrupted (a 0x00 byte + raw text — can never match
+    * any signature by construction). The oracle recomputes expected
+    * dims from doc_id arithmetic, so a byte-order bug (the classic GIF
+    * vs PNG mistake) breaks the hash match; corrupt rows must come
+    * back as NULLs. Payload bytes never leave the executors. */
+  def gifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    recs.mapPartitions(_.map { case (id, text) =>
+      val (w, h) = (8 + (id * 5) % 512, 8 + (id * 11) % 256)
+      val payload =
+        if (id % 7 == 0) (0.toByte +: text.getBytes("UTF-8")).toArray
+        else MediaHeaders.synthGif(w, h)
+      MediaRecord(id, "gif", payload)
     }).mapPartitions(_.map(HeaderDecoder.decode))
       .toDF().orderBy("doc_id")
   }
@@ -438,6 +484,20 @@ object Multimodal {
     // parser: the Spark side must synthesize real headers and parse
     // them back correctly for the hash to match
     "mm_media_meta" -> mediaMetaOracle,
+    "mm_gif_meta" ->
+      """SELECT doc_id, 'gif' AS media_type,
+        |       CASE WHEN doc_id % 7 = 0
+        |            THEN CAST(octet_length(encode(text)) + 1 AS BIGINT)
+        |            ELSE CAST(13 AS BIGINT) END AS byte_len,
+        |       CASE WHEN doc_id % 7 = 0
+        |            THEN '00' || substring(hex(encode(text)), 1, 6)
+        |            ELSE '47494638' END AS magic,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'gif' END AS format,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(8 + (doc_id*5) % 512 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(8 + (doc_id*11) % 256 AS BIGINT) END AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_corrupt_rate" ->
       s"""WITH meta AS (SELECT * FROM ($mediaMetaOracle))
          |SELECT media_type, COUNT(*) AS n_records,
@@ -488,6 +548,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"    -> mediaMeta,
+    "mm_gif_meta"      -> gifMeta,
     "mm_frame_samples" -> frameSamples,
     "mm_exact_dedup"   -> mediaDedup,
     "mm_corrupt_rate"  -> corruptRate,

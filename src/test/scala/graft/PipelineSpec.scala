@@ -271,6 +271,12 @@ class PipelineSpec extends SparkSpec {
     // SOI + APP0 but no SOF anywhere
     val noSof = synthJpeg(10, 10).take(20) ++ Array[Byte](0, 0)
     assert(parse(noSof).isEmpty)
+    // GIF: little-endian dims — 0x0201 must read 513, not 258
+    assert(parse(synthGif(513, 65534)) == Some(("gif", 513L, 65534L)))
+    assert(parse(synthGif(1, 1)) == Some(("gif", 1L, 1L)))
+    assert(parse(synthGif(10, 10).take(9)).isEmpty)      // truncated descriptor
+    assert(parse("GIF90a1234567".getBytes("UTF-8")).isEmpty) // bad version
+    assert(parse((0.toByte +: "GIF89a payload".getBytes("UTF-8")).toArray).isEmpty)
   }
 
   test("csv source is permissive on malformed rows (nulls, no crash)") {
