@@ -942,11 +942,15 @@ object Gold {
     * metadata; the Pearson statistic rides five exact DECIMAL(38,0)
     * sufficient statistics with the closed form in identical IEEE ops
     * — the [[Graph.assortativity]] template. Monthly revenue is
-    * descaled to whole currency units (integer DIV) before squaring so
-    * cross products stay in BIGINT range at any realistic monthly
-    * volume. */
+    * descaled to whole currency units (integer DIV), then cast to
+    * DECIMAL(19,0) BEFORE the cross products (the [[categoryHhi]]
+    * pre-squaring discipline): a LONG multiply would overflow — and
+    * under ANSI mode throw — past ~3e9 whole units per month, while
+    * 19-digit operands keep every product inside both engines'
+    * 38-digit decimal width. */
   def revenueAutocorr(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
+    val d19 = DecimalType(19, 0)
     val m = Tables.sales(spark, dir)
       .withColumn("ym",
         (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).cast("long"))
@@ -961,9 +965,9 @@ object Gold {
         count(lit(1)).as("n_pairs"),
         sum(col("x").cast(dec)).as("sx"),
         sum(col("y").cast(dec)).as("sy"),
-        sum((col("x") * col("y")).cast(dec)).as("sxy"),
-        sum((col("x") * col("x")).cast(dec)).as("sxx"),
-        sum((col("y") * col("y")).cast(dec)).as("syy"))
+        sum((col("x").cast(d19) * col("y").cast(d19)).cast(dec)).as("sxy"),
+        sum((col("x").cast(d19) * col("x").cast(d19)).cast(dec)).as("sxx"),
+        sum((col("y").cast(d19) * col("y").cast(d19)).cast(dec)).as("syy"))
       .select(col("n_pairs"),
         ((col("n_pairs") * col("sxy").cast("double")
           - col("sx").cast("double") * col("sy").cast("double"))
@@ -988,9 +992,12 @@ object Gold {
          |s AS (SELECT COUNT(*) AS n,
          |        SUM(CAST(x AS DECIMAL(38,0))) AS sx,
          |        SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-         |        SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
-         |        SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
-         |        SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+         |        SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |            AS DECIMAL(38,0))) AS sxy,
+         |        SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+         |            AS DECIMAL(38,0))) AS sxx,
+         |        SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |            AS DECIMAL(38,0))) AS syy
          |      FROM p)
          |SELECT n AS n_pairs,
          |       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
