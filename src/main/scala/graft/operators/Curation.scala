@@ -194,13 +194,66 @@ object Curation {
     (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))
   }
 
+  // ---- persist-once cluster map ------------------------------------------
+
+  /** The near-dup CLUSTER MAP (doc_id → cluster_id, cluster_id = the
+    * smallest doc_id of the component; singletons map to themselves) —
+    * the shared trained artifact of the whole components family.
+    * Derived ONCE per corpus per session (ngram-Jaccard pairs + the
+    * label-propagation fixpoint, then one doc-keyed left join) and
+    * `localCheckpoint`ed via [[ArtifactCache]]; every consumer —
+    * [[dedupComponents]], [[clusterStats]], [[dedupWeights]],
+    * [[canonicalByQuality]], [[leakageSafeSplit]], [[kfoldAssign]],
+    * [[graft.operators.Dedup.sourceDupProfile]] — reads the map instead
+    * of re-deriving the fixpoint. In a deployment the map is persisted
+    * next to the corpus ([[saveClusterMap]]/[[loadClusterMap]] — the
+    * IVF-codebook train-once contract): at 100 TB re-deriving it per
+    * query is a 10×-redundant corpus pass; reading it is one doc-keyed
+    * scan of a two-long-column table. The labels are a unique fixpoint
+    * (smallest doc_id per component), so caching cannot change any
+    * consumer's result. */
+  def clusterMap(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "dd_cluster_map")(
+      resolveClusters(spark, dir, componentLabels(
+        Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))))
+
+  /** Persist the trained cluster map next to the table (tiny: two long
+    * columns, one row per document). */
+  def saveClusterMap(spark: SparkSession, dir: String, path: String): Unit =
+    clusterMap(spark, dir).orderBy("doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted cluster map and prime the cache for `dir`, so
+    * every consumer reads it without ever re-deriving the fixpoint.
+    * Returns the map. */
+  def loadClusterMap(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val m = spark.read.parquet(path).select("doc_id", "cluster_id")
+      .localCheckpoint()
+    ArtifactCache.put(spark, dir, "dd_cluster_map", m)
+    m
+  }
+
+  /** Drop the cached map for a corpus dir rewritten in place. */
+  def invalidateClusterMap(spark: SparkSession, dir: String): Unit =
+    ArtifactCache.invalidate(spark, dir, "dd_cluster_map")
+
+  /** (doc_id, cluster_id) for EVERY document from a label fixpoint over
+    * the near-dup pairs (docs in no pair are their own cluster). */
+  private def resolveClusters(spark: SparkSession, dir: String,
+      lbl: DataFrame): DataFrame =
+    Tables.table(spark, dir, "documents").select("doc_id")
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+
   /** Resolve exact-Jaccard near-dup pairs into dedup clusters: every
     * document gets a `cluster_id` (the smallest doc_id of its
     * component; singletons are their own cluster) and a canonical flag
-    * — the "keep one per near-dup cluster" primitive of corpus dedup. */
+    * — the "keep one per near-dup cluster" primitive of corpus dedup.
+    * Reads the shared [[clusterMap]] artifact; only the cluster-size
+    * window and flag are computed per call. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
-    clusterize(spark, dir, componentLabels(
-      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id")))
+    withClusterStats(clusterMap(spark, dir))
 
   /** [[dedupComponents]] resolved through the O(log n)-round star
     * variant ([[componentLabelsStar]]) — the same fixpoint labels on
@@ -208,8 +261,10 @@ object Curation {
     * the round budget even when the dup graph degenerates into long
     * chains. */
   def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame =
-    clusterize(spark, dir, componentLabelsStar(
-      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id")))
+    // deliberately NOT read from the shared map: this key's license is
+    // proving the star fixpoint reaches the same labels independently
+    withClusterStats(resolveClusters(spark, dir, componentLabelsStar(
+      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))))
 
   /** `dd_cluster_stats`: the dup-cluster size distribution — how many
     * clusters of each size the near-dup resolution produced (the
@@ -255,11 +310,7 @@ object Curation {
     * dedup upstream keeps small (identical-text mega-clusters collapse
     * before near-dup resolution, the repo's documented op order). */
   def canonicalByQuality(spark: SparkSession, dir: String): DataFrame = {
-    val lbl = componentLabels(
-      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))
-    val asg = Tables.table(spark, dir, "documents").select("doc_id")
-      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val asg = clusterMap(spark, dir)
     val q = TextAnalysis.quality(spark, dir).select("doc_id", "quality_score")
     asg.join(q, "doc_id")
       .withColumn("rn", row_number().over(
@@ -270,12 +321,8 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  private def clusterize(spark: SparkSession, dir: String,
-      lbl: DataFrame): DataFrame =
-    Tables.table(spark, dir, "documents").select("doc_id")
-      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size",
+  private def withClusterStats(m: DataFrame): DataFrame =
+    m.withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
@@ -291,11 +338,7 @@ object Curation {
     * component fixpoint; membership is still re-run-stable because
     * cluster_id (smallest member doc_id) is itself a fixpoint. */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val lbl = componentLabels(
-      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))
-    Tables.table(spark, dir, "documents").select("doc_id")
-      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    clusterMap(spark, dir)
       .withColumn("bucket", portableHash(col("cluster_id")) % 100L)
       .withColumn("split",
         when(col("bucket") < TrainPct, "train")
@@ -315,15 +358,10 @@ object Curation {
     *
     * Scale shape: identical to [[leakageSafeSplit]] — the component
     * fixpoint dominates; fold assignment is one pure per-row hash. */
-  def kfoldAssign(spark: SparkSession, dir: String): DataFrame = {
-    val lbl = componentLabels(
-      Dedup.ngramJaccard(spark, dir).select("a_id", "b_id"))
-    Tables.table(spark, dir, "documents").select("doc_id")
-      .join(lbl.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  def kfoldAssign(spark: SparkSession, dir: String): DataFrame =
+    clusterMap(spark, dir)
       .withColumn("fold", portableHash(col("cluster_id")) % KFolds)
       .orderBy("doc_id")
-  }
 
   // ---- token-budget selection --------------------------------------------
 

@@ -107,9 +107,16 @@ object Dedup {
     * intersection counts; shared BANNED shingles are then added back
     * exactly per candidate pair. No separate verification pass — the
     * capped join IS the verification over allowed shingles, and the
-    * correction term restores full-set exactness. */
+    * correction term restores full-set exactness.
+    *
+    * The (tiny, threshold-filtered) pair list is a TRAINED ARTIFACT:
+    * derived once per corpus per session ([[ArtifactCache]] — the IVF
+    * codebook contract), because it seeds the shared cluster map
+    * ([[Curation.clusterMap]]) and the [[methodReport]] audit besides
+    * its own query key. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardCapped(spark, dir, ShingleDfCap)
+    ArtifactCache.of(spark, dir, "dd_ngram_pairs")(
+      ngramJaccardCapped(spark, dir, ShingleDfCap))
 
   def ngramJaccardCapped(spark: SparkSession, dir: String,
       dfCap: Long): DataFrame =
@@ -177,8 +184,14 @@ object Dedup {
     * Same single df-capped self-join as the Jaccard path (the shared
     * [[pairIntersections]] kernel — one candidate pass serves both
     * thresholds), same exact banned-shingle correction, so the reported
-    * containment is exact over the full shingle sets. */
+    * containment is exact over the full shingle sets. Cached per corpus
+    * per session like [[ngramJaccard]] (the [[methodReport]] audit
+    * re-reads it). */
   def containment(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "dd_containment_pairs")(
+      containmentDerive(spark, dir))
+
+  private def containmentDerive(spark: SparkSession, dir: String): DataFrame =
     pairIntersections(spark, dir, ShingleDfCap)
       .withColumn("containment",
         col("inter") * lit(1.0) / least(col("n_a"), col("n_b")))
@@ -389,7 +402,15 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Banded-LSH near-dup pairs, exact-verified. Cached per corpus per
+    * session like [[ngramJaccard]] — the banding + verification run
+    * once; repeat readers (its query key, [[methodReport]]) reuse the
+    * materialized pair list. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "dd_minhash_pairs")(
+      minhashLshDerive(spark, dir))
+
+  private def minhashLshDerive(spark: SparkSession, dir: String): DataFrame = {
     val buckets = minhashBuckets(spark, dir)
     val cand = buckets.select(col("doc_id").as("a_id"), col("band"), col("sig"))
       .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("sig")),

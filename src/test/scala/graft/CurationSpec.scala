@@ -93,6 +93,50 @@ class CurationSpec extends SparkSpec {
     assert(comp.count() == Tables.table(spark, sfDir, "documents").count())
   }
 
+  test("cluster map save/load is train-once: consumers read the persisted map, never re-derive") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cmap").toString
+    val (d1, d2) = (s"$base/corpus", s"$base/scrambled")
+    val mapPath = s"$base/cluster_map.parquet"
+    // planted corpus: {1,2} and {5,6} are ≥0.8-Jaccard near-dup pairs
+    // (10-word text vs its 11-word extension shares 8 of 9 shingles),
+    // doc 8 is a singleton
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    Seq((1L, t1), (2L, t1 + " lambda"), (5L, t2), (6L, t2 + " eleven"),
+      (8L, "solo document entirely unlike every other text here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L)
+    val m1 = Curation.clusterMap(spark, d1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == expected)
+    Curation.saveClusterMap(spark, d1, mapPath)
+    // NO-RECOMPUTE proof (the codebook no-retrain pattern): a second
+    // corpus dir with the SAME ids but all-unique scrambled texts. If
+    // any consumer re-derived the fixpoint from the documents table,
+    // every cluster would come back a singleton; reading the loaded
+    // map reproduces the original clusters instead.
+    Seq((1L, "aa bb cc dd ee ff gg hh"), (2L, "ii jj kk ll mm nn oo pp"),
+      (5L, "qq rr ss tt uu vv ww xx"), (6L, "yy zz ab cd ef gh ij kl"),
+      (8L, "mn op qr st uv wx yz az"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    Curation.loadClusterMap(spark, d2, mapPath)
+    val viaLoad = Curation.dedupComponents(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(viaLoad == expected,
+      "consumer ignored the loaded cluster map and re-derived the fixpoint")
+    val folds = Curation.kfoldAssign(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fold")).toMap
+    assert(folds(1L) == folds(2L) && folds(5L) == folds(6L),
+      "k-fold assignment did not ride the loaded cluster map")
+    // invalidation re-opens the derivation path: scrambled texts have
+    // no near-dup pairs, so every doc becomes its own cluster
+    Curation.invalidateClusterMap(spark, d2)
+    val rederived = Curation.dedupComponents(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(rederived == expected.keys.map(k => k -> k).toMap)
+  }
+
   test("weighted mix realizes the target milli-epoch weights per language") {
     val mix = Curation.weightedMix(spark, sfDir)
     val docs = Tables.table(spark, sfDir, "documents")
