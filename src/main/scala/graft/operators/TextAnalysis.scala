@@ -651,8 +651,13 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(BpeTopK)
 
-  /** Merge rounds trained by [[bpeTrain]]. */
-  val BpeMerges = 12
+  /** Merge rounds trained by [[bpeTrain]]. 256 is deliberately far past
+    * toy size: the driver-side merge loop's cost is K × |vocab| symbol
+    * scans with ZERO scheduled jobs per round, so the constant proves
+    * the 32k-merge production shape scales (the per-round distributed
+    * variant, kept as the cross-check, schedules one job per merge —
+    * a pure driver bottleneck at real vocabulary sizes). */
+  val BpeMerges = 256
 
   /** Greedy left-to-right replacement of one adjacent symbol pair —
     * the standard BPE apply step ("aaa" under merge (a,a) → ["aa","a"],
@@ -676,20 +681,25 @@ object TextAnalysis {
     * lexicographic — fully deterministic), emitting the merge table a
     * tokenizer would serialize.
     *
-    * Scale shape: the corpus is touched ONCE — training state is the
-    * word-frequency table (vocab-sized: Heaps-law sublinear in corpus
-    * mass), `localCheckpoint`'d per round (the k-core fixpoint
-    * pattern). A round is one vocab-table flatMap for weighted pair
-    * counts (partial-agg to the pair alphabet), one top-1
-    * TakeOrdered, and one vocab-table map applying the merge — no
-    * corpus rescan, no window, no driver state beyond the k-row merge
-    * table. The trained table is CACHED per corpus dir (the IVF
-    * codebook train-once contract): [[applyBpe]] and repeated calls
-    * never re-run the merge loop. No ANSI-SQL form (each round's pair
-    * table depends on the previous round's argmax — the emb_kcenter
-    * precedent): rows-only, with TextAnalysisSpec replaying the full
-    * greedy recursion on the driver and asserting the identical merge
-    * sequence. */
+    * Scale shape: the corpus is touched ONCE — one distributed
+    * word-frequency aggregation whose result is VOCAB-sized metadata
+    * (Heaps-law sublinear in corpus mass: ~10⁵–10⁶ rows against 100 TB
+    * of text), collected once; the K merge rounds then run entirely
+    * driver-side over that table (count weighted pairs, take the
+    * argmax, apply the merge — each round O(|vocab| symbols), zero
+    * scheduled jobs). This is how production BPE trainers work, and it
+    * removes the former per-round job-scheduling bottleneck: a 32k-merge
+    * vocabulary is 32k in-memory loop iterations, not 32k Spark jobs.
+    * The per-round DISTRIBUTED loop survives as
+    * [[trainBpeMergesDistributed]], the cross-check that the
+    * driver-side argmax (UTF-8-byte tie order) replays the cluster
+    * semantics merge-for-merge. The trained table is CACHED per corpus
+    * dir (the IVF codebook train-once contract): [[applyBpe]] and
+    * repeated calls never re-run the merge loop. No ANSI-SQL form (each
+    * round's pair table depends on the previous round's argmax — the
+    * emb_kcenter precedent): rows-only, with TextAnalysisSpec replaying
+    * the full greedy recursion on the driver and asserting the
+    * identical merge sequence, plus the distributed-path parity test. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeMergesFor(spark, dir).toDF("merge_idx", "left", "right", "pair_freq")
@@ -708,7 +718,77 @@ object TextAnalysis {
     bpeBooks.computeIfAbsent(dir, _ => trainBpeMerges(spark, dir))
 
   private def trainBpeMerges(spark: SparkSession,
-      dir: String): Vector[(Int, String, String, Long)] = {
+      dir: String): Vector[(Int, String, String, Long)] =
+    trainMergesFromVocab(collectVocab(spark, dir), BpeMerges)
+
+  /** The one corpus pass: distributed word-frequency aggregation,
+    * collected as the vocab-sized training table. */
+  private def collectVocab(spark: SparkSession,
+      dir: String): Array[(IndexedSeq[String], Long)] = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+      .map { case (w, f) => (w.split("").toIndexedSeq.filter(_.nonEmpty), f) }
+  }
+
+  /** Spark's string order is UTF8String BINARY order (unsigned UTF-8
+    * bytes) — the driver-side argmax tie-break must replicate it
+    * exactly or the trained table diverges from the distributed
+    * cross-check on non-ASCII symbols. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** K greedy merge rounds over an in-memory (word-symbols, freq)
+    * table: argmax by (weighted pair freq desc, left, right) in UTF-8
+    * byte order, early stop when no pair remains. */
+  private[graft] def trainMergesFromVocab(
+      vocab: Array[(IndexedSeq[String], Long)],
+      k: Int): Vector[(Int, String, String, Long)] = {
+    var words = vocab
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { case (p, n) =>
+          if (best == null || n > best._2 ||
+              (n == best._2 && (utf8Lt(p._1, best._1._1) ||
+                (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+            best = (p, n)
+        }
+        val ((l, r), pf) = best
+        merges += ((round, l, r, pf))
+        words = words.map { case (syms, f) => (bpeMergeOnce(syms, l, r), f) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The original per-round DISTRIBUTED merge loop — one scheduled job
+    * per round, kept ONLY as the cross-check that the driver-side
+    * trainer replays cluster aggregation + ordering semantics exactly
+    * (TextAnalysisSpec asserts merge-for-merge equality on a prefix).
+    * Not on any query path: at production vocabulary sizes (32k merges)
+    * per-round scheduling is a pure driver bottleneck. */
+  private[graft] def trainBpeMergesDistributed(spark: SparkSession,
+      dir: String, k: Int): Vector[(Int, String, String, Long)] = {
     import spark.implicits._
     var words = Tables.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -719,7 +799,7 @@ object TextAnalysis {
       .toDF("syms", "freq")
       .localCheckpoint()
     val merges = Vector.newBuilder[(Int, String, String, Long)]
-    (1 to BpeMerges).foreach { round =>
+    (1 to k).foreach { round =>
       val top = words.as[(scala.collection.immutable.Seq[String], Long)]
         .flatMap { case (syms, f) =>
           syms.sliding(2).collect { case scala.collection.immutable.Seq(a, b) => (a, b, f) }

@@ -398,8 +398,9 @@ class TextAnalysisSpec extends SparkSpec {
     val got = TextAnalysis.bpeTrain(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("merge_idx"), r.getAs[String]("left"),
         r.getAs[String]("right"), r.getAs[Long]("pair_freq")))
-    assert(got.length == TextAnalysis.BpeMerges)
-    // driver replay of the identical greedy recursion
+    // independent replay of the greedy recursion (word-map state, not
+    // the trainer's array state; sliding-pair counting, not the index
+    // loop), with the trainer's early stop on pair exhaustion
     var words: Map[IndexedSeq[String], Long] =
       graft.sources.Tables.table(spark, sfDir, "documents")
         .select("text").collect().map(_.getString(0))
@@ -409,7 +410,10 @@ class TextAnalysisSpec extends SparkSpec {
         .toSeq
         .groupBy { case (w, _) => w.split("").toIndexedSeq.filter(_.nonEmpty) }
         .view.mapValues(_.map(_._2).sum).toMap
-    (1 to TextAnalysis.BpeMerges).foreach { round =>
+    val replay = Vector.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= TextAnalysis.BpeMerges && !done) {
       val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
         .withDefaultValue(0L)
       words.foreach { case (syms, f) =>
@@ -419,19 +423,37 @@ class TextAnalysisSpec extends SparkSpec {
           case _ =>
         }
       }
-      val (bl, br) = pairCounts.toSeq
-        .sortBy { case ((l, r), n) => (-n, l, r) }.head._1
-      val bf = pairCounts((bl, br))
-      assert(got(round - 1) == ((round, bl, br, bf)),
-        s"round $round: got ${got(round - 1)}, replay (${(round, bl, br, bf)})")
-      words = words.toSeq.map { case (syms, f) =>
-        (TextAnalysis.bpeMergeOnce(syms, bl, br), f)
-      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (bl, br) = pairCounts.toSeq
+          .sortBy { case ((l, r), n) => (-n, l, r) }.head._1
+        replay += ((round, bl, br, pairCounts((bl, br))))
+        words = words.toSeq.map { case (syms, f) =>
+          (TextAnalysis.bpeMergeOnce(syms, bl, br), f)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        round += 1
+      }
     }
+    val exp = replay.result()
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) => assert(g == e, s"got $g, replay $e") }
     // merge frequencies are non-increasing only within equal alphabets —
     // but a merged symbol's pair freq can never exceed its parts': the
     // first merge is the global max
     assert(got.head._4 == got.map(_._4).max)
+  }
+
+  test("driver-side BPE trainer equals the distributed per-round path merge-for-merge") {
+    // the cross-check that collecting the vocab table and training
+    // driver-side preserved cluster aggregation + tie-order semantics;
+    // 12 rounds keeps the per-round-job path affordable in CI
+    val k = 12
+    val dist = TextAnalysis.trainBpeMergesDistributed(spark, sfDir, k)
+    val drv = TextAnalysis.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("merge_idx"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_freq")))
+      .take(k).toVector
+    assert(dist == drv)
   }
 
   test("apply_bpe matches a driver replay of train + apply") {
