@@ -731,14 +731,26 @@ object TextAnalysis {
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)].collect()
-      .map { case (w, f) => (w.split("").toIndexedSeq.filter(_.nonEmpty), f) }
+      .map { case (w, f) => (codePointSyms(w), f) }
   }
+
+  /** Word → initial symbol sequence, one symbol per Unicode CODE POINT
+    * (never per UTF-16 code unit: `split("")` cuts supplementary-plane
+    * characters into lone surrogates, which UTF-8-encode to `?` —
+    * distinct symbols that compare EQUAL under [[utf8Lt]] but unequal
+    * under `==`, making the driver argmax tie-break HashMap-iteration-
+    * dependent and diverging from the distributed path's UTF8String
+    * grouping). Used identically by training, the distributed
+    * cross-check and apply, so all paths stay consistent on any
+    * corpus. */
+  private[graft] def codePointSyms(w: String): IndexedSeq[String] =
+    w.codePoints().toArray.map(Character.toString).toIndexedSeq
 
   /** Spark's string order is UTF8String BINARY order (unsigned UTF-8
     * bytes) — the driver-side argmax tie-break must replicate it
     * exactly or the trained table diverges from the distributed
     * cross-check on non-ASCII symbols. */
-  private def utf8Lt(a: String, b: String): Boolean =
+  private[graft] def utf8Lt(a: String, b: String): Boolean =
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
@@ -795,7 +807,7 @@ object TextAnalysis {
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.split("").toIndexedSeq.filter(_.nonEmpty), f) }
+      .map { case (w, f) => (codePointSyms(w), f) }
       .toDF("syms", "freq")
       .localCheckpoint()
     val merges = Vector.newBuilder[(Int, String, String, Long)]
@@ -821,6 +833,62 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** Pair → ascending rank list of a trained merge table. A list, not
+    * a single rank: a pair can in principle be trained AGAIN at a
+    * later rank when a later merge's concatenated symbol string
+    * coincides with an earlier one and recreates the pair — the rank
+    * list keeps [[tokenizeWord]] exact even then. */
+  private[graft] def mergeRanks(merges: Seq[(Int, String, String)])
+      : Map[(String, String), Array[Int]] =
+    merges.groupBy { case (_, l, r) => (l, r) }
+      .map { case (p, v) => (p, v.map(_._1).sorted.toArray) }
+
+  /** Tokenize ONE word under the trained merge table — sequential-
+    * replay semantics at rank-based cost. Instead of replaying all K
+    * merges per word (O(K·len) — the cost that made apply 5× slower
+    * when K went 12 → 256, and a scale-killer at a production 32k),
+    * repeatedly apply the merge with the SMALLEST rank strictly above
+    * the last applied rank whose pair is adjacent in the word.
+    *
+    * Exactly equivalent to the naive full replay: a merge fires iff
+    * its pair is present when the replay pointer reaches its rank —
+    * if the minimal present rank above the pointer is q, no merge in
+    * (pointer, q) can fire in the naive replay either (its pair would
+    * have ranked below q), and pairs created by later merges with
+    * ranks ≤ pointer stay unapplied in both. ExpressionProps pins the
+    * equivalence property over random words × random merge tables.
+    * Cost: O(applied·len) with applied ≤ len−1 (each merge shortens
+    * the word) — INDEPENDENT of K. */
+  private[graft] def tokenizeWord(word: IndexedSeq[String],
+      ranks: Map[(String, String), Array[Int]]): IndexedSeq[String] = {
+    var syms = word
+    var pointer = 0
+    var more = syms.length > 1
+    while (more) {
+      var bestRank = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val rs = ranks.getOrElse((syms(i), syms(i + 1)), null)
+        if (rs != null) {
+          var j = 0
+          while (j < rs.length && rs(j) <= pointer) j += 1
+          if (j < rs.length && rs(j) < bestRank) {
+            bestRank = rs(j); bl = syms(i); br = syms(i + 1)
+          }
+        }
+        i += 1
+      }
+      if (bl == null) more = false
+      else {
+        syms = bpeMergeOnce(syms, bl, br)
+        pointer = bestRank
+      }
+    }
+    syms
+  }
+
   /** `txt_apply_bpe`: tokenize the corpus with the [[bpeTrain]] merge
     * table — per document, the character-symbol count before, the BPE
     * token count after all [[BpeMerges]] merges, and the resulting
@@ -829,29 +897,41 @@ object TextAnalysis {
     * counts a packing/budget step would take as input).
     *
     * Scale shape: the merge table is K-row METADATA collected once and
-    * closed over; application is ONE typed per-row pass (per word,
-    * chars → symbols, merges replayed in training order) — zero
-    * shuffles beyond the output sort. Rows-only (inherits the
-    * iterated-argmax non-SQL form of training); the spec replays
+    * closed over as a pair→rank index; application is ONE typed
+    * per-row pass — zero shuffles beyond the output sort — with two
+    * compounding accelerations: [[tokenizeWord]] is rank-based (cost
+    * independent of K — flat whether the table holds 256 or 32k
+    * merges), and each partition memoizes by DISTINCT word (the
+    * partition vocabulary is Heaps-law metadata-sized, so a word
+    * occurring a million times tokenizes once). Rows-only (inherits
+    * the iterated-argmax non-SQL form of training); the spec replays
     * train + apply on the driver and asserts per-doc equality. */
   def applyBpe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeMergesFor(spark, dir).map { case (_, l, r, _) => (l, r) }
+    val ranks = mergeRanks(
+      bpeMergesFor(spark, dir).map { case (i, l, r, _) => (i, l, r) })
     Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        var before = 0L
-        var after = 0L
-        text.split(" ", -1).foreach { w =>
-          var syms: IndexedSeq[String] =
-            w.split("").toIndexedSeq.filter(_.nonEmpty)
-          before += syms.length
-          merges.foreach { case (l, r) => syms = bpeMergeOnce(syms, l, r) }
-          after += syms.length
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, (Long, Long)]()
+        it.map { case (id, text) =>
+          var before = 0L
+          var after = 0L
+          text.split(" ", -1).foreach { w =>
+            var ba = memo.get(w)
+            if (ba == null) {
+              val syms = codePointSyms(w)
+              ba = (syms.length.toLong,
+                tokenizeWord(syms, ranks).length.toLong)
+              memo.put(w, ba)
+            }
+            before += ba._1
+            after += ba._2
+          }
+          (id, before, after,
+            after.toDouble / math.max(before, 1L).toDouble)
         }
-        (id, before, after,
-          after.toDouble / math.max(before, 1L).toDouble)
-      })
+      }
       .toDF("doc_id", "n_symbols_before", "n_tokens_after",
         "compression_ratio")
       .orderBy("doc_id")

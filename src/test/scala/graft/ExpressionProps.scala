@@ -229,4 +229,21 @@ object ExpressionProps extends Properties("graft.functions") {
       graft.operators.TextAnalysis
         .bpeMergeOnce(xs.toIndexedSeq, l, r).toList == ref(xs)
     }
+
+  property("tokenizeWord (rank-accelerated) equals the naive sequential K-replay") =
+    Prop.forAll(Gen.listOf(bpeSym),
+      Gen.listOf(Gen.zip(bpeSym, bpeSym))) { (xs, pairs) =>
+      // naive replay: every merge applied once in training order —
+      // the semantics tokenizeWord must reproduce at O(applied) cost.
+      // Random tables include duplicate pairs at different ranks and
+      // merges whose concatenation collides with other symbols
+      // ("a"+"b" == "ab"), the exact edge cases the rank lists cover.
+      val word = xs.toIndexedSeq
+      val naive = pairs.foldLeft(word) { case (s, (l, r)) =>
+        graft.operators.TextAnalysis.bpeMergeOnce(s, l, r)
+      }
+      val ranks = graft.operators.TextAnalysis.mergeRanks(
+        pairs.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) })
+      graft.operators.TextAnalysis.tokenizeWord(word, ranks) == naive
+    }
 }

@@ -408,7 +408,7 @@ class TextAnalysisSpec extends SparkSpec {
         .groupBy(identity).view
         .mapValues(_.length.toLong)
         .toSeq
-        .groupBy { case (w, _) => w.split("").toIndexedSeq.filter(_.nonEmpty) }
+        .groupBy { case (w, _) => TextAnalysis.codePointSyms(w) }
         .view.mapValues(_.map(_._2).sum).toMap
     val replay = Vector.newBuilder[(Int, String, String, Long)]
     var round = 1
@@ -425,8 +425,16 @@ class TextAnalysisSpec extends SparkSpec {
       }
       if (pairCounts.isEmpty) done = true
       else {
+        // UTF-8 BYTE tie order (the trainer's utf8Lt / Spark's
+        // UTF8String binary order), NOT Scala String order (UTF-16
+        // code units) — they diverge on supplementary-plane symbols
+        val utf8Ord: Ordering[String] = (a, b) =>
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val (bl, br) = pairCounts.toSeq
-          .sortBy { case ((l, r), n) => (-n, l, r) }.head._1
+          .sortBy { case ((l, r), n) => (-n, l, r) }(
+            Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord)).head._1
         replay += ((round, bl, br, pairCounts((bl, br))))
         words = words.toSeq.map { case (syms, f) =>
           (TextAnalysis.bpeMergeOnce(syms, bl, br), f)
@@ -469,7 +477,7 @@ class TextAnalysisSpec extends SparkSpec {
     docs.foreach { case (id, text) =>
       var before = 0L; var after = 0L
       text.split(" ", -1).foreach { w =>
-        var syms: IndexedSeq[String] = w.split("").toIndexedSeq.filter(_.nonEmpty)
+        var syms: IndexedSeq[String] = TextAnalysis.codePointSyms(w)
         before += syms.length
         merges.foreach { case (l, r) =>
           syms = TextAnalysis.bpeMergeOnce(syms, l, r)
