@@ -130,6 +130,121 @@ object Multimodal {
       None
     }
 
+    /** Little-endian unsigned int of `n` bytes at `off`. */
+    private def le(p: Array[Byte], off: Int, n: Int): Long = {
+      var v = 0L
+      var i = n - 1
+      while (i >= 0) { v = (v << 8) | (p(off + i) & 0xFFL); i -= 1 }
+      v
+    }
+
+    /** MPEG1 Layer III bitrate table (kbps), indices 1-14. */
+    private[operators] val Mp3Bitrates =
+      Array(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L, 224L, 256L, 320L)
+    /** MPEG1 sampling-rate table, indices 0-2. */
+    private[operators] val Mp3Rates = Array(44100L, 48000L, 32000L)
+
+    /** (format, channels, sample_rate, bit_rate bps, duration_ms) or
+      * None — the audio twins of the image parsers. */
+    def parseAudio(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] =
+      parseWav(p).orElse(parseMp3(p))
+
+    /** WAV: "RIFF" + LE chunk size + "WAVE", then a RIFF chunk WALK
+      * (id + 4-byte LE size, odd sizes padded to word boundaries) to
+      * the `fmt ` fields and the `data` declared size — real WAVs
+      * carry LIST/INFO chunks before `fmt `, so a fixed-44-byte-layout
+      * parser garbles them. Duration derives from the AUTHORITATIVE
+      * declared data size over the byte rate (the data chunk may
+      * extend past a header-only sniff window). */
+    def parseWav(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+      if (p.length < 12 ||
+          p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+          p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+        return None
+      var i = 12
+      var channels = -1L; var rate = -1L; var byteRate = -1L; var dataSize = -1L
+      while (i + 8 <= p.length && dataSize < 0) {
+        val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le(p, i + 4, 4)
+        if (id == "fmt " && size >= 16 && i + 24 <= p.length) {
+          channels = le(p, i + 10, 2)
+          rate = le(p, i + 12, 4)
+          byteRate = le(p, i + 16, 4)
+          i += 8 + size.toInt + (size.toInt & 1)
+        } else if (id == "data") dataSize = size
+        else i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (channels > 0 && rate > 0 && byteRate > 0 && dataSize >= 0)
+        Some(("wav", channels, rate, byteRate * 8, dataSize * 1000 / byteRate))
+      else None
+    }
+
+    /** MP3: an ID3v2 tag ("ID3" + version + flags + 4-byte SYNCSAFE
+      * size — 7 bits per byte, the classic off-by-tag-length bug) is
+      * skipped to the first MPEG frame header: 11 sync bits, version
+      * (MPEG1), layer (III), bitrate + sampling-rate table indices,
+      * channel mode. Duration is the standard CBR estimate —
+      * post-tag bytes × 8 / bitrate. Bare (tagless) streams parse
+      * from offset 0. */
+    def parseMp3(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+      val off =
+        if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3')
+          10 + (((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) |
+            ((p(8) & 0x7F) << 7) | (p(9) & 0x7F))
+        else 0
+      if (off + 4 > p.length) return None
+      val b1 = p(off + 1) & 0xFF
+      if ((p(off) & 0xFF) != 0xFF || (b1 & 0xE0) != 0xE0) return None
+      if ((b1 >> 3 & 3) != 3 || (b1 >> 1 & 3) != 1) return None // MPEG1 Layer III
+      val b2 = p(off + 2) & 0xFF
+      val bi = (b2 >> 4) & 0xF
+      val si = (b2 >> 2) & 3
+      if (bi < 1 || bi > 14 || si > 2) return None
+      val kbps = Mp3Bitrates(bi - 1)
+      val channels = if (((p(off + 3) & 0xFF) >> 6 & 3) == 3) 1L else 2L
+      val audioBytes = (p.length - off).toLong
+      Some(("mp3", channels, Mp3Rates(si), kbps * 1000L, audioBytes * 8 / kbps))
+    }
+
+    /** Canonical 44-byte WAV header (declared data size only — the
+      * data chunk body is elsewhere, as in a header sniff window);
+      * `plantList` inserts a LIST/INFO chunk before `fmt ` to exercise
+      * the chunk walk (56 bytes). */
+    def synthWav(channels: Long, rate: Long, bits: Long, dataSize: Long,
+        plantList: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(56)
+      def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+      def le16(v: Long): Unit =
+        (0 to 1).foreach(s => out.write(((v >> (8 * s)) & 0xFF).toInt))
+      def le32(v: Long): Unit =
+        (0 to 3).foreach(s => out.write(((v >> (8 * s)) & 0xFF).toInt))
+      val byteRate = rate * channels * (bits / 8)
+      tag("RIFF"); le32(36 + (if (plantList) 12 else 0) + dataSize); tag("WAVE")
+      if (plantList) { tag("LIST"); le32(4); tag("INFO") }
+      tag("fmt "); le32(16)
+      le16(1); le16(channels); le32(rate); le32(byteRate)
+      le16(channels * (bits / 8)); le16(bits)
+      tag("data"); le32(dataSize)
+      out.toByteArray
+    }
+
+    /** ID3v2.3-tagged MP3: 10-byte tag header with syncsafe `tagPad`,
+      * `tagPad` zero bytes, one MPEG1-Layer-III frame header with the
+      * given bitrate/rate/mode indices, `bodyLen` zero audio bytes. */
+    def synthMp3(tagPad: Long, bitrateIdx: Int, rateIdx: Int, mode: Int,
+        bodyLen: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(14 + tagPad.toInt + bodyLen.toInt)
+      "ID3".foreach(c => out.write(c.toInt))
+      out.write(3); out.write(0); out.write(0) // v2.3.0, no flags
+      Seq(21, 14, 7, 0).foreach(s => out.write(((tagPad >> s) & 0x7F).toInt))
+      (0L until tagPad).foreach(_ => out.write(0))
+      out.write(0xFF); out.write(0xFB) // sync + MPEG1 + Layer III + no CRC
+      out.write((bitrateIdx << 4) | (rateIdx << 2))
+      out.write(mode << 6)
+      (0L until bodyLen).foreach(_ => out.write(0))
+      out.toByteArray
+    }
+
     /** Minimal valid PNG header (33 bytes): signature + IHDR with the
       * given dims (8-bit RGBA, zeroed CRC). */
     def synthPng(w: Long, h: Long): Array[Byte] = {
@@ -221,6 +336,57 @@ object Multimodal {
         else MediaHeaders.synthGif(w, h)
       MediaRecord(id, "gif", payload)
     }).mapPartitions(_.map(HeaderDecoder.decode))
+      .toDF().orderBy("doc_id")
+  }
+
+  final case class AudioHeaderMeta(
+      doc_id: Long, media_type: String, byte_len: Long, magic: String,
+      format: Option[String], channels: Option[Long],
+      sample_rate: Option[Long], bit_rate: Option[Long],
+      duration_ms: Option[Long])
+
+  /** The audio-decode seam: container headers parsed from payload
+    * bytes; corrupt payloads map to NULL format/fields. */
+  object AudioHeaderDecoder extends Serializable {
+    def decode(r: MediaRecord): AudioHeaderMeta = {
+      val magic = r.payload.take(4).map(b => f"${b & 0xFF}%02X").mkString
+      MediaHeaders.parseAudio(r.payload) match {
+        case Some((fmt, ch, rate, bps, ms)) => AudioHeaderMeta(r.doc_id,
+          r.media_type, r.payload.length.toLong, magic,
+          Some(fmt), Some(ch), Some(rate), Some(bps), Some(ms))
+        case None => AudioHeaderMeta(r.doc_id, r.media_type,
+          r.payload.length.toLong, magic, None, None, None, None, None)
+      }
+    }
+  }
+
+  /** `mm_audio_meta`: audio metadata decode — the audio twin of
+    * [[mediaMeta]]: real RIFF-LE WAV headers (every 4th with a planted
+    * LIST chunk, so a fixed-offset parser fails the gate) and
+    * ID3v2-tagged MPEG1-Layer-III MP3 frame headers carrying
+    * doc_id-derived parameters, parsed back through
+    * [[MediaHeaders.parseAudio]]; every 5th payload is corrupted
+    * (0x00-prefixed text — matches no signature) → NULLs. The oracle
+    * recomputes channels/rate/bitrate/duration from the synthesis
+    * arithmetic (bitrate through the same MPEG table as a literal
+    * list), so a syncsafe-size, endianness, chunk-walk or table bug
+    * breaks the hash. Payload bytes never leave the executors. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    recs.mapPartitions(_.map { case (id, text) =>
+      val declared = if (id % 2 == 0) "wav" else "mp3"
+      val payload =
+        if (id % 5 == 0) (0.toByte +: text.getBytes("UTF-8")).toArray
+        else if (id % 2 == 0)
+          MediaHeaders.synthWav(1 + (id / 2) % 2, 8000 + (id * 37) % 40000,
+            8 * (1 + (id / 4) % 2), (id * 53) % 100000, id % 8 == 2)
+        else
+          MediaHeaders.synthMp3((id * 31) % 2000, (1 + id % 14).toInt,
+            (id % 3).toInt, (id % 4).toInt, (id * 29) % 997)
+      MediaRecord(id, declared, payload)
+    }).mapPartitions(_.map(AudioHeaderDecoder.decode))
       .toDF().orderBy("doc_id")
   }
 
@@ -484,6 +650,7 @@ object Multimodal {
     // parser: the Spark side must synthesize real headers and parse
     // them back correctly for the hash to match
     "mm_media_meta" -> mediaMetaOracle,
+    "mm_audio_meta" -> audioMetaOracle,
     "mm_gif_meta" ->
       """SELECT doc_id, 'gif' AS media_type,
         |       CASE WHEN doc_id % 7 = 0
@@ -499,7 +666,10 @@ object Multimodal {
         |            ELSE CAST(8 + (doc_id*11) % 256 AS BIGINT) END AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_corrupt_rate" ->
-      s"""WITH meta AS (SELECT * FROM ($mediaMetaOracle))
+      s"""WITH meta AS (
+         |  SELECT media_type, format, byte_len FROM ($mediaMetaOracle)
+         |  UNION ALL
+         |  SELECT media_type, format, byte_len FROM ($audioMetaOracle))
          |SELECT media_type, COUNT(*) AS n_records,
          |       CAST(SUM(CASE WHEN format IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_corrupt,
@@ -507,6 +677,46 @@ object Multimodal {
          |       CAST(SUM(CASE WHEN format IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |         / CAST(COUNT(*) AS DOUBLE) AS corrupt_rate
          |FROM meta GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  private lazy val audioMetaOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS media_type,
+      |       CASE WHEN doc_id % 5 = 0
+      |              THEN CAST(octet_length(encode(text)) + 1 AS BIGINT)
+      |            WHEN doc_id % 2 = 0
+      |              THEN CAST(CASE WHEN doc_id % 8 = 2 THEN 56 ELSE 44 END AS BIGINT)
+      |            ELSE CAST(14 + (doc_id*31) % 2000 + (doc_id*29) % 997 AS BIGINT)
+      |            END AS byte_len,
+      |       CASE WHEN doc_id % 5 = 0 THEN '00' || substring(hex(encode(text)), 1, 6)
+      |            WHEN doc_id % 2 = 0 THEN '52494646'
+      |            ELSE '49443303' END AS magic,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS format,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT)
+      |            WHEN doc_id % 4 = 3 THEN CAST(1 AS BIGINT)
+      |            ELSE CAST(2 AS BIGINT) END AS channels,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id*37) % 40000 AS BIGINT)
+      |            ELSE CAST(list_extract([44100, 48000, 32000],
+      |                   CAST(1 + doc_id % 3 AS INT)) AS BIGINT) END AS sample_rate,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0
+      |              THEN CAST((8000 + (doc_id*37) % 40000) * (1 + (doc_id // 2) % 2)
+      |                     * (1 + (doc_id // 4) % 2) * 8 AS BIGINT)
+      |            ELSE CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+      |                   CAST(1 + doc_id % 14 AS INT)) * 1000 AS BIGINT)
+      |            END AS bit_rate,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0
+      |              THEN CAST(((doc_id*53) % 100000) * 1000
+      |                     // ((8000 + (doc_id*37) % 40000) * (1 + (doc_id // 2) % 2)
+      |                         * (1 + (doc_id // 4) % 2)) AS BIGINT)
+      |            ELSE CAST((4 + (doc_id*29) % 997) * 8
+      |                   // list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+      |                        CAST(1 + doc_id % 14 AS INT)) AS BIGINT)
+      |            END AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private lazy val mediaMetaOracle: String =
     """SELECT doc_id,
@@ -525,7 +735,8 @@ object Multimodal {
       |            ELSE CAST(16 + (doc_id*13) % 768 AS BIGINT) END AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** `mm_corrupt_rate`: decode-health rollup of [[mediaMeta]] — per
+  /** `mm_corrupt_rate`: decode-health rollup of [[mediaMeta]] AND
+    * [[audioMeta]] (image + audio feeds in one gate) — per
     * declared media type, record count, parse failures (format NULL:
     * the declared-type/bytes mismatch the header parser caught), total
     * bytes, corrupt fraction. The media-pipeline DQ gate read before
@@ -535,7 +746,8 @@ object Multimodal {
     * existing typed decode seam — payload bytes never leave the
     * executors. */
   def corruptRate(spark: SparkSession, dir: String): DataFrame =
-    mediaMeta(spark, dir)
+    mediaMeta(spark, dir).select("media_type", "format", "byte_len")
+      .unionAll(audioMeta(spark, dir).select("media_type", "format", "byte_len"))
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_records"),
         sum(when(col("format").isNull, 1L).otherwise(0L)).as("n_corrupt"),
@@ -549,6 +761,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"    -> mediaMeta,
     "mm_gif_meta"      -> gifMeta,
+    "mm_audio_meta"    -> audioMeta,
     "mm_frame_samples" -> frameSamples,
     "mm_exact_dedup"   -> mediaDedup,
     "mm_corrupt_rate"  -> corruptRate,

@@ -279,6 +279,37 @@ class PipelineSpec extends SparkSpec {
     assert(parse((0.toByte +: "GIF89a payload".getBytes("UTF-8")).toArray).isEmpty)
   }
 
+  test("audio header parser: WAV chunk walk + MP3 syncsafe skip round-trip; malformed -> None") {
+    import Multimodal.MediaHeaders._
+    // WAV: canonical layout and a planted LIST chunk (same fields)
+    val w = synthWav(2, 44100, 16, 88200, plantList = false)
+    assert(parseAudio(w) == Some(("wav", 2L, 44100L, 44100L * 2 * 2 * 8, 500L)))
+    val wl = synthWav(1, 8000, 8, 4000, plantList = true)
+    assert(wl.length == 56)
+    assert(parseAudio(wl) == Some(("wav", 1L, 8000L, 64000L, 500L)))
+    // truncated mid-fmt and mid-header
+    assert(parseAudio(w.take(20)).isEmpty)
+    assert(parseAudio(w.take(11)).isEmpty)
+    // data chunk missing entirely
+    assert(parseAudio(w.take(36)).isEmpty)
+    // MP3: tagless, small tag, and a tag size that exercises all four
+    // syncsafe 7-bit groups (0x0204080 = 4210816 > any 3-group value);
+    // synth caps at Int so use a representative multi-group size 300
+    val m = synthMp3(0, 9, 0, 0, 160) // idx 9 = 128 kbps, 44100, stereo
+    assert(parseAudio(m) == Some(("mp3", 2L, 44100L, 128000L, (4L + 160L) * 8 / 128)))
+    val mt = synthMp3(300, 14, 2, 3, 997) // idx 14 = 320 kbps, 32000, mono
+    assert(mt.length == 14 + 300 + 997)
+    assert(parseAudio(mt) == Some(("mp3", 1L, 32000L, 320000L, (4L + 997L) * 8 / 320)))
+    // syncsafe means 7 bits per byte: 300 -> groups (0, 0, 300>>7, 300&0x7F)
+    assert((mt(6), mt(7), mt(8), mt(9)) == (0.toByte, 0.toByte, 2.toByte, 44.toByte))
+    // corrupt / truncated
+    assert(parseAudio("plain text".getBytes("UTF-8")).isEmpty)
+    assert(parseAudio((0.toByte +: "RIFFWAVE junk".getBytes("UTF-8")).toArray).isEmpty)
+    assert(parseAudio(mt.take(12)).isEmpty)                 // inside the tag
+    assert(parseAudio(synthMp3(0, 15, 0, 0, 8)).isEmpty)    // reserved bitrate idx
+    assert(parseAudio(synthMp3(0, 9, 3, 0, 8)).isEmpty)     // reserved rate idx
+  }
+
   test("csv source is permissive on malformed rows (nulls, no crash)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
     java.nio.file.Files.writeString(dir.resolve("part.csv"),
@@ -338,7 +369,11 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("media corrupt rate rolls up decode failures exactly") {
-    val meta = Multimodal.mediaMeta(spark, sfDir).collect()
+    // image AND audio feeds flow into the one gate
+    val meta = Multimodal.mediaMeta(spark, sfDir)
+        .select("media_type", "format", "byte_len").collect() ++
+      Multimodal.audioMeta(spark, sfDir)
+        .select("media_type", "format", "byte_len").collect()
     val got = Multimodal.corruptRate(spark, sfDir).collect()
       .map(r => r.getAs[String]("media_type") ->
         (r.getAs[Long]("n_records"), r.getAs[Long]("n_corrupt"),
