@@ -225,18 +225,29 @@ object Curation {
 
   /** Load a persisted cluster map and prime the cache for `dir`, so
     * every consumer reads it without ever re-deriving the fixpoint.
-    * Returns the map. */
+    * The loaded map is RESOLVED against the live documents table first
+    * (the same doc-keyed left join as the build path): a map persisted
+    * before new docs were appended degrades safely — new docs default
+    * to singleton clusters instead of silently vanishing from every
+    * consumer — and rows for deleted docs are dropped. Returns the
+    * resolved map. */
   def loadClusterMap(spark: SparkSession, dir: String,
       path: String): DataFrame = {
-    val m = spark.read.parquet(path).select("doc_id", "cluster_id")
+    val m = resolveClusters(spark, dir,
+      spark.read.parquet(path)
+        .select(col("doc_id").as("id"), col("cluster_id").as("lbl")))
       .localCheckpoint()
     ArtifactCache.put(spark, dir, "dd_cluster_map", m)
     m
   }
 
-  /** Drop the cached map for a corpus dir rewritten in place. */
+  /** Drop the cached artifacts for a corpus dir rewritten in place —
+    * ALL of them, not just the map: the map derives from the cached
+    * ngram pair list (and the containment/minhash pair lists cover the
+    * same corpus), so a name-at-a-time drop would re-derive the map
+    * from stale upstreams. */
   def invalidateClusterMap(spark: SparkSession, dir: String): Unit =
-    ArtifactCache.invalidate(spark, dir, "dd_cluster_map")
+    ArtifactCache.invalidateDir(spark, dir)
 
   /** (doc_id, cluster_id) for EVERY document from a label fixpoint over
     * the near-dup pairs (docs in no pair are their own cluster). */

@@ -126,7 +126,7 @@ object Similarity {
 
   /** Exact top-k: broadcast the query set over the partitioned corpus,
     * cosine per (corpus row, query), per-query top-k. */
-  def annTopKExact(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def buildTopKExact(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = querySet(c)
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -241,7 +241,7 @@ object Similarity {
 
   /** LSH-pruned top-k: candidates restricted to bucket matches, then the
     * exact rerank — trades recall for a corpus-pruning equi-join. */
-  def annTopKLsh(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def buildTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = querySet(c)
     val bits = lshBitsFor(corpusCount(spark, dir))
@@ -343,7 +343,7 @@ object Similarity {
     * native codegen [[graft.functions.NearestCells]] expression over the
     * cached codebook — the query path only assigns and probes, it never
     * retrains. */
-  def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def buildTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = querySet(c)
     val centroids = ivfCodebook(spark, dir, ivfCellsFor(corpusCount(spark, dir)))
@@ -463,7 +463,7 @@ object Similarity {
     * ([[graft.functions.NearestCells]] + `element_at` on a foldable
     * literal), so the compress-reconstruct-score pass fuses into the
     * corpus scan's codegen span. */
-  def annTopKPq(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def buildTopKPq(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKByScore.register(spark)
     val books = pqCodebooks(spark, dir)
     val recon = concat((0 until PqSubspaces).map { m =>
@@ -493,6 +493,35 @@ object Similarity {
           VectorFunctions.dot(col("embedding"), col("q_emb")),
           col("nrm"), col("q_nrm")).as("cosine")))
   }
+
+  // ---- cached top-k artifacts --------------------------------------------
+
+  /** Session-cached top-k RESULT table per (corpus dir, method) — the
+    * [[ArtifactCache]] train-once contract applied to search results:
+    * each of exact/LSH/IVF/PQ derives its |queries|·k-row table ONCE
+    * per corpus per session, and every consumer — the `ann_topk_*`
+    * queries, [[annRecallReport]] (which reads all four),
+    * [[retrievalMetrics]] — reads the materialized rows. At 100 TB the
+    * top-k tables of a standing evaluation query set are artifacts
+    * persisted next to the index they grade, not recomputed per
+    * report. The cache holds the UNORDERED result; the deterministic
+    * (query_id, rn) sort is re-applied per read (metadata-sized). */
+  private def cachedTopK(spark: SparkSession, dir: String, method: String,
+      build: (SparkSession, String) => DataFrame): DataFrame =
+    ArtifactCache.of(spark, dir, s"ann_topk_$method")(build(spark, dir))
+      .orderBy("query_id", "rn")
+
+  def annTopKExact(spark: SparkSession, dir: String): DataFrame =
+    cachedTopK(spark, dir, "exact", buildTopKExact)
+
+  def annTopKLsh(spark: SparkSession, dir: String): DataFrame =
+    cachedTopK(spark, dir, "lsh", buildTopKLsh)
+
+  def annTopKIvf(spark: SparkSession, dir: String): DataFrame =
+    cachedTopK(spark, dir, "ivf", buildTopKIvf)
+
+  def annTopKPq(spark: SparkSession, dir: String): DataFrame =
+    cachedTopK(spark, dir, "pq", buildTopKPq)
 
   /** `emb_hard_negatives`: contrastive hard-negative mining — for each
     * query vector, the [[TopK]] most cosine-similar vectors carrying a

@@ -137,6 +137,28 @@ class CurationSpec extends SparkSpec {
     assert(rederived == expected.keys.map(k => k -> k).toMap)
   }
 
+  test("stale persisted cluster map degrades safely: new docs become singletons, deleted rows drop") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cmap_stale").toString
+    val (d1, d2) = (s"$base/corpus", s"$base/appended")
+    val mapPath = s"$base/cluster_map.parquet"
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, t), (2L, t + " lambda"),
+      (8L, "solo document entirely unlike every other text here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    Curation.saveClusterMap(spark, d1, mapPath)
+    // the corpus grows (doc 9 appended) and shrinks (doc 8 deleted)
+    // AFTER the map was persisted; loading the stale map must not
+    // silently drop doc 9 from consumers nor resurrect doc 8
+    Seq((1L, t), (2L, t + " lambda"), (9L, "a brand new never seen doc"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    Curation.loadClusterMap(spark, d2, mapPath)
+    val got = Curation.dedupComponents(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+    Curation.invalidateClusterMap(spark, d2)
+  }
+
   test("weighted mix realizes the target milli-epoch weights per language") {
     val mix = Curation.weightedMix(spark, sfDir)
     val docs = Tables.table(spark, sfDir, "documents")

@@ -267,8 +267,10 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ANN plans broadcast the query set, never the corpus") {
-    Seq(Similarity.annTopKExact(spark, sfDir),
-        Similarity.annTopKPq(spark, sfDir)).foreach { df =>
+    // the BUILD plans: the public entry points serve the cached
+    // (checkpointed) artifact, whose plan is just a sorted RDD scan
+    Seq(Similarity.buildTopKExact(spark, sfDir),
+        Similarity.buildTopKPq(spark, sfDir)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Broadcast"))
       assert(!plan.contains("CartesianProduct"), plan.take(600))
@@ -521,6 +523,19 @@ class SimilaritySpec extends SparkSpec {
       if (m == "lsh") assert(r.getAs[Double]("mean_recall") == 1.0)
       else assert(r.getAs[Double]("mean_recall") >= 0.9, s"$m recall")
     }
+  }
+
+  test("top-k tables are session-cached artifacts: repeat reads serve the checkpoint, not the search") {
+    // first call may build; the second MUST serve the cached artifact —
+    // its plan is a sorted scan of the checkpointed rows, with no join,
+    // no broadcast, no aggregate (the no-recompute proof of the
+    // codebook/cluster-map pattern, applied to the top-k family)
+    Similarity.annTopKExact(spark, sfDir).count()
+    val plan = Similarity.annTopKExact(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(400))
+    Seq("Join", "Broadcast", "HashAggregate").foreach(op =>
+      assert(!plan.contains(op), s"cached top-k plan re-derives ($op)"))
   }
 
   test("centroid-distance histogram partitions each label's vectors once") {
