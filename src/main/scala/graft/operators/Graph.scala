@@ -365,7 +365,8 @@ object Graph {
          |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
          |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
          |deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY 1),
-         |p AS (SELECT dx.d AS dx, dy.d AS dy
+         |p AS (SELECT CAST(dx.d AS DECIMAL(19,0)) AS dx,
+         |             CAST(dy.d AS DECIMAL(19,0)) AS dy
          |      FROM und JOIN deg dx ON und.a = dx.a
          |               JOIN deg dy ON und.b = dy.a),
          |s AS (SELECT COUNT(*) AS n,
@@ -567,19 +568,24 @@ object Graph {
     * needed on the edge key.
     *
     * Scale shape: the [[graft.operators.Gold.priceSlope]] discipline —
-    * five exact DECIMAL(38,0) sufficient statistics over the
-    * bidirected edge list (order-independent, engine-portable), then
-    * the closed form in identical IEEE ops; degrees come from one
-    * partial-agg groupBy joined back on each endpoint. */
+    * five exact DECIMAL sufficient statistics over the bidirected edge
+    * list (order-independent, engine-portable), then the closed form
+    * in identical IEEE ops; degrees come from one partial-agg groupBy
+    * joined back on each endpoint. Cross products pre-cast each LONG
+    * degree to DECIMAL(19,0) BEFORE multiplying (the
+    * [[graft.operators.Gold.revenueAutocorr]] discipline): under
+    * Spark 4 ANSI mode a `dx * dy` on longs THROWS past ~3e9-degree
+    * hubs, where the decimal product is exact. */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
     val e = coEdges(spark, dir)
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
     val pairs = und
       .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
       .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
-      .select(col("dx"), col("dy"))
+      .select(col("dx").cast(d19).as("dx"), col("dy").cast(d19).as("dy"))
     pairs.agg(
         count(lit(1)).as("n_dir_edges"),
         sum(col("dx").cast(dec)).as("sx"),

@@ -58,7 +58,12 @@ object SkewUtils {
     *   3. Partition offsets: a ≤P-row per-partition total aggregate,
     *      prefix-summed by a tiny non-equi self-join (range partitions
     *      are ordered by construction: every row in partition i sorts
-    *      before every row in partition i+1) and broadcast back.
+    *      before every row in partition i+1) and broadcast back. That
+    *      join is O(P²) PAIRS — safe by construction because P is
+    *      `spark.sql.shuffle.partitions` (cluster CONFIGURATION, a few
+    *      thousand at most), never data-sized. Anything data-sized
+    *      (a group catalog) must NOT go through this shape — see
+    *      [[groupRank]], whose offsets ride prefixSum recursively.
     *
     * Exactness: global cum(r) = offset(pid) + local cum(r), in exactly
     * the `order` total order — no tie-order change, so DuckDB oracles
@@ -100,19 +105,24 @@ object SkewUtils {
     * (group asc, order...) is a [[prefixSum]] with weight 1 (range
     * partitioned — a huge group splits across partitions on the
     * in-group order's unique tiebreaker); subtracting the
-    * strictly-lower-group population (a group-catalog-sized aggregate,
-    * prefix-summed by a tiny non-equi self-join and broadcast back)
-    * recovers the in-group 1-based rank exactly. Requires `order` to
+    * strictly-lower-group population recovers the in-group 1-based
+    * rank exactly. The strictly-lower populations are themselves a
+    * prefix sum OVER THE COUNTS TABLE — ridden through [[prefixSum]]
+    * recursively (one row per group is trivially a total order), so a
+    * BILLION-group catalog (per-user ranks at 100 TB) scans range-
+    * partitioned instead of exploding a G² non-equi self-join or
+    * funneling G rows through one window task. The offsets join back
+    * on the group key is a plain equi-join: catalog-sized offsets
+    * broadcast under AQE automatically; bigger catalogs shuffle on
+    * the same key the rank join needs anyway. Requires `order` to
     * total-order rows WITHIN a group (unique tiebreaker included). */
   def groupRank(df: DataFrame, group: String, order: Seq[Column],
       out: String): DataFrame = {
     val counts = df.groupBy(group).agg(count(lit(1)).as("__c"))
-    val offs = counts
-      .join(counts.select(col(group).as("__g2"), col("__c").as("__c2")),
-        col("__g2") < col(group), "left")
-      .groupBy(group).agg(coalesce(sum(col("__c2")), lit(0L)).as("__goff"))
+    val offs = prefixSum(counts, Seq(col(group).asc), col("__c"), "__gcum")
+      .select(col(group), (col("__gcum") - col("__c")).as("__goff"))
     prefixSum(df, col(group).asc +: order, lit(1L), "__grank")
-      .join(broadcast(offs), Seq(group))
+      .join(offs, Seq(group))
       .withColumn(out, col("__grank") - col("__goff"))
       .drop("__grank", "__goff")
   }

@@ -168,6 +168,31 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dir_edges") == xy.length.toLong)
   }
 
+  test("planted near-overflow degrees: DECIMAL(19,0) pre-cast cross products stay exact where LONG throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.functions.{col, sum}
+    // hub degrees past sqrt(Long.MaxValue) ≈ 3.04e9 — the magnitude at
+    // which a raw long dx*dy overflows (and under Spark 4 ANSI mode
+    // THROWS). The pre-cast sufficient-statistic shape shared by
+    // gr_assortativity and gold_revenue_autocorr must stay exact there.
+    val rows = Seq((4000000000L, 4100000000L),
+      (3500000000L, 3600000000L), (7L, 9L))
+    val big = rows.toDF("dx", "dy")
+    val d19 = DecimalType(19, 0)
+    val got = big.agg(
+        sum((col("dx").cast(d19) * col("dy").cast(d19))
+          .cast(DecimalType(38, 0))).as("sxy"))
+      .head().getDecimal(0)
+    val exp = rows.map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    assert(BigInt(got.toBigInteger) == exp)
+    // the discipline exists because the naive long product fails loudly
+    val e = intercept[Throwable] { big.agg(sum(col("dx") * col("dy"))).head() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    assert(msgs.toLowerCase.contains("overflow"), msgs.take(300))
+  }
+
   test("support histogram: pairs above the cut equal the edge-list size") {
     val hist = Graph.supportHist(spark, sfDir).collect()
       .map(r => r.getAs[Long]("n_co") -> r.getAs[Long]("n_pairs")).toMap

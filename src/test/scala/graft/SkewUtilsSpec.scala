@@ -125,6 +125,28 @@ class SkewUtilsSpec extends SparkSpec {
     expect.foreach { case (k, v) => assert(got(k) == v.toLong, s"$k") }
   }
 
+  test("groupRank equals the window on a MANY-group catalog (offsets scale in G)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // thousands of distinct groups, a handful of rows each — the
+    // catalog shape whose strictly-lower-population offsets must ride
+    // the range-partitioned prefix scan (a G² non-equi self-join here
+    // would be 16M pairs from 4k groups and unusable at a real
+    // user_id catalog)
+    val df = (1 to 12000)
+      .map(i => (f"g${i % 4000}%05d", f"k$i%05d"))
+      .toDF("g", "k")
+    val expect = df.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val got = SkewUtils.groupRank(df, "g", Seq(col("k").asc), "rn")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("k")) ->
+        r.getAs[Long]("rn")).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (k, v) => assert(got(k) == v.toLong, s"$k") }
+  }
+
   test("salted sum equals direct sum") {
     val li = Tables.table(spark, sfDir, "lineitem")
     val salted = SkewUtils.saltedSum(li, "l_partkey", "l_quantity", buckets = 8)
