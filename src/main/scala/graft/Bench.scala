@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   *     /proc/stat busy-fraction delta over the sweep, so a slow sweep
   *     on a loaded host is visibly a loaded-host sweep;
   *   - an ISOLATED re-time of the slowest queries — after the sweeps,
-  *     the top-`SPARK_GRAFT_BENCH_ISOLATE` (default 10) queries by min
+  *     the top-`SPARK_GRAFT_BENCH_ISOLATE` (default 25) queries by min
   *     sweep time run again back-to-back (min of 2), giving a
   *     steady-state figure comparable across rounds even when the
   *     sweeps were noisy.
@@ -65,7 +65,7 @@ object Bench {
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .map(v => math.max(1, v.toInt)).getOrElse(3)
     val isolateN = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
-      .map(_.toInt).getOrElse(10)
+      .map(_.toInt).getOrElse(25)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
     val spark = SparkConfigs.local(SparkSession.builder(),
       SparkConfigs.cpusFromEnv(32)).getOrCreate()

@@ -149,4 +149,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan(Events.powerCurve(spark, sfDir)).toLowerCase
       .contains("rangepartitioning"), "prefix scan missing its range exchange")
   }
+
+  test("negative-space window audit: every Window in every committed plan is entity-partitioned") {
+    // The whole-surface complement of the per-operator checks above: NO
+    // committed query may carry a Window partitioned on a key where one
+    // group can grow with the corpus (event_type, lang, store, category,
+    // date, cluster-catalog keys …) — such a window funnels a data-sized
+    // group through ONE task at 100 TB (the failure mode SkewUtils
+    // prefixSum/groupRank exist to avoid). Allowed partition keys are
+    // per-ENTITY (one user's events, one document's tokens/chunks/shingle
+    // spans, one near-dup cluster, one SKU's co-purchases, one compaction
+    // output bin — all bounded by per-entity activity, not corpus size)
+    // plus __psum_pid, prefixSum's ≤shuffle-partitions range-partition id.
+    // Run `sbt "runMain graft.WindowAudit"` to regenerate the inventory
+    // after a REVIEWED change adds a window.
+    val allowedKeys = Set(
+      "user_id",              // per-user event history
+      "customer_id",          // per-customer order history
+      "doc_id",               // per-document tokens/chunks/spans
+      "cluster_id",           // per-near-dup-cluster members
+      "sku",                  // per-product co-purchase neighbors
+      "d_key",                // per-golden-record duplicate group
+      "part",                 // per-compaction-bin files
+      "event_type+user_id",   // per-(user,type) gap series
+      "__psum_pid")           // prefixSum partition offsets, ≤ P rows
+    // The ONE global window: txt_vocab's id assignment runs AFTER a
+    // LIMIT VocabK, so its single-partition sort is O(k constant), never
+    // O(corpus) (see TextAnalysis.vocab's scale-shape scaladoc).
+    val globalOk = Set("txt_vocab")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      WindowAudit.windowShapes(fn(spark, sfDir)).foreach { shape =>
+        if (shape == "(global)")
+          assert(globalOk(name), s"$name: UNPARTITIONED window")
+        else
+          assert(allowedKeys(shape),
+            s"$name: window partitioned on unreviewed key set '$shape'")
+      }
+    }
+  }
 }
