@@ -377,10 +377,19 @@ object Dedup {
 
   /** (doc_id, band, sig) LSH bucket keys — shared by [[minhashLsh]]
     * (full-corpus pairs), [[minhashIncremental]] (batch-vs-corpus
-    * boundary pairs) and the streaming ingest screen (as the static
-    * side). */
+    * boundary pairs), [[lshCalibration]] (the collision side) and the
+    * streaming ingest screen (as the static side).
+    *
+    * A session-cached [[ArtifactCache]] artifact: this IS the
+    * persisted MinHash signature index of an incremental dedup
+    * deployment — corpus × [[MinhashBands]] fixed-width rows, built
+    * once per corpus, that every later batch/stream screens against
+    * (the contract [[minhashIncremental]] models and
+    * [[screenAgainstIndex]]'s parquet persist/load ships); deriving it
+    * per query repeated the 64-perm signature aggregate four times. */
   private[graft] def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
-    minhashBucketsOf(spark, Tables.table(spark, dir, "documents"))
+    ArtifactCache.of(spark, dir, "dd_minhash_index")(
+      minhashBucketsOf(spark, Tables.table(spark, dir, "documents")))
 
   private[graft] def minhashBucketsOf(spark: SparkSession,
       docs: DataFrame): DataFrame = {
@@ -492,12 +501,7 @@ object Dedup {
     * theoretical column against a driver recompute. */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
     val r = MinhashPerms / MinhashBands
-    val exact = pairIntersections(spark, dir, ShingleDfCap)
-      .withColumn("jaccard",
-        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
-      .where(col("jaccard") >= CurveMinJaccard)
-      .select(col("a_id"), col("b_id"),
-        floor(col("jaccard") * 10).cast("long").as("decile"))
+    val exact = curveDeciles(spark, dir)
     val buckets = minhashBuckets(spark, dir)
     val cand = buckets.select(col("doc_id").as("a_id"), col("band"), col("sig"))
       .join(buckets.select(col("doc_id").as("b_id"), col("band"), col("sig")),
@@ -627,6 +631,21 @@ object Dedup {
   /** Curve floor for [[thresholdCurve]]. */
   val CurveMinJaccard = 0.5
 
+  /** Exact near-dup pairs at Jaccard ≥ [[CurveMinJaccard]] with their
+    * decile bucket — the shared input of the two tuning-curve audits
+    * ([[thresholdCurve]] counts it, [[lshCalibration]] joins the
+    * banding collisions against it). A session-cached [[ArtifactCache]]
+    * artifact: both audits ran the full df-capped [[pairIntersections]]
+    * kernel; the ≥0.5 pair list itself is near-dup-sized (tiny). */
+  private def curveDeciles(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "dd_curve_pairs")(
+      pairIntersections(spark, dir, ShingleDfCap)
+        .withColumn("jaccard",
+          col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
+        .where(col("jaccard") >= CurveMinJaccard)
+        .select(col("a_id"), col("b_id"),
+          floor(col("jaccard") * 10).cast("long").as("decile")))
+
   /** `dd_threshold_curve`: near-dup pair counts at every Jaccard decile
     * from [[CurveMinJaccard]] up — the threshold-tuning audit for
     * [[JaccardThreshold]] itself (the third of the tuning-constant
@@ -635,16 +654,12 @@ object Dedup {
     * sit past the curve's knee, and this table shows where candidate
     * volume explodes as the bar drops.
     *
-    * Scale shape: the same single df-capped self-join as
-    * [[ngramJaccard]] (exact via the banned-shingle correction), with
-    * the decile bucket a FLOOR of the identical-IEEE jaccard — the
+    * Scale shape: one aggregate over the cached [[curveDeciles]]
+    * artifact (df-capped self-join, exact via the banned-shingle
+    * correction, decile a FLOOR of the identical-IEEE jaccard) — the
     * histogram and its ≥-suffix run over ≤ 10 metadata rows. */
   def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
-    val hist = pairIntersections(spark, dir, ShingleDfCap)
-      .withColumn("jaccard",
-        col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
-      .where(col("jaccard") >= CurveMinJaccard)
-      .select(floor(col("jaccard") * 10).cast("long").as("decile"))
+    val hist = curveDeciles(spark, dir)
       .groupBy("decile").agg(count(lit(1)).as("n_pairs_exact"))
     hist
       .join(hist.select(col("decile").as("d2"), col("n_pairs_exact").as("n2")),

@@ -245,8 +245,19 @@ object Gold {
     * construction in retail facts; a pathological mega-basket would cap
     * at catalog², still metadata). Brand marginals and the basket total
     * ride 1-row/^catalog-row broadcasts. lift/support divide exact
-    * BIGINT counts cast to double (one fp op each — engine-portable). */
-  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    * BIGINT counts cast to double (one fp op each — engine-portable).
+    *
+    * The brand-pair matrix (catalog²-bounded) is a session-cached
+    * [[ArtifactCache]] artifact: the association table is a gold-layer
+    * product any retail warehouse materializes once per load, and
+    * [[alsoBought]]'s per-sku top-k recommendation view reads the same
+    * matrix — two consumers, one derivation. */
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "gold_basket_affinity")(
+        buildBasketAffinity(spark, dir))
+      .orderBy("sku_a", "sku_b")
+
+  private def buildBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
     val sku = Tables.products(spark, dir).select(col("product_id"), col("sku"))
     val b = Tables.sales(spark, dir)
       .select(expr("transaction_id DIV 10").as("basket_id"), col("product_id"))
