@@ -391,6 +391,29 @@ object Dedup {
     ArtifactCache.of(spark, dir, "dd_minhash_index")(
       minhashBucketsOf(spark, Tables.table(spark, dir, "documents")))
 
+  /** Persist the corpus signature index next to the table (corpus ×
+    * [[MinhashBands]] fixed-width rows — the table
+    * [[screenAgainstIndex]] screens future batches against). */
+  def saveMinhashIndex(spark: SparkSession, dir: String, path: String): Unit =
+    minhashBuckets(spark, dir).orderBy("doc_id", "band")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted signature index and prime the cache for `dir`,
+    * so every consumer (full-corpus LSH, the incremental screen, the
+    * banding calibration) reads it without re-signing the corpus.
+    * Unlike the cluster map there is no safe resolution against a
+    * changed corpus — a signature is a function of the text — so after
+    * any in-place corpus rewrite call
+    * [[graft.operators.Curation.invalidateClusterMap]] (whole-dir) and
+    * re-derive rather than loading a stale index. Returns the index. */
+  def loadMinhashIndex(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+      .select("doc_id", "band", "sig").localCheckpoint()
+    ArtifactCache.put(spark, dir, "dd_minhash_index", idx)
+    idx
+  }
+
   private[graft] def minhashBucketsOf(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     val nPerm = MinhashPerms

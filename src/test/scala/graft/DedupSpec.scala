@@ -565,6 +565,26 @@ class DedupSpec extends SparkSpec {
     assert(got.getAs[Long]("n_tokens_after") <
       got.getAs[Long]("n_tokens_before"), "planted repeats must strip")
   }
+
+  test("persisted signature index load-primes the cache: no corpus re-signing") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mhidx")
+      .toString + "/index.parquet"
+    val before = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.saveMinhashIndex(spark, sfDir, path)
+    graft.operators.ArtifactCache.invalidateDir(spark, sfDir)
+    Dedup.loadMinhashIndex(spark, sfDir, path)
+    // the primed index serves as a checkpoint scan — the 64-perm
+    // signature aggregate over the corpus never re-runs
+    val plan = Dedup.minhashBuckets(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(300))
+    assert(!plan.contains("Scan parquet"), "loaded index re-signs the corpus")
+    // and every consumer reproduces its pre-save result exactly
+    val after = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+  }
 }
 
 /** Collects txt_strip_repeats rows once for the spec above. */

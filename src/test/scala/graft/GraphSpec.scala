@@ -252,4 +252,23 @@ class GraphSpec extends SparkSpec {
     // every triangle-carrying node appears (they all have degree >= 2)
     assert(tri.keySet.subsetOf(cc.map(_.getAs[Long]("product_id")).toSet))
   }
+
+  test("persisted pair counts load-prime the cache: no basket re-join") {
+    val path = java.nio.file.Files.createTempDirectory("graft_paircounts")
+      .toString + "/pair_counts.parquet"
+    val before = Graph.supportHist(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("n_co") -> r.getAs[Long]("n_pairs")).toMap
+    Graph.savePairCounts(spark, sfDir, path)
+    graft.operators.ArtifactCache.invalidateDir(spark, sfDir)
+    Graph.loadPairCounts(spark, sfDir, path)
+    // the primed artifact serves every graph analytic as a checkpoint
+    // scan — the basket self-join over the fact never re-runs
+    val plan = Graph.supportHist(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(300))
+    assert(!plan.contains("Scan parquet"), "loaded counts re-join the fact")
+    val after = Graph.supportHist(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("n_co") -> r.getAs[Long]("n_pairs")).toMap
+    assert(after == before)
+  }
 }
