@@ -54,6 +54,35 @@ object Curation {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  // ---- stable shard assignment --------------------------------------------
+
+  val ShardCount = 32L
+
+  /** `smp_shard`: stable hash-sharding balance report — documents are
+    * assigned to [[ShardCount]] output shards by the portable id hash
+    * (membership depends only on doc_id: re-runs, backfills and
+    * cluster resizing never move a document, exactly the
+    * [[trainValTestSplit]] guarantee at file-layout granularity), and
+    * the report shows each shard's doc count, character volume and
+    * id range — the balance check run before a tokenizer/packing fleet
+    * fans out one worker per shard, since one hot shard gates the
+    * whole stage.
+    *
+    * Scale shape: the assignment is a pure per-row expression (no
+    * shuffle — at write time it becomes the partitionBy column); the
+    * report is ONE partial-aggregated groupBy to [[ShardCount]]
+    * metadata rows. */
+  def shardReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select((portableHash(col("doc_id")) % ShardCount).as("shard"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard")
+
   // ---- per-stratum deterministic sampling --------------------------------
 
   val StratumSampleK = 20
@@ -941,6 +970,11 @@ object Curation {
          |                  WHERE p.customer_id = c.customer_id
          |                    AND p.product_id = c.product_id)
          |ORDER BY c.customer_id, c.cand_idx""".stripMargin,
+    "smp_shard" ->
+      s"""SELECT ${portableHashSql("doc_id")} % $ShardCount AS shard,
+         |       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+         |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "smp_split" ->
       s"""SELECT doc_id,
          |       ${portableHashSql("doc_id")} % 100 AS bucket,
@@ -1142,6 +1176,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_split"      -> trainValTestSplit,
+    "smp_shard"      -> shardReport,
     "smp_leakage_split" -> leakageSafeSplit,
     "smp_kfold"      -> kfoldAssign,
     "smp_token_budget"  -> tokenBudgetSelect,

@@ -531,6 +531,28 @@ object Multimodal {
         max(col("height")).as("max_height"))
       .orderBy("format", "wbucket")
 
+  /** `mm_audio_profile`: decoded-duration histogram — per audio
+    * format, how many assets land in each 1-second duration band, with
+    * the bit-rate range seen there. The audio twin of
+    * [[resolutionHist]]: the chunking/padding-policy design input an
+    * audio-data pipeline reads before fixing model window lengths
+    * (how long ARE the clips, and at what encodings); corrupt payloads
+    * (no parsed header) are excluded — they're [[corruptRate]]'s row.
+    *
+    * Scale shape: fields come from the same typed header-parse seam as
+    * [[audioMeta]] (payloads never move), the band is integer
+    * division, and the rollup is histogram-sized. */
+  def audioProfile(spark: SparkSession, dir: String): DataFrame =
+    audioMeta(spark, dir)
+      .where(col("format").isNotNull)
+      .select(col("format"),
+        expr("duration_ms DIV 1000").as("duration_s"), col("bit_rate"))
+      .groupBy("format", "duration_s")
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("bit_rate")).as("min_bit_rate"),
+        max(col("bit_rate")).as("max_bit_rate"))
+      .orderBy("format", "duration_s")
+
   /** `mm_exact_dedup`: content-hash exact dedup of media payloads —
     * the first pass of any multimodal curation pipeline (the same
     * crawl image ships under thousands of URLs; hash-grouping payload
@@ -651,6 +673,14 @@ object Multimodal {
     // them back correctly for the hash to match
     "mm_media_meta" -> mediaMetaOracle,
     "mm_audio_meta" -> audioMetaOracle,
+    "mm_audio_profile" ->
+      s"""WITH meta AS (SELECT * FROM ($audioMetaOracle))
+         |SELECT format, duration_ms // 1000 AS duration_s,
+         |       COUNT(*) AS n_assets,
+         |       MIN(bit_rate) AS min_bit_rate,
+         |       MAX(bit_rate) AS max_bit_rate
+         |FROM meta WHERE format IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_gif_meta" ->
       """SELECT doc_id, 'gif' AS media_type,
         |       CASE WHEN doc_id % 7 = 0
@@ -762,6 +792,7 @@ object Multimodal {
     "mm_media_meta"    -> mediaMeta,
     "mm_gif_meta"      -> gifMeta,
     "mm_audio_meta"    -> audioMeta,
+    "mm_audio_profile" -> audioProfile,
     "mm_frame_samples" -> frameSamples,
     "mm_exact_dedup"   -> mediaDedup,
     "mm_corrupt_rate"  -> corruptRate,

@@ -159,6 +159,30 @@ class CurationSpec extends SparkSpec {
     Curation.invalidateClusterMap(spark, d2)
   }
 
+  test("shard report: stable assignment, every doc counted exactly once") {
+    val got = Curation.shardReport(spark, sfDir).collect()
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    def shard(id: Long) = ((id % Curation.HashMod) * Curation.HashMult) %
+      Curation.HashMod % Curation.ShardCount
+    val expect = docs.groupBy { case (id, _) => shard(id) }
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    got.foreach { r =>
+      val s = r.getAs[Long]("shard")
+      val e = expect(s)
+      assert(r.getAs[Long]("n_docs") == e.length.toLong, s"shard $s")
+      assert(r.getAs[Long]("n_chars") == e.map(_._2).sum)
+      assert(r.getAs[Long]("min_doc_id") == e.map(_._1).min)
+      assert(r.getAs[Long]("max_doc_id") == e.map(_._1).max)
+    }
+    // the assignment is a pure per-row expression: no exchange before
+    // the report's one partial aggregate
+    val plan = Curation.shardReport(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(300))
+  }
+
   test("weighted mix realizes the target milli-epoch weights per language") {
     val mix = Curation.weightedMix(spark, sfDir)
     val docs = Tables.table(spark, sfDir, "documents")

@@ -310,6 +310,23 @@ class PipelineSpec extends SparkSpec {
     assert(parseAudio(synthMp3(0, 9, 3, 0, 8)).isEmpty)     // reserved rate idx
   }
 
+  test("audio profile buckets every parsed clip; corrupt rows excluded") {
+    val meta = Multimodal.audioMeta(spark, sfDir).collect()
+      .filter(!_.isNullAt(4)) // format
+      .map(r => (r.getAs[String]("format"),
+        r.getAs[Long]("duration_ms") / 1000, r.getAs[Long]("bit_rate")))
+    val expect = meta.groupBy { case (f, s, _) => (f, s) }
+    val got = Multimodal.audioProfile(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("n_assets")).sum == meta.length.toLong)
+    got.foreach { r =>
+      val k = (r.getAs[String]("format"), r.getAs[Long]("duration_s"))
+      val e = expect(k)
+      assert(r.getAs[Long]("n_assets") == e.length.toLong, s"$k")
+      assert(r.getAs[Long]("min_bit_rate") == e.map(_._3).min)
+      assert(r.getAs[Long]("max_bit_rate") == e.map(_._3).max)
+    }
+  }
+
   test("csv source is permissive on malformed rows (nulls, no crash)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
     java.nio.file.Files.writeString(dir.resolve("part.csv"),
