@@ -612,4 +612,49 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("streaming decode-health monitor matches the batch windowed rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal.MediaHeaders
+    // a mixed image+audio feed with planted corrupt rows, 30s apart so
+    // the records span several 5-minute windows
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val rows: Seq[(java.sql.Timestamp, String, Array[Byte])] =
+      (1L to 60L).map { id =>
+        val ts = new java.sql.Timestamp(base.getTime + id * 30000L)
+        val (mt, p) =
+          if (id % 5 == 0) ("wav", s"corrupt payload $id".getBytes("UTF-8"))
+          else if (id % 3 == 0) ("png", MediaHeaders.synthPng(64 + id, 32 + id))
+          else if (id % 2 == 0)
+            ("wav", MediaHeaders.synthWav(1 + id % 2, 8000 + id, 8, 400 + id,
+              id % 4 == 0))
+          else ("mp3", MediaHeaders.synthMp3(id % 50, (1 + id % 14).toInt,
+            (id % 3).toInt, (id % 4).toInt, id))
+        (ts, mt, p)
+      }
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start").cast("string"), col("media_type"),
+        col("n_records"), col("n_corrupt"), col("total_bytes"),
+        col("corrupt_rate"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val batch = norm(graft.streaming.MediaStreams.decodeHealthWindowed(
+      rows.toDF("ts", "media_type", "payload")))
+    // corrupt rows exist and good rows exist, or the parity is vacuous
+    assert(batch.exists(_._4 > 0) && batch.exists(t => t._4 < t._3))
+    val input = MemoryStream[(java.sql.Timestamp, String, Array[Byte])]
+    val streamDf = input.toDF().toDF("ts", "media_type", "payload")
+    val q = graft.streaming.MediaStreams.decodeHealthMonitorStream(streamDf)
+      .writeStream.format("memory").queryName("media_health_out")
+      .outputMode("complete").start()
+    // counters are per-window algebraic: a batch split must not matter
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    val streamed = norm(spark.table("media_health_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
 }
