@@ -139,10 +139,10 @@ object Multimodal {
     }
 
     /** MPEG1 Layer III bitrate table (kbps), indices 1-14. */
-    private[operators] val Mp3Bitrates =
+    private[graft] val Mp3Bitrates =
       Array(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L, 224L, 256L, 320L)
     /** MPEG1 sampling-rate table, indices 0-2. */
-    private[operators] val Mp3Rates = Array(44100L, 48000L, 32000L)
+    private[graft] val Mp3Rates = Array(44100L, 48000L, 32000L)
 
     /** (format, channels, sample_rate, bit_rate bps, duration_ms) or
       * None — the audio twins of the image parsers. */

@@ -246,4 +246,27 @@ object ExpressionProps extends Properties("graft.functions") {
         pairs.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) })
       graft.operators.TextAnalysis.tokenizeWord(word, ranks) == naive
     }
+
+  property("WAV synth/parse round-trips every field over random parameters") =
+    Prop.forAll(Gen.choose(1L, 2L), Gen.choose(8000L, 48000L),
+      Gen.oneOf(8L, 16L), Gen.choose(0L, 1000000L), Gen.oneOf(true, false)) {
+      (ch, rate, bits, dataSize, plantList) =>
+        import graft.operators.Multimodal.MediaHeaders
+        val byteRate = rate * ch * (bits / 8)
+        MediaHeaders.parseWav(
+          MediaHeaders.synthWav(ch, rate, bits, dataSize, plantList)) ==
+          Some(("wav", ch, rate, byteRate * 8, dataSize * 1000 / byteRate))
+    }
+
+  property("MP3 synth/parse round-trips the tables over random parameters") =
+    Prop.forAll(Gen.choose(0L, 5000L), Gen.choose(1, 14), Gen.choose(0, 2),
+      Gen.choose(0, 3), Gen.choose(0L, 5000L)) {
+      (tagPad, bi, ri, mode, bodyLen) =>
+        import graft.operators.Multimodal.MediaHeaders
+        val kbps = MediaHeaders.Mp3Bitrates(bi - 1)
+        MediaHeaders.parseMp3(
+          MediaHeaders.synthMp3(tagPad, bi, ri, mode, bodyLen)) ==
+          Some(("mp3", if (mode == 3) 1L else 2L, MediaHeaders.Mp3Rates(ri),
+            kbps * 1000L, (4L + bodyLen) * 8 / kbps))
+    }
 }
