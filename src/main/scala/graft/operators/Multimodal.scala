@@ -245,6 +245,155 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** (format, width, height, n_tracks, duration_ms) or None — the
+      * video twins of the image/audio parsers. */
+    def parseVideo(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] =
+      parseMp4(p).orElse(parseAvi(p))
+
+    /** MP4/ISO-BMFF: a BOX WALK over (4-byte BE size, 4-byte type)
+      * frames — the first box must be `ftyp`; planted `free` boxes
+      * before `moov` break fixed-offset parsers — then into `moov` for
+      * the version-0 `mvhd` movie header (timescale/duration at BE
+      * offsets 20/24) and into each `trak` for the `tkhd` dims, stored
+      * as 16.16 FIXED POINT (the classic mp4 bug: reading them as
+      * plain 32-bit ints inflates dims 65536×). Duration is
+      * mvhd duration·1000/timescale; malformed sizes return None. */
+    def parseMp4(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      if (p.length < 16 ||
+          p(4) != 'f' || p(5) != 't' || p(6) != 'y' || p(7) != 'p')
+        return None
+      var timescale = -1L; var duration = -1L
+      var w = -1L; var h = -1L; var tracks = 0L
+      var i = 0
+      while (i + 8 <= p.length) {
+        val size = be(p, i, 4)
+        if (size < 8 || i + size > p.length) return None
+        if (new String(p, i + 4, 4, ascii) == "moov") {
+          var c = i + 8
+          val end = i + size.toInt
+          while (c + 8 <= end) {
+            val cs = be(p, c, 4)
+            if (cs < 8 || c + cs > end) return None
+            val ct = new String(p, c + 4, 4, ascii)
+            if (ct == "mvhd" && c + 28 <= end && (p(c + 8) & 0xFF) == 0) {
+              timescale = be(p, c + 20, 4); duration = be(p, c + 24, 4)
+            } else if (ct == "trak") {
+              tracks += 1
+              var t = c + 8
+              val tend = c + cs.toInt
+              while (t + 8 <= tend) {
+                val ts = be(p, t, 4)
+                if (ts < 8 || t + ts > tend) return None
+                if (new String(p, t + 4, 4, ascii) == "tkhd" &&
+                    t + 92 <= tend && (p(t + 8) & 0xFF) == 0 && w < 0) {
+                  w = be(p, t + 84, 4) >> 16; h = be(p, t + 88, 4) >> 16
+                }
+                t += ts.toInt
+              }
+            }
+            c += cs.toInt
+          }
+        }
+        i += size.toInt
+      }
+      if (timescale > 0 && duration >= 0 && w >= 0 && tracks > 0)
+        Some(("mp4", w, h, tracks, duration * 1000 / timescale))
+      else None
+    }
+
+    /** AVI: RIFF-LE again, but with NESTED lists — `RIFF('AVI ')` →
+      * `LIST('hdrl')` → the `avih` main header (µs/frame, total
+      * frames, stream count, dims at LE offsets 0/16/24/32/36 of the
+      * chunk body). A parser that skips LIST chunks whole (correct
+      * for WAV's flat INFO list) never finds `avih`; planted `JUNK`
+      * chunks before the list break fixed offsets. Duration is the
+      * container-authoritative µs/frame × frames. */
+    def parseAvi(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      if (p.length < 12 ||
+          p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+          p(8) != 'A' || p(9) != 'V' || p(10) != 'I' || p(11) != ' ')
+        return None
+      var i = 12
+      while (i + 8 <= p.length) {
+        val id = new String(p, i, 4, ascii)
+        val size = le(p, i + 4, 4)
+        if (id == "LIST" && i + 12 <= p.length &&
+            new String(p, i + 8, 4, ascii) == "hdrl") {
+          var c = i + 12
+          val end = math.min(p.length.toLong, i + 8 + size).toInt
+          while (c + 8 <= end) {
+            val cs = le(p, c + 4, 4)
+            if (new String(p, c, 4, ascii) == "avih" && cs >= 56 &&
+                c + 64 <= end) {
+              val usf = le(p, c + 8, 4)
+              val frames = le(p, c + 24, 4)
+              val streams = le(p, c + 32, 4)
+              if (usf > 0 && streams > 0)
+                return Some(("avi", le(p, c + 40, 4), le(p, c + 44, 4),
+                  streams, usf * frames / 1000))
+              else return None
+            }
+            c += 8 + cs.toInt + (cs.toInt & 1)
+          }
+          return None
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      None
+    }
+
+    /** Minimal ISO-BMFF file: 16-byte `ftyp(isom)`, an optional
+      * planted 12-byte `free` box, and a `moov` holding a version-0
+      * `mvhd` (108 bytes) plus `nTracks` `trak(tkhd)` boxes (100 bytes
+      * each, dims as 16.16 fixed point). 132+100·n bytes (+12). */
+    def synthMp4(timescale: Long, duration: Long, nTracks: Long, w: Long,
+        h: Long, plantFree: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(244)
+      def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+      def be32(v: Long): Unit =
+        (3 to 0 by -1).foreach(s => out.write(((v >> (8 * s)) & 0xFF).toInt))
+      def zeros(n: Int): Unit = (0 until n).foreach(_ => out.write(0))
+      be32(16); tag("ftyp"); tag("isom"); be32(0)
+      if (plantFree) { be32(12); tag("free"); be32(0) }
+      be32(8 + 108 + nTracks * 100); tag("moov")
+      be32(108); tag("mvhd"); be32(0) // version 0 + flags
+      be32(0); be32(0)                // creation, modification
+      be32(timescale); be32(duration)
+      be32(0x00010000L); out.write(1); out.write(0) // rate 1.0, volume 1.0
+      zeros(10); zeros(36); zeros(24) // reserved, matrix, pre_defined
+      be32(nTracks + 1)               // next_track_ID
+      (1L to nTracks).foreach { tid =>
+        be32(100); tag("trak")
+        be32(92); tag("tkhd"); be32(0)
+        be32(0); be32(0); be32(tid); be32(0); be32(duration)
+        zeros(16); zeros(36)          // reserved+layer/alt/vol, matrix
+        be32(w << 16); be32(h << 16)
+      }
+      out.toByteArray
+    }
+
+    /** Minimal AVI: `RIFF('AVI ')`, an optional planted 12-byte `JUNK`
+      * chunk, and `LIST('hdrl')` holding the 56-byte `avih` main
+      * header. 88 bytes (+12 with the JUNK chunk). */
+    def synthAvi(usPerFrame: Long, frames: Long, streams: Long, w: Long,
+        h: Long, plantJunk: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(100)
+      def tag(s: String): Unit = s.foreach(c => out.write(c.toInt))
+      def le32(v: Long): Unit =
+        (0 to 3).foreach(s => out.write(((v >> (8 * s)) & 0xFF).toInt))
+      tag("RIFF"); le32(4 + (if (plantJunk) 12 else 0) + 76); tag("AVI ")
+      if (plantJunk) { tag("JUNK"); le32(4); le32(0) }
+      tag("LIST"); le32(4 + 64); tag("hdrl")
+      tag("avih"); le32(56)
+      le32(usPerFrame); le32(0); le32(0); le32(0) // µs/frame, rate, pad, flags
+      le32(frames); le32(0); le32(streams); le32(0)
+      le32(w); le32(h)
+      (0 until 16).foreach(_ => out.write(0))     // reserved
+      out.toByteArray
+    }
+
     /** Minimal valid PNG header (33 bytes): signature + IHDR with the
       * given dims (8-bit RGBA, zeroed CRC). */
     def synthPng(w: Long, h: Long): Array[Byte] = {
@@ -387,6 +536,60 @@ object Multimodal {
             (id % 3).toInt, (id % 4).toInt, (id * 29) % 997)
       MediaRecord(id, declared, payload)
     }).mapPartitions(_.map(AudioHeaderDecoder.decode))
+      .toDF().orderBy("doc_id")
+  }
+
+  final case class VideoHeaderMeta(
+      doc_id: Long, media_type: String, byte_len: Long, magic: String,
+      format: Option[String], width: Option[Long], height: Option[Long],
+      n_tracks: Option[Long], duration_ms: Option[Long])
+
+  /** The video-decode seam: container headers parsed from payload
+    * bytes; corrupt payloads map to NULL format/fields. */
+  object VideoHeaderDecoder extends Serializable {
+    def decode(r: MediaRecord): VideoHeaderMeta = {
+      val magic = r.payload.take(4).map(b => f"${b & 0xFF}%02X").mkString
+      MediaHeaders.parseVideo(r.payload) match {
+        case Some((fmt, w, h, tracks, ms)) => VideoHeaderMeta(r.doc_id,
+          r.media_type, r.payload.length.toLong, magic,
+          Some(fmt), Some(w), Some(h), Some(tracks), Some(ms))
+        case None => VideoHeaderMeta(r.doc_id, r.media_type,
+          r.payload.length.toLong, magic, None, None, None, None, None)
+      }
+    }
+  }
+
+  /** `mm_video_meta`: video container metadata decode — the video twin
+    * of [[mediaMeta]]/[[audioMeta]], completing the image∪audio∪video
+    * header family: real ISO-BMFF MP4 box walks (BE sizes, 16.16
+    * fixed-point tkhd dims, every 4th with a planted `free` box so a
+    * fixed-offset parser fails the gate) and nested-LIST RIFF AVI main
+    * headers (every 8th with a planted `JUNK` chunk) carrying
+    * doc_id-derived parameters, parsed back through
+    * [[MediaHeaders.parseVideo]]; every 5th payload is corrupted
+    * (0x00-prefixed text — matches no signature) → NULLs. The oracle
+    * recomputes dims/track-count/duration from the synthesis
+    * arithmetic, so a box-size, fixed-point-shift, endianness or
+    * nested-list bug breaks the hash. Payload bytes never leave the
+    * executors. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    recs.mapPartitions(_.map { case (id, text) =>
+      val declared = if (id % 2 == 0) "mp4" else "avi"
+      val payload =
+        if (id % 5 == 0) (0.toByte +: text.getBytes("UTF-8")).toArray
+        else if (id % 2 == 0)
+          MediaHeaders.synthMp4(600 + (id * 7) % 1000, (id * 97) % 100000,
+            1 + id % 3, 160 + (id * 11) % 1920, 120 + (id * 17) % 1080,
+            id % 8 == 2)
+        else
+          MediaHeaders.synthAvi(10000 + (id * 13) % 50000, (id * 41) % 10000,
+            1 + (id / 2) % 3, 160 + (id * 19) % 1920, 120 + (id * 23) % 1080,
+            id % 8 == 3)
+      MediaRecord(id, declared, payload)
+    }).mapPartitions(_.map(VideoHeaderDecoder.decode))
       .toDF().orderBy("doc_id")
   }
 
@@ -553,6 +756,30 @@ object Multimodal {
         max(col("bit_rate")).as("max_bit_rate"))
       .orderBy("format", "duration_s")
 
+  /** `mm_video_profile`: clip-length/frame-size profile — per video
+    * format, how many assets land in each 1-second duration band, with
+    * the largest frame dims seen there. The video twin of
+    * [[audioProfile]]: the frame-buffer/segment-length design input a
+    * video-data pipeline reads before fixing decode batch shapes (how
+    * long ARE the clips in each band, and how big do frames get);
+    * corrupt payloads (no parsed header) are excluded — they're
+    * [[corruptRate]]'s row.
+    *
+    * Scale shape: fields come from the same typed header-parse seam as
+    * [[videoMeta]] (payloads never move), the band is integer
+    * division, and the rollup is histogram-sized. */
+  def videoProfile(spark: SparkSession, dir: String): DataFrame =
+    videoMeta(spark, dir)
+      .where(col("format").isNotNull)
+      .select(col("format"),
+        expr("duration_ms DIV 1000").as("duration_s"),
+        col("width"), col("height"))
+      .groupBy("format", "duration_s")
+      .agg(count(lit(1)).as("n_assets"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
+      .orderBy("format", "duration_s")
+
   /** `mm_exact_dedup`: content-hash exact dedup of media payloads —
     * the first pass of any multimodal curation pipeline (the same
     * crawl image ships under thousands of URLs; hash-grouping payload
@@ -673,6 +900,15 @@ object Multimodal {
     // them back correctly for the hash to match
     "mm_media_meta" -> mediaMetaOracle,
     "mm_audio_meta" -> audioMetaOracle,
+    "mm_video_meta" -> videoMetaOracle,
+    "mm_video_profile" ->
+      s"""WITH meta AS (SELECT * FROM ($videoMetaOracle))
+         |SELECT format, duration_ms // 1000 AS duration_s,
+         |       COUNT(*) AS n_assets,
+         |       MAX(width) AS max_width,
+         |       MAX(height) AS max_height
+         |FROM meta WHERE format IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_audio_profile" ->
       s"""WITH meta AS (SELECT * FROM ($audioMetaOracle))
          |SELECT format, duration_ms // 1000 AS duration_s,
@@ -699,7 +935,9 @@ object Multimodal {
       s"""WITH meta AS (
          |  SELECT media_type, format, byte_len FROM ($mediaMetaOracle)
          |  UNION ALL
-         |  SELECT media_type, format, byte_len FROM ($audioMetaOracle))
+         |  SELECT media_type, format, byte_len FROM ($audioMetaOracle)
+         |  UNION ALL
+         |  SELECT media_type, format, byte_len FROM ($videoMetaOracle))
          |SELECT media_type, COUNT(*) AS n_records,
          |       CAST(SUM(CASE WHEN format IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_corrupt,
@@ -748,6 +986,39 @@ object Multimodal {
       |            END AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private lazy val videoMetaOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS media_type,
+      |       CASE WHEN doc_id % 5 = 0
+      |              THEN CAST(octet_length(encode(text)) + 1 AS BIGINT)
+      |            WHEN doc_id % 2 = 0
+      |              THEN CAST(132 + 100 * (1 + doc_id % 3)
+      |                     + CASE WHEN doc_id % 8 = 2 THEN 12 ELSE 0 END AS BIGINT)
+      |            ELSE CAST(88 + CASE WHEN doc_id % 8 = 3 THEN 12 ELSE 0 END AS BIGINT)
+      |            END AS byte_len,
+      |       CASE WHEN doc_id % 5 = 0 THEN '00' || substring(hex(encode(text)), 1, 6)
+      |            WHEN doc_id % 2 = 0 THEN '00000010'
+      |            ELSE '52494646' END AS magic,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN CAST(160 + (doc_id*11) % 1920 AS BIGINT)
+      |            ELSE CAST(160 + (doc_id*19) % 1920 AS BIGINT) END AS width,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN CAST(120 + (doc_id*17) % 1080 AS BIGINT)
+      |            ELSE CAST(120 + (doc_id*23) % 1080 AS BIGINT) END AS height,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 3 AS BIGINT)
+      |            ELSE CAST(1 + (doc_id // 2) % 3 AS BIGINT) END AS n_tracks,
+      |       CASE WHEN doc_id % 5 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0
+      |              THEN CAST(((doc_id*97) % 100000) * 1000
+      |                     // (600 + (doc_id*7) % 1000) AS BIGINT)
+      |            ELSE CAST((10000 + (doc_id*13) % 50000) * ((doc_id*41) % 10000)
+      |                     // 1000 AS BIGINT)
+      |            END AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private lazy val mediaMetaOracle: String =
     """SELECT doc_id,
       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_type,
@@ -765,8 +1036,9 @@ object Multimodal {
       |            ELSE CAST(16 + (doc_id*13) % 768 AS BIGINT) END AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** `mm_corrupt_rate`: decode-health rollup of [[mediaMeta]] AND
-    * [[audioMeta]] (image + audio feeds in one gate) — per
+  /** `mm_corrupt_rate`: decode-health rollup of [[mediaMeta]],
+    * [[audioMeta]] AND [[videoMeta]] (image + audio + video feeds in
+    * one gate) — per
     * declared media type, record count, parse failures (format NULL:
     * the declared-type/bytes mismatch the header parser caught), total
     * bytes, corrupt fraction. The media-pipeline DQ gate read before
@@ -778,6 +1050,7 @@ object Multimodal {
   def corruptRate(spark: SparkSession, dir: String): DataFrame =
     mediaMeta(spark, dir).select("media_type", "format", "byte_len")
       .unionAll(audioMeta(spark, dir).select("media_type", "format", "byte_len"))
+      .unionAll(videoMeta(spark, dir).select("media_type", "format", "byte_len"))
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_records"),
         sum(when(col("format").isNull, 1L).otherwise(0L)).as("n_corrupt"),
@@ -793,6 +1066,8 @@ object Multimodal {
     "mm_gif_meta"      -> gifMeta,
     "mm_audio_meta"    -> audioMeta,
     "mm_audio_profile" -> audioProfile,
+    "mm_video_meta"    -> videoMeta,
+    "mm_video_profile" -> videoProfile,
     "mm_frame_samples" -> frameSamples,
     "mm_exact_dedup"   -> mediaDedup,
     "mm_corrupt_rate"  -> corruptRate,

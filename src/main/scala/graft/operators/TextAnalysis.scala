@@ -62,6 +62,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `txt_lang_confusion`: declared-vs-detected language confusion
+    * matrix — the mislabeled-language gate a multilingual corpus is
+    * screened with before per-language sampling quotas are trusted:
+    * each [[langId]] prediction joined back to the document's declared
+    * `lang`, rolled up to (declared, predicted) cells with the cell's
+    * share of its declared language and an agreement flag. A feed
+    * whose off-diagonal mass rises is shipping wrong `lang` tags (or
+    * the detector's lexicon has gone stale for that language).
+    *
+    * Scale shape: the detector is the existing broadcast-lexicon vote;
+    * the rollup is a language-catalog-sized groupBy, and the per-lang
+    * totals join is a broadcast of at most |langs|+1 rows. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val cells = langId(spark, dir).select("doc_id", "pred_lang")
+      .join(docs, "doc_id")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("lang").agg(sum("n_docs").as("lang_total"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"), col("lang_total"),
+        (col("n_docs").cast("double") / col("lang_total").cast("double"))
+          .as("cell_share"),
+        (col("lang") === col("pred_lang")).as("agree"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Quality score: distinct-token ratio, stopword ratio, punctuation
     * ratio, length band — the length/punct/stopword heuristics of
     * LLM-corpus filtering. */
@@ -483,6 +510,20 @@ object TextAnalysis {
 
   private val lexValues =
     lexicon.map { case (t, l) => s"('$t','$l')" }.mkString(", ")
+
+  /** The txt_lang_id oracle, shared with the confusion-matrix rollup. */
+  private lazy val langIdOracle: String =
+    s"""WITH lex(token, lex_lang) AS (VALUES $lexValues),
+       |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+       |scores AS (SELECT doc_id, lex_lang, COUNT(*) AS hits
+       |           FROM toks JOIN lex USING (token) GROUP BY 1,2),
+       |best AS (SELECT doc_id, lex_lang, hits,
+       |                ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                  ORDER BY hits DESC, lex_lang) AS rn FROM scores)
+       |SELECT d.doc_id, COALESCE(b.lex_lang,'unknown') AS pred_lang,
+       |       CAST(COALESCE(b.hits,0) AS BIGINT) AS hits
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** The txt_quality oracle, shared with the corpus-profile rollup. */
@@ -1158,18 +1199,18 @@ object TextAnalysis {
         |       (length(text) - (len(string_split(text,' ')) - 1)) * 1.0
         |         / len(string_split(text,' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "txt_lang_id" ->
-      s"""WITH lex(token, lex_lang) AS (VALUES $lexValues),
-         |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
-         |scores AS (SELECT doc_id, lex_lang, COUNT(*) AS hits
-         |           FROM toks JOIN lex USING (token) GROUP BY 1,2),
-         |best AS (SELECT doc_id, lex_lang, hits,
-         |                ROW_NUMBER() OVER (PARTITION BY doc_id
-         |                  ORDER BY hits DESC, lex_lang) AS rn FROM scores)
-         |SELECT d.doc_id, COALESCE(b.lex_lang,'unknown') AS pred_lang,
-         |       CAST(COALESCE(b.hits,0) AS BIGINT) AS hits
-         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn=1) b USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "txt_lang_id" -> langIdOracle,
+    "txt_lang_confusion" ->
+      s"""WITH lid AS ($langIdOracle),
+         |cells AS (SELECT d.lang, l.pred_lang, COUNT(*) AS n_docs
+         |          FROM lid l JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+         |        FROM cells GROUP BY 1)
+         |SELECT lang, pred_lang, n_docs, lang_total,
+         |       CAST(n_docs AS DOUBLE) / CAST(lang_total AS DOUBLE) AS cell_share,
+         |       lang = pred_lang AS agree
+         |FROM cells JOIN tot USING (lang)
+         |ORDER BY lang, pred_lang""".stripMargin,
     "txt_quality" -> qualityOracleSql,
     "txt_source_divergence" ->
       """WITH tc AS (SELECT source, token, COUNT(*) AS c
@@ -1535,6 +1576,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats"       -> stats,
     "txt_lang_id"     -> langId,
+    "txt_lang_confusion" -> langConfusion,
     "txt_quality"     -> quality,
     "txt_top_ngrams"  -> topNgrams,
     "txt_token_count" -> tokenCount,

@@ -20,8 +20,8 @@ object MediaStreams {
     * static frame by the parity spec, so the two can never drift.
     *
     * The decode flag comes from the SAME pure-JVM header parsers as
-    * the batch metadata decodes (PNG/JPEG/GIF ∪ WAV/MP3 — one seam,
-    * both families), evaluated per row map-side; payload BYTES never
+    * the batch metadata decodes (PNG/JPEG/GIF ∪ WAV/MP3 ∪ MP4/AVI —
+    * one seam, all three families), evaluated per row map-side; payload BYTES never
     * enter the aggregate, only (ok, length). State is one counter row
     * per (window, declared type) — stateless windowed agg, evicted at
     * the watermark. */
@@ -33,7 +33,8 @@ object MediaStreams {
       .as[(java.sql.Timestamp, String, Array[Byte])]
       .map { case (ts, mt, p) =>
         val ok = MediaHeaders.parse(p).isDefined ||
-          MediaHeaders.parseAudio(p).isDefined
+          MediaHeaders.parseAudio(p).isDefined ||
+          MediaHeaders.parseVideo(p).isDefined
         (ts, mt, p.length.toLong, ok)
       }
       .toDF("ts", "media_type", "byte_len", "ok")

@@ -269,4 +269,24 @@ object ExpressionProps extends Properties("graft.functions") {
           Some(("mp3", if (mode == 3) 1L else 2L, MediaHeaders.Mp3Rates(ri),
             kbps * 1000L, (4L + bodyLen) * 8 / kbps))
     }
+
+  property("MP4 synth/parse round-trips every field over random parameters") =
+    Prop.forAll(Gen.choose(1L, 100000L), Gen.choose(0L, 10000000L),
+      Gen.choose(1L, 5L), Gen.choose(0L, 4000L), Gen.choose(0L, 4000L),
+      Gen.oneOf(true, false)) { (ts, dur, n, w, h, plant) =>
+        import graft.operators.Multimodal.MediaHeaders
+        MediaHeaders.parseMp4(
+          MediaHeaders.synthMp4(ts, dur, n, w, h, plant)) ==
+          Some(("mp4", w, h, n, dur * 1000 / ts))
+    }
+
+  property("AVI synth/parse round-trips every field over random parameters") =
+    Prop.forAll(Gen.choose(1L, 1000000L), Gen.choose(0L, 100000L),
+      Gen.choose(1L, 4L), Gen.choose(0L, 8192L), Gen.choose(0L, 8192L),
+      Gen.oneOf(true, false)) { (usf, fr, st, w, h, plant) =>
+        import graft.operators.Multimodal.MediaHeaders
+        MediaHeaders.parseAvi(
+          MediaHeaders.synthAvi(usf, fr, st, w, h, plant)) ==
+          Some(("avi", w, h, st, usf * fr / 1000))
+    }
 }

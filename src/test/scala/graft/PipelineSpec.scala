@@ -310,6 +310,38 @@ class PipelineSpec extends SparkSpec {
     assert(parseAudio(synthMp3(0, 9, 3, 0, 8)).isEmpty)     // reserved rate idx
   }
 
+  test("video header parser: MP4 box walk + AVI nested-LIST walk round-trip; malformed -> None") {
+    import Multimodal.MediaHeaders._
+    // MP4: canonical layout and a planted free box (same fields)
+    val v = synthMp4(600, 60000, 2, 1920, 1080, plantFree = false)
+    assert(v.length == 132 + 200)
+    assert(parseVideo(v) == Some(("mp4", 1920L, 1080L, 2L, 100000L)))
+    // tkhd dims are 16.16 fixed point: 1920 must serialize as 0x07800000,
+    // NOT 0x00000780 (the plain-int bug the parser's >>16 guards against)
+    val tkhdW = v.slice(132 + 8 + 84, 132 + 8 + 88).map(_ & 0xFF)
+    assert(tkhdW.toSeq == Seq(0x07, 0x80, 0x00, 0x00))
+    val vf = synthMp4(1000, 5000, 1, 640, 480, plantFree = true)
+    assert(vf.length == 132 + 100 + 12)
+    assert(parseVideo(vf) == Some(("mp4", 640L, 480L, 1L, 5000L)))
+    // truncated: inside moov, before the first full box header
+    assert(parseVideo(v.take(100)).isEmpty)
+    assert(parseVideo(v.take(12)).isEmpty)
+    // AVI: canonical and a planted JUNK chunk before the hdrl LIST
+    val a = synthAvi(40000, 250, 1, 1280, 720, plantJunk = false)
+    assert(a.length == 88)
+    assert(parseVideo(a) == Some(("avi", 1280L, 720L, 1L, 10000L)))
+    val aj = synthAvi(33366, 3000, 2, 320, 240, plantJunk = true)
+    assert(aj.length == 100)
+    assert(parseVideo(aj) == Some(("avi", 320L, 240L, 2L, 33366L * 3000 / 1000)))
+    // zero µs/frame or zero streams -> None (invalid main header)
+    assert(parseVideo(synthAvi(0, 10, 1, 64, 64, plantJunk = false)).isEmpty)
+    assert(parseVideo(synthAvi(100, 10, 0, 64, 64, plantJunk = false)).isEmpty)
+    // corrupt / truncated
+    assert(parseVideo("plain text payload here".getBytes("UTF-8")).isEmpty)
+    assert(parseVideo((0.toByte +: "RIFFAVI junk".getBytes("UTF-8")).toArray).isEmpty)
+    assert(parseVideo(a.take(30)).isEmpty)
+  }
+
   test("audio profile buckets every parsed clip; corrupt rows excluded") {
     val meta = Multimodal.audioMeta(spark, sfDir).collect()
       .filter(!_.isNullAt(4)) // format
@@ -324,6 +356,26 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("n_assets") == e.length.toLong, s"$k")
       assert(r.getAs[Long]("min_bit_rate") == e.map(_._3).min)
       assert(r.getAs[Long]("max_bit_rate") == e.map(_._3).max)
+    }
+  }
+
+  test("video profile buckets every parsed clip; corrupt rows excluded") {
+    val meta = Multimodal.videoMeta(spark, sfDir).collect()
+      .filter(!_.isNullAt(4)) // format
+      .map(r => (r.getAs[String]("format"),
+        r.getAs[Long]("duration_ms") / 1000,
+        r.getAs[Long]("width"), r.getAs[Long]("height")))
+    // both container formats parse and both planted-box variants occur
+    assert(meta.map(_._1).distinct.sorted.toSeq == Seq("avi", "mp4"))
+    val expect = meta.groupBy { case (f, s, _, _) => (f, s) }
+    val got = Multimodal.videoProfile(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("n_assets")).sum == meta.length.toLong)
+    got.foreach { r =>
+      val k = (r.getAs[String]("format"), r.getAs[Long]("duration_s"))
+      val e = expect(k)
+      assert(r.getAs[Long]("n_assets") == e.length.toLong, s"$k")
+      assert(r.getAs[Long]("max_width") == e.map(_._3).max)
+      assert(r.getAs[Long]("max_height") == e.map(_._4).max)
     }
   }
 
@@ -386,10 +438,12 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("media corrupt rate rolls up decode failures exactly") {
-    // image AND audio feeds flow into the one gate
+    // image AND audio AND video feeds flow into the one gate
     val meta = Multimodal.mediaMeta(spark, sfDir)
         .select("media_type", "format", "byte_len").collect() ++
       Multimodal.audioMeta(spark, sfDir)
+        .select("media_type", "format", "byte_len").collect() ++
+      Multimodal.videoMeta(spark, sfDir)
         .select("media_type", "format", "byte_len").collect()
     val got = Multimodal.corruptRate(spark, sfDir).collect()
       .map(r => r.getAs[String]("media_type") ->

@@ -625,6 +625,12 @@ class StreamingSpec extends SparkSpec {
         val ts = new java.sql.Timestamp(base.getTime + id * 30000L)
         val (mt, p) =
           if (id % 5 == 0) ("wav", s"corrupt payload $id".getBytes("UTF-8"))
+          else if (id % 7 == 0)
+            ("mp4", MediaHeaders.synthMp4(600 + id, id * 37, 1 + id % 3,
+              320 + id, 240 + id, id % 2 == 0))
+          else if (id % 7 == 1)
+            ("avi", MediaHeaders.synthAvi(10000 + id, id * 3, 1 + id % 2,
+              640 + id, 480 + id, id % 2 == 1))
           else if (id % 3 == 0) ("png", MediaHeaders.synthPng(64 + id, 32 + id))
           else if (id % 2 == 0)
             ("wav", MediaHeaders.synthWav(1 + id % 2, 8000 + id, 8, 400 + id,

@@ -40,6 +40,34 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("lang confusion cells reconcile with langId and declared langs") {
+    val pred = TextAnalysis.langId(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val declared = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val expect = declared.toSeq
+      .groupBy { case (id, lang) => (lang, pred(id)) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysis.langConfusion(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == declared.size.toLong)
+    got.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[String]("pred_lang"))
+      assert(r.getAs[Long]("n_docs") == expect(k), s"$k")
+      assert(r.getAs[Boolean]("agree") == (k._1 == k._2))
+      assert(r.getAs[Double]("cell_share") ==
+        expect(k).toDouble / declared.values.count(_ == k._1).toDouble)
+    }
+    // predictions come only from the lexicon langs (or 'unknown'), and
+    // both diagonal and off-diagonal mass exist — the corpus's text is
+    // English whatever its declared tag, which is exactly the
+    // label/content disagreement this gate is built to surface
+    val langs = TextAnalysis.lexicon.map(_._2).toSet + "unknown"
+    assert(got.map(_.getAs[String]("pred_lang")).forall(langs.contains))
+    assert(got.exists(_.getAs[Boolean]("agree")))
+    assert(got.exists(!_.getAs[Boolean]("agree")))
+  }
+
   test("quality score stays in [0,1]") {
     val scores = TextAnalysis.quality(spark, sfDir)
       .select("quality_score").collect().map(_.getDouble(0))
