@@ -322,6 +322,47 @@ object Athena {
        |        FROM sales GROUP BY 1) f
        |  LEFT JOIN products p USING (product_id))""".stripMargin
 
+  /** `ath_store_credit`: store financial-health scorecard per country
+    * — store count, stores in negative account balance, fixed-point
+    * balance total, revenue attributed through the sales fact (stores
+    * with no sales count at zero, not dropped) and revenue per store.
+    * The credit-exposure vs volume view a finance team reads next to
+    * `gold_store_performance`; surfaces countries whose fulfilment
+    * base is financially thin relative to the revenue routed there.
+    *
+    * Scale shape: revenue pre-aggregates per store in fixed-point
+    * integers BEFORE the dim join (partial map-side agg on the fact;
+    * the store-level decimal survives to the country rollup, so no
+    * double ever re-enters a sum), then a dim-sized left join and a
+    * country-catalog groupBy. */
+  def storeCredit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 0)
+    val rev = Tables.sales(spark, dir)
+      .groupBy("store_id")
+      .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
+          .cast(dec)).as("rev_i"),
+        count(lit(1)).as("n_sales"))
+    val s = Tables.table(spark, dir, "supplier")
+    val n = Tables.table(spark, dir, "nation").select("n_nationkey", "n_name")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .select(col("s_suppkey").as("store_id"), col("n_name").as("country"),
+        col("s_acctbal"))
+      .join(rev, Seq("store_id"), "left")
+      .groupBy("country")
+      .agg(count(lit(1)).as("n_stores"),
+        sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_neg_balance"),
+        Gold.moneySum(col("s_acctbal")).as("acctbal_total"),
+        sum(coalesce(col("rev_i"), lit(0).cast(dec))).as("rev_ii"),
+        sum(coalesce(col("n_sales"), lit(0L))).as("n_sales"))
+      .select(col("country"), col("n_stores"), col("n_neg_balance"),
+        col("acctbal_total"),
+        (col("rev_ii").cast("double") / 10000).as("revenue_total"),
+        col("n_sales"),
+        ((col("rev_ii").cast("double") / 10000)
+          / col("n_stores").cast("double")).as("rev_per_store"))
+      .orderBy("country")
+  }
+
   private val pivotOracleSql: String = {
     val cells = (1 to 12).map { m =>
       s"""CAST(SUM(CASE WHEN mth = $m
@@ -339,6 +380,25 @@ object Athena {
   }
 
   val oracles: Map[String, String] = Map(
+    "ath_store_credit" ->
+      s"""WITH ${Tables.salesCte},
+         |rev AS (SELECT store_id,
+         |               SUM(CAST(FLOOR(unit_price*quantity*10000)
+         |                   AS DECIMAL(28,0))) AS rev_i,
+         |               COUNT(*) AS n_sales
+         |        FROM sales GROUP BY 1),
+         |st AS (SELECT s_suppkey AS store_id, n_name AS country, s_acctbal
+         |       FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+         |SELECT country, COUNT(*) AS n_stores,
+         |       CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_neg_balance,
+         |       ${Gold.moneySumSql("s_acctbal")} AS acctbal_total,
+         |       CAST(SUM(COALESCE(rev_i, 0)) AS DOUBLE)/10000 AS revenue_total,
+         |       CAST(SUM(COALESCE(n_sales, 0)) AS BIGINT) AS n_sales,
+         |       CAST(SUM(COALESCE(rev_i, 0)) AS DOUBLE)/10000
+         |         / CAST(COUNT(*) AS DOUBLE) AS rev_per_store
+         |FROM st LEFT JOIN rev USING (store_id)
+         |GROUP BY 1 ORDER BY country""".stripMargin,
     "ath_yoy_growth" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |cy AS (
@@ -463,5 +523,6 @@ object Athena {
     "ath_sales_rollup"         -> salesRollup,
     "ath_yoy_growth"           -> yoyGrowth,
     "ath_priority_fulfillment" -> priorityFulfillment,
-    "ath_pricing_summary"      -> pricingSummary)
+    "ath_pricing_summary"      -> pricingSummary,
+    "ath_store_credit"         -> storeCredit)
 }

@@ -989,9 +989,96 @@ object Gold {
           .as("autocorr"))
   }
 
+  /** `gold_segment_sales`: monthly sales mart per market segment (the
+    * retail view's `city` — TPC-H's `c_mktsegment`): distinct orders,
+    * active customers, fixed-point revenue and revenue per order. The
+    * segment-level rollup the reference's city-partitioned analytics
+    * layout (athena_queries.py:76-122's GROUP-BY style over the
+    * customer dimension) implies but never materializes — the first
+    * query a merchandising team asks of a sales mart.
+    *
+    * Scale shape: one fact⋈dim equi-join on the customer key (the dim
+    * broadcasts at test SF; co-partitioned hash join at 100 TB), then
+    * a partial-aggregating groupBy to segment×month cells; the two
+    * exact distincts ride the same expand-based two-phase aggregate,
+    * never a single task. */
+  def segmentSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customers(spark, dir).select("customer_id", "city")
+    Tables.sales(spark, dir)
+      .join(cust, "customer_id")
+      .select(col("city"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
+        expr("transaction_id DIV 10").as("order_key"),
+        col("customer_id"), col("unit_price"), col("quantity"))
+      .groupBy("city", "ym")
+      .agg(countDistinct(col("order_key")).as("n_orders"),
+        countDistinct(col("customer_id")).as("n_customers"),
+        moneySum(col("unit_price") * col("quantity")).as("revenue"))
+      .select(col("city").as("segment"),
+        make_date(expr("ym DIV 12"), col("ym") % 12 + 1, lit(1)).as("month"),
+        col("n_orders"), col("n_customers"), col("revenue"),
+        (col("revenue") / col("n_orders").cast("double")).as("rev_per_order"))
+      .orderBy("segment", "month")
+  }
+
+  /** `gold_nation_trade`: customer-country × store-country revenue
+    * matrix — where demand sits vs where fulfilment sits, with a
+    * domestic flag (the cross-border trade-flow question, TPC-H Q7's
+    * spirit over the retail view). Line counts and fixed-point
+    * revenue per directed country pair.
+    *
+    * Scale shape: the fact joins the two country dims on their keys
+    * (broadcasts at test SF; co-partitioned hash joins at 100 TB),
+    * then one partial-aggregating groupBy to a |nations|²-bounded
+    * cell table — the matrix never exceeds catalog size. */
+  def nationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customers(spark, dir)
+      .select(col("customer_id"), col("country").as("cust_country"))
+    val stores = Tables.stores(spark, dir)
+      .select(col("store_id"), col("country").as("store_country"))
+    Tables.sales(spark, dir)
+      .join(cust, "customer_id")
+      .join(stores, "store_id")
+      .groupBy("cust_country", "store_country")
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("unit_price") * col("quantity")).as("revenue"))
+      .select(col("cust_country"), col("store_country"), col("n_lines"),
+        col("revenue"),
+        (col("cust_country") === col("store_country")).as("is_domestic"))
+      .orderBy("cust_country", "store_country")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_segment_sales" ->
+      s"""WITH ${Tables.salesCte},
+         |${Tables.customersCte},
+         |g AS (SELECT c.city, YEAR(sale_ts)*12 + MONTH(sale_ts) - 1 AS ym,
+         |             COUNT(DISTINCT transaction_id // 10) AS n_orders,
+         |             COUNT(DISTINCT s.customer_id) AS n_customers,
+         |             ${moneySumSql("unit_price*quantity")} AS revenue
+         |      FROM sales s JOIN customers c USING (customer_id)
+         |      GROUP BY 1, 2)
+         |SELECT city AS segment,
+         |       make_date(CAST(ym // 12 AS INT), CAST(ym % 12 + 1 AS INT), 1)
+         |         AS month,
+         |       n_orders, n_customers, revenue,
+         |       revenue / CAST(n_orders AS DOUBLE) AS rev_per_order
+         |FROM g ORDER BY segment, month""".stripMargin,
+    "gold_nation_trade" ->
+      s"""WITH ${Tables.salesCte},
+         |${Tables.customersCte},
+         |${Tables.storesCte}
+         |SELECT c.country AS cust_country, st.country AS store_country,
+         |       COUNT(*) AS n_lines,
+         |       ${moneySumSql("unit_price*quantity")} AS revenue,
+         |       c.country = st.country AS is_domestic
+         |FROM sales s
+         |JOIN customers c USING (customer_id)
+         |JOIN stores st USING (store_id)
+         |GROUP BY 1, 2
+         |ORDER BY cust_country, store_country""".stripMargin,
     "gold_revenue_autocorr" ->
       s"""WITH ${Tables.salesCte},
          |m AS (SELECT YEAR(sale_ts)*12 + MONTH(sale_ts) - 1 AS ym,
@@ -1456,6 +1543,8 @@ object Gold {
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_segment_sales"       -> segmentSales,
+    "gold_nation_trade"        -> nationTrade,
     "gold_daily_sales_summary" -> dailySalesSummary,
     "gold_top_customers"       -> topCustomers,
     "gold_product_performance" -> productPerformance,

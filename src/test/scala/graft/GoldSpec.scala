@@ -574,4 +574,63 @@ class GoldSpec extends SparkSpec {
       .count()
     assert(rows.map(_.getAs[Long]("n_late")).sum == late)
   }
+
+  test("segment sales: cells cover every line's month; revenue reconciles") {
+    val cells = Gold.segmentSales(spark, sfDir).collect()
+    val fact = Tables.sales(spark, sfDir)
+      .join(Tables.customers(spark, sfDir).select("customer_id", "city"),
+        "customer_id")
+    // every (segment, month) with at least one sale appears exactly once
+    val expectCells = fact
+      .select(col("city"), date_trunc("month", col("sale_ts")).cast("date"))
+      .distinct().count()
+    assert(cells.length.toLong == expectCells)
+    assert(cells.map(r => (r.getAs[String]("segment"), r.getAs[java.sql.Date]("month")))
+      .distinct.length == cells.length)
+    // fixed-point revenue mass reconciles against one global aggregate
+    val total = fact.agg(Gold.moneySum(col("unit_price") * col("quantity")))
+      .collect()(0).getDouble(0)
+    val cellSum = cells.map(r =>
+      math.floor(r.getAs[Double]("revenue") * 10000 + 0.5).toLong).sum
+    assert(cellSum == math.floor(total * 10000 + 0.5).toLong)
+    cells.foreach { r =>
+      // each order has one customer, so distinct customers ≤ distinct orders
+      assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("n_orders") &&
+        r.getAs[Long]("n_orders") > 0)
+      assert(r.getAs[Double]("rev_per_order") ==
+        r.getAs[Double]("revenue") / r.getAs[Long]("n_orders").toDouble)
+    }
+  }
+
+  test("nation trade: line mass covers the fact; domestic flag consistent") {
+    val cells = Gold.nationTrade(spark, sfDir).collect()
+    assert(cells.map(_.getAs[Long]("n_lines")).sum ==
+      Tables.sales(spark, sfDir).count())
+    cells.foreach { r =>
+      assert(r.getAs[Boolean]("is_domestic") ==
+        (r.getAs[String]("cust_country") == r.getAs[String]("store_country")))
+    }
+    // both domestic and cross-border trade exist in the corpus
+    assert(cells.exists(_.getAs[Boolean]("is_domestic")))
+    assert(cells.exists(!_.getAs[Boolean]("is_domestic")))
+  }
+
+  test("store credit: every store counted once; revenue reconciles") {
+    val rows = Athena.storeCredit(spark, sfDir).collect()
+    val suppliers = Tables.table(spark, sfDir, "supplier")
+    assert(rows.map(_.getAs[Long]("n_stores")).sum == suppliers.count())
+    assert(rows.map(_.getAs[Long]("n_neg_balance")).sum ==
+      suppliers.where(col("s_acctbal") < 0).count())
+    // sales-attributed revenue mass reconciles (stores w/o sales add 0)
+    val total = Tables.sales(spark, sfDir)
+      .agg(Gold.moneySum(col("unit_price") * col("quantity")))
+      .collect()(0).getDouble(0)
+    val sum = rows.map(r =>
+      math.floor(r.getAs[Double]("revenue_total") * 10000 + 0.5).toLong).sum
+    assert(sum == math.floor(total * 10000 + 0.5).toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rev_per_store") ==
+        r.getAs[Double]("revenue_total") / r.getAs[Long]("n_stores").toDouble)
+    }
+  }
 }
