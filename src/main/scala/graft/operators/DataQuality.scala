@@ -368,6 +368,23 @@ object DataQuality {
     }.mkString("\nUNION ALL\n") + "\nORDER BY table_name, column_name"
 
   val oracles: Map[String, String] = Map(
+    "dq_fd_profile" -> {
+      val perFd = FdCatalog
+        .map { case (name, src, lhs, rhs) =>
+          s"""SELECT '$name' AS fd, COUNT(*) AS n_keys,
+             |       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_violations,
+             |       MAX(k) AS max_variants,
+             |       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+             |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS k
+             |      FROM $src GROUP BY 1)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH ${Tables.salesCte}
+         |SELECT * FROM (
+         |$perFd
+         |) ORDER BY fd""".stripMargin
+    },
     "dq_null_profile" -> nullProfileOracle,
     "dq_key_profile" -> keyProfileOracle,
     "dq_order_reconciliation" ->
@@ -718,7 +735,54 @@ object DataQuality {
         (col("n_events") - col("n_distinct_ids")).as("n_duplicates"),
         (col("n_events") === col("n_distinct_ids")).as("ids_unique"))
 
+  /** The functional dependencies [[fdProfile]] screens — named lhs →
+    * rhs pairs over the star schema and the retail sales view. The
+    * catalog deliberately mixes dependencies that HOLD (primary-key →
+    * attribute) with ones that don't: `transaction_id → product_id`
+    * is violated by construction (the testdata carries duplicate
+    * (orderkey, linenumber) pairs with different parts — see
+    * Tables.sales's scaladoc), and `p_brand → p_type` is a
+    * brand-spans-types business fact, not a key. A profiler that
+    * reports zero everywhere is reading the wrong columns. */
+  // lazy: the oracles map above references this at class-init time
+  private lazy val FdCatalog: Seq[(String, String, String, String)] = Seq(
+    // (fd name, source, lhs col, rhs col); source "sales" = retail view
+    ("customer.c_custkey->c_mktsegment", "customer", "c_custkey", "c_mktsegment"),
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("sales.transaction_id->customer_id", "sales", "transaction_id", "customer_id"),
+    ("sales.transaction_id->product_id", "sales", "transaction_id", "product_id"),
+    ("supplier.s_suppkey->s_nationkey", "supplier", "s_suppkey", "s_nationkey"))
+
+  /** `dq_fd_profile`: functional-dependency violation profile — for
+    * each declared lhs → rhs dependency: distinct lhs keys, keys bound
+    * to MORE than one rhs value (the violations), the worst key's
+    * variant count, and the violation rate. The dependency screen a
+    * warehouse runs before trusting a column as a join/dedup key —
+    * data_quality.py:19-110 checks nulls/dupes/rules per table but
+    * never cross-column consistency; this closes that class.
+    *
+    * Scale shape: per dependency, ONE two-phase aggregate — groupBy
+    * lhs with an exact countDistinct(rhs) (partial map-side combine),
+    * then a 1-row rollup; the per-FD frames union to a catalog-sized
+    * result. No driver loops over data, no collects. */
+  def fdProfile(spark: SparkSession, dir: String): DataFrame =
+    FdCatalog.map { case (name, src, lhs, rhs) =>
+      val df = if (src == "sales") Tables.sales(spark, dir)
+               else Tables.table(spark, dir, src)
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violations"),
+          max(col("k")).as("max_variants"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violations"),
+          col("max_variants"),
+          (col("n_violations").cast("double") / col("n_keys").cast("double"))
+            .as("violation_rate"))
+    }.reduce(_ unionAll _).orderBy("fd")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd_profile"     -> fdProfile,
     "dq_table_stats"    -> tableStatsQuery,
     "dq_business_rules" -> businessRules,
     "dq_referential"    -> referentialIntegrity,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Athena, Gold}
+import graft.operators.{Athena, DataQuality, Gold}
 import graft.sources.Tables
 
 class GoldSpec extends SparkSpec {
@@ -613,6 +613,37 @@ class GoldSpec extends SparkSpec {
     // both domestic and cross-border trade exist in the corpus
     assert(cells.exists(_.getAs[Boolean]("is_domestic")))
     assert(cells.exists(!_.getAs[Boolean]("is_domestic")))
+  }
+
+  test("fd profile: PK deps hold, planted violations surface, keys reconcile") {
+    val rows = DataQuality.fdProfile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("fd") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_violations"),
+          r.getAs[Long]("max_variants"), r.getAs[Double]("violation_rate"))).toMap
+    assert(rows.size == 6)
+    // primary-key → attribute dependencies are violation-free
+    Seq("customer.c_custkey->c_mktsegment", "orders.o_orderkey->o_custkey",
+      "supplier.s_suppkey->s_nationkey").foreach { fd =>
+      assert(rows(fd)._2 == 0L && rows(fd)._3 == 1L, fd)
+    }
+    // brands span types: a business fact, not a key
+    assert(rows("part.p_brand->p_type")._2 > 0L)
+    // key counts reconcile against direct distinct counts
+    assert(rows("orders.o_orderkey->o_custkey")._1 ==
+      Tables.table(spark, sfDir, "orders").select("o_orderkey").distinct().count())
+    val sales = Tables.sales(spark, sfDir)
+    assert(rows("sales.transaction_id->product_id")._1 ==
+      sales.select("transaction_id").distinct().count())
+    // transaction_id → customer_id always holds (both derive from the
+    // order), while → product_id is violated wherever the testdata
+    // carries duplicate (orderkey, linenumber) pairs (sf-dependent)
+    assert(rows("sales.transaction_id->customer_id")._2 == 0L)
+    val dupIds = sales.groupBy("transaction_id")
+      .agg(countDistinct("product_id").as("k")).where(col("k") > 1).count()
+    assert(rows("sales.transaction_id->product_id")._2 == dupIds)
+    rows.values.foreach { case (n, v, _, rate) =>
+      assert(rate == v.toDouble / n.toDouble)
+    }
   }
 
   test("store credit: every store counted once; revenue reconciles") {
