@@ -396,6 +396,35 @@ object Graph {
          |          UNION ALL SELECT w FROM t)
          |SELECT p AS product_id, COUNT(*) AS triangles
          |FROM nodes GROUP BY 1 ORDER BY product_id""".stripMargin,
+    "gr_modularity" ->
+      s"""WITH ${Tables.salesCte},
+         |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
+         |       FROM sales),
+         |e AS (SELECT x.product_id AS a, y.product_id AS b
+         |      FROM bp x JOIN bp y
+         |        ON x.basket_id = y.basket_id AND x.product_id < y.product_id
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+         |cat AS (SELECT p_partkey AS product_id, p_type AS category FROM part),
+         |ec AS (SELECT e.a, e.b, x.category AS ca, y.category AS cb
+         |       FROM e JOIN cat x ON e.a = x.product_id
+         |              JOIN cat y ON e.b = y.product_id),
+         |m AS (SELECT COUNT(*) AS m FROM ec),
+         |und AS (SELECT a AS node, ca AS category FROM ec
+         |        UNION ALL SELECT b, cb FROM ec),
+         |deg AS (SELECT category, COUNT(*) AS degree_sum,
+         |               COUNT(DISTINCT node) AS n_nodes
+         |        FROM und GROUP BY 1),
+         |i AS (SELECT ca AS category, COUNT(*) AS intra_edges
+         |      FROM ec WHERE ca = cb GROUP BY 1)
+         |SELECT d.category, d.n_nodes,
+         |       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+         |       d.degree_sum,
+         |       CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         |         - (CAST(d.degree_sum AS DOUBLE) / (2 * CAST(m.m AS DOUBLE)))
+         |           * (CAST(d.degree_sum AS DOUBLE) / (2 * CAST(m.m AS DOUBLE)))
+         |         AS q_contrib
+         |FROM deg d LEFT JOIN i USING (category) CROSS JOIN m
+         |ORDER BY category""".stripMargin,
     "gr_assortativity" ->
       s"""WITH ${Tables.salesCte},
          |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
@@ -658,6 +687,55 @@ object Graph {
     * detection, the [[Curation]] star-CC pattern), never edges. Each
     * round's survivor edges are localCheckpoint'd so lineage stays flat
     * across peels. */
+  /** `gr_modularity`: category modularity of the co-purchase graph —
+    * per product category: its graph nodes, intra-category edges,
+    * degree mass, and the category's Newman-modularity contribution
+    * Q_c = intra_c/m − (d_c/2m)² against the configuration-model
+    * expectation. Σ Q_c answers "do purchases cluster within
+    * categories, or does the catalog cross-sell?" — the partition-
+    * quality metric read next to [[assortativity]] (degree mixing) and
+    * [[clusteringCoeff]] (local density), here for an EXTERNAL
+    * partition (the merchandising taxonomy) rather than a discovered
+    * one, which keeps the whole metric closed-form and exactly
+    * oracle-checkable.
+    *
+    * Scale shape: edges come from the cached [[pairCounts]] artifact;
+    * the category dim broadcasts; intra counts and degree mass are two
+    * partial-aggregating groupBys to category-catalog-sized frames;
+    * the edge total rides a broadcast 1-row cross join (the pagerank
+    * normalizer pattern). All integer masses stay integers until the
+    * final identical-in-both-engines IEEE expression. */
+  def categoryModularity(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Tables.products(spark, dir)
+      .select(col("product_id"), col("category"))
+    val ec = coEdges(spark, dir)
+      .join(broadcast(cat.select(col("product_id"),
+        col("category").as("ca"))), col("a") === col("product_id"))
+      .drop("product_id")
+      .join(broadcast(cat.select(col("product_id"),
+        col("category").as("cb"))), col("b") === col("product_id"))
+      .drop("product_id")
+    val mRow = ec.agg(count(lit(1)).as("m"))
+    val und = ec.select(col("a").as("node"), col("ca").as("category"))
+      .unionAll(ec.select(col("b").as("node"), col("cb").as("category")))
+    val deg = und.groupBy("category")
+      .agg(count(lit(1)).as("degree_sum"),
+        countDistinct(col("node")).as("n_nodes"))
+    val intra = ec.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("category"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val mD = col("m").cast("double")
+    val dHalf = col("degree_sum").cast("double") / (lit(2) * mD)
+    deg.join(intra, Seq("category"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("category"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") / mD
+          - dHalf * dHalf).as("q_contrib"))
+      .orderBy("category")
+  }
+
   def kcore(spark: SparkSession, dir: String): DataFrame =
     kcoreOn(undirected(spark, dir), KCoreK)
 
@@ -694,5 +772,6 @@ object Graph {
     "gr_edge_jaccard" -> edgeJaccard,
     "gr_bfs_distance" -> bfsDistance,
     "gr_assortativity" -> assortativity,
+    "gr_modularity"    -> categoryModularity,
     "gr_kcore"     -> kcore)
 }

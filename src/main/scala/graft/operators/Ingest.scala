@@ -157,6 +157,35 @@ object Ingest {
       .orderBy("doc_id")
   }
 
+  /** `src_textlines_roundtrip`: raw text-lines roundtrip — the most
+    * common LLM-pretraining ingest shape (one document per line, no
+    * container format at all). Writes each document as a
+    * tab-delimited line with newline/tab/CR scrubbed from the text
+    * (the delimiter-safety pass any line-oriented corpus writer runs;
+    * plain char replaces, no regex), reads it back through Spark's
+    * `text` source and re-parses the fields. The oracle recomputes the
+    * scrub from the documents table, so a split-limit, scrub or cast
+    * bug breaks the hash. At 100 TB the text source is
+    * splittable-per-file and schema-free — exactly why raw-line
+    * corpora stay the interchange format between crawlers and
+    * engines. */
+  def textlinesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("textlines_documents")
+    val scrub = replace(replace(replace(col("text"),
+      lit("\t"), lit(" ")), lit("\n"), lit(" ")), lit("\r"), lit(" "))
+    Tables.table(spark, dir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
+        scrub).as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 4).as("f"))
+      .select(element_at(col("f"), 1).cast("bigint").as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).as("source"),
+        element_at(col("f"), 4).as("text"))
+      .orderBy("doc_id")
+  }
+
   /** ORC roundtrip: the engine's columnar-format breadth beyond
     * parquet (both sides of a lake migration). Identity-oracled. */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -168,6 +197,11 @@ object Ingest {
   }
 
   val oracles: Map[String, String] = Map(
+    "src_textlines_roundtrip" ->
+      """SELECT doc_id, lang, source,
+        |       replace(replace(replace(text, chr(9), ' '), chr(10), ' '),
+        |               chr(13), ' ') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "src_schema_evolution" ->
       """SELECT doc_id, text, lang,
         |       CASE WHEN doc_id % 2 = 1 THEN source END AS source,
@@ -222,6 +256,7 @@ object Ingest {
          |ORDER BY c.country""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_textlines_roundtrip"  -> textlinesRoundtrip,
     "src_parquet_scan"         -> parquetScan,
     "src_csv_roundtrip"        -> csvRoundtrip,
     "snk_partitioned_parquet"  -> partitionedParquetSink,

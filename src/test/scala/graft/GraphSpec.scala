@@ -271,4 +271,31 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Long]("n_co") -> r.getAs[Long]("n_pairs")).toMap
     assert(after == before)
   }
+
+  test("category modularity: masses reconcile, Q bounded, formula replays") {
+    val rows = Graph.categoryModularity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent brute-force edge count over the basket self-join
+    val bp = graft.sources.Tables.sales(spark, sfDir)
+      .select(expr("transaction_id DIV 10").as("bk"), col("product_id"))
+      .distinct()
+    val m = bp.join(bp.select(col("bk"), col("product_id").as("pb")), "bk")
+      .where(col("product_id") < col("pb"))
+      .groupBy("product_id", "pb").agg(count(lit(1)).as("n"))
+      .where(col("n") >= Graph.TriMinSupport).count()
+    // degree mass counts every edge endpoint exactly twice
+    assert(rows.map(_.getAs[Long]("degree_sum")).sum == 2 * m)
+    // intra mass can never exceed the edge total
+    assert(rows.map(_.getAs[Long]("intra_edges")).sum <= m)
+    // per-category contribution replays the closed form
+    rows.foreach { r =>
+      val mD = m.toDouble
+      val dHalf = r.getAs[Long]("degree_sum").toDouble / (2 * mD)
+      assert(r.getAs[Double]("q_contrib") ==
+        r.getAs[Long]("intra_edges").toDouble / mD - dHalf * dHalf)
+    }
+    // Newman Q is bounded in [-1, 1]
+    val q = rows.map(_.getAs[Double]("q_contrib")).sum
+    assert(q >= -1.0 && q <= 1.0)
+  }
 }

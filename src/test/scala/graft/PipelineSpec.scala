@@ -379,6 +379,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("textlines roundtrip preserves every doc id and scrubs delimiters") {
+    val out = graft.operators.Ingest.textlinesRoundtrip(spark, sfDir).collect()
+    val ids = Tables.table(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.length == ids.size)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == ids)
+    out.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(!t.contains("\t") && !t.contains("\n") && !t.contains("\r"))
+      assert(r.getAs[String]("lang") != null && r.getAs[String]("source") != null)
+    }
+  }
+
   test("csv source is permissive on malformed rows (nulls, no crash)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
     java.nio.file.Files.writeString(dir.resolve("part.csv"),
