@@ -70,6 +70,14 @@ class PlanFingerprintSpec extends SparkSpec {
   private val shapesPath = Paths.get("src/test/resources/plan_shapes.txt")
 
   test("every query's physical-plan fingerprint matches the golden file") {
+    // Artifact-cache state is suite-order dependent (an earlier suite's
+    // persist/load test can swap a derived artifact for a parquet-loaded
+    // checkpoint with different partitioning, flipping AQE decisions in
+    // every downstream consumer's plan). Fingerprints must not depend on
+    // which suites ran first: drop the dir's artifacts and fingerprint
+    // from the cold state this spec creates itself — the first consumer
+    // in sorted order derives, the rest read its checkpoint, every run.
+    graft.operators.ArtifactCache.invalidateDir(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val shapes = names.map { n =>
       n -> PlanFingerprint.shape(SparkEntry.queries(n)(spark, sfDir))

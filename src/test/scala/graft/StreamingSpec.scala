@@ -663,4 +663,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("streaming text-lines ingest health matches the batch counters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same line shape the batch writer produces, plus planted
+    // garbage a crawler feed ships: short lines and non-numeric ids
+    val good = Tables.table(spark, sfDir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
+        regexp_replace(col("text"), "[\\t\\n\\r]", " ")).as("value"))
+      .collect().map(_.getString(0)).toSeq
+    val garbage = Seq("not a doc line", "xx\tshort\tline", "NaN\ta\tb\tc")
+    val lines = good ++ garbage
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_bad"), r.getAs[Long]("n_chars"))).toSet
+    val batch = norm(graft.streaming.IngestStreams.ingestHealthStream(
+      lines.toDF("value")))
+    // garbage must be counted, not dropped: bad-line mass equals the plant
+    assert(batch.toSeq.map(_._3).sum == garbage.length.toLong)
+    assert(batch.exists(_._1 == "(unparsed)"))
+    val input = MemoryStream[String]
+    val q = graft.streaming.IngestStreams.ingestHealthStream(
+      input.toDF().toDF("value"))
+      .writeStream.format("memory").queryName("ingest_health_out")
+      .outputMode("complete").start()
+    // counters are algebraic: the batch split must not matter
+    val (a, b) = lines.splitAt(lines.length / 2)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    val streamed = norm(spark.table("ingest_health_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
 }
