@@ -280,6 +280,20 @@ object ExpressionProps extends Properties("graft.functions") {
           Some(("mp4", w, h, n, dur * 1000 / ts))
     }
 
+  property("text-lines writer format parses back to the scrubbed fields") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue / 2), Gen.alphaStr, Gen.alphaStr,
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\r', ' ')))
+        .map(_.mkString)) { (id, lang, source, text) =>
+      // mirror Ingest.textlinesRoundtrip's writer: tab-join after a
+      // plain-char scrub; the parse (limit-4 split) must recover every
+      // field even when the text contained the delimiter chars
+      val scrubbed = text.replace('\t', ' ').replace('\n', ' ').replace('\r', ' ')
+      val line = s"$id\t$lang\t$source\t$scrubbed"
+      val f = line.split("\t", 4)
+      f.length == 4 && f(0).toLong == id && f(1) == lang &&
+        f(2) == source && f(3) == scrubbed
+    }
+
   property("AVI synth/parse round-trips every field over random parameters") =
     Prop.forAll(Gen.choose(1L, 1000000L), Gen.choose(0L, 100000L),
       Gen.choose(1L, 4L), Gen.choose(0L, 8192L), Gen.choose(0L, 8192L),
