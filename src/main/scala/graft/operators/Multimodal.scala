@@ -166,13 +166,24 @@ object Multimodal {
       while (i + 8 <= p.length && dataSize < 0) {
         val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = le(p, i + 4, 4)
+        // Long skip arithmetic: a hostile 32-bit chunk size (≥ 2³¹)
+        // truncated to Int goes negative and walks i backwards —
+        // "never throw" means bounds-check BEFORE narrowing. A skipped
+        // chunk whose body leaves the sniff window ends the walk (the
+        // `data` branch below is exempt: its declared size may
+        // legitimately extend past the window).
+        val skip = 8L + size + (size & 1L)
         if (id == "fmt " && size >= 16 && i + 24 <= p.length) {
           channels = le(p, i + 10, 2)
           rate = le(p, i + 12, 4)
           byteRate = le(p, i + 16, 4)
-          i += 8 + size.toInt + (size.toInt & 1)
+          if (i + skip > p.length) return None
+          i += skip.toInt
         } else if (id == "data") dataSize = size
-        else i += 8 + size.toInt + (size.toInt & 1)
+        else {
+          if (i + skip > p.length) return None
+          i += skip.toInt
+        }
       }
       if (channels > 0 && rate > 0 && byteRate > 0 && dataSize >= 0)
         Some(("wav", channels, rate, byteRate * 8, dataSize * 1000 / byteRate))
@@ -335,11 +346,17 @@ object Multimodal {
                   streams, usf * frames / 1000))
               else return None
             }
-            c += 8 + cs.toInt + (cs.toInt & 1)
+            // Long skip arithmetic — see parseWav: a hostile 32-bit
+            // size narrowed to Int walks c backwards forever
+            val cskip = 8L + cs + (cs & 1L)
+            if (c + cskip > end) return None
+            c += cskip.toInt
           }
           return None
         }
-        i += 8 + size.toInt + (size.toInt & 1)
+        val skip = 8L + size + (size & 1L)
+        if (i + skip > p.length) return None
+        i += skip.toInt
       }
       None
     }

@@ -280,6 +280,32 @@ object ExpressionProps extends Properties("graft.functions") {
           Some(("mp4", w, h, n, dur * 1000 / ts))
     }
 
+  property("media header parsers never throw on arbitrary or mutated bytes") = {
+    import graft.operators.Multimodal.MediaHeaders
+    val noise = Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+    // valid container prefixes + noise tails reach the deep walk loops
+    // (signature checks alone would shield pure noise from them)
+    val mutated = for {
+      base <- Gen.oneOf(
+        MediaHeaders.synthWav(2, 44100, 16, 88200, plantList = true),
+        MediaHeaders.synthAvi(40000, 250, 1, 1280, 720, plantJunk = true),
+        MediaHeaders.synthMp4(600, 60000, 2, 1920, 1080, plantFree = true),
+        MediaHeaders.synthMp3(300, 9, 0, 0, 160),
+        MediaHeaders.synthPng(640, 480),
+        MediaHeaders.synthGif(64, 64),
+        MediaHeaders.synthJpeg(64, 64))
+      cut <- Gen.choose(0, base.length)
+      tail <- Gen.listOf(Gen.choose(-128, 127).map(_.toByte))
+    } yield base.take(cut) ++ tail.toArray
+    Prop.forAll(Gen.oneOf(noise, mutated)) { bytes =>
+      // contract: corrupt/hostile payloads parse to None, never throw
+      MediaHeaders.parse(bytes)
+      MediaHeaders.parseAudio(bytes)
+      MediaHeaders.parseVideo(bytes)
+      true
+    }
+  }
+
   property("text-lines writer format parses back to the scrubbed fields") =
     Prop.forAll(Gen.choose(0L, Long.MaxValue / 2), Gen.alphaStr, Gen.alphaStr,
       Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\r', ' ')))

@@ -342,6 +342,31 @@ class PipelineSpec extends SparkSpec {
     assert(parseVideo(a.take(30)).isEmpty)
   }
 
+  test("RIFF walks survive hostile 32-bit chunk sizes (no throw, no hang)") {
+    import Multimodal.MediaHeaders._
+    def le32(v: Long): Array[Byte] =
+      Array.tabulate(4)(s => ((v >> (8 * s)) & 0xFF).toByte)
+    def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // a size ≥ 2^31 narrowed to Int goes negative: the un-guarded walk
+    // steps BACKWARDS (out-of-bounds read or infinite loop). The fixed
+    // walk must return None, promptly.
+    val hostileWav = tag("RIFF") ++ le32(200) ++ tag("WAVE") ++
+      tag("JUNK") ++ le32(0xFFFFFFF0L) ++ Array.fill(32)(0.toByte)
+    assert(parseWav(hostileWav).isEmpty)
+    val hostileAvi = tag("RIFF") ++ le32(200) ++ tag("AVI ") ++
+      tag("LIST") ++ le32(100) ++ tag("hdrl") ++
+      tag("JUNK") ++ le32(0xFFFFFFF0L) ++ Array.fill(64)(0.toByte)
+    assert(parseAvi(hostileAvi).isEmpty)
+    // outer AVI chunk with a hostile size before any LIST
+    val hostileAvi2 = tag("RIFF") ++ le32(200) ++ tag("AVI ") ++
+      tag("JUNK") ++ le32(0x80000008L) ++ Array.fill(32)(0.toByte)
+    assert(parseAvi(hostileAvi2).isEmpty)
+    // MP4 box sizes are compared in Long before narrowing: hostile too
+    val hostileMp4 = le32(0) /* placeholder */ ++ tag("ftyp") ++
+      tag("isom") ++ le32(0)
+    assert(parseMp4(hostileMp4).isEmpty) // size 0 < 8 -> malformed
+  }
+
   test("audio profile buckets every parsed clip; corrupt rows excluded") {
     val meta = Multimodal.audioMeta(spark, sfDir).collect()
       .filter(!_.isNullAt(4)) // format
