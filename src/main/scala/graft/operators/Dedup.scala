@@ -778,7 +778,19 @@ object Dedup {
     * With [[simhashLanesFor]] widening the signature as the corpus
     * grows, expected bucket population stays ≤ [[SimhashTargetPop]] and
     * this cap is what it should be: a hard guard against adversarial
-    * skew, not the routine recall ceiling it was at a fixed 64 bits. */
+    * skew, not the routine recall ceiling it was at a fixed 64 bits.
+    *
+    * Deliberately NOT tightened to chase join cost: real text skews
+    * block values far past the uniform expectation (measured at sf0.1:
+    * the top 8-bit bucket held half the corpus), but capping those
+    * template buckets measurably costs true-dup recall — at cap 512
+    * the ≥0.96-jaccard planted recall fell 217→175 of 256, because a
+    * hamming-7 pair may agree ONLY on the common bands a template
+    * bucket holds. Widening lanes instead tightens the FIXED hamming-7
+    * threshold (same probe: recall 217→33 at 128 bits) — so the fat
+    * candidate join at template-heavy corpora is the price of the
+    * operator's recall contract, paid once per corpus against the
+    * cached signature artifact. */
   val SimhashBucketCap = 4096L
 
   /** Width derivation target: expected docs per (block, value) bucket.
@@ -816,9 +828,22 @@ object Dedup {
     * buckets excluded from candidate generation ([[SimhashBucketCap]]).
     * Width grows with the corpus ([[simhashLanesFor]]) so buckets stay
     * sparse past the 64-bit saturation point (~1M docs). */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashOn(spark, Tables.table(spark, dir, "documents"), SimhashBucketCap,
-      simhashLanesFor(docCount(spark, dir)))
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val lanes = simhashLanesFor(docCount(spark, dir))
+    // trained-artifact discipline: the signature table is the corpus
+    // pass. Without it the self-join's two sides and the mega-bucket
+    // aggregate's two references each re-scan AND re-hash the corpus —
+    // the plan computes graft_simhash_wide 4× per document. Cached
+    // (localCheckpoint'd), every reference reads the materialized
+    // (doc_id, simhash) rows; only the cheap block explode re-runs.
+    val sigs = ArtifactCache.of(spark, dir, "dd_simhash_sigs") {
+      graft.functions.SimHashWide.register(spark)
+      Tables.table(spark, dir, "documents").select(col("doc_id"),
+        call_function("graft_simhash_wide", col("text"), lit(lanes))
+          .as("simhash"))
+    }
+    simhashOnSigs(sigs, SimhashBucketCap, lanes)
+  }
 
   def simhashOn(spark: SparkSession, docs: DataFrame, cap: Long,
       lanes: Int = 1): DataFrame = {
@@ -826,6 +851,13 @@ object Dedup {
     graft.functions.SimHashWide.register(spark)
     val sig = docs.select(col("doc_id"),
       call_function("graft_simhash_wide", col("text"), lit(lanes)).as("simhash"))
+    simhashOnSigs(sig, cap, lanes)
+  }
+
+  /** The bucket-join half of [[simhashOn]], over an already-computed
+    * (doc_id, simhash) signature table. */
+  private def simhashOnSigs(sig: DataFrame, cap: Long,
+      lanes: Int): DataFrame = {
     val blockBits = 64 * lanes / SimhashBlocks
     // block b spans bits [b·blockBits, (b+1)·blockBits) of the wide
     // signature; with lanes a power of two each block sits inside a
