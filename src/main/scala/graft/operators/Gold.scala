@@ -914,8 +914,13 @@ object Gold {
     * universally-stocked product contributes |stores|² pair rows, never
     * corpus-sized work; per-store sizes broadcast back. */
   def assortmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the distinct assortment ONCE: the pair self-join's
+    // two sides and the two per-store broadcasts otherwise each re-run
+    // the fact join + distinct (4 scans; ReuseExchange does not fire
+    // across the differently-aliased sides). The assortment is
+    // store×product-bounded — checkpoint-sized, not fact-sized.
     val sp = Tables.sales(spark, dir)
-      .select("store_id", "product_id").distinct()
+      .select("store_id", "product_id").distinct().localCheckpoint()
     val per = sp.groupBy("store_id").agg(count(lit(1)).as("n_products"))
     sp.select(col("store_id").as("store_a"), col("product_id"))
       .join(sp.select(col("store_id").as("store_b"), col("product_id")),

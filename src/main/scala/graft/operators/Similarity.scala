@@ -167,11 +167,22 @@ object Similarity {
     * corpus size ([[lshBitsFor]]/[[lshTablesFor]]) and overfull buckets
     * are dropped ([[capBuckets]]), so candidate generation stays
     * ~n·[[LshTargetBucketPop]]·tables at any corpus scale. */
+  /** The capped hyperplane signature table for `dir`'s embedding
+    * corpus, derived once per session ([[ArtifactCache]]): three
+    * queries build the identical table ([[embedNearDup]],
+    * [[semanticDecontam]], [[buildTopKLsh]]) and each references it on
+    * BOTH sides of its candidate join — uncached, the per-row
+    * hyperplane signing re-runs per reference. */
+  private def lshSigs(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "emb_lsh_sigs") {
+      val bits = lshBitsFor(corpusCount(spark, dir))
+      capBuckets(signatures(spark, corpus(spark, dir), "vec_id",
+        lshTablesFor(bits), bits), LshBucketCap)
+    }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val bits = lshBitsFor(corpusCount(spark, dir))
-    val sigs = capBuckets(
-      signatures(spark, c, "vec_id", lshTablesFor(bits), bits), LshBucketCap)
+    val sigs = lshSigs(spark, dir)
     val cand = sigs.select(col("vec_id").as("a_id"), col("tbl"), col("sig"))
       .join(sigs.select(col("vec_id").as("b_id"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
@@ -211,9 +222,7 @@ object Similarity {
   def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val isEval = Curation.portableHash(col("vec_id")) % Dedup.DecontamBenchMod === 0
-    val bits = lshBitsFor(corpusCount(spark, dir))
-    val sigs = capBuckets(
-      signatures(spark, c, "vec_id", lshTablesFor(bits), bits), LshBucketCap)
+    val sigs = lshSigs(spark, dir)
     val evalSigs = sigs.where(isEval)
       .select(col("vec_id").as("eval_id"), col("tbl"), col("sig"))
     val cand = sigs.where(!isEval).join(evalSigs, Seq("tbl", "sig"))
@@ -244,9 +253,7 @@ object Similarity {
   private[graft] def buildTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = querySet(c)
-    val bits = lshBitsFor(corpusCount(spark, dir))
-    val cSigs = capBuckets(
-      signatures(spark, c, "vec_id", lshTablesFor(bits), bits), LshBucketCap)
+    val cSigs = lshSigs(spark, dir)
     // the query set is a subset of the corpus: reuse its signatures
     // instead of a second scan + signature pass
     val qSigs = cSigs.where(col("vec_id") % QueryModulus === 0)
