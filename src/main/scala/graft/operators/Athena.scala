@@ -215,6 +215,9 @@ object Athena {
       .agg(count(lit(1)).as("n_sales"),
         sum(floor(col("unit_price") * col("quantity") * lit(10000))
           .cast(org.apache.spark.sql.types.DecimalType(28, 0))).as("rev_i"))
+      // checkpoint the category×year-sized cells: the lag self-join
+      // otherwise re-runs the fact join+aggregate for its prev side
+      .localCheckpoint()
     val prev = cy.select(col("category").as("p_cat"),
       (col("sale_year") + 1).as("p_year"), col("rev_i").as("prev_i"))
     cy.join(broadcast(prev),

@@ -748,6 +748,9 @@ object Gold {
           .as("rev_i"))
       .withColumn("aov",
         col("rev_i").cast("double") / 10000 / col("n_orders").cast("double"))
+      // checkpoint the month-catalog-sized series: the lag self-join
+      // otherwise re-runs the whole fact aggregate for its prev side
+      .localCheckpoint()
     val prev = m.select((col("ym") + 1).as("p_ym"), col("aov").as("prev_aov"))
     m.join(broadcast(prev), col("ym") === col("p_ym"), "left")
       .select(
@@ -974,6 +977,9 @@ object Gold {
       .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
         .cast(DecimalType(28, 0))).cast("long").as("rev_i"))
       .select(col("ym"), expr("rev_i DIV 10000").as("rev_d"))
+      // checkpoint the month-catalog-sized series: the lag self-join
+      // otherwise re-runs the whole fact aggregate for its lagged side
+      .localCheckpoint()
     val pairs = m.select((col("ym") + 1).as("ym"), col("rev_d").as("x"))
       .join(m.select(col("ym"), col("rev_d").as("y")), Seq("ym"))
       .select("x", "y")
