@@ -1059,9 +1059,76 @@ object Gold {
       .orderBy("cust_country", "store_country")
   }
 
+  /** `gold_price_index`: Laspeyres monthly price index — the cost of
+    * the BASE month's basket (first calendar month in the corpus, its
+    * per-product quantities frozen as weights) repriced at each later
+    * month's average unit prices, over the matched sample of products
+    * present in both. The corpus-level inflation series read next to
+    * [[priceSlope]] (per-product trend) and [[seasonality]] (volume
+    * calendar): "are prices as a whole drifting, holding the basket
+    * fixed?".
+    *
+    * Determinism: per-(product, month) average price derives from an
+    * exact fixed-point price sum over an exact line count (one IEEE
+    * division); each month's basket cost is a [[moneySum]] of
+    * avg-price × base-quantity doubles (identical expression both
+    * engines); the index is one final division. Scale shape: one
+    * partial-aggregating groupBy to product×month cells
+    * (checkpointed — the base join re-reads it), a broadcast 1-row
+    * base-month selector, an equi-join on product, and a
+    * month-catalog-sized rollup. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 0)
+    val pm = Tables.sales(spark, dir)
+      .select(col("product_id"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
+        col("unit_price"), col("quantity"))
+      .groupBy("product_id", "ym")
+      .agg(sum(floor(col("unit_price") * lit(10000)).cast(dec)).as("p_i"),
+        count(lit(1)).as("n_lines"),
+        sum(col("quantity")).as("qty"))
+      .select(col("product_id"), col("ym"),
+        (col("p_i").cast("double") / 10000 / col("n_lines").cast("double"))
+          .as("p_avg"),
+        col("qty"))
+      .localCheckpoint()
+    val baseYm = pm.agg(min(col("ym")).as("ym0"))
+    val base = pm.join(broadcast(baseYm), col("ym") === col("ym0"))
+      .select(col("product_id"), col("p_avg").as("p0"), col("qty").as("q0"))
+    pm.join(base, "product_id")
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_products"),
+        moneySum(col("p_avg") * col("q0").cast("double")).as("basket_cost"),
+        moneySum(col("p0") * col("q0").cast("double")).as("base_cost"))
+      .select(
+        make_date(expr("ym DIV 12"), col("ym") % 12 + 1, lit(1)).as("month"),
+        col("n_products"), col("basket_cost"), col("base_cost"),
+        (col("basket_cost") / col("base_cost")).as("price_index"))
+      .orderBy("month")
+  }
+
   // ---- DuckDB oracles (same math; fixed-point sums are exact in both) ----
 
   val oracles: Map[String, String] = Map(
+    "gold_price_index" ->
+      s"""WITH ${Tables.salesCte},
+         |pm AS (SELECT product_id,
+         |              YEAR(sale_ts)*12 + MONTH(sale_ts) - 1 AS ym,
+         |              CAST(SUM(CAST(FLOOR(unit_price*10000) AS DECIMAL(28,0)))
+         |                   AS DOUBLE)/10000 / CAST(COUNT(*) AS DOUBLE) AS p_avg,
+         |              CAST(SUM(quantity) AS BIGINT) AS qty
+         |       FROM sales GROUP BY 1, 2),
+         |b AS (SELECT product_id, p_avg AS p0, qty AS q0
+         |      FROM pm WHERE ym = (SELECT MIN(ym) FROM pm)),
+         |g AS (SELECT ym, COUNT(*) AS n_products,
+         |             ${moneySumSql("p_avg * CAST(q0 AS DOUBLE)")} AS basket_cost,
+         |             ${moneySumSql("p0 * CAST(q0 AS DOUBLE)")} AS base_cost
+         |      FROM pm JOIN b USING (product_id) GROUP BY 1)
+         |SELECT make_date(CAST(ym // 12 AS INT), CAST(ym % 12 + 1 AS INT), 1)
+         |         AS month,
+         |       n_products, basket_cost, base_cost,
+         |       basket_cost / base_cost AS price_index
+         |FROM g ORDER BY month""".stripMargin,
     "gold_segment_sales" ->
       s"""WITH ${Tables.salesCte},
          |${Tables.customersCte},
@@ -1556,6 +1623,7 @@ object Gold {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_segment_sales"       -> segmentSales,
     "gold_nation_trade"        -> nationTrade,
+    "gold_price_index"         -> priceIndex,
     "gold_daily_sales_summary" -> dailySalesSummary,
     "gold_top_customers"       -> topCustomers,
     "gold_product_performance" -> productPerformance,

@@ -615,6 +615,22 @@ class GoldSpec extends SparkSpec {
     assert(cells.exists(!_.getAs[Boolean]("is_domestic")))
   }
 
+  test("price index: base month indexes at exactly 1, ratios replay") {
+    val rows = Gold.priceIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // first month IS the base: basket == base cost, index exactly 1.0
+    val first = rows.minBy(_.getAs[java.sql.Date]("month").getTime)
+    assert(first.getAs[Double]("basket_cost") == first.getAs[Double]("base_cost"))
+    assert(first.getAs[Double]("price_index") == 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("price_index") ==
+        r.getAs[Double]("basket_cost") / r.getAs[Double]("base_cost"))
+      assert(r.getAs[Long]("n_products") > 0)
+      // matched sample: never more products than the base basket holds
+      assert(r.getAs[Long]("n_products") <= first.getAs[Long]("n_products"))
+    }
+  }
+
   test("fd profile: PK deps hold, planted violations surface, keys reconcile") {
     val rows = DataQuality.fdProfile(spark, sfDir).collect()
       .map(r => r.getAs[String]("fd") ->
