@@ -1014,21 +1014,33 @@ object Gold {
     * exact distincts ride the same expand-based two-phase aggregate,
     * never a single task. */
   def segmentSales(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 0)
     val cust = Tables.customers(spark, dir).select("customer_id", "city")
+    // pre-aggregate to order grain first: two distinct aggregates in
+    // one groupBy would Expand the joined fact ×3 (one branch per
+    // distinct + one for the sums); at order grain n_orders is a plain
+    // count and only the customer distinct remains — the single-
+    // distinct rewrite, no Expand. customer_id rides the grain key for
+    // free (order → customer is functional).
     Tables.sales(spark, dir)
       .join(cust, "customer_id")
       .select(col("city"),
         (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
         expr("transaction_id DIV 10").as("order_key"),
         col("customer_id"), col("unit_price"), col("quantity"))
+      .groupBy("city", "ym", "order_key", "customer_id")
+      .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
+        .cast(dec)).as("rev_i"))
       .groupBy("city", "ym")
-      .agg(countDistinct(col("order_key")).as("n_orders"),
+      .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("customer_id")).as("n_customers"),
-        moneySum(col("unit_price") * col("quantity")).as("revenue"))
+        sum(col("rev_i")).as("rev_ii"))
       .select(col("city").as("segment"),
         make_date(expr("ym DIV 12"), col("ym") % 12 + 1, lit(1)).as("month"),
-        col("n_orders"), col("n_customers"), col("revenue"),
-        (col("revenue") / col("n_orders").cast("double")).as("rev_per_order"))
+        col("n_orders"), col("n_customers"),
+        (col("rev_ii").cast("double") / 10000).as("revenue"),
+        ((col("rev_ii").cast("double") / 10000)
+          / col("n_orders").cast("double")).as("rev_per_order"))
       .orderBy("segment", "month")
   }
 
