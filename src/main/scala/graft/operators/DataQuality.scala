@@ -767,11 +767,29 @@ object DataQuality {
     * then a 1-row rollup; the per-FD frames union to a catalog-sized
     * result. No driver loops over data, no collects. */
   def fdProfile(spark: SparkSession, dir: String): DataFrame =
+    fdProfileImpl(spark, dir, exact = true)
+
+  /** The 100-TB twin of [[fdProfile]]: `approx_count_distinct`
+    * (HyperLogLog++) for the per-key rhs cardinality — O(1) mergeable
+    * state per key instead of an exact distinct-set shuffle. Spark's
+    * HLL++ has no sparse-exact mode, so even tiny per-key
+    * cardinalities carry sketch error (measured at sf0.001: 1156 vs
+    * 1158 violating keys, ~0.2%); the spec asserts per-dependency
+    * tolerance, with single-valued keys never inflating past 1 (a
+    * one-register sketch estimates 1), so violation-FREE dependencies
+    * stay exactly clean. The exact path stays the driver-checked
+    * oracle. */
+  def fdProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    fdProfileImpl(spark, dir, exact = false)
+
+  private def fdProfileImpl(spark: SparkSession, dir: String,
+      exact: Boolean): DataFrame =
     FdCatalog.map { case (name, src, lhs, rhs) =>
       val df = if (src == "sales") Tables.sales(spark, dir)
                else Tables.table(spark, dir, src)
       df.groupBy(col(lhs))
-        .agg(countDistinct(col(rhs)).as("k"))
+        .agg((if (exact) countDistinct(col(rhs))
+              else approx_count_distinct(col(rhs))).as("k"))
         .agg(count(lit(1)).as("n_keys"),
           sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violations"),
           max(col("k")).as("max_variants"))

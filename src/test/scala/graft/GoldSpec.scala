@@ -662,6 +662,24 @@ class GoldSpec extends SparkSpec {
     }
   }
 
+  test("fd profile approx twin tracks the exact profile within sketch error") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("fd") -> (r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("max_variants"))).toMap
+    val exact = norm(DataQuality.fdProfile(spark, sfDir))
+    val approx = norm(DataQuality.fdProfileApprox(spark, sfDir))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (fd, (nk, nv, mv)) =>
+      val (ank, anv, amv) = approx(fd)
+      assert(ank == nk, s"$fd n_keys")        // key count is exact
+      // HLL++ never inflates a single-valued key past 1: clean
+      // dependencies must stay exactly clean
+      if (nv == 0L) assert(anv == 0L, s"$fd false violations")
+      else assert(math.abs(anv - nv) <= math.max(2L, nv / 50), s"$fd n_violations")
+      assert(math.abs(amv - mv) <= math.max(1L, mv / 5), s"$fd max_variants")
+    }
+  }
+
   test("store credit: every store counted once; revenue reconciles") {
     val rows = Athena.storeCredit(spark, sfDir).collect()
     val suppliers = Tables.table(spark, sfDir, "supplier")
