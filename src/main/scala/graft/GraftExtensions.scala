@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletions, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletionHashes, CharDeletions, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_char_deletions",
       "single-deletion neighborhood of a string (SymSpell blocking keys)",
       CharDeletions.builder)
+    inject("graft_char_deletion_hashes",
+      "XXH64 hashes of the deletion neighborhood (allocation-free blocking keys)",
+      CharDeletionHashes.builder)
     inject("graft_bloom_agg",
       "distributed bloom-filter build over long keys (merge-safe partials)",
       BloomOps.aggBuilder)

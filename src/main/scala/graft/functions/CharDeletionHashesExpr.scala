@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** XXH64 hashes of the deletion neighborhood of a string up to `depth`
+  * removals — the [[CharDeletions]] blocking-key set collapsed to 8-byte
+  * join keys WITHOUT materializing any variant string.
+  *
+  * [[graft.operators.FuzzyMatch]]'s candidate join only ever consumes
+  * `xxhash64(variant)`: the variant text itself is never compared (the
+  * exact levenshtein verify re-reads the ORIGINAL names). Materializing
+  * ~L²/2 `UTF8String`s per row through a breadth-first closure (three
+  * allocations per enumerated variant, ~900/row at L=18) just to hash
+  * and discard them is the dominant per-row cost of the depth-2 path.
+  * This expression instead enumerates deleted code-point POSITION
+  * subsets {i} / {i,j} / {i,j,k} of the original string directly,
+  * copies the surviving byte ranges into one reusable scratch buffer,
+  * and emits `XXH64(bytes, seed=42)` — one long per variant, zero
+  * string allocations, a primitive `UnsafeArrayData` result.
+  *
+  * A hash collision can only ADD a candidate pair, which the exact
+  * levenshtein verification rejects — recall and precision are
+  * unchanged vs the string-keyed join (same argument as hashing the
+  * materialized variants, which the depth-2 path already did).
+  * Duplicate variants (deleting either of two equal adjacent chars)
+  * dedup by hash value, first-occurrence order, matching
+  * `array_distinct` semantics on the string form.
+  */
+case class CharDeletionHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DataTypes.StringType, DataTypes.IntegerType) if right.foldable =>
+        val d = right.eval().asInstanceOf[Number].intValue()
+        if (d >= 1 && d <= 3) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"char_deletion_hashes depth must be in [1,3], got $d")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "char_deletion_hashes requires (string, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(DataTypes.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any, depth: Any): Any =
+    CharDeletionHashes.hashes(input.asInstanceOf[UTF8String],
+      depth.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, d) => s"graft.functions.CharDeletionHashes.hashes($c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharDeletionHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharDeletionHashes {
+
+  private val Seed = 42L
+
+  /** Called from generated code. Enumerates {s} then all ≤depth-element
+    * deleted-position subsets in lexicographic position order (matching
+    * the breadth-first left-to-right order of [[CharDeletions]] up to
+    * duplicate-string collapse), hashing each variant's bytes from one
+    * scratch copy. Code-point positions (UTF-8 boundary scan), so
+    * multi-byte text deletes whole characters, like DuckDB substr. */
+  def hashes(s: UTF8String, depth: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // code-point start offsets
+    var n = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) n += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    var p = 0
+    i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) { off(p) = i; p += 1 }; i += 1 }
+    off(n) = nb
+
+    val maxOut = 1 + (if (depth >= 1) n else 0) +
+      (if (depth >= 2) n * (n - 1) / 2 else 0) +
+      (if (depth >= 3) n * (n - 1) * (n - 2) / 6 else 0)
+    val out = new Array[Long](maxOut)
+    // open-addressed dedup set sized to the next power of two ≥ 2*maxOut
+    var cap = 16
+    while (cap < maxOut * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var outN = 0
+
+    @inline def add(h: Long): Unit = {
+      var slot = (h ^ (h >>> 32)).toInt & mask
+      while (used(slot) && table(slot) != h) slot = (slot + 1) & mask
+      if (!used(slot)) {
+        used(slot) = true; table(slot) = h
+        out(outN) = h; outN += 1
+      }
+    }
+
+    val scratch = new Array[Byte](nb)
+    // copy bytes of s minus code points a (<b (<c)); negative = unused
+    @inline def hashDel(a: Int, b: Int, c: Int): Long = {
+      var w = 0
+      var cp = 0
+      while (cp < n) {
+        if (cp != a && cp != b && cp != c) {
+          var bi = off(cp)
+          val be = off(cp + 1)
+          while (bi < be) { scratch(w) = bytes(bi); w += 1; bi += 1 }
+        }
+        cp += 1
+      }
+      XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, w, Seed)
+    }
+
+    add(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, nb, Seed))
+    if (depth >= 1) {
+      var a = 0
+      while (a < n) { add(hashDel(a, -1, -1)); a += 1 }
+    }
+    if (depth >= 2) {
+      var a = 0
+      while (a < n - 1) {
+        var b = a + 1
+        while (b < n) { add(hashDel(a, b, -1)); b += 1 }
+        a += 1
+      }
+    }
+    if (depth >= 3) {
+      var a = 0
+      while (a < n - 2) {
+        var b = a + 1
+        while (b < n - 1) {
+          var c = b + 1
+          while (c < n) { add(hashDel(a, b, c)); c += 1 }
+          b += 1
+        }
+        a += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (outN == out.length) out else java.util.Arrays.copyOf(out, outN))
+  }
+
+  val builder: Seq[Expression] => Expression = exprs =>
+    if (exprs.size == 1) CharDeletionHashes(exprs.head, Literal(1))
+    else CharDeletionHashes(exprs(0), exprs(1))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registration.ensure(spark, "graft_char_deletion_hashes", builder)
+
+  def hashesCol(spark: org.apache.spark.sql.SparkSession,
+      str: org.apache.spark.sql.Column,
+      depth: Int = 1): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_char_deletion_hashes",
+      str, org.apache.spark.sql.functions.lit(depth))
+  }
+}

@@ -972,7 +972,7 @@ object Curation {
          |ORDER BY c.customer_id, c.cand_idx""".stripMargin,
     "smp_shard" ->
       s"""SELECT ${portableHashSql("doc_id")} % $ShardCount AS shard,
-         |       COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
          |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "smp_split" ->

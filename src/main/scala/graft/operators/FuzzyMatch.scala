@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.CharDeletions
+import graft.functions.CharDeletionHashes
 import graft.sources.Tables
 
 /** Fuzzy entity matching (record linkage) via SymSpell-style
@@ -83,19 +83,21 @@ object FuzzyMatch {
     // where templated names share many variants — is collapsed by a
     // 16-byte-row distinct instead of shuffling both name strings per
     // collision; names rejoin once per surviving pair.
-    // The join key is xxhash64(variant), not the variant string: the
+    // The join key is XXH64(variant), not the variant string: the
     // exploded candidate stream is the dominant shuffle (~L²/2 rows per
     // record at depth 2) and an 8-byte key halves its bytes; a hash
     // collision can only ADD a candidate pair, which the exact
     // levenshtein verify then rejects — recall and precision unchanged.
+    // [[CharDeletionHashes]] emits the hashes directly from deleted
+    // position subsets of the original string — no variant string is
+    // ever materialized (the depth-2 closure otherwise allocates ~900
+    // UTF8Strings per row just to hash and discard them).
     val dv = dirty.select(col("d_key"),
-        explode(CharDeletions.neighborhoodCol(spark, col("d_name"), maxEdit))
-          .as("v"))
-      .select(col("d_key"), xxhash64(col("v")).as("vh"))
+      explode(CharDeletionHashes.hashesCol(spark, col("d_name"), maxEdit))
+        .as("vh"))
     val cv = cust.select(col("c_custkey").as("clean_key"),
-        explode(CharDeletions.neighborhoodCol(spark, col("c_name"), maxEdit))
-          .as("v"))
-      .select(col("clean_key"), xxhash64(col("v")).as("vh"))
+      explode(CharDeletionHashes.hashesCol(spark, col("c_name"), maxEdit))
+        .as("vh"))
     dv.join(cv, Seq("vh"))
       .select("d_key", "clean_key").distinct()
       .join(dirty, "d_key")

@@ -173,16 +173,30 @@ object Ingest {
     val path = tmp("textlines_documents")
     val scrub = replace(replace(replace(col("text"),
       lit("\t"), lit(" ")), lit("\n"), lit(" ")), lit("\r"), lit(" "))
+    // NULL fields write as explicit empty strings: concat_ws silently
+    // DROPS nulls, so a null lang would shift every later field left
+    // and leave the line with <4 tab fields (then element_at(f, 4)
+    // throws under ANSI). The read side maps '' back to NULL (nullif)
+    // and parses defensively (try_element_at/try_cast, like the
+    // streaming twin IngestStreams.parseLines) so a short or garbage
+    // line yields NULL fields instead of killing the query; the oracle
+    // applies the same NULLIF, so NULL and '' round-trip identically
+    // on both engines.
     Tables.table(spark, dir, "documents")
-      .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
-        scrub).as("value"))
+      .select(concat_ws("\t",
+        coalesce(col("doc_id").cast("string"), lit("")),
+        coalesce(col("lang"), lit("")),
+        coalesce(col("source"), lit("")),
+        coalesce(scrub, lit(""))).as("value"))
       .write.mode("overwrite").text(path)
     spark.read.text(path)
       .select(split(col("value"), "\t", 4).as("f"))
-      .select(element_at(col("f"), 1).cast("bigint").as("doc_id"),
-        element_at(col("f"), 2).as("lang"),
-        element_at(col("f"), 3).as("source"),
-        element_at(col("f"), 4).as("text"))
+      .select(
+        nullif(try_element_at(col("f"), lit(1)), lit(""))
+          .try_cast("bigint").as("doc_id"),
+        nullif(try_element_at(col("f"), lit(2)), lit("")).as("lang"),
+        nullif(try_element_at(col("f"), lit(3)), lit("")).as("source"),
+        nullif(try_element_at(col("f"), lit(4)), lit("")).as("text"))
       .orderBy("doc_id")
   }
 
@@ -198,9 +212,9 @@ object Ingest {
 
   val oracles: Map[String, String] = Map(
     "src_textlines_roundtrip" ->
-      """SELECT doc_id, lang, source,
-        |       replace(replace(replace(text, chr(9), ' '), chr(10), ' '),
-        |               chr(13), ' ') AS text
+      """SELECT doc_id, NULLIF(lang, '') AS lang, NULLIF(source, '') AS source,
+        |       NULLIF(replace(replace(replace(text, chr(9), ' '), chr(10), ' '),
+        |               chr(13), ' '), '') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "src_schema_evolution" ->
       """SELECT doc_id, text, lang,

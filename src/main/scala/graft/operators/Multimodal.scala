@@ -287,7 +287,11 @@ object Multimodal {
             val cs = be(p, c, 4)
             if (cs < 8 || c + cs > end) return None
             val ct = new String(p, c + 4, 4, ascii)
-            if (ct == "mvhd" && c + 28 <= end && (p(c + 8) & 0xFF) == 0) {
+            // first-wins, matching the tkhd `w < 0` guard: a second
+            // moov/mvhd must not overwrite timescale/duration while
+            // width keeps the first trak's value (mixed-header fields)
+            if (ct == "mvhd" && c + 28 <= end && (p(c + 8) & 0xFF) == 0 &&
+                timescale < 0) {
               timescale = be(p, c + 20, 4); duration = be(p, c + 24, 4)
             } else if (ct == "trak") {
               tracks += 1

@@ -34,13 +34,16 @@ object IngestStreams {
           col("source").isNotNull && col("text").isNotNull)
 
   /** Per-source ingest-health counters over a parsed frame: arrived
-    * lines, parse failures, char volume. Unparsed lines land in the
-    * sentinel source so a feed of pure garbage is still visible.
-    * State is one counter row per source — catalog-sized, complete-
-    * mode output. */
+    * lines, parse failures, char volume. EVERY failed parse lands in
+    * the sentinel source — keyed on parse_ok, not on the source field
+    * alone, so a partially-parsed garbage line (3 tab fields leave a
+    * non-null field 3) can't pollute, or fabricate, a counter row
+    * under whatever token happened to sit third. State is one counter
+    * row per source — catalog-sized, complete-mode output. */
   private[graft] def ingestHealth(parsed: DataFrame): DataFrame =
     parsed
-      .groupBy(coalesce(col("source"), lit("(unparsed)")).as("source"))
+      .groupBy(when(col("parse_ok"), col("source"))
+        .otherwise(lit("(unparsed)")).as("source"))
       .agg(count(lit(1)).as("n_lines"),
         sum((!col("parse_ok")).cast("long")).as("n_bad"),
         sum(length(coalesce(col("text"), lit(""))).cast("long"))

@@ -101,6 +101,27 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(got.forall(!_.getAs[Boolean]("unmatched")))
   }
 
+  test("deletion-hash neighborhood == xxhash64 over the string neighborhood") {
+    // CharDeletionHashes must emit exactly the XXH64(seed 42) hashes of
+    // the CharDeletions string variants — the fuzzy join swaps one for
+    // the other, so set equality at every depth is the license. Covers
+    // multi-byte code points (deletion must remove whole characters)
+    // and duplicate-collapsing inputs.
+    import spark.implicits._
+    val strs = Seq("", "a", "abc", "aab", "aaaa", "Customer#000000001",
+      "añbñc", "ΑΒΓΔ", "日本語テキスト", "xy")
+    (1 to 3).foreach { depth =>
+      val rows = strs.toDF("s").select(
+          graft.functions.CharDeletionHashes.hashesCol(spark, col("s"), depth).as("h"),
+          expr(s"transform(graft_char_deletions(s, $depth), x -> xxhash64(x))").as("hv"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (h, hv) =>
+        assert(h.toSet == hv.toSet, s"depth $depth")
+        assert(h.distinct == h, s"depth $depth emits duplicate hashes")
+      }
+    }
+  }
+
   test("d1 pair table is a session-cached artifact: repeat reads serve the checkpoint") {
     // first call may build; the second MUST serve the cached pair table
     // — a sorted scan of checkpointed rows with no join or aggregate

@@ -50,6 +50,17 @@ def compare(s: pd.DataFrame, d: pd.DataFrame):
     s, d = norm(s.copy()), norm(d.copy())
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver's hash is dtype-sensitive: int64 vs float64 with equal
+        # values is a red row there (r09 smp_shard). Mirror that by failing
+        # on numeric-kind disagreement before any value compare. Restricted
+        # to numeric kinds because DATE columns legitimately differ in
+        # representation (Spark parquet -> pandas object of datetime.date,
+        # DuckDB -> datetime64[us]) and those rows are green at the driver.
+        numeric = "iufb"
+        if (sv.dtype.kind in numeric and dv.dtype.kind in numeric
+                and sv.dtype.kind != dv.dtype.kind):
+            return False, (f"col {c} dtype-kind mismatch: "
+                           f"spark={sv.dtype} duck={dv.dtype}")
         try:
             if sv.dtype.kind == "f" or dv.dtype.kind == "f":
                 import numpy as np
