@@ -66,13 +66,33 @@ object CharDeletionHashes {
 
   private val Seed = 42L
 
+  /** Variant code-point length occupies the top 16 bits of a PACKED
+    * key (see [[packed]]); lengths beyond 15 bits saturate at the cap
+    * so the sign bit stays clear — equal strings still pack equal (a
+    * cap collision can only add a candidate), and length-bounds
+    * filters must `least()` their bounds against the same cap. */
+  val LenCap = 0x7FFF
+
   /** Called from generated code. Enumerates {s} then all ≤depth-element
     * deleted-position subsets in lexicographic position order (matching
     * the breadth-first left-to-right order of [[CharDeletions]] up to
     * duplicate-string collapse), hashing each variant's bytes from one
     * scratch copy. Code-point positions (UTF-8 boundary scan), so
     * multi-byte text deletes whole characters, like DuckDB substr. */
-  def hashes(s: UTF8String, depth: Int): ArrayData = {
+  def hashes(s: UTF8String, depth: Int): ArrayData =
+    enumerate(s, depth, pack = false)
+
+  /** The packed form: `min(variantLen, 0x7FFF) << 48 | hash₄₈` — the
+    * join key and the variant's code-point length in ONE long, so a
+    * blocking join can filter variants to lengths the other side can
+    * actually produce (`shiftright(vh, 48)`) BEFORE the exchange.
+    * Equal variant strings have equal lengths, so folding the length
+    * into the key changes no match; truncating the hash to 48 bits
+    * only adds collision candidates, which the exact verify rejects. */
+  def packed(s: UTF8String, depth: Int): ArrayData =
+    enumerate(s, depth, pack = true)
+
+  private def enumerate(s: UTF8String, depth: Int, pack: Boolean): ArrayData = {
     val bytes = s.getBytes
     val nb = bytes.length
     // code-point start offsets
@@ -106,9 +126,13 @@ object CharDeletionHashes {
       }
     }
 
+    @inline def packOf(h: Long, vlen: Int): Long =
+      if (pack) (Math.min(vlen, LenCap).toLong << 48) | (h & 0xFFFFFFFFFFFFL)
+      else h
+
     val scratch = new Array[Byte](nb)
     // copy bytes of s minus code points a (<b (<c)); negative = unused
-    @inline def hashDel(a: Int, b: Int, c: Int): Long = {
+    @inline def hashDel(a: Int, b: Int, c: Int, vlen: Int): Long = {
       var w = 0
       var cp = 0
       while (cp < n) {
@@ -119,19 +143,20 @@ object CharDeletionHashes {
         }
         cp += 1
       }
-      XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, w, Seed)
+      packOf(XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, w, Seed),
+        vlen)
     }
 
-    add(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, nb, Seed))
+    add(packOf(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, nb, Seed), n))
     if (depth >= 1) {
       var a = 0
-      while (a < n) { add(hashDel(a, -1, -1)); a += 1 }
+      while (a < n) { add(hashDel(a, -1, -1, n - 1)); a += 1 }
     }
     if (depth >= 2) {
       var a = 0
       while (a < n - 1) {
         var b = a + 1
-        while (b < n) { add(hashDel(a, b, -1)); b += 1 }
+        while (b < n) { add(hashDel(a, b, -1, n - 2)); b += 1 }
         a += 1
       }
     }
@@ -141,7 +166,7 @@ object CharDeletionHashes {
         var b = a + 1
         while (b < n - 1) {
           var c = b + 1
-          while (c < n) { add(hashDel(a, b, c)); c += 1 }
+          while (c < n) { add(hashDel(a, b, c, n - 3)); c += 1 }
           b += 1
         }
         a += 1
@@ -155,8 +180,14 @@ object CharDeletionHashes {
     if (exprs.size == 1) CharDeletionHashes(exprs.head, Literal(1))
     else CharDeletionHashes(exprs(0), exprs(1))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  val packedBuilder: Seq[Expression] => Expression = exprs =>
+    if (exprs.size == 1) CharDeletionHashLens(exprs.head, Literal(1))
+    else CharDeletionHashLens(exprs(0), exprs(1))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Registration.ensure(spark, "graft_char_deletion_hashes", builder)
+    Registration.ensure(spark, "graft_char_deletion_hashlens", packedBuilder)
+  }
 
   def hashesCol(spark: org.apache.spark.sql.SparkSession,
       str: org.apache.spark.sql.Column,
@@ -165,4 +196,45 @@ object CharDeletionHashes {
     org.apache.spark.sql.functions.call_function("graft_char_deletion_hashes",
       str, org.apache.spark.sql.functions.lit(depth))
   }
+
+  /** Packed (length ≪ 48 | hash₄₈) neighborhood keys — see [[packed]]. */
+  def packedCol(spark: org.apache.spark.sql.SparkSession,
+      str: org.apache.spark.sql.Column,
+      depth: Int = 1): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_char_deletion_hashlens",
+      str, org.apache.spark.sql.functions.lit(depth))
+  }
+}
+
+/** [[CharDeletionHashes]] with the variant's code-point length packed
+  * into the top 16 bits of each key — see
+  * [[CharDeletionHashes.packed]]. */
+case class CharDeletionHashLens(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DataTypes.StringType, DataTypes.IntegerType) if right.foldable =>
+        val d = right.eval().asInstanceOf[Number].intValue()
+        if (d >= 1 && d <= 3) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"char_deletion_hashlens depth must be in [1,3], got $d")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "char_deletion_hashlens requires (string, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(DataTypes.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any, depth: Any): Any =
+    CharDeletionHashes.packed(input.asInstanceOf[UTF8String],
+      depth.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, d) => s"graft.functions.CharDeletionHashes.packed($c, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharDeletionHashLens =
+    copy(left = newLeft, right = newRight)
 }

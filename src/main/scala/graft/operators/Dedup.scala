@@ -830,19 +830,46 @@ object Dedup {
     * sparse past the 64-bit saturation point (~1M docs). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val lanes = simhashLanesFor(docCount(spark, dir))
-    // trained-artifact discipline: the signature table is the corpus
-    // pass. Without it the self-join's two sides and the mega-bucket
-    // aggregate's two references each re-scan AND re-hash the corpus —
-    // the plan computes graft_simhash_wide 4× per document. Cached
-    // (localCheckpoint'd), every reference reads the materialized
-    // (doc_id, simhash) rows; only the cheap block explode re-runs.
-    val sigs = ArtifactCache.of(spark, dir, "dd_simhash_sigs") {
+    simhashOnSigs(simhashSigs(spark, dir, lanes), SimhashBucketCap, lanes)
+  }
+
+  /** The corpus SimHash wide-signature table — trained-artifact
+    * discipline: the signature pass IS the corpus scan. Without the
+    * cache the self-join's two sides and the mega-bucket aggregate's
+    * two references each re-scan AND re-hash the corpus — the plan
+    * computes graft_simhash_wide 4× per document. Cached
+    * (localCheckpoint'd), every reference reads the materialized
+    * (doc_id, simhash) rows; only the cheap block explode re-runs. */
+  private[graft] def simhashSigs(spark: SparkSession, dir: String,
+      lanes: Int): DataFrame =
+    ArtifactCache.of(spark, dir, "dd_simhash_sigs") {
       graft.functions.SimHashWide.register(spark)
       Tables.table(spark, dir, "documents").select(col("doc_id"),
         call_function("graft_simhash_wide", col("text"), lit(lanes))
           .as("simhash"))
     }
-    simhashOnSigs(sigs, SimhashBucketCap, lanes)
+
+  /** Persist the corpus SimHash signature table next to the table
+    * (corpus × 1 fixed-width rows: doc_id + the `lanes`-long wide
+    * signature) — the deployment artifact a restarted driver loads via
+    * [[loadSimhashSigs]] instead of re-hashing the corpus. */
+  def saveSimhashSigs(spark: SparkSession, dir: String, path: String): Unit =
+    simhashSigs(spark, dir, simhashLanesFor(docCount(spark, dir)))
+      .orderBy("doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted SimHash signature table and prime the cache for
+    * `dir`. Same staleness contract as [[loadMinhashIndex]]: a
+    * signature is a function of the text (and of the width schedule
+    * [[simhashLanesFor]], which is a function of the corpus count), so
+    * after any in-place corpus rewrite invalidate the dir and
+    * re-derive rather than loading a stale table. Returns the table. */
+  def loadSimhashSigs(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val sigs = spark.read.parquet(path)
+      .select("doc_id", "simhash").localCheckpoint()
+    ArtifactCache.put(spark, dir, "dd_simhash_sigs", sigs)
+    sigs
   }
 
   def simhashOn(spark: SparkSession, docs: DataFrame, cap: Long,

@@ -83,25 +83,78 @@ object FuzzyMatch {
     // where templated names share many variants — is collapsed by a
     // 16-byte-row distinct instead of shuffling both name strings per
     // collision; names rejoin once per surviving pair.
-    // The join key is XXH64(variant), not the variant string: the
-    // exploded candidate stream is the dominant shuffle (~L²/2 rows per
-    // record at depth 2) and an 8-byte key halves its bytes; a hash
-    // collision can only ADD a candidate pair, which the exact
+    // The join key is (variant length ≪ 48 | XXH64₄₈), not the variant
+    // string: the exploded candidate stream is the dominant cost (~L²/2
+    // rows per record at depth 2) and an 8-byte key halves its bytes; a
+    // hash collision can only ADD a candidate pair, which the exact
     // levenshtein verify then rejects — recall and precision unchanged.
-    // [[CharDeletionHashes]] emits the hashes directly from deleted
+    // [[CharDeletionHashes]] emits the keys directly from deleted
     // position subsets of the original string — no variant string is
     // ever materialized (the depth-2 closure otherwise allocates ~900
     // UTF8Strings per row just to hash and discard them).
-    val dv = dirty.select(col("d_key"),
-      explode(CharDeletionHashes.hashesCol(spark, col("d_name"), maxEdit))
-        .as("vh"))
-    val cv = cust.select(col("c_custkey").as("clean_key"),
-      explode(CharDeletionHashes.hashesCol(spark, col("c_name"), maxEdit))
-        .as("vh"))
-    dv.join(cv, Seq("vh"))
-      .select("d_key", "clean_key").distinct()
-      .join(dirty, "d_key")
-      .join(cust.select(col("c_custkey").as("clean_key"), col("c_name")),
+    //
+    // LENGTH PRUNING: a key only ever matches an equal-length variant,
+    // so each side keeps only variants whose length the OTHER side can
+    // produce — lengths in [min(other) − maxEdit, max(other)]. The
+    // bounds come from ONE min/max aggregate over the master name
+    // column, collected at plan build (a 2-int metadata-sized head(),
+    // the codebook/seed pattern; the dirty side is by construction
+    // exactly maxEdit chars shorter per name, so its bounds derive
+    // arithmetically — no second pass, no join in the plan). This is
+    // exact — the shared witness variant of any lev ≤ maxEdit pair
+    // survives on both sides — and cuts the dead weight hard when the
+    // two sides' length ranges are offset: here every dirty name is
+    // maxEdit chars shorter than every clean name, so the dirty side
+    // keeps ~1 variant per row (depth 0) and the clean side only its
+    // deepest level.
+    val boundsRow = cust.agg(
+      org.apache.spark.sql.functions.min(length(col("c_name"))),
+      org.apache.spark.sql.functions.max(length(col("c_name"))),
+      count(lit(1))).head
+    val (cLo, cHi) =
+      if (boundsRow.isNullAt(0)) (0, -1) else (boundsRow.getInt(0), boundsRow.getInt(1))
+    val nRecords = boundsRow.getLong(2)
+    val cap = CharDeletionHashes.LenCap
+    def keep(vh: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+      shiftright(vh, 48).between(
+        lit(math.min(lo, cap)), lit(math.min(hi, cap)))
+    // PARALLEL GENERATION: the master dimension is usually a handful
+    // of parquet splits, which would run the whole explode→probe stage
+    // near-serially; an explicit-width exchange of the tiny pre-explode
+    // rows parallelizes it. Width is pinned (not AQE-advisory) because
+    // AQE sizes coalescing on the PRE-explode bytes and would fold the
+    // stage back to one task.
+    val np = spark.sessionState.conf.numShufflePartitions
+    // BROADCAST GATE: hint the dimension-sized sides only while they
+    // are small enough to hash-broadcast (records × ~48 B against a
+    // generous 200 MB budget); past that, drop the hints and let the
+    // planner shuffle on vh / the keys — same plan class the exact
+    // verify licenses, no correctness dependence on the hint.
+    def hinted(df: DataFrame): DataFrame =
+      if (nRecords * 48L <= (200L << 20)) broadcast(df) else df
+    val dv = dirty.repartition(np, col("d_key"))
+      .select(col("d_key"),
+        explode(CharDeletionHashes.packedCol(spark, col("d_name"), maxEdit))
+          .as("vh"))
+      .where(keep(col("vh"), cLo - maxEdit, cHi))
+    val cv = cust.repartition(np, col("c_custkey"))
+      .select(col("c_custkey").as("clean_key"),
+        explode(CharDeletionHashes.packedCol(spark, col("c_name"), maxEdit))
+          .as("vh"))
+      .where(keep(col("vh"), cLo - 2 * maxEdit, cHi - maxEdit))
+    // ONE exchange end-to-end after the candidate join: the pair
+    // stream range-partitions on the OUTPUT order (16-byte rows, so
+    // the range sample re-execution is cheap), the distinct
+    // aggregates within those partitions (range satisfies the
+    // clustered requirement), and the name rejoins + levenshtein
+    // verify are order-preserving broadcast joins — the final orderBy
+    // collapses to an in-partition sort with no further exchange.
+    hinted(dv).join(cv, Seq("vh"))
+      .select("d_key", "clean_key")
+      .repartitionByRange(col("d_key"), col("clean_key"))
+      .distinct()
+      .join(hinted(dirty), "d_key")
+      .join(hinted(cust.select(col("c_custkey").as("clean_key"), col("c_name"))),
         "clean_key")
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
       .where(col("dist") <= maxEdit)

@@ -180,6 +180,30 @@ object Similarity {
         lshTablesFor(bits), bits), LshBucketCap)
     }
 
+  /** Persist the capped hyperplane signature table next to the corpus
+    * (corpus × tables rows of (vec_id, tbl, sig) minus the capped
+    * mega-buckets) — the deployment artifact a restarted driver loads
+    * via [[loadLshSigs]] instead of re-signing the embedding corpus. */
+  def saveLshSigs(spark: SparkSession, dir: String, path: String): Unit =
+    lshSigs(spark, dir).orderBy("vec_id", "tbl")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted hyperplane signature table and prime the cache
+    * for `dir`, so every consumer ([[embedNearDup]],
+    * [[semanticDecontam]], [[buildTopKLsh]]) reads it without
+    * re-signing the corpus. Signatures are a function of the embedding
+    * values AND of the derived width schedule
+    * ([[lshBitsFor]]/[[lshTablesFor]], functions of the corpus count),
+    * so after any in-place corpus rewrite invalidate the dir and
+    * re-derive rather than loading a stale table. Returns the table. */
+  def loadLshSigs(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val sigs = spark.read.parquet(path)
+      .select("vec_id", "tbl", "sig").localCheckpoint()
+    ArtifactCache.put(spark, dir, "emb_lsh_sigs", sigs)
+    sigs
+  }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val sigs = lshSigs(spark, dir)

@@ -566,6 +566,28 @@ class DedupSpec extends SparkSpec {
       got.getAs[Long]("n_tokens_before"), "planted repeats must strip")
   }
 
+  test("persisted simhash signature table load-primes the cache: no corpus re-hashing") {
+    val path = java.nio.file.Files.createTempDirectory("graft_shsigs")
+      .toString + "/sigs.parquet"
+    val before = Dedup.simhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.saveSimhashSigs(spark, sfDir, path)
+    graft.operators.ArtifactCache.invalidateDir(spark, sfDir)
+    Dedup.loadSimhashSigs(spark, sfDir, path)
+    // the primed table serves as a checkpoint scan — the wide-signature
+    // token-hash pass over the corpus text never re-runs
+    val lanes = Dedup.simhashLanesFor(
+      graft.sources.Tables.table(spark, sfDir, "documents").count())
+    val plan = Dedup.simhashSigs(spark, sfDir, lanes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan.take(300))
+    assert(!plan.contains("Scan parquet"), "loaded sigs re-hash the corpus")
+    // and the consumer reproduces its pre-save result exactly
+    val after = Dedup.simhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+  }
+
   test("persisted signature index load-primes the cache: no corpus re-signing") {
     val path = java.nio.file.Files.createTempDirectory("graft_mhidx")
       .toString + "/index.parquet"

@@ -68,6 +68,27 @@ object PlanFingerprint {
 class PlanFingerprintSpec extends SparkSpec {
   private val fpPath = Paths.get("src/test/resources/plan_fingerprints.tsv")
   private val shapesPath = Paths.get("src/test/resources/plan_shapes.txt")
+  private val exPath = Paths.get("src/test/resources/exchange_counts.tsv")
+
+  /** The isolated-time top of the bench record: the queries where one
+    * silently added shuffle costs the most wall-clock, pinned by
+    * EXCHANGE COUNT (not just hash) so the failure names the regression
+    * class directly instead of burying it in a fingerprint diff. */
+  private val exchangePinned = Seq(
+    "xf_fuzzy_match2", "dd_simhash", "gr_pagerank", "gold_assortment_overlap",
+    "dd_embed_neardup", "gr_components", "gr_kcore", "dq_fd_profile",
+    "dq_table_stats", "gr_bfs_distance", "gold_price_index", "gold_order_gap",
+    "gold_inventory_turnover", "cat_external_partitioned",
+    "smp_negative_sampling", "gold_stockout", "cat_register_tables",
+    "gold_aov_monthly", "gold_segment_sales", "gold_abc_class",
+    "gold_new_vs_returning", "dd_span", "dd_chunk_dedup", "gold_rfm",
+    "dd_components_star")
+
+  private def exchangeCounts(shape: String): (Int, Int) = {
+    val ls = shape.linesIterator.map(_.trim).toSeq
+    (ls.count(_.startsWith("Exchange[")),
+      ls.count(_.startsWith("BroadcastExchange")))
+  }
 
   test("every query's physical-plan fingerprint matches the golden file") {
     // Artifact-cache state is suite-order dependent (an earlier suite's
@@ -84,12 +105,19 @@ class PlanFingerprintSpec extends SparkSpec {
     }
     val current = shapes.map { case (n, s) => n -> PlanFingerprint.hash(s) }
 
+    val shapeMap = shapes.toMap
+    val currentEx = exchangePinned.map { n =>
+      val (sh, bc) = exchangeCounts(shapeMap(n)); (n, sh, bc)
+    }
+
     if (sys.env.contains("SPARK_GRAFT_REGEN_FPS")) {
       Files.createDirectories(fpPath.getParent)
       Files.write(fpPath, current.map { case (n, h) => s"$n\t$h" }
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       Files.write(shapesPath, shapes.map { case (n, s) => s"==== $n\n$s" }
         .mkString.getBytes(StandardCharsets.UTF_8))
+      Files.write(exPath, currentEx.map { case (n, sh, bc) => s"$n\t$sh\t$bc" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
       info(s"regenerated ${current.size} fingerprints")
     } else {
       assert(Files.exists(fpPath),
@@ -107,6 +135,27 @@ class PlanFingerprintSpec extends SparkSpec {
         s"--- $n: golden plan ---\n${goldenShapes.getOrElse(n, "?")}" +
           s"--- $n: current plan ---\n${shapes.toMap.apply(n)}"
       }.mkString("\n")
+      // exchange-count table first: a drifted COUNT names the exact
+      // regression class (added/removed shuffle or broadcast) on the
+      // queries where it costs the most, before the generic hash diff
+      assert(Files.exists(exPath),
+        "no golden exchange counts: run SPARK_GRAFT_REGEN_FPS=1 sbt \"testOnly graft.PlanFingerprintSpec\"")
+      val goldenEx = new String(Files.readAllBytes(exPath), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)
+        .map { l => val Array(n, sh, bc) = l.split("\t"); n -> (sh.toInt, bc.toInt) }
+        .toMap
+      currentEx.foreach { case (n, sh, bc) =>
+        goldenEx.get(n).foreach { case (gsh, gbc) =>
+          assert(sh == gsh,
+            s"$n: SHUFFLE exchange count drifted $gsh -> $sh — an added/removed " +
+              "shuffle on a top-bench query must be a reviewed change " +
+              "(regen: SPARK_GRAFT_REGEN_FPS=1)")
+          assert(bc == gbc,
+            s"$n: broadcast exchange count drifted $gbc -> $bc " +
+              "(broadcast->shuffle flips show in the shuffle count; " +
+              "regen: SPARK_GRAFT_REGEN_FPS=1)")
+        }
+      }
       assert(missing.isEmpty && stale.isEmpty && changed.isEmpty,
         s"plan fingerprints drifted.\n  new keys: $missing\n  stale keys: $stale\n" +
           s"  changed: ${changed.map(_._1).mkString(", ")}\n$detail\n" +

@@ -525,6 +525,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted hyperplane signature table load-primes the cache: no corpus re-signing") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lshsigs")
+      .toString + "/sigs.parquet"
+    val before = Similarity.embedNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Similarity.saveLshSigs(spark, sfDir, path)
+    graft.operators.ArtifactCache.invalidateDir(spark, sfDir)
+    val sigs = Similarity.loadLshSigs(spark, sfDir, path)
+    // the primed table is a checkpoint scan: the hyperplane signing
+    // pass over the embedding corpus never re-runs for any consumer
+    assert(sigs.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val plan = Similarity.embedNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("hyperplane"),
+      "loaded sigs re-sign the corpus (hyperplane expression in plan)")
+    // and every consumer reproduces its pre-save result exactly
+    val after = Similarity.embedNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+  }
+
   test("top-k tables are session-cached artifacts: repeat reads serve the checkpoint, not the search") {
     // first call may build; the second MUST serve the cached artifact —
     // its plan is a sorted scan of the checkpointed rows, with no join,
