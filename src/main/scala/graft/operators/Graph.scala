@@ -106,6 +106,13 @@ object Graph {
           (lit(0.15) / col("nd") + lit(0.85) *
             (coalesce(col("s"), zeroDec).cast("double") / lit(PrScale)
               + col("ds").cast("double") / lit(PrScale) / col("nd"))).as("pr"))
+        // truncate lineage per round: without this, round k's plan
+        // re-plans (and the dangling 1-row aggregate RE-EXECUTES)
+        // every earlier round inline — the committed 3-round plan
+        // carried 66 shuffle exchanges; checkpointed it carries a
+        // constant handful per round. Standard iterative-graph
+        // hygiene; the checkpoint is nodes-sized.
+        .localCheckpoint()
     }
     pr
   }
