@@ -363,6 +363,77 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Character window for [[dupCoverage]] — long enough that a shared
+    * 48-char run is essentially never coincidence in natural text,
+    * short enough to catch sentence-scale boilerplate. */
+  val CoverageK = 48
+
+  /** `dd_dup_coverage`: per-document duplicated-text share — the
+    * fraction of each document's characters covered by at least one
+    * exact [[CoverageK]]-char substring that also occurs verbatim in
+    * some OTHER document (the ExactSubstr signal of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * §4.1, re-expressed relationally instead of via a suffix array).
+    *
+    * Shape: every char position emits one k-gram (explode of a
+    * `sequence` + codegen `substr` — no interpreted lambda HOFs); a
+    * gram is cross-doc duplicated iff min(doc_id) ≠ max(doc_id) over
+    * its occurrences — ONE partial-agg groupBy, no count-distinct
+    * Expand; duplicated positions re-enter through a left-semi join
+    * keyed on the gram; the union length of the per-doc interval set
+    * [pos, pos+k-1] falls out of a gaps-and-islands pass (lag +
+    * running sum over a doc-keyed window — partition size is bounded
+    * by document LENGTH, never corpus size, so there is no
+    * mega-partition risk). The gram subtree is deliberately computed
+    * twice (agg side + probe side) rather than checkpointed: it is a
+    * len×-amplified projection of the corpus, so at 100 TB recompute
+    * from the column-pruned scan is cheaper than materializing it.
+    * Shuffle keys are the 48-char grams themselves, which keeps the
+    * result exact and oracle-expressible; the 100 TB deployment swaps
+    * the key for xxhash64(gram) (8-byte rows in flight, collision
+    * odds ~n²/2⁶⁵) with an identical plan shape. */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val k = CoverageK
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+    // PARALLEL GENERATION (the FuzzyMatch pattern): AQE sizes stage
+    // coalescing on the tiny PRE-explode bytes and folds the k-gram
+    // generation to one task. The explicit-width exchange costs one
+    // pass of the doc rows — amortized ~len:1 against the amplified
+    // substr+hash work it parallelizes (and on a real lake the scan
+    // has enough splits for it to rebalance, not concentrate).
+    val np = spark.sessionState.conf.numShufflePartitions
+    val grams = docs.where(length(col("text")) >= k)
+      .repartition(np, col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos"), lit(k)).as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("gram")
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // new island when the gap to the previous hit exceeds k (equal-
+    // length intervals: adjacent/overlapping runs merge additively);
+    // the first row's coalesce(-k) sentinel always opens an island
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") - coalesce(lag("pos", 1).over(w), lit(-k)) > k, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+    val perDoc = spans.groupBy("doc_id", "island")
+      .agg((max("pos") - min("pos") + lit(k)).cast("long").as("span_len"))
+      .groupBy("doc_id").agg(sum("span_len").as("dup_chars"))
+    docs.select("doc_id", "n_chars").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (coalesce(col("dup_chars"), lit(0L)) / col("n_chars")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),
     * banded 16×4; near-dup candidates share a band signature; candidates
     * are then exact-verified (so precision is 1; with 16×4 banding at
@@ -1057,6 +1128,33 @@ object Dedup {
          |            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS near_dup_rate
          |FROM documents d JOIN exd USING (doc_id) JOIN nearf USING (doc_id)
          |GROUP BY 1 ORDER BY source""".stripMargin,
+    "dd_dup_coverage" ->
+      """WITH grams AS (
+        |  SELECT doc_id, gs.g AS pos, substring(text, gs.g::INT, 48) AS gram
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, length(text) - 47)) AS gs(g)
+        |  WHERE length(text) >= 48),
+        |dg AS (SELECT gram FROM grams
+        |       GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g SEMI JOIN dg USING (gram)),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - COALESCE(LAG(pos) OVER
+        |                (PARTITION BY doc_id ORDER BY pos), -48) > 48
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM marked),
+        |sp AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 48 AS span_len
+        |       FROM isl GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_chars
+        |        FROM sp GROUP BY 1)
+        |SELECT d.doc_id, d.n_chars,
+        |       COALESCE(c.dup_chars, 0) AS dup_chars,
+        |       COALESCE(c.dup_chars, 0) / d.n_chars AS dup_ratio
+        |FROM documents d LEFT JOIN cov c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dd_bloom" -> {
       val h = s"${Curation.portableHashSql("doc_id")} % 10"
       s"""WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
@@ -1325,6 +1423,7 @@ object Dedup {
     "dd_cross_overlap" -> crossOverlap,
     "dd_chunk_dedup"   -> chunkDedup,
     "dd_span"          -> spanDedup,
+    "dd_dup_coverage"  -> dupCoverage,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_minhash_incremental" -> minhashIncremental,
     "dd_method_report" -> methodReport,

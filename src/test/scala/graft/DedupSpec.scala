@@ -607,6 +607,39 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before)
   }
+
+  test("dup coverage equals a brute-force cross-doc substring scan") {
+    val k = Dedup.CoverageK
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val gramDocs = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- docs; if t.length >= k; p <- 0 to t.length - k)
+      gramDocs.getOrElseUpdate(t.substring(p, p + k),
+        scala.collection.mutable.Set.empty[Long]) += id
+    val expected = docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      if (t.length >= k)
+        for (p <- 0 to t.length - k
+             if gramDocs(t.substring(p, p + k)).exists(_ != id);
+             q <- p until p + k)
+          covered(q) = true
+      id -> covered.count(identity).toLong
+    }.toMap
+    val rows = Dedup.dupCoverage(spark, sfDir).collect()
+    val got = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_chars")).toMap
+    assert(got == expected)
+    // the corpus plants real cross-doc boilerplate AND clean docs, so
+    // both branches of the operator are exercised
+    assert(expected.values.exists(_ > 0L) && expected.values.exists(_ == 0L))
+    assert(rows.forall { r =>
+      val ratio = r.getAs[Double]("dup_ratio")
+      ratio >= 0.0 && ratio <= 1.0 &&
+        r.getAs[Long]("dup_chars") <= r.getAs[Long]("n_chars")
+    })
+  }
 }
 
 /** Collects txt_strip_repeats rows once for the spec above. */
