@@ -368,6 +368,37 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** `evt_trigrams`: the order-3 extension of [[transitions]] — every
+    * consecutive event-type triple within a user's timeline, with the
+    * cell count and the conditional next-step probability
+    * P(t3 | t1, t2). Order-2 context is where sequence models start
+    * beating the plain transition matrix (the next-action baseline a
+    * behavioral-cloning or session-simulation pipeline trains
+    * against); the output stays ≤ |types|³ rows.
+    *
+    * Scale shape: ONE shuffle on user_id drives BOTH lags (same
+    * window — one sort, two frame reads), then a types³-sized
+    * aggregate with map-side partials and a broadcast prefix-total
+    * join. The probability is one exact BIGINT→DOUBLE division. */
+  def trigrams(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val cells = e
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .where(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    val prefix = cells.groupBy("t1", "t2").agg(sum("n").as("prefix_n"))
+    cells.join(broadcast(prefix), Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        (col("n").cast("double") / col("prefix_n")).as("prob"))
+      .orderBy("t1", "t2", "t3")
+  }
+
   val WeekSec = 604800L
 
   /** Weekly cohort retention: users bucketed by the epoch week of their
@@ -1490,6 +1521,22 @@ object Events {
          |SELECT channel, COUNT(DISTINCT p_id) AS n_purchases,
          |       ${Gold.moneySumSql("credit")} AS credited_revenue
          |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_trigrams" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |l AS (SELECT user_id, event_type AS t3,
+         |             LAG(event_type, 2) OVER (PARTITION BY user_id
+         |               ORDER BY es, event_id) AS t1,
+         |             LAG(event_type, 1) OVER (PARTITION BY user_id
+         |               ORDER BY es, event_id) AS t2
+         |      FROM e),
+         |c AS (SELECT t1, t2, t3, COUNT(*) AS n
+         |      FROM l WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+         |p AS (SELECT t1, t2, CAST(SUM(n) AS BIGINT) AS prefix_n
+         |      FROM c GROUP BY 1, 2)
+         |SELECT c.t1, c.t2, c.t3, n, CAST(n AS DOUBLE)/prefix_n AS prob
+         |FROM c JOIN p USING (t1, t2)
+         |ORDER BY t1, t2, t3""".stripMargin,
     "evt_transitions" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -1623,6 +1670,7 @@ object Events {
     "evt_anomaly"         -> valueAnomalies,
     "evt_heavy_users"     -> heavyUsers,
     "evt_transitions"     -> transitions,
+    "evt_trigrams"        -> trigrams,
     "evt_attribution"     -> attribution,
     "evt_attribution_linear" -> attributionLinear,
     "evt_winsorize"       -> winsorize,

@@ -463,6 +463,44 @@ object Gold {
       .orderBy("product_id")
   }
 
+  /** `gold_xyz_class`: demand-variability (XYZ) classification — the
+    * forecastability companion to [[abcClass]]'s value ranking: per
+    * product, the coefficient of variation of MONTHLY demand over the
+    * fact's full month span (zero-demand months included), classed
+    * X (steady, cv < 0.5) / Y (seasonal, cv < 1) / Z (erratic).
+    * Inventory planning reads the ABC×XYZ matrix; the reference stops
+    * at value cuts. The CV is over the product's OBSERVED selling
+    * months (`n_months` rides along so a reader can spot thin
+    * histories) — on a long-tail catalog the zero-filled-span variant
+    * degenerates to "everything Z" and ranks nothing.
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the fact on
+    * (product, month), then a product-keyed rollup OF that aggregate —
+    * no window, no catalog join. Exactness: n, Σq and Σq² are integer
+    * sums (quantity is BIGINT); cv = √(n·Σq² − (Σq)²)/Σq is two
+    * correctly-rounded IEEE ops over exact integers, so the doubles
+    * are bit-identical in any engine and the class cuts are stable.
+    * (n·Σq² stays in BIGINT: ANSI overflow would THROW loudly, not
+    * corrupt — at 100 TB per-month per-product demand beyond ~3·10⁹
+    * units wants a DECIMAL widening, a one-line change.) */
+  def xyzClass(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.sales(spark, dir)
+      .select(col("product_id"), col("quantity"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1)
+          .cast("long").as("ym"))
+      .groupBy("product_id", "ym").agg(sum("quantity").as("q"))
+    pm.groupBy("product_id")
+      .agg(count(lit(1)).as("n_months"),
+        sum("q").as("s1"), sum(col("q") * col("q")).as("s2"))
+      .select(col("product_id"), col("n_months"), col("s1").as("total_qty"),
+        (sqrt((col("n_months") * col("s2") - col("s1") * col("s1"))
+          .cast("double")) / col("s1").cast("double")).as("demand_cv"))
+      .withColumn("xyz_class",
+        when(col("demand_cv") < 0.5, "X")
+          .when(col("demand_cv") < 1.0, "Y").otherwise("Z"))
+      .orderBy("product_id")
+  }
+
   /** `gold_market_share`: brand (sku) revenue share within category —
     * the merchandising view behind assortment decisions ("which brand
     * owns this category"), the share-of-shelf companion to
@@ -1402,6 +1440,24 @@ object Gold {
          |       MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total,
          |       ${moneySumSql("o_totalprice")} AS bucket_revenue
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "gold_xyz_class" ->
+      s"""WITH ${Tables.salesCte},
+         |pm AS (SELECT product_id, year(sale_ts)*12 + month(sale_ts) - 1 AS ym,
+         |              CAST(SUM(quantity) AS BIGINT) AS q
+         |       FROM sales GROUP BY 1, 2),
+         |p AS (SELECT product_id, COUNT(*) AS n_months,
+         |             CAST(SUM(q) AS BIGINT) AS s1,
+         |             CAST(SUM(q*q) AS BIGINT) AS s2
+         |      FROM pm GROUP BY 1)
+         |SELECT product_id, n_months, s1 AS total_qty,
+         |       sqrt(CAST(n_months*s2 - s1*s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
+         |         AS demand_cv,
+         |       CASE WHEN sqrt(CAST(n_months*s2 - s1*s1 AS DOUBLE))
+         |                   / CAST(s1 AS DOUBLE) < 0.5 THEN 'X'
+         |            WHEN sqrt(CAST(n_months*s2 - s1*s1 AS DOUBLE))
+         |                   / CAST(s1 AS DOUBLE) < 1.0 THEN 'Y'
+         |            ELSE 'Z' END AS xyz_class
+         |FROM p ORDER BY product_id""".stripMargin,
     "gold_market_share" ->
       s"""WITH ${Tables.salesCte}, ${Tables.productsCte},
          |rev AS (
@@ -1648,6 +1704,7 @@ object Gold {
     "gold_order_gap"           -> orderGaps,
     "gold_price_slope"         -> priceSlope,
     "gold_abc_class"           -> abcClass,
+    "gold_xyz_class"           -> xyzClass,
     "gold_repeat_rate"         -> repeatRate,
     "gold_market_share"        -> marketShare,
     "gold_new_vs_returning"    -> newVsReturning,

@@ -762,4 +762,27 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(cells.map(_.getAs[Double]("share_of_type")).sum - 1.0) < 1e-9)
     }
   }
+
+  test("trigram cells match a brute-force per-user sequence scan") {
+    val seqs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          .as("es"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("es"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1)
+      .values.map(_.sortBy(t => (t._2, t._3)).map(_._4).toList)
+    val expected = seqs.flatMap(_.sliding(3).filter(_.length == 3))
+      .toList.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val rows = Events.trigrams(spark, sfDir).collect()
+    val got = rows.map(r => List(r.getAs[String]("t1"), r.getAs[String]("t2"),
+      r.getAs[String]("t3")) -> r.getAs[Long]("n")).toMap
+    assert(got == expected)
+    // conditional probabilities sum to 1 within every (t1, t2) prefix
+    rows.groupBy(r => (r.getAs[String]("t1"), r.getAs[String]("t2")))
+      .foreach { case (_, cells) =>
+        assert(math.abs(cells.map(_.getAs[Double]("prob")).sum - 1.0) < 1e-9)
+      }
+  }
 }

@@ -698,4 +698,32 @@ class GoldSpec extends SparkSpec {
         r.getAs[Double]("revenue_total") / r.getAs[Long]("n_stores").toDouble)
     }
   }
+
+  test("xyz class matches a brute-force per-product monthly-demand CV") {
+    val sales = Tables.sales(spark, sfDir)
+      .select(col("product_id"), col("quantity"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"))
+      .collect()
+      .map(r => (r.getAs[Long]("product_id"), r.getAs[Long]("quantity"),
+        r.getAs[Int]("ym").toLong))
+    val perProduct = sales.groupBy(_._1).map { case (pid, rs) =>
+      val monthly = rs.groupBy(_._3).map(_._2.map(_._2).sum)
+      val n = monthly.size.toLong
+      val s1 = monthly.sum
+      val s2 = monthly.map(q => q * q).sum
+      pid -> (s1, math.sqrt((n * s2 - s1 * s1).toDouble) / s1.toDouble)
+    }
+    val rows = Gold.xyzClass(spark, sfDir).collect()
+    assert(rows.length == perProduct.size)
+    rows.foreach { r =>
+      val (s1, cv) = perProduct(r.getAs[Long]("product_id"))
+      assert(r.getAs[Long]("total_qty") == s1)
+      assert(r.getAs[Double]("demand_cv") == cv)
+      val cls = r.getAs[String]("xyz_class")
+      assert(cls == (if (cv < 0.5) "X" else if (cv < 1.0) "Y" else "Z"))
+    }
+    // the corpus must exercise more than one class for the cut to mean
+    // anything
+    assert(rows.map(_.getAs[String]("xyz_class")).distinct.length >= 2)
+  }
 }
