@@ -54,7 +54,7 @@ object Graph {
     * degrees / k-core over the materialization, never re-extracting
     * per query. Both directions are stored so every consumer reads
     * join-ready rows. */
-  private def undirected(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def undirected(spark: SparkSession, dir: String): DataFrame =
     ArtifactCache.of(spark, dir, "gr_bipartite") {
       val e = Tables.sales(spark, dir)
         .select((col("customer_id") * 2).as("u"),
@@ -130,6 +130,60 @@ object Graph {
         when(col("u") % 2 === 0, "customer").otherwise("product").as("kind"),
         expr("u DIV 2").as("entity_id"),
         col("pr").as("pagerank"))
+      .orderBy("node_id")
+
+  /** Synchronous rounds for [[labelprop]] — fixed, like
+    * [[PagerankIters]], so the result is a well-defined function of
+    * the input rather than a convergence race. */
+  val LabelpropIters = 3
+
+  /** Deterministic synchronous label propagation over an arbitrary
+    * undirected `(u, v)` edge relation (both directions present):
+    * labels start as the node id; each round every node adopts the
+    * most frequent label among its NEIGHBORS, ties broken by smallest
+    * label (the randomized tie-break of Raghavan et al. 2007 made
+    * deterministic so the operator is oracle-expressible). Fixed
+    * [[LabelpropIters]] rounds — sync LPA on a bipartite graph can
+    * two-color-oscillate rather than converge, so a fixed-round
+    * snapshot is the honest semantics.
+    *
+    * Scale shape per round: one edges⋈labels join keyed on the
+    * neighbor, a (node, label) partial agg, then ONE node-keyed
+    * argmax — max over a (count, −label) struct, so "most frequent,
+    * smallest label on ties" is a single partial-aggregating groupBy
+    * (no per-node window, no max-then-equi-join round trip: a
+    * celebrity node never funnels one task and each round costs
+    * exactly two exchanges). Lineage truncated per round like
+    * [[pagerankOn]]. */
+  def labelpropOn(spark: SparkSession, edges: DataFrame,
+      iters: Int = LabelpropIters): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    // und edge lists are symmetric, so every node appears as u
+    val nodes = e.select("u").distinct().localCheckpoint()
+    var lbl = nodes.select(col("u"), col("u").as("lbl"))
+    (1 to iters).foreach { _ =>
+      lbl = e.join(lbl.withColumnRenamed("u", "v"), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+        .select(col("u"), (-col("best.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
+
+  /** `gr_labelprop`: community labels of the customer↔product graph
+    * after [[LabelpropIters]] synchronous rounds ([[labelpropOn]]) —
+    * the cheap community-detection pass run before modularity-style
+    * audits; unlike [[components]] it splits CONNECTED regions into
+    * densely-linked neighborhoods. */
+  def labelprop(spark: SparkSession, dir: String): DataFrame =
+    labelpropOn(spark, undirected(spark, dir))
+      .select(col("u").as("node_id"),
+        when(col("u") % 2 === 0, "customer").otherwise("product").as("kind"),
+        expr("u DIV 2").as("entity_id"),
+        col("lbl").as("label"))
       .orderBy("node_id")
 
   /** `gr_degrees`: degree distribution of the co-purchase graph per
@@ -354,6 +408,14 @@ object Graph {
       .orderBy("product_a", "product_b")
   }
 
+  private def lpRound(prev: String, out: String): String =
+    s"""c$out AS (SELECT e.u, l.lbl, COUNT(*) AS c
+       |          FROM und e JOIN $prev l ON e.v = l.u GROUP BY 1, 2),
+       |m$out AS (SELECT u, MAX(c) AS mc FROM c$out GROUP BY 1),
+       |$out AS (SELECT c.u, MIN(c.lbl) AS lbl
+       |         FROM c$out c JOIN m$out m ON c.u = m.u AND c.c = m.mc
+       |         GROUP BY 1)""".stripMargin
+
   private def prRound(prev: String, out: String): String =
     s"""m$out AS (
        |  SELECT e.v AS u,
@@ -388,6 +450,18 @@ object Graph {
          |       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
          |       u // 2 AS entity_id, pr AS pagerank
          |FROM pr$PagerankIters ORDER BY node_id""".stripMargin,
+    "gr_labelprop" ->
+      s"""WITH ${Tables.salesCte},
+         |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
+         |      FROM sales),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |lbl0 AS (SELECT DISTINCT u, u AS lbl FROM und),
+         |${(1 to LabelpropIters).map(i => lpRound(s"lbl${i - 1}", s"lbl$i"))
+             .mkString(",\n")}
+         |SELECT u AS node_id,
+         |       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
+         |       u // 2 AS entity_id, lbl AS label
+         |FROM lbl$LabelpropIters ORDER BY node_id""".stripMargin,
     "gr_triangles" ->
       s"""WITH ${Tables.salesCte},
          |bp AS (SELECT DISTINCT transaction_id // 10 AS basket_id, product_id
@@ -771,6 +845,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank"  -> pagerank,
+    "gr_labelprop" -> labelprop,
     "gr_degrees"   -> degrees,
     "gr_triangles" -> triangles,
     "gr_clustering_coeff" -> clusteringCoeff,

@@ -298,4 +298,28 @@ class GraphSpec extends SparkSpec {
     val q = rows.map(_.getAs[Double]("q_contrib")).sum
     assert(q >= -1.0 && q <= 1.0)
   }
+
+  test("label propagation matches a brute-force synchronous replay") {
+    val edges = Graph.undirected(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")))
+    val nbrs = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(u => u -> u).toMap
+    (1 to Graph.LabelpropIters).foreach { _ =>
+      val prev = lbl
+      lbl = nbrs.map { case (u, vs) =>
+        val counts = vs.map(prev).groupBy(identity).map {
+          case (l, g) => (l, g.length)
+        }
+        val mc = counts.values.max
+        u -> counts.collect { case (l, c) if c == mc => l }.min
+      }
+    }
+    val rows = Graph.labelprop(spark, sfDir).collect()
+    assert(rows.length == lbl.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("label") == lbl(r.getAs[Long]("node_id")))
+    }
+    // communities actually form: fewer labels than nodes
+    assert(lbl.values.toSet.size < lbl.size)
+  }
 }
