@@ -400,6 +400,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Absolute discount for [[knScore]] — the textbook Kneser-Ney
+    * constant (Chen & Goodman 1999 use c(ab)-count-based estimates;
+    * 0.75 is the standard fixed choice). Exactly representable in
+    * binary, so the discounted numerators are engine-identical. */
+  val KnDiscount = 0.75
+
+  /** `txt_kn_score`: interpolated Kneser-Ney bigram fluency scoring —
+    * the modern-smoothing upgrade of [[lmScore]]'s add-one model:
+    * p(b|a) = (c(ab)−d)/c(a) + (d·N₁₊(a·)/c(a)) · N₁₊(·b)/B, where
+    * N₁₊(a·)/N₁₊(·b) are distinct continuation/history counts and B
+    * is the bigram-type total — the continuation probability is what
+    * keeps high-frequency-but-context-bound tokens ("Francisco") from
+    * inflating scores, which is exactly the boilerplate failure mode
+    * of add-one filtering. Per-doc score = mean transition
+    * probability (same no-ln discipline as [[lmScore]]: every op is
+    * +,−,×,/ over exact counts, so the doubles are engine-identical;
+    * c(ab) ≥ 1 keeps the discounted numerator positive without a max).
+    *
+    * Scale shape: one bigram explode feeds the (ctx, nxt) type table;
+    * c(a), N₁₊(a·) come from ONE rollup of it (same groupBy), N₁₊(·b)
+    * from one more, B is a broadcast 1-row aggregate; the scoring
+    * stream joins by vocabulary-sized keys and closes with a
+    * fixed-point per-doc mean. */
+  def knScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val docs = Tables.table(spark, dir, "documents")
+    val bg = docs.select(col("doc_id"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+          .as("bigram"))
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
+      .withColumn("nxt", split(col("bigram"), " ").getItem(1))
+    val c2 = bg.groupBy("ctx", "nxt").agg(count(lit(1)).as("c2"))
+    val ca = c2.groupBy("ctx").agg(sum("c2").as("ca"), count(lit(1)).as("n1f"))
+    val n1b = c2.groupBy("nxt").agg(count(lit(1)).as("n1b"))
+    val bt = c2.agg(count(lit(1)).as("bt"))
+    val p = bg.join(c2, Seq("ctx", "nxt"))
+      .join(ca, "ctx").join(n1b, "nxt").crossJoin(broadcast(bt))
+      .select(col("doc_id"),
+        ((col("c2").cast("double") - lit(KnDiscount))
+            / col("ca").cast("double")
+          + ((lit(KnDiscount) * col("n1f").cast("double"))
+              / col("ca").cast("double"))
+            * (col("n1b").cast("double") / col("bt").cast("double"))).as("p"))
+    p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(col("p") * lit(LmScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / lit(LmScale.toDouble) / col("n_bigrams"))
+          .as("kn_score"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction: the top-[[TfidfTopK]] most
     * characteristic terms per document, weight = tf × (N+1)/(df+1).
     * The idf is the RATIONAL form, not ln((N+1)/(df+1)): a monotone
@@ -1490,6 +1543,30 @@ object TextAnalysis {
          |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
          |         / $LmScale / COUNT(*) AS lm_score
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_kn_score" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |           i -> t[i])) AS ctx,
+         |         unnest(list_transform(generate_series(1, len(t)-1),
+         |           i -> t[i+1])) AS nxt
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 2),
+         |c2 AS (SELECT ctx, nxt, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         |ca AS (SELECT ctx, CAST(SUM(c2) AS BIGINT) AS ca, COUNT(*) AS n1f
+         |       FROM c2 GROUP BY 1),
+         |n1b AS (SELECT nxt, COUNT(*) AS n1b FROM c2 GROUP BY 1),
+         |bt AS (SELECT COUNT(*) AS bt FROM c2),
+         |p AS (
+         |  SELECT bg.doc_id,
+         |         (CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(ca.ca AS DOUBLE)
+         |           + ((0.75 * CAST(ca.n1f AS DOUBLE)) / CAST(ca.ca AS DOUBLE))
+         |             * (CAST(n1b.n1b AS DOUBLE) / CAST(bt.bt AS DOUBLE)) AS p
+         |  FROM bg JOIN c2 USING (ctx, nxt) JOIN ca USING (ctx)
+         |          JOIN n1b USING (nxt) CROSS JOIN bt)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |         / $LmScale / COUNT(*) AS kn_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_bm25" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (
@@ -1588,6 +1665,7 @@ object TextAnalysis {
     "txt_fingerprint" -> fingerprint,
     "txt_tfidf"       -> tfidf,
     "txt_lm_score"    -> lmScore,
+    "txt_kn_score"    -> knScore,
     "txt_bm25"        -> bm25,
     "txt_rag"         -> ragChunks,
     "txt_novelty"     -> novelty,

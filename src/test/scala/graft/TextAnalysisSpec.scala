@@ -590,4 +590,39 @@ class TextAnalysisSpec extends SparkSpec {
     val lifts = rows.map(_.getAs[Double]("lift"))
     assert(lifts.sameElements(lifts.sortBy(-_)))
   }
+
+  test("kn score matches a brute-force Kneser-Ney replay") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1).toList))
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).collect { case List(a, b) => (id, a, b) }
+    }
+    val c2 = bigrams.groupBy(t => (t._2, t._3)).map { case (k, g) =>
+      k -> g.length.toLong
+    }
+    val ca = c2.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1f = c2.groupBy(_._1._1).map { case (a, m) => a -> m.size.toLong }
+    val n1b = c2.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val bt = c2.size.toLong
+    val d = TextAnalysis.KnDiscount
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, a, b) =>
+        val p = (c2((a, b)).toDouble - d) / ca(a).toDouble +
+          ((d * n1f(a).toDouble) / ca(a).toDouble) *
+            (n1b(b).toDouble / bt.toDouble)
+        math.floor(p * 1000000000L.toDouble)
+      }.sum
+      id -> (bs.length.toLong, s / 1e9 / bs.length)
+    }
+    val rows = TextAnalysis.knScore(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, score) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(r.getAs[Double]("kn_score") == score)
+      assert(score > 0.0 && score <= 1.0)
+    }
+  }
 }
