@@ -344,6 +344,58 @@ object DataQuality {
           (col("n_distinct") === col("n_rows")).as("is_unique_key"))
     }.reduce(_ unionAll _).orderBy("table_name", "column_name")
 
+  /** `dq_value_skew`: per-column value-concentration profile — for
+    * every profiled (table, column): non-null count, distinct count,
+    * the heaviest value's share, and the Simpson concentration index
+    * Σ(c_v/N)² (the collision probability of two random rows — which
+    * is EXACTLY the expected relative size of the biggest shuffle
+    * bucket when the column is used as a join/groupBy key, so this is
+    * the skew screen run before trusting a column as a partition key;
+    * [[keyProfile]] answers "is it unique", this answers "is it
+    * usable"). Stays in +,×,/ over exact counts — Shannon entropy
+    * would need ln, which the transcendental rule bans.
+    *
+    * Scale shape: one map-explode pass per table (column-values
+    * unified as strings — injective per engine, so group counts equal
+    * raw-value counts and the oracle can group raw columns), a
+    * (column, value) partial agg, then a column-sized rollup; Σc² is
+    * a DECIMAL(38,0) sum so the index survives any N exactly. */
+  def valueSkew(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    ProfileColumns.map { case (t, cols) =>
+      val df = Tables.table(spark, dir, t)
+      val pairs = df.select(explode(map(cols.flatMap { case (c, _) =>
+          Seq(lit(c): Column, col(c).cast("string"))
+        }: _*)).as(Seq("column_name", "v")))
+        .where(col("v").isNotNull)
+      pairs.groupBy("column_name", "v").agg(count(lit(1)).as("c"))
+        .groupBy("column_name")
+        .agg(sum("c").as("n_values"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"),
+          sum((col("c") * col("c")).cast(dec)).as("s2"))
+        .select(lit(t).as("table_name"), col("column_name"),
+          col("n_values"), col("n_distinct"),
+          (col("top_count").cast("double") / col("n_values").cast("double"))
+            .as("top_share"),
+          (col("s2").cast("double")
+            / (col("n_values").cast("double") * col("n_values").cast("double")))
+            .as("simpson"))
+    }.reduce(_ unionAll _).orderBy("table_name", "column_name")
+  }
+
+  private def valueSkewOracle: String =
+    ProfileColumns.map { case (t, cols) =>
+      cols.map { case (c, _) =>
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  CAST(SUM(c) AS BIGINT) AS n_values, COUNT(*) AS n_distinct,
+           |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share,
+           |  CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE)
+           |    / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson
+           |FROM (SELECT COUNT(*) AS c FROM $t
+           |      WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }.mkString("\nUNION ALL\n") + "\nORDER BY table_name, column_name"
+
   private def keyProfileOracle: String =
     ProfileColumns.map { case (t, cols) =>
       cols.map { case (c, _) =>
@@ -387,6 +439,7 @@ object DataQuality {
     },
     "dq_null_profile" -> nullProfileOracle,
     "dq_key_profile" -> keyProfileOracle,
+    "dq_value_skew" -> valueSkewOracle,
     "dq_order_reconciliation" ->
       s"""WITH l AS (SELECT l_orderkey AS o_orderkey,
          |             SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*10000)
@@ -813,5 +866,6 @@ object DataQuality {
     "dq_temporal_integrity" -> temporalIntegrity,
     "dq_event_dups"     -> eventDups,
     "dq_null_profile"   -> nullProfile,
-    "dq_key_profile"    -> keyProfile)
+    "dq_key_profile"    -> keyProfile,
+    "dq_value_skew"     -> valueSkew)
 }

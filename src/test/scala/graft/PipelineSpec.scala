@@ -187,6 +187,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("value skew matches a brute-force concentration recompute") {
+    val rows = DataQuality.valueSkew(spark, sfDir).collect()
+    // brute-force one key column and one category column
+    Seq(("customer", "c_custkey"), ("customer", "c_mktsegment"),
+        ("orders", "o_orderstatus")).foreach { case (t, c) =>
+      val vals = Tables.table(spark, sfDir, t).select(c).collect()
+        .map(r => if (r.isNullAt(0)) null else r.get(0).toString)
+        .filter(_ != null)
+      val counts = vals.groupBy(identity).map(_._2.length.toLong).toArray
+      val n = counts.sum
+      val r = rows.find(r => r.getAs[String]("table_name") == t &&
+        r.getAs[String]("column_name") == c).get
+      assert(r.getAs[Long]("n_values") == n)
+      assert(r.getAs[Long]("n_distinct") == counts.length.toLong)
+      assert(r.getAs[Double]("top_share") ==
+        counts.max.toDouble / n.toDouble)
+      assert(r.getAs[Double]("simpson") ==
+        counts.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+          / (n.toDouble * n.toDouble))
+    }
+    // a unique key's Simpson index is exactly 1/n; every index is in
+    // [1/n_distinct, 1]
+    rows.foreach { r =>
+      val s = r.getAs[Double]("simpson")
+      assert(s <= 1.0 && s >= 1.0 / r.getAs[Long]("n_distinct").toDouble - 1e-12)
+      if (r.getAs[Long]("n_distinct") == r.getAs[Long]("n_values"))
+        assert(s == 1.0 / r.getAs[Long]("n_values").toDouble)
+    }
+  }
+
   test("approx table stats track exact stats within sketch error") {
     val exact = DataQuality.tableStatsQuery(spark, sfDir).collect()
       .map(r => r.getAs[String]("table_name") ->
