@@ -392,7 +392,20 @@ object Dedup {
     * result exact and oracle-expressible; the 100 TB deployment swaps
     * the key for xxhash64(gram) (8-byte rows in flight, collision
     * odds ~n²/2⁶⁵) with an identical plan shape. */
-  def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageImpl(spark, dir, hashKeys = false)
+
+  /** The 100 TB twin: identical plan with `xxhash64(gram)` shuffle
+    * keys — 8-byte rows in flight instead of 48-char strings, at
+    * collision odds ~(#grams)²/2⁶⁵ (a false collision can only
+    * OVERCOUNT one doc's coverage by ≤ k chars). Output-parity with
+    * the exact path is asserted in DedupSpec at the test scales; the
+    * exact path stays the oracle. */
+  def dupCoverageHashed(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageImpl(spark, dir, hashKeys = true)
+
+  private def dupCoverageImpl(spark: SparkSession, dir: String,
+      hashKeys: Boolean): DataFrame = {
     val k = CoverageK
     val docs = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), col("text"))
@@ -409,7 +422,8 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
-        col("text").substr(col("pos"), lit(k)).as("gram"))
+        (if (hashKeys) xxhash64(col("text").substr(col("pos"), lit(k)))
+         else col("text").substr(col("pos"), lit(k))).as("gram"))
     val dup = grams.groupBy("gram")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .where(col("mn") =!= col("mx"))

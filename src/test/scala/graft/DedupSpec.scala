@@ -639,6 +639,11 @@ class DedupSpec extends SparkSpec {
       ratio >= 0.0 && ratio <= 1.0 &&
         r.getAs[Long]("dup_chars") <= r.getAs[Long]("n_chars")
     })
+    // the xxhash64-keyed 100 TB twin is output-identical here (no
+    // 64-bit collisions at this gram count)
+    val hashed = Dedup.dupCoverageHashed(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_chars"))).toMap
+    assert(hashed == got)
   }
 }
 
