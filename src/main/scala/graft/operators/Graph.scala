@@ -186,6 +186,59 @@ object Graph {
         col("lbl").as("label"))
       .orderBy("node_id")
 
+  /** Synchronous rounds for [[hits]]. */
+  val HitsIters = 3
+
+  /** `gr_hits`: Kleinberg hub/authority scores over the DIRECTED
+    * customer→product purchase relation — customers are hubs ("buys
+    * across the influential catalog"), products authorities ("bought
+    * by the influential buyers"); the two-sided influence view
+    * [[pagerank]]'s single score conflates. [[HitsIters]] synchronous
+    * rounds; each half-step L1-normalizes (the textbook L2 norm needs
+    * a sqrt over a SUM whose addition order varies — L1 keeps the
+    * normalizer an exact fixed-point DECIMAL aggregate, so the result
+    * is bit-identical under any partitioning and oracle-expressible;
+    * rankings are norm-invariant).
+    *
+    * Scale shape per half-step: one edges⋈scores join keyed on the
+    * scored side + one partial-agg on the other side + a broadcast
+    * 1-row total — the [[pagerankOn]] plan class, lineage checkpointed
+    * per half-step. Score mass is floored at [[PrScale]] before each
+    * DECIMAL sum; finished sums stay < 2⁵³ so the double casts are
+    * exact in both engines (the [[Gold.priceSlopeOf]] caution). */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = Tables.sales(spark, dir)
+      .select(col("customer_id").as("u"), col("product_id").as("v"))
+      .distinct().localCheckpoint()
+    var hub = e.select("u").distinct().select(col("u"), lit(1.0).as("h"))
+    var auth: DataFrame = null
+    (1 to HitsIters).foreach { _ =>
+      // checkpoint the RAW sums, not the normalized scores: the total
+      // and the normalize both read them, so an un-checkpointed ar/hr
+      // would run the edges⋈scores join twice per half-step
+      val ar = e.join(hub, "u").groupBy("v")
+        .agg(sum(floor(col("h") * lit(PrScale)).cast(dec)).as("ar"))
+        .localCheckpoint()
+      val at = ar.agg(sum("ar").as("at"))
+      auth = ar.crossJoin(broadcast(at))
+        .select(col("v"),
+          (col("ar").cast("double") / col("at").cast("double")).as("a"))
+      val hr = e.join(auth, "v").groupBy("u")
+        .agg(sum(floor(col("a") * lit(PrScale)).cast(dec)).as("hr"))
+        .localCheckpoint()
+      val ht = hr.agg(sum("hr").as("ht"))
+      hub = hr.crossJoin(broadcast(ht))
+        .select(col("u"),
+          (col("hr").cast("double") / col("ht").cast("double")).as("h"))
+    }
+    hub.select(lit("customer").as("kind"), col("u").as("entity_id"),
+        col("h").as("score"))
+      .unionAll(auth.select(lit("product").as("kind"),
+        col("v").as("entity_id"), col("a").as("score")))
+      .orderBy("kind", "entity_id")
+  }
+
   /** `gr_degrees`: degree distribution of the co-purchase graph per
     * node kind — the first diagnostic run on any graph (skew here
     * predicts bucket skew in every downstream keyed join; a power-law
@@ -408,6 +461,20 @@ object Graph {
       .orderBy("product_a", "product_b")
   }
 
+  private def hitsRound(prev: String, i: Int): String =
+    s"""ar$i AS (SELECT e.v,
+       |           SUM(CAST(FLOOR(h.h * $PrScale) AS DECIMAL(38,0))) AS ar
+       |         FROM e JOIN $prev h ON e.u = h.u GROUP BY 1),
+       |at$i AS (SELECT SUM(ar) AS at FROM ar$i),
+       |auth$i AS (SELECT v, CAST(ar AS DOUBLE)/CAST(at AS DOUBLE) AS a
+       |           FROM ar$i, at$i),
+       |hr$i AS (SELECT e.u,
+       |           SUM(CAST(FLOOR(a.a * $PrScale) AS DECIMAL(38,0))) AS hr
+       |         FROM e JOIN auth$i a ON e.v = a.v GROUP BY 1),
+       |ht$i AS (SELECT SUM(hr) AS ht FROM hr$i),
+       |hub$i AS (SELECT u, CAST(hr AS DOUBLE)/CAST(ht AS DOUBLE) AS h
+       |          FROM hr$i, ht$i)""".stripMargin
+
   private def lpRound(prev: String, out: String): String =
     s"""c$out AS (SELECT e.u, l.lbl, COUNT(*) AS c
        |          FROM und e JOIN $prev l ON e.v = l.u GROUP BY 1, 2),
@@ -450,6 +517,19 @@ object Graph {
          |       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
          |       u // 2 AS entity_id, pr AS pagerank
          |FROM pr$PagerankIters ORDER BY node_id""".stripMargin,
+    "gr_hits" ->
+      s"""WITH ${Tables.salesCte},
+         |e AS (SELECT DISTINCT customer_id AS u, product_id AS v FROM sales),
+         |hub0 AS (SELECT DISTINCT u, CAST(1 AS DOUBLE) AS h FROM e),
+         |${(1 to HitsIters).map(i => hitsRound(s"hub${i - 1}", i))
+             .mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT 'customer' AS kind, u AS entity_id, h AS score
+         |  FROM hub$HitsIters
+         |  UNION ALL
+         |  SELECT 'product' AS kind, v AS entity_id, a AS score
+         |  FROM auth$HitsIters)
+         |ORDER BY kind, entity_id""".stripMargin,
     "gr_labelprop" ->
       s"""WITH ${Tables.salesCte},
          |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
@@ -846,6 +926,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank"  -> pagerank,
     "gr_labelprop" -> labelprop,
+    "gr_hits"      -> hits,
     "gr_degrees"   -> degrees,
     "gr_triangles" -> triangles,
     "gr_clustering_coeff" -> clusteringCoeff,

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Graph
+import graft.sources.Tables
 
 class GraphSpec extends SparkSpec {
 
@@ -321,5 +322,38 @@ class GraphSpec extends SparkSpec {
     }
     // communities actually form: fewer labels than nodes
     assert(lbl.values.toSet.size < lbl.size)
+  }
+
+  test("hits matches a brute-force synchronous replay and sums to ~1 per side") {
+    val edges = Tables.sales(spark, sfDir)
+      .select("customer_id", "product_id").distinct().collect()
+      .map(r => (r.getAs[Long]("customer_id"), r.getAs[Long]("product_id")))
+    val scale = Graph.PrScale
+    var hub: Map[Long, Double] =
+      edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var auth: Map[Long, Double] = Map.empty
+    (1 to Graph.HitsIters).foreach { _ =>
+      val ar = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => BigInt(math.floor(hub(e._1) * scale).toLong)).sum
+      }
+      val at = ar.values.sum
+      auth = ar.map { case (v, s) => v -> s.toDouble / at.toDouble }
+      val hr = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => BigInt(math.floor(auth(e._2) * scale).toLong)).sum
+      }
+      val ht = hr.values.sum
+      hub = hr.map { case (u, s) => u -> s.toDouble / ht.toDouble }
+    }
+    val rows = Graph.hits(spark, sfDir).collect()
+    assert(rows.length == hub.size + auth.size)
+    rows.foreach { r =>
+      val expectedScore =
+        if (r.getAs[String]("kind") == "customer") hub(r.getAs[Long]("entity_id"))
+        else auth(r.getAs[Long]("entity_id"))
+      assert(r.getAs[Double]("score") == expectedScore)
+    }
+    // L1 mass per side stays ~1 (floor drops at most 1 ulp-of-scale per node)
+    assert(math.abs(hub.values.sum - 1.0) < 1e-6)
+    assert(math.abs(auth.values.sum - 1.0) < 1e-6)
   }
 }
