@@ -448,6 +448,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus substring-gram hash index — the static side of
+    * [[graft.streaming.DocumentStreams.dupCoverageScreenStream]]: one
+    * row per distinct [[CoverageK]]-gram xxhash64 in the corpus with
+    * the smallest holding doc as the quarantine witness. The persisted
+    * form of an incremental exact-substring-dedup deployment (built
+    * once per corpus; every arriving batch/stream probes it), sized
+    * ~distinct-grams × 16 B. Hashes match the [[dupCoverageHashed]] /
+    * stream per-row kernels bit-for-bit: same substr window, same
+    * xxhash64. */
+  private[graft] def gramHashIndexOf(corpus: DataFrame): DataFrame = {
+    val k = CoverageK
+    corpus.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        xxhash64(col("text").substr(col("pos"), lit(k))).as("gh"))
+      .groupBy("gh").agg(min("doc_id").as("corpus_id"))
+  }
+
   /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),
     * banded 16×4; near-dup candidates share a band signature; candidates
     * are then exact-verified (so precision is 1; with 16×4 banding at

@@ -52,4 +52,31 @@ object DocumentStreams {
         Seq("band", "sig"))
       .select(col("doc_id"), col("corpus_id"), col("band"))
   }
+
+  /** Streaming exact-substring ingest screen — the stream-static half
+    * of [[graft.operators.Dedup.dupCoverage]]'s contract: each
+    * arriving document's [[graft.operators.Dedup.CoverageK]]-char gram
+    * hashes are computed PER ROW (a stateless map-side transform —
+    * CodegenFallback is fine on micro-batch row counts; the corpus
+    * side uses the native batch kernel), stream-static joined against
+    * the standing corpus gram-hash index
+    * ([[graft.operators.Dedup.gramHashIndexOf]]). Emits one row per
+    * (doc, pos, corpus witness) verbatim-substring hit; the coverage
+    * rollup (gaps-and-islands union) runs batch-side where the
+    * quarantine decision lands.
+    *
+    * The per-row hash MUST equal the batch kernel's bit-for-bit (same
+    * substr window, same xxhash64) — asserted by the parity spec. */
+  def dupCoverageScreenStream(docs: DataFrame, corpusGrams: DataFrame): DataFrame = {
+    val k = Dedup.CoverageK
+    docs.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), " +
+            s"p -> named_struct('pos', p, " +
+            s"'gh', xxhash64(substring(text, p, $k))))")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      .join(corpusGrams.select(col("gh"), col("corpus_id")), "gh")
+      .select(col("doc_id"), col("pos"), col("corpus_id"))
+  }
 }

@@ -263,6 +263,47 @@ class StreamingSpec extends SparkSpec {
       "per-row streaming signature must hit the same buckets as the batch path")
   }
 
+  test("streaming substring screen hits exactly the batch gram probes") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    val k = Dedup.CoverageK
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpusGrams = Dedup.gramHashIndexOf(docs.where(!isBatch))
+    // batch-side expectation: the hashed gram probe of the batch docs
+    val expected = docs.where(isBatch)
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("text").substr(col("pos"), lit(k))).as("gh"))
+      .join(corpusGrams, "gh")
+      .select("doc_id", "pos", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "boilerplate must cross the batch boundary")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamDf = input.toDF().toDF("doc_id", "text")
+    val q = DocumentStreams.dupCoverageScreenStream(streamDf, corpusGrams)
+      .writeStream.format("memory").queryName("substr_out")
+      .outputMode("append").start()
+    val batchDocs = docs.where(isBatch)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = batchDocs.splitAt(batchDocs.length / 2)
+    input.addData(a.toSeq)
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("substr_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == expected,
+      "per-row streaming gram hashes must probe like the batch kernel")
+  }
+
   test("stream-static anomaly scoring matches the batch twin exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
