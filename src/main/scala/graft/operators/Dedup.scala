@@ -405,10 +405,16 @@ object Dedup {
     dupCoverageImpl(spark, dir, hashKeys = true)
 
   private def dupCoverageImpl(spark: SparkSession, dir: String,
+      hashKeys: Boolean): DataFrame =
+    dupCoverageOf(spark,
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text")),
+      hashKeys)
+
+  private[graft] def dupCoverageOf(spark: SparkSession, docsIn: DataFrame,
       hashKeys: Boolean): DataFrame = {
     val k = CoverageK
-    val docs = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"), col("text"))
+    val docs = docsIn
     // PARALLEL GENERATION (the FuzzyMatch pattern): AQE sizes stage
     // coalescing on the tiny PRE-explode bytes and folds the k-gram
     // generation to one task. The explicit-width exchange costs one
@@ -444,7 +450,11 @@ object Dedup {
     docs.select("doc_id", "n_chars").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        (coalesce(col("dup_chars"), lit(0L)) / col("n_chars")).as("dup_ratio"))
+        // empty docs define ratio 0 (ANSI long division would THROW on
+        // n_chars = 0; no test corpus has one, but a 100 TB crawl will)
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"))
+          .as("dup_ratio"))
       .orderBy("doc_id")
   }
 
@@ -1186,7 +1196,8 @@ object Dedup {
         |        FROM sp GROUP BY 1)
         |SELECT d.doc_id, d.n_chars,
         |       COALESCE(c.dup_chars, 0) AS dup_chars,
-        |       COALESCE(c.dup_chars, 0) / d.n_chars AS dup_ratio
+        |       CASE WHEN d.n_chars = 0 THEN 0.0
+        |            ELSE COALESCE(c.dup_chars, 0) / d.n_chars END AS dup_ratio
         |FROM documents d LEFT JOIN cov c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "dd_bloom" -> {

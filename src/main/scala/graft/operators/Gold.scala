@@ -501,6 +501,49 @@ object Gold {
       .orderBy("product_id")
   }
 
+  /** `gold_snaive_backtest`: seasonal-naive forecast backtest — for
+    * every category, predict each month's revenue as the SAME MONTH
+    * LAST YEAR's revenue and score the prediction over all months
+    * where both exist: per category the backtest month count, MAE and
+    * WAPE (Σ|err|/Σactual — the scale-free accuracy number demand
+    * planners quote). The baseline every real forecast model must
+    * beat; publishing it next to [[seasonality]] closes the
+    * plan→measure loop the reference's dashboards stop short of.
+    *
+    * Exactness: revenues are fixed-point ints ([[moneySum]] grid), the
+    * error is an integer |a − b| summed in DECIMAL(38,0), and MAE/WAPE
+    * are single IEEE divisions of exact sums — engine-identical.
+    * Scale shape: ONE partial-aggregating groupBy of the fact on
+    * (category, month) after the broadcast dim join, then a
+    * category×month-sized self-join on (category, month−12) and a
+    * category-sized rollup — everything after the first aggregate is
+    * catalog-sized metadata. */
+  def snaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val p = Tables.products(spark, dir).select("product_id", "category")
+    val rev = Tables.sales(spark, dir)
+      .join(broadcast(p), "product_id")
+      .select(col("category"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
+        col("unit_price"), col("quantity"))
+      .groupBy("category", "ym")
+      .agg(sum(floor(col("unit_price") * col("quantity") * lit(10000))
+        .cast(DecimalType(28, 0))).cast("long").as("rev_i"))
+    val pred = rev.select(col("category"), (col("ym") + 12).as("ym"),
+      col("rev_i").as("pred_i"))
+    rev.join(pred, Seq("category", "ym"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_backtest_months"),
+        sum(abs(col("rev_i") - col("pred_i")).cast(dec)).as("abs_err"),
+        sum(col("rev_i").cast(dec)).as("actual"))
+      .select(col("category"), col("n_backtest_months"),
+        (col("abs_err").cast("double") / 10000
+          / col("n_backtest_months").cast("double")).as("mae"),
+        (col("abs_err").cast("double") / col("actual").cast("double"))
+          .as("wape"))
+      .orderBy("category")
+  }
+
   /** `gold_market_share`: brand (sku) revenue share within category —
     * the merchandising view behind assortment decisions ("which brand
     * owns this category"), the share-of-shelf companion to
@@ -1440,6 +1483,25 @@ object Gold {
          |       MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total,
          |       ${moneySumSql("o_totalprice")} AS bucket_revenue
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "gold_snaive_backtest" ->
+      s"""WITH ${Tables.salesCte},
+         |${Tables.productsCte},
+         |rev AS (SELECT p.category,
+         |               year(sale_ts)*12 + month(sale_ts) - 1 AS ym,
+         |               CAST(SUM(CAST(FLOOR((unit_price*quantity)*10000)
+         |                 AS DECIMAL(28,0))) AS BIGINT) AS rev_i
+         |        FROM sales s JOIN products p USING (product_id)
+         |        GROUP BY 1, 2),
+         |j AS (SELECT a.category, a.rev_i, b.rev_i AS pred_i
+         |      FROM rev a JOIN rev b
+         |        ON a.category = b.category AND a.ym = b.ym + 12)
+         |SELECT category, COUNT(*) AS n_backtest_months,
+         |       CAST(SUM(CAST(ABS(rev_i - pred_i) AS DECIMAL(38,0)))
+         |         AS DOUBLE) / 10000 / CAST(COUNT(*) AS DOUBLE) AS mae,
+         |       CAST(SUM(CAST(ABS(rev_i - pred_i) AS DECIMAL(38,0)))
+         |         AS DOUBLE)
+         |         / CAST(SUM(CAST(rev_i AS DECIMAL(38,0))) AS DOUBLE) AS wape
+         |FROM j GROUP BY 1 ORDER BY category""".stripMargin,
     "gold_xyz_class" ->
       s"""WITH ${Tables.salesCte},
          |pm AS (SELECT product_id, year(sale_ts)*12 + month(sale_ts) - 1 AS ym,
@@ -1705,6 +1767,7 @@ object Gold {
     "gold_price_slope"         -> priceSlope,
     "gold_abc_class"           -> abcClass,
     "gold_xyz_class"           -> xyzClass,
+    "gold_snaive_backtest"     -> snaiveBacktest,
     "gold_repeat_rate"         -> repeatRate,
     "gold_market_share"        -> marketShare,
     "gold_new_vs_returning"    -> newVsReturning,

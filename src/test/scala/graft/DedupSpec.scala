@@ -645,6 +645,43 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_chars"))).toMap
     assert(hashed == got)
   }
+
+  test("dup coverage edge cases: exact-k, sub-k, and split-island docs") {
+    import spark.implicits._
+    val k = Dedup.CoverageK
+    val shared1 = "x" * k                    // a full k-gram, shared
+    val shared2 = ("y" * (k / 2) + "z" * k).take(k) // a second shared k-gram
+    val gap = ("m" + "n" * 20).padTo(k + 5, 'o')    // > k unique chars
+    val docs = Seq(
+      (1L, shared1),                          // exactly k, fully covered
+      (2L, "abc" + shared1 + "def"),          // shared1 embedded
+      (3L, "q" * (k - 1)),                    // sub-k: no grams at all
+      (4L, "unique-" + "u" * k),              // ≥ k but globally unique
+      (5L, shared2),
+      (6L, shared1 + gap + shared2),          // two islands split by a gap
+      (7L, "")                                // empty text
+    ).toDF("doc_id", "text")
+      .withColumn(
+        "n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+    val got = Dedup.dupCoverageOf(spark, docs, hashKeys = false).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_chars"), r.getAs[Double]("dup_ratio"))).toMap
+    assert(got(1L)._1 == k.toLong)            // fully covered
+    assert(got(2L)._1 == k.toLong)            // just the embedded run
+    assert(got(3L)._1 == 0L)                  // no grams to share
+    assert(got(4L)._1 == 0L)                  // unique content
+    assert(got(5L)._1 == k.toLong)
+    // doc 6: two disjoint islands, one per shared run — NOT merged
+    assert(got(6L)._1 == 2L * k)
+    assert(got(7L)._1 == 0L)
+    assert(got(1L)._2 == 1.0)
+    // the hashed twin agrees on the synthetic corpus too
+    val hashed = Dedup.dupCoverageOf(spark, docs, hashKeys = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_chars")).toMap
+    assert(hashed == got.view.mapValues(_._1).toMap)
+  }
 }
 
 /** Collects txt_strip_repeats rows once for the spec above. */

@@ -726,4 +726,39 @@ class GoldSpec extends SparkSpec {
     // anything
     assert(rows.map(_.getAs[String]("xyz_class")).distinct.length >= 2)
   }
+
+  test("snaive backtest matches a brute-force month-shift replay") {
+    val rev = Tables.sales(spark, sfDir)
+      .join(Tables.products(spark, sfDir).select("product_id", "category"),
+        "product_id")
+      .select(col("category"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts")) - 1).as("ym"),
+        floor(col("unit_price") * col("quantity") * lit(10000)).as("r"))
+      .collect()
+      .map(r => ((r.getAs[String]("category"), r.getAs[Int]("ym")),
+        r.getAs[Long]("r")))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val expected = rev.keys.groupBy(_._1).flatMap { case (cat, keys) =>
+      val pairs = keys.flatMap { case (_, ym) =>
+        rev.get((cat, ym - 12)).map(p => (rev((cat, ym)), p))
+      }.toList
+      if (pairs.isEmpty) None
+      else {
+        val absErr = pairs.map { case (a, p) => BigInt((a - p).abs) }.sum
+        val actual = pairs.map(p => BigInt(p._1)).sum
+        Some(cat -> (pairs.length.toLong,
+          absErr.toDouble / 10000 / pairs.length.toDouble,
+          absErr.toDouble / actual.toDouble))
+      }
+    }
+    val rows = Gold.snaiveBacktest(spark, sfDir).collect()
+    assert(rows.length == expected.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mae, wape) = expected(r.getAs[String]("category"))
+      assert(r.getAs[Long]("n_backtest_months") == n)
+      assert(r.getAs[Double]("mae") == mae)
+      assert(r.getAs[Double]("wape") == wape)
+      assert(wape >= 0.0)
+    }
+  }
 }
