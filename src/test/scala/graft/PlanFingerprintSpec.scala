@@ -82,7 +82,12 @@ class PlanFingerprintSpec extends SparkSpec {
     "smp_negative_sampling", "gold_stockout", "cat_register_tables",
     "gold_aov_monthly", "gold_segment_sales", "gold_abc_class",
     "gold_new_vs_returning", "dd_span", "dd_chunk_dedup", "gold_rfm",
-    "dd_components_star")
+    "dd_components_star",
+    // round-10 additions above the 1.5 s isolated line (plus their
+    // cheap siblings, pinned while fresh)
+    "gr_hits", "gr_labelprop", "dd_dup_coverage", "txt_kn_score",
+    "dq_value_skew", "gold_snaive_backtest", "gold_xyz_class",
+    "evt_trigrams")
 
   private def exchangeCounts(shape: String): (Int, Int) = {
     val ls = shape.linesIterator.map(_.trim).toSeq
