@@ -114,15 +114,23 @@ object TrainingDataPipeline {
 
     // final manifest: survivors in the deterministic training order
     // (bijective-hash shuffle key — the smp_shuffle contract), with
-    // lang + quality for downstream mixing and the leakage-safe CV
-    // fold (near-dup clusters never straddle folds) riding along
+    // lang + quality for downstream mixing, the leakage-safe CV fold
+    // (near-dup clusters never straddle folds), and the cross-doc
+    // duplicated-text share riding along. dup_ratio is a WEIGHTING
+    // signal, not a drop gate: the canonical stages already keep one
+    // copy per dup cluster, so a surviving doc with high coverage is
+    // the kept witness of duplicated content — downstream mixing
+    // down-weights it (soft dedup) instead of losing the content
     val manifest = frontier
       .join(docs, Seq("doc_id"))
       .join(TextAnalysis.quality(spark, srcDir)
         .select("doc_id", "quality_score"), Seq("doc_id"))
       .join(Curation.kfoldAssign(spark, srcDir)
         .select("doc_id", "fold"), Seq("doc_id"))
+      .join(Dedup.dupCoverage(spark, srcDir)
+        .select("doc_id", "dup_ratio"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("quality_score"), col("fold"),
+        col("dup_ratio"),
         Curation.portableHash(col("doc_id")).as("shuffle_key"))
       .orderBy("shuffle_key", "doc_id")
     val path = s"$lakeBase/curated/manifest"

@@ -37,6 +37,13 @@ class TrainingDataPipelineSpec extends SparkSpec {
       val f = r.getAs[Long]("fold")
       assert(f >= 0 && f < graft.operators.Curation.KFolds)
     }
+    // ...and the soft-dedup weighting signal: the per-doc duplicated-
+    // text share, matching the standalone operator exactly
+    val cov = graft.operators.Dedup.dupCoverage(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ratio")).toMap
+    m.foreach { r =>
+      assert(r.getAs[Double]("dup_ratio") == cov(r.getAs[Long]("doc_id")))
+    }
   }
 
   test("second batch ingests against the first run's persisted signatures, no recompute") {
