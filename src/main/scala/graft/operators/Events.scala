@@ -399,6 +399,52 @@ object Events {
       .orderBy("t1", "t2", "t3")
   }
 
+  /** Power-iteration rounds and fixed-point scale for
+    * [[markovStationary]]. */
+  val MarkovIters = 3
+  val MarkovScale = 1000000000L
+
+  /** `evt_markov_stationary`: the long-run state distribution of the
+    * [[transitions]] Markov chain — π after [[MarkovIters]] power-
+    * iteration rounds from uniform, i.e. "where does a user's session
+    * settle if behavior keeps its measured dynamics": the equilibrium
+    * companion to the one-step matrix and the trigram cells.
+    *
+    * Determinism: each contribution floors (π_i · P(j|i)) at
+    * [[MarkovScale]] into a DECIMAL sum over the ≤|types| inbound
+    * terms, and each round L1-renormalizes by a broadcast 1-row total
+    * ([[graft.operators.Graph.pagerankOn]]'s discipline shrunk to a
+    * types×types chain), so the doubles are engine-identical and the
+    * op carries an unrolled-SQL oracle. Types with no inbound
+    * transition keep an explicit 0 via a left join. Scale shape: the
+    * cell table is types²-sized METADATA — every round is
+    * catalog-sized work regardless of corpus size. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = transitions(spark, dir)
+      .select(col("from_type"), col("to_type"), col("prob")).localCheckpoint()
+    val types = cells.select(col("from_type").as("t")).unionAll(
+      cells.select(col("to_type").as("t"))).distinct().localCheckpoint()
+    val n = types.agg(count(lit(1)).cast("double").as("nd"))
+    var pi = types.crossJoin(broadcast(n))
+      .select(col("t"), (lit(1.0) / col("nd")).as("p"))
+    (1 to MarkovIters).foreach { _ =>
+      val raw = cells
+        .join(pi.withColumnRenamed("t", "from_type"), "from_type")
+        .groupBy(col("to_type").as("t"))
+        .agg(sum(floor((col("p") * col("prob")) * lit(MarkovScale))
+          .cast(dec)).as("r"))
+        .localCheckpoint()
+      val tot = raw.agg(sum("r").as("tot"))
+      pi = types.join(raw, Seq("t"), "left").crossJoin(broadcast(tot))
+        .select(col("t"),
+          (coalesce(col("r"), lit(0).cast(dec)).cast("double")
+            / col("tot").cast("double")).as("p"))
+    }
+    pi.select(col("t").as("event_type"), col("p").as("stationary_prob"))
+      .orderBy("event_type")
+  }
+
   val WeekSec = 604800L
 
   /** Weekly cohort retention: users bucketed by the epoch week of their
@@ -1161,6 +1207,16 @@ object Events {
       .orderBy("event_type")
   }
 
+  private def mkRound(prev: String, i: Int): String =
+    s"""r$i AS (SELECT c.to_type AS t,
+       |          SUM(CAST(FLOOR((p.p * c.prob) * $MarkovScale)
+       |            AS DECIMAL(38,0))) AS r
+       |        FROM c JOIN $prev p ON c.from_type = p.t GROUP BY 1),
+       |tot$i AS (SELECT SUM(r) AS tot FROM r$i),
+       |mk$i AS (SELECT ty.t,
+       |           CAST(COALESCE(r.r, 0) AS DOUBLE)/CAST(tot AS DOUBLE) AS p
+       |         FROM ty LEFT JOIN r$i r ON ty.t = r.t, tot$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "evt_seasonal_baseline" ->
       s"""WITH hc AS (SELECT event_type,
@@ -1521,6 +1577,27 @@ object Events {
          |SELECT channel, COUNT(DISTINCT p_id) AS n_purchases,
          |       ${Gold.moneySumSql("credit")} AS credited_revenue
          |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt_markov_stationary" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+         |l AS (SELECT user_id, event_type AS to_type,
+         |             LAG(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY es, event_id) AS from_type
+         |      FROM e),
+         |cnt AS (SELECT from_type, to_type, COUNT(*) AS n
+         |        FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |rn AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+         |       FROM cnt GROUP BY 1),
+         |c AS (SELECT cnt.from_type, cnt.to_type,
+         |             CAST(n AS DOUBLE)/row_n AS prob
+         |      FROM cnt JOIN rn USING (from_type)),
+         |ty AS (SELECT from_type AS t FROM c UNION SELECT to_type FROM c),
+         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM ty),
+         |mk0 AS (SELECT t, CAST(1 AS DOUBLE)/nd AS p FROM ty, nd),
+         |${(1 to MarkovIters).map(i => mkRound(s"mk${i - 1}", i))
+             .mkString(",\n")}
+         |SELECT t AS event_type, p AS stationary_prob
+         |FROM mk$MarkovIters ORDER BY event_type""".stripMargin,
     "evt_trigrams" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -1671,6 +1748,7 @@ object Events {
     "evt_heavy_users"     -> heavyUsers,
     "evt_transitions"     -> transitions,
     "evt_trigrams"        -> trigrams,
+    "evt_markov_stationary" -> markovStationary,
     "evt_attribution"     -> attribution,
     "evt_attribution_linear" -> attributionLinear,
     "evt_winsorize"       -> winsorize,

@@ -785,4 +785,30 @@ class EventsSpec extends SparkSpec {
         assert(math.abs(cells.map(_.getAs[Double]("prob")).sum - 1.0) < 1e-9)
       }
   }
+
+  test("markov stationary matches a brute-force power-iteration replay") {
+    val cells = Events.transitions(spark, sfDir).collect()
+      .map(r => ((r.getAs[String]("from_type"), r.getAs[String]("to_type")),
+        r.getAs[Double]("prob"))).toMap
+    val types = cells.keys.flatMap(k => Seq(k._1, k._2)).toList.distinct.sorted
+    val s = Events.MarkovScale
+    var pi: Map[String, Double] = types.map(_ -> 1.0 / types.length).toMap
+    (1 to Events.MarkovIters).foreach { _ =>
+      val raw = types.map { t =>
+        t -> cells.collect { case ((f, tt), p) if tt == t =>
+          BigInt(math.floor((pi(f) * p) * s).toLong)
+        }.sum
+      }.toMap
+      val tot = raw.values.sum
+      pi = raw.map { case (t, r) => t -> r.toDouble / tot.toDouble }
+    }
+    val rows = Events.markovStationary(spark, sfDir).collect()
+    assert(rows.length == types.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("stationary_prob") ==
+        pi(r.getAs[String]("event_type")))
+    }
+    // a probability distribution: mass ~1 (floor loss bounded)
+    assert(math.abs(pi.values.sum - 1.0) < 1e-6)
+  }
 }
