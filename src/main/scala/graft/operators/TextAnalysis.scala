@@ -400,6 +400,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `txt_quality_by_source`: per-source quality calibration — exact
+    * quartiles (the value at rank ⌈q·n⌉ ascending, doc_id tiebreak) of
+    * [[quality]]'s score within each source. A GLOBAL quality cutoff
+    * silently drops whole sources whose score distribution sits lower
+    * (the known failure mode per-source thresholds fix in LLM data
+    * recipes); this emits the per-source distribution the mixing step
+    * calibrates against, next to `txt_source_divergence`'s pairwise
+    * view.
+    *
+    * Scale shape: within-source ranks come from [[SkewUtils.groupRank]]
+    * (range-partitioned prefix scan — a mega-source never funnels one
+    * task, which is exactly the failure a `row_number() OVER
+    * (PARTITION BY source)` would reintroduce); the quartile picks are
+    * three rank-equality filters folded into ONE conditional aggregate;
+    * n·q products use exact-binary fractions (0.25/0.5/0.75) so the
+    * rank cuts are engine-identical. */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val scored = quality(spark, dir).select(col("doc_id"), col("quality_score"))
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    val ranked = SkewUtils.groupRank(scored, "source",
+      Seq(col("quality_score").asc, col("doc_id").asc), "rk")
+    val counts = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    def pick(q: Double): org.apache.spark.sql.Column =
+      max(when(col("rk") === ceil(col("n_docs").cast("double") * lit(q))
+        .cast("long"), col("quality_score")))
+    ranked.join(broadcast(counts), "source")
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        pick(0.25).as("q25"), pick(0.5).as("q50"), pick(0.75).as("q75"))
+      .orderBy("source")
+  }
+
   /** Absolute discount for [[knScore]] — the textbook Kneser-Ney
     * constant (Chen & Goodman 1999 use c(ab)-count-based estimates;
     * 0.75 is the standard fixed choice). Exactly representable in
@@ -1265,6 +1298,23 @@ object TextAnalysis {
          |FROM cells JOIN tot USING (lang)
          |ORDER BY lang, pred_lang""".stripMargin,
     "txt_quality" -> qualityOracleSql,
+    "txt_quality_by_source" ->
+      s"""WITH sc AS (SELECT q.doc_id, q.quality_score, d.source
+         |            FROM ($qualityOracleSql) q
+         |            JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, quality_score,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY quality_score, doc_id) AS rk,
+         |        COUNT(*) OVER (PARTITION BY source) AS n_docs
+         |      FROM sc)
+         |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         |       MAX(CASE WHEN rk = CAST(CEIL(CAST(n_docs AS DOUBLE) * 0.25)
+         |             AS BIGINT) THEN quality_score END) AS q25,
+         |       MAX(CASE WHEN rk = CAST(CEIL(CAST(n_docs AS DOUBLE) * 0.5)
+         |             AS BIGINT) THEN quality_score END) AS q50,
+         |       MAX(CASE WHEN rk = CAST(CEIL(CAST(n_docs AS DOUBLE) * 0.75)
+         |             AS BIGINT) THEN quality_score END) AS q75
+         |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
     "txt_source_divergence" ->
       """WITH tc AS (SELECT source, token, COUNT(*) AS c
         |            FROM (SELECT source, unnest(string_split(text,' ')) AS token
@@ -1666,6 +1716,7 @@ object TextAnalysis {
     "txt_tfidf"       -> tfidf,
     "txt_lm_score"    -> lmScore,
     "txt_kn_score"    -> knScore,
+    "txt_quality_by_source" -> qualityBySource,
     "txt_bm25"        -> bm25,
     "txt_rag"         -> ragChunks,
     "txt_novelty"     -> novelty,

@@ -591,6 +591,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lifts.sameElements(lifts.sortBy(-_)))
   }
 
+  test("per-source quality quartiles match a brute-force sorted pick") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val scores = TextAnalysis.quality(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score")))
+    val bySource = scores.groupBy(t => docs(t._1)).map { case (s, g) =>
+      val sorted = g.sortBy(t => (t._2, t._1)).map(_._2)
+      def pick(q: Double) = sorted(math.ceil(sorted.length * q).toInt - 1)
+      s -> (sorted.length.toLong, pick(0.25), pick(0.5), pick(0.75))
+    }
+    val rows = TextAnalysis.qualityBySource(spark, sfDir).collect()
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val (n, q25, q50, q75) = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Double]("q25") == q25)
+      assert(r.getAs[Double]("q50") == q50)
+      assert(r.getAs[Double]("q75") == q75)
+      assert(q25 <= q50 && q50 <= q75)
+    }
+  }
+
   test("kn score matches a brute-force Kneser-Ney replay") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
