@@ -458,6 +458,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dd_decontam_substr`: char-level benchmark decontamination — the
+    * stricter complement to [[decontam]]'s word-8-gram screen: a
+    * training doc is flagged if any verbatim [[CoverageK]]-char run
+    * also appears in the held-out eval split, and the leaked CHAR
+    * coverage (the [[dupCoverage]] interval union restricted to
+    * eval-matching grams) quantifies how much of the doc is benchmark
+    * text. Catches tokenization evasions the word-shingle screen
+    * misses: punctuation/whitespace perturbations shift word
+    * boundaries but leave 48-char runs intact.
+    *
+    * Scale shape: the eval side collapses to the DISTINCT grams of a
+    * small fixed eval split → broadcast; the training corpus's grams
+    * are generated map-side (explicit-width pre-explode exchange, the
+    * [[dupCoverageOf]] discipline) and semi-joined without shuffling;
+    * the only shuffles are the eval distinct and the doc-keyed island
+    * rollup (doc-length-bounded windows). */
+  def decontamSubstr(spark: SparkSession, dir: String): DataFrame = {
+    val k = CoverageK
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        (Curation.portableHash(col("doc_id")) % DecontamBenchMod === 0)
+          .as("is_bench"))
+    val np = spark.sessionState.conf.numShufflePartitions
+    val grams = docs.where(length(col("text")) >= k)
+      .repartition(np, col("doc_id"))
+      .select(col("doc_id"), col("is_bench"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("is_bench"), col("pos"),
+        col("text").substr(col("pos"), lit(k)).as("gram"))
+    val evalGrams = grams.where(col("is_bench")).select("gram").distinct()
+    val hits = grams.where(!col("is_bench"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val perDoc = hits
+      .withColumn("brk",
+        when(col("pos") - coalesce(lag("pos", 1).over(w), lit(-k)) > k, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg((max("pos") - min("pos") + lit(k)).cast("long").as("span_len"))
+      .groupBy("doc_id").agg(sum("span_len").as("leak_chars"))
+    docs.where(!col("is_bench")).select("doc_id", "n_chars")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("leak_chars"), lit(0L)).as("leak_chars"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(coalesce(col("leak_chars"), lit(0L)) / col("n_chars"))
+          .as("leak_ratio"),
+        (coalesce(col("leak_chars"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus substring-gram hash index — the static side of
     * [[graft.streaming.DocumentStreams.dupCoverageScreenStream]]: one
     * row per distinct [[CoverageK]]-gram xxhash64 in the corpus with
@@ -1172,6 +1226,40 @@ object Dedup {
          |            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS near_dup_rate
          |FROM documents d JOIN exd USING (doc_id) JOIN nearf USING (doc_id)
          |GROUP BY 1 ORDER BY source""".stripMargin,
+    "dd_decontam_substr" -> {
+      val bench = s"${Curation.portableHashSql("doc_id")} % $DecontamBenchMod = 0"
+      s"""WITH grams AS (
+         |  SELECT doc_id, ($bench) AS is_bench, gs.g AS pos,
+         |         substring(text, gs.g::INT, 48) AS gram
+         |  FROM documents,
+         |       LATERAL unnest(generate_series(1, length(text) - 47)) AS gs(g)
+         |  WHERE length(text) >= 48),
+         |ev AS (SELECT DISTINCT gram FROM grams WHERE is_bench),
+         |hits AS (SELECT g.doc_id, g.pos FROM grams g
+         |         SEMI JOIN ev USING (gram) WHERE NOT g.is_bench),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - COALESCE(LAG(pos) OVER
+         |                (PARTITION BY doc_id ORDER BY pos), -48) > 48
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM marked),
+         |sp AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 48 AS span_len
+         |       FROM isl GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS leak_chars
+         |        FROM sp GROUP BY 1)
+         |SELECT d.doc_id, d.n_chars,
+         |       COALESCE(c.leak_chars, 0) AS leak_chars,
+         |       CASE WHEN d.n_chars = 0 THEN 0.0
+         |            ELSE COALESCE(c.leak_chars, 0) / d.n_chars
+         |            END AS leak_ratio,
+         |       COALESCE(c.leak_chars, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN cov c USING (doc_id)
+         |WHERE NOT ($bench)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "dd_dup_coverage" ->
       """WITH grams AS (
         |  SELECT doc_id, gs.g AS pos, substring(text, gs.g::INT, 48) AS gram
@@ -1469,6 +1557,7 @@ object Dedup {
     "dd_chunk_dedup"   -> chunkDedup,
     "dd_span"          -> spanDedup,
     "dd_dup_coverage"  -> dupCoverage,
+    "dd_decontam_substr" -> decontamSubstr,
     "dd_minhash_lsh"   -> minhashLsh,
     "dd_minhash_incremental" -> minhashIncremental,
     "dd_method_report" -> methodReport,

@@ -646,6 +646,37 @@ class DedupSpec extends SparkSpec {
     assert(hashed == got)
   }
 
+  test("substring decontam matches a brute-force eval-gram scan") {
+    val k = Dedup.CoverageK
+    val mod = Dedup.DecontamBenchMod
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        (Curation.portableHash(col("doc_id")) % mod === 0).as("is_bench"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Boolean]("is_bench")))
+    val evalGrams = docs.filter(_._3).flatMap { case (_, t, _) =>
+      if (t.length >= k) (0 to t.length - k).map(p => t.substring(p, p + k))
+      else Seq.empty
+    }.toSet
+    val expected = docs.filterNot(_._3).map { case (id, t, _) =>
+      val covered = Array.fill(t.length)(false)
+      if (t.length >= k)
+        for (p <- 0 to t.length - k if evalGrams(t.substring(p, p + k));
+             q <- p until p + k) covered(q) = true
+      id -> covered.count(identity).toLong
+    }.toMap
+    val rows = Dedup.decontamSubstr(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("leak_chars") == expected(id))
+      assert(r.getAs[Boolean]("contaminated") == (expected(id) > 0))
+    }
+    // the planted corpus leaks across the split: both branches exercised
+    assert(expected.values.exists(_ > 0L) && expected.values.exists(_ == 0L))
+  }
+
   test("dup coverage edge cases: exact-k, sub-k, and split-island docs") {
     import spark.implicits._
     val k = Dedup.CoverageK
