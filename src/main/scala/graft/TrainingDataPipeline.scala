@@ -82,9 +82,13 @@ object TrainingDataPipeline {
     val repetitionPass = TextAnalysis.stripRepeats(spark, srcDir)
       .where(col("removed_fraction") <= MaxRemovedFrac).select("doc_id")
 
-    // stage 5 — benchmark decontamination: any eval-set n-gram overlap
-    // disqualifies (decontam itself excludes the eval docs)
+    // stage 5 — benchmark decontamination, both granularities: any
+    // eval-set word-8-gram overlap OR verbatim 48-char run disqualifies
+    // (each screen excludes the eval docs themselves; the char screen
+    // catches tokenization evasions the word screen misses)
     val decontamPass = Dedup.decontam(spark, srcDir)
+      .where(!col("contaminated")).select("doc_id")
+    val decontamSubstrPass = Dedup.decontamSubstr(spark, srcDir)
       .where(!col("contaminated")).select("doc_id")
 
     val stages: Seq[(String, DataFrame)] = Seq(
@@ -93,7 +97,8 @@ object TrainingDataPipeline {
       "quality"       -> qualityPass,
       "lang"          -> langPass,
       "repetition"    -> repetitionPass,
-      "decontam"      -> decontamPass)
+      "decontam"      -> decontamPass,
+      "decontam_substr" -> decontamSubstrPass)
 
     // fold the survivor set through the stages; count each frontier
     // (one driver-side long per stage — the run report)

@@ -44,6 +44,11 @@ class TrainingDataPipelineSpec extends SparkSpec {
     m.foreach { r =>
       assert(r.getAs[Double]("dup_ratio") == cov(r.getAs[Long]("doc_id")))
     }
+    // no survivor carries verbatim benchmark text at either granularity
+    val charClean = graft.operators.Dedup.decontamSubstr(spark, sfDir)
+      .where(!col("contaminated")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    m.foreach(r => assert(charClean.contains(r.getAs[Long]("doc_id"))))
   }
 
   test("second batch ingests against the first run's persisted signatures, no recompute") {
