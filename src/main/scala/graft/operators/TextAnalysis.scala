@@ -259,6 +259,48 @@ object TextAnalysis {
           .as("redacted"))
       .orderBy("doc_id")
 
+  /** `txt_pii_profile`: per-source PII exposure report — the
+    * compliance rollup published BEFORE [[redact]] rewrites anything:
+    * per source, how many documents carry any email/IPv4/phone match,
+    * the per-type totals, and the match density per kilochar. A source
+    * whose density spikes is quarantined wholesale (scraped dumps of
+    * contact pages, leaked logs) rather than laundered doc-by-doc
+    * through redaction.
+    *
+    * Scale shape: ONE partial-aggregating groupBy of the corpus on
+    * source — counting is map-side ([[EmailPat]]/[[Ipv4Pat]]/
+    * [[PhonePat]], the same Java-regex∩RE2-portable patterns the
+    * redactor and its oracle share); rates are exact-integer
+    * divisions. (The shipped synthetic corpus is PII-free, so the
+    * oracle pins the report's correct all-zero state; the planted-
+    * corpus spec pins the counting itself.) */
+  def piiProfile(spark: SparkSession, dir: String): DataFrame =
+    piiProfileOf(Tables.table(spark, dir, "documents"))
+
+  private[graft] def piiProfileOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("n_chars"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+          .cast("long").as("e"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0)))
+          .cast("long").as("i"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0)))
+          .cast("long").as("p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("e")).as("n_emails"), sum(col("i")).as("n_ips"),
+        sum(col("p")).as("n_phones"), sum(col("n_chars")).as("tot_chars"))
+      .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
+        col("n_emails"), col("n_ips"), col("n_phones"),
+        (col("n_docs_with_pii").cast("double") / col("n_docs").cast("double"))
+          .as("pii_doc_rate"),
+        (((col("n_emails") + col("n_ips") + col("n_phones"))
+          .cast("double") * lit(1000.0)) / col("tot_chars").cast("double"))
+          .as("pii_per_kchar"))
+      .orderBy("source")
+
   /** Per-language corpus profile — the snapshot report a data pipeline
     * publishes per ingest: document/token counts, mean quality and pass
     * rate by language. One partial-aggregating groupBy over the quality
@@ -1536,6 +1578,24 @@ object TextAnalysis {
         |            THEN (len(g3) - len(list_distinct(g3)))*1.0/len(g3)
         |            ELSE 0.0 END AS dup_3gram_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    "txt_pii_profile" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |         len(regexp_extract_all(text, '$EmailPat')) AS e,
+         |         len(regexp_extract_all(text, '$Ipv4Pat')) AS i,
+         |         len(regexp_extract_all(text, '$PhonePat')) AS p
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_docs_with_pii,
+         |       CAST(SUM(e) AS BIGINT) AS n_emails,
+         |       CAST(SUM(i) AS BIGINT) AS n_ips,
+         |       CAST(SUM(p) AS BIGINT) AS n_phones,
+         |       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)
+         |           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pii_doc_rate,
+         |       (CAST(SUM(e) + SUM(i) + SUM(p) AS DOUBLE) * 1000.0)
+         |         / CAST(SUM(n_chars) AS DOUBLE) AS pii_per_kchar
+         |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
     "txt_redact" ->
       s"""SELECT doc_id,
          |       len(regexp_extract_all(text, '$EmailPat')) AS n_emails,
@@ -1717,6 +1777,7 @@ object TextAnalysis {
     "txt_lm_score"    -> lmScore,
     "txt_kn_score"    -> knScore,
     "txt_quality_by_source" -> qualityBySource,
+    "txt_pii_profile" -> piiProfile,
     "txt_bm25"        -> bm25,
     "txt_rag"         -> ragChunks,
     "txt_novelty"     -> novelty,

@@ -615,6 +615,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("pii profile counts a planted corpus exactly (shipped corpus is clean)") {
+    import spark.implicits._
+    // shipped corpus: the all-zero state is the true report
+    val real = TextAnalysis.piiProfile(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getAs[Long]("n_docs_with_pii") == 0L &&
+      r.getAs[Double]("pii_per_kchar") == 0.0))
+    // planted corpus: every pattern and the rollup arithmetic
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or 10.0.0.1", "web"),
+      (2L, "call 555-123-4567 or +4915112345678 today", "web"),
+      (3L, "nothing sensitive here at all", "web"),
+      (4L, "two mails a@b.io c@d.org and ip 192.168.1.1", "logs"),
+      (5L, "clean", "logs")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val rows = TextAnalysis.piiProfileOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val web = rows("web")
+    assert(web.getAs[Long]("n_docs") == 3 &&
+      web.getAs[Long]("n_docs_with_pii") == 2 &&
+      web.getAs[Long]("n_emails") == 1 && web.getAs[Long]("n_ips") == 1 &&
+      web.getAs[Long]("n_phones") == 2)
+    assert(web.getAs[Double]("pii_doc_rate") == 2.0 / 3.0)
+    val logs = rows("logs")
+    assert(logs.getAs[Long]("n_docs_with_pii") == 1 &&
+      logs.getAs[Long]("n_emails") == 2 && logs.getAs[Long]("n_ips") == 1 &&
+      logs.getAs[Long]("n_phones") == 0)
+  }
+
   test("kn score matches a brute-force Kneser-Ney replay") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
