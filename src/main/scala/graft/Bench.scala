@@ -26,7 +26,17 @@ import org.apache.spark.sql.SparkSession
   *     the top-`SPARK_GRAFT_BENCH_ISOLATE` (default 25) queries by min
   *     sweep time run again back-to-back (min of 2), giving a
   *     steady-state figure comparable across rounds even when the
-  *     sweeps were noisy.
+  *     sweeps were noisy. The recorded `isolated` value is CLAMPED to
+  *     the query's sweep minimum: an isolated figure LARGER than some
+  *     full-sweep observation of the same query is by construction a
+  *     contention artifact, not steady state (round 10 recorded a
+  *     27.4 s isolated for a query whose sweep min was 3.05 s and
+  *     whose fresh-JVM re-time was 2.67 s). The raw min-of-2 is kept
+  *     alongside in `isolated_raw` so the clamp is auditable.
+  *
+  * A `warning` field is emitted when rel_spread > 0.5 — at that spread
+  * the sweep TOTALS are noise-bound and only per-query minima (and the
+  * clamped isolated column) should be compared across rounds.
   *
   * Artifacts: besides the stdout line (the driver contract), the FULL
   * result — every sweep's time per query plus variance, telemetry and
@@ -107,9 +117,14 @@ object Bench {
     // isolated steady-state re-times of the slowest queries: min of 2
     // back-to-back runs each, AFTER all sweeps (fully warmed)
     val mins = names.map(n => n -> times(n).min)
-    val isolated = mins.sortBy(-_._2).take(math.max(0, isolateN)).map {
+    val minByName = mins.toMap
+    val isolatedRaw = mins.sortBy(-_._2).take(math.max(0, isolateN)).map {
       case (n, _) => n -> math.min(runOnce(n), runOnce(n))
     }
+    // Steady-state record: a re-time can only be slower than the sweep
+    // min through contention during the isolation phase, so the sweep
+    // min is an upper bound on the steady state and we clamp to it.
+    val isolated = isolatedRaw.map { case (n, v) => n -> math.min(v, minByName(n)) }
 
     def obj(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -119,6 +134,12 @@ object Bench {
     val qs = obj(mins.map { case (k, v) => k -> v.toString })
     val runs = obj(names.map(n => n -> times(n).mkString("[", ",", "]")))
     val iso = obj(isolated.map { case (k, v) => k -> v.toString })
+    val isoRaw = obj(isolatedRaw.map { case (k, v) => k -> v.toString })
+    val warning =
+      if (relSpread > 0.5)
+        "\"rel_spread %.2f > 0.5: sweep totals are contention-bound; compare per-query minima and the clamped isolated column only\""
+          .formatLocal(java.util.Locale.ROOT, relSpread)
+      else "null"
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val variance = obj(Seq(
       "iters" -> iters.toString, "sum_min" -> total.toString,
@@ -132,7 +153,8 @@ object Bench {
 
     val full = obj(Seq(
       "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
-      "queries" -> qs, "runs" -> runs, "isolated" -> iso, "variance" -> variance,
+      "queries" -> qs, "runs" -> runs, "isolated" -> iso,
+      "isolated_raw" -> isoRaw, "warning" -> warning, "variance" -> variance,
       "host" -> host, "errors" -> errs, "sf" -> ("\"" + sfDir + "\"")))
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -143,7 +165,8 @@ object Bench {
     // keep the line compact)
     println(obj(Seq(
       "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
-      "queries" -> qs, "isolated" -> iso, "variance" -> variance,
+      "queries" -> qs, "isolated" -> iso, "isolated_raw" -> isoRaw,
+      "warning" -> warning, "variance" -> variance,
       "host" -> host, "errors" -> errs,
       "sf" -> ("\"" + sfDir + "\""), "artifact" -> ("\"" + outPath + "\""))))
     spark.stop()

@@ -67,6 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_char_deletion_hashes",
       "XXH64 hashes of the deletion neighborhood (allocation-free blocking keys)",
       CharDeletionHashes.builder)
+    inject("graft_char_deletion_hashlens",
+      "deletion-neighborhood keys with code-point length packed into the top 16 bits",
+      CharDeletionHashes.packedBuilder)
     inject("graft_bloom_agg",
       "distributed bloom-filter build over long keys (merge-safe partials)",
       BloomOps.aggBuilder)

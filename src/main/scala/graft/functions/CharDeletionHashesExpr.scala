@@ -66,6 +66,12 @@ object CharDeletionHashes {
 
   private val Seed = 42L
 
+  /** Hard cap on the enumerated neighborhood (4.2M variants ≈ 32 MB of
+    * keys + a 64 MB dedup table) — generous for any blocking-key use
+    * (FuzzyMatch's depth-2 names emit ~10² variants) while keeping a
+    * hostile long input a clear error instead of an overflow. */
+  val MaxNeighborhood: Long = 1L << 22
+
   /** Variant code-point length occupies the top 16 bits of a PACKED
     * key (see [[packed]]); lengths beyond 15 bits saturate at the cap
     * so the sign bit stays clear — equal strings still pack equal (a
@@ -105,9 +111,26 @@ object CharDeletionHashes {
     while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) { off(p) = i; p += 1 }; i += 1 }
     off(n) = nb
 
-    val maxOut = 1 + (if (depth >= 1) n else 0) +
-      (if (depth >= 2) n * (n - 1) / 2 else 0) +
-      (if (depth >= 3) n * (n - 1) * (n - 2) / 6 else 0)
+    // Neighborhood size in LONG arithmetic with a fail-fast cap: the
+    // function is SQL-registered and callable on arbitrary strings, and
+    // Int math here overflows negative at n ≳ 65k (depth 2) / n ≳ 1.8k
+    // (depth 3) — a NegativeArraySizeException at best, an under-sized
+    // open-addressing table whose probe loop never terminates at worst.
+    // Each successive term is only accumulated while still under the
+    // cap, so the cubic term is only computed for n ≤ ~2.9k and no
+    // intermediate product can overflow Long.
+    var maxOutL = 1L + (if (depth >= 1) n.toLong else 0L)
+    if (depth >= 2 && maxOutL <= MaxNeighborhood)
+      maxOutL += n.toLong * (n - 1) / 2
+    if (depth >= 3 && maxOutL <= MaxNeighborhood)
+      maxOutL += n.toLong * (n - 1) * (n - 2) / 6
+    if (maxOutL > MaxNeighborhood)
+      throw new IllegalArgumentException(
+        s"char_deletion_hashes: deletion neighborhood of a $n-code-point " +
+          s"string at depth $depth exceeds $MaxNeighborhood variants; " +
+          "shorten the input (blocking keys are meant for name-length " +
+          "strings) or lower the depth")
+    val maxOut = maxOutL.toInt
     val out = new Array[Long](maxOut)
     // open-addressed dedup set sized to the next power of two ≥ 2*maxOut
     var cap = 16

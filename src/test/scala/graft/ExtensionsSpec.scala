@@ -46,6 +46,19 @@ class ExtensionsSpec extends AnyFunSuite {
           |            (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)) AS v(i)
           |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
       assert(hh.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 3L), (2L, 1L)))
+      // both deletion-neighborhood forms must reach pure-SQL sessions:
+      // the hot fuzzy-match path depends on the packed length|hash form,
+      // which was once only registered via the Scala API's side effect
+      val dels = spark.sql(
+        """SELECT graft_char_deletion_hashes('abc', 1)   AS h,
+          |       graft_char_deletion_hashlens('abc', 1) AS hl
+          |""".stripMargin).head()
+      val h  = dels.getSeq[Long](0)
+      val hl = dels.getSeq[Long](1)
+      assert(h.size == 4 && hl.size == 4)  // 'abc' + 3 single deletions
+      // packed form: top 16 bits = variant code-point length, low 48 = hash₄₈
+      assert(hl.map(_ >>> 48).sorted == Seq(2L, 2L, 2L, 3L))
+      assert(hl.map(_ & 0xFFFFFFFFFFFFL).toSet == h.map(_ & 0xFFFFFFFFFFFFL).toSet)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

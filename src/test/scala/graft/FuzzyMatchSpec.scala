@@ -122,6 +122,30 @@ class FuzzyMatchSpec extends SparkSpec {
     }
   }
 
+  test("deletion-hash neighborhood cap fails fast on hostile long inputs") {
+    // the function is SQL-registered and callable on arbitrary strings:
+    // before the Long-math guard, n ≳ 65k at depth 2 / n ≳ 1.8k at depth
+    // 3 overflowed the Int neighborhood size to a negative array length
+    // (or an under-sized probe table that never terminates). The guard
+    // must throw a CLEAR error instead, and leave name-length inputs
+    // (the intended use) untouched.
+    import org.apache.spark.unsafe.types.UTF8String
+    val big2 = UTF8String.fromString("x" * 70000)
+    val big3 = UTF8String.fromString("x" * 3000)
+    Seq((big2, 2), (big3, 3)).foreach { case (s, d) =>
+      val e = intercept[IllegalArgumentException](
+        graft.functions.CharDeletionHashes.hashes(s, d))
+      assert(e.getMessage.contains("neighborhood"), s"depth $d: ${e.getMessage}")
+      val ep = intercept[IllegalArgumentException](
+        graft.functions.CharDeletionHashes.packed(s, d))
+      assert(ep.getMessage.contains("neighborhood"))
+    }
+    // name-length strings at every depth stay fine (and exact)
+    val name = UTF8String.fromString("Customer#000000001")
+    (1 to 3).foreach(d =>
+      assert(graft.functions.CharDeletionHashes.hashes(name, d).numElements() > 1))
+  }
+
   test("d1 pair table is a session-cached artifact: repeat reads serve the checkpoint") {
     // first call may build; the second MUST serve the cached pair table
     // — a sorted scan of checkpointed rows with no join or aggregate
