@@ -890,16 +890,42 @@ object TextAnalysis {
       dir: String): Vector[(Int, String, String, Long)] =
     trainMergesFromVocab(collectVocab(spark, dir), BpeMerges)
 
+  /** Words rarer than this never enter the BPE training vocab. The
+    * Heaps-law "vocab-sized metadata" contract above holds for
+    * NORMALIZED text, but raw web corpora (URLs, hex ids, numbers)
+    * push distinct whitespace tokens into the 10⁸–10⁹ range at 100 TB
+    * — almost all of them singletons. A corpus-frequency floor of 2 is
+    * the standard tokenizer-trainer `min_frequency` cut: it drops
+    * exactly the long singleton tail (the part that grows with corpus
+    * mass instead of with the language), keeping the collect truly
+    * vocab-sized. Applied identically by the driver-side trainer, the
+    * distributed cross-check and the spec replays. */
+  private[graft] val BpeHapaxFloor = 2L
+
+  /** Fail-fast bound on the driver-side vocab collect (~16.7M rows ≈
+    * low-GB driver heap). Hitting it means the floor assumption broke
+    * (an adversarially diverse corpus); the honest response is a clear
+    * error, not a silent OOM mid-collect. */
+  private[graft] val MaxVocabRows = 1L << 24
+
   /** The one corpus pass: distributed word-frequency aggregation,
-    * collected as the vocab-sized training table. */
+    * floored at [[BpeHapaxFloor]], size-guarded, collected as the
+    * vocab-sized training table. */
   private def collectVocab(spark: SparkSession,
       dir: String): Array[(IndexedSeq[String], Long)] = {
     import spark.implicits._
-    Tables.table(spark, dir, "documents")
+    val vocab = Tables.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].collect()
+      .where(col("freq") >= BpeHapaxFloor)
+      .localCheckpoint() // one materialization feeds the guard count + the collect
+    val n = vocab.count()
+    require(n <= MaxVocabRows,
+      s"BPE vocab has $n words above the frequency floor (cap $MaxVocabRows): " +
+        "corpus too diverse to train driver-side; raise the floor or use " +
+        "trainBpeMergesDistributed")
+    vocab.as[(String, Long)].collect()
       .map { case (w, f) => (codePointSyms(w), f) }
   }
 
@@ -975,6 +1001,7 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= BpeHapaxFloor) // same floor as the driver-side trainer
       .as[(String, Long)]
       .map { case (w, f) => (codePointSyms(w), f) }
       .toDF("syms", "freq")

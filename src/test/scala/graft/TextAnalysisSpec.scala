@@ -436,6 +436,7 @@ class TextAnalysisSpec extends SparkSpec {
         .groupBy(identity).view
         .mapValues(_.length.toLong)
         .toSeq
+        .filter(_._2 >= TextAnalysis.BpeHapaxFloor) // trainer's min-frequency cut
         .groupBy { case (w, _) => TextAnalysis.codePointSyms(w) }
         .view.mapValues(_.map(_._2).sum).toMap
     val replay = Vector.newBuilder[(Int, String, String, Long)]
@@ -490,6 +491,37 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[String]("right"), r.getAs[Long]("pair_freq")))
       .take(k).toVector
     assert(dist == drv)
+  }
+
+  test("bpe hapax floor: 10^6 planted junk singletons change no merge") {
+    // The 100 TB contract behind the floor: raw web corpora carry a
+    // singleton tail (URLs, hex ids) that grows with corpus MASS, not
+    // with the language — the freq >= 2 cut must drop it before the
+    // driver-side collect, and dropping it must not perturb training.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bpe_base").toString
+    val junk = java.nio.file.Files.createTempDirectory("bpe_junk").toString
+    val docs = Seq.tabulate(64)(i =>
+      (i.toLong, "the cat sat on the mat and the cat ran to the mat"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    // 10^6 globally-unique hapax tokens, 100 per junk doc, built
+    // distributed (never on the driver)
+    val junkDocs = spark.range(10000).selectExpr(
+      "id + 1000 AS doc_id",
+      "concat_ws(' ', transform(sequence(0, 99), " +
+        "j -> concat('zq', string(id * 100 + j), 'x'))) AS text")
+    docs.unionByName(junkDocs).write.mode("overwrite")
+      .parquet(s"$junk/documents.parquet")
+    val mBase = TextAnalysis.bpeTrain(spark, base).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val mJunk = TextAnalysis.bpeTrain(spark, junk).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(mBase.nonEmpty, "base corpus trained no merges")
+    assert(mJunk == mBase,
+      "hapax junk leaked into training: merges or pair frequencies moved")
+    // and no junk symbol ever appears in a trained merge
+    assert(mJunk.forall { case (_, l, r, _) => !(l + r).contains("zq") })
   }
 
   test("apply_bpe matches a driver replay of train + apply") {
