@@ -468,13 +468,30 @@ object Dedup {
     * misses: punctuation/whitespace perturbations shift word
     * boundaries but leave 48-char runs intact.
     *
-    * Scale shape: the eval side collapses to the DISTINCT grams of a
-    * small fixed eval split → broadcast; the training corpus's grams
-    * are generated map-side (explicit-width pre-explode exchange, the
-    * [[dupCoverageOf]] discipline) and semi-joined without shuffling;
-    * the only shuffles are the eval distinct and the doc-keyed island
-    * rollup (doc-length-bounded windows). */
-  def decontamSubstr(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: the eval side collapses to the DISTINCT grams of the
+    * eval split — but the split is hash-defined (~1/[[DecontamBenchMod]]
+    * of the corpus), so its gram count grows LINEARLY with corpus size
+    * and an unconditional broadcast would OOM well before 100 TB. The
+    * broadcast is therefore GATED on a measured upper bound (the bench
+    * docs' char mass, a 1-row metadata aggregate over the pruned
+    * `n_chars` column — no text scan): under
+    * [[DecontamMaxBroadcastGramBytes]] the eval grams broadcast and the
+    * training grams are screened map-side with no train-side shuffle;
+    * past it the screen falls back to a shuffled semi-join (string-
+    * exact either way — same oracle). The remaining shuffles are the
+    * eval distinct and the doc-keyed island rollup (doc-length-bounded
+    * windows). */
+  def decontamSubstr(spark: SparkSession, dir: String): DataFrame =
+    decontamSubstrImpl(spark, dir, DecontamMaxBroadcastGramBytes)
+
+  /** Conservative in-memory budget for the broadcast eval-gram relation
+    * (FuzzyMatch's hinted() convention): ~96 B per distinct 48-char
+    * gram in a hashed relation → 200 MB ≈ 2M grams. The bench-doc char
+    * mass (≥ distinct gram count) is the gate's upper bound. */
+  private[graft] val DecontamMaxBroadcastGramBytes = 200L << 20
+
+  private[graft] def decontamSubstrImpl(spark: SparkSession, dir: String,
+      maxBroadcastGramBytes: Long): DataFrame = {
     val k = CoverageK
     val docs = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), col("text"),
@@ -489,8 +506,17 @@ object Dedup {
       .select(col("doc_id"), col("is_bench"), col("pos"),
         col("text").substr(col("pos"), lit(k)).as("gram"))
     val evalGrams = grams.where(col("is_bench")).select("gram").distinct()
+    // gate: per-doc gram count is n_chars - k + 1 ≤ n_chars, so the
+    // bench split's char mass bounds the distinct-gram count from above
+    val evalGramBound = Tables.table(spark, dir, "documents")
+      .where(Curation.portableHash(col("doc_id")) % DecontamBenchMod === 0)
+      .agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
+      .head().getLong(0)
+    val evalSide =
+      if (evalGramBound * 96L <= maxBroadcastGramBytes) broadcast(evalGrams)
+      else evalGrams
     val hits = grams.where(!col("is_bench"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .join(evalSide, Seq("gram"), "left_semi")
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val perDoc = hits

@@ -126,12 +126,28 @@ object FuzzyMatch {
     // stage back to one task.
     val np = spark.sessionState.conf.numShufflePartitions
     // BROADCAST GATE: hint the dimension-sized sides only while they
-    // are small enough to hash-broadcast (records × ~48 B against a
-    // generous 200 MB budget); past that, drop the hints and let the
-    // planner shuffle on vh / the keys — same plan class the exact
-    // verify licenses, no correctness dependence on the hint.
+    // are small enough to hash-broadcast against a generous 200 MB
+    // budget; past that, drop the hints and let the planner shuffle on
+    // vh / the keys — same plan class the exact verify licenses, no
+    // correctness dependence on the hint. The UN-exploded name tables
+    // (dirty, cust) gate on records × ~48 B. The EXPLODED variant-key
+    // table dv CANNOT use the record count: it collapses to ~1 row per
+    // record only on a fixed-length corpus (length pruning keeps depth
+    // 0 alone); with variable-length names up to ~L^maxEdit/maxEdit!
+    // variants per record survive, so dv gates on the post-filter
+    // variant count derived EXACTLY from the name-length distribution
+    // (one more 1-row metadata aggregate at plan build — the boundsRow
+    // pattern; an upper bound, since duplicate variants of repeated
+    // chars dedup in the explode).
     def hinted(df: DataFrame): DataFrame =
       if (nRecords * 48L <= (200L << 20)) broadcast(df) else df
+    val dvRowsEst =
+      if (cHi < cLo) 0.0
+      else cust.agg(coalesce(
+          sum(survivingDirtyVariantsCol(col("c_name"), cLo, maxEdit)),
+          lit(0.0))).head().getDouble(0)
+    def hintedVariants(df: DataFrame): DataFrame =
+      if (dvRowsEst * 48.0 <= (200L << 20).toDouble) broadcast(df) else df
     val dv = dirty.repartition(np, col("d_key"))
       .select(col("d_key"),
         explode(CharDeletionHashes.packedCol(spark, col("d_name"), maxEdit))
@@ -149,7 +165,7 @@ object FuzzyMatch {
     // clustered requirement), and the name rejoins + levenshtein
     // verify are order-preserving broadcast joins — the final orderBy
     // collapses to an in-partition sort with no further exchange.
-    hinted(dv).join(cv, Seq("vh"))
+    hintedVariants(dv).join(cv, Seq("vh"))
       .select("d_key", "clean_key")
       .repartitionByRange(col("d_key"), col("clean_key"))
       .distinct()
@@ -160,6 +176,30 @@ object FuzzyMatch {
       .where(col("dist") <= maxEdit)
       .select("d_key", "d_name", "clean_key", "dist")
       .orderBy("d_key", "clean_key")
+  }
+
+  /** Post-length-filter dirty-variant count for ONE clean name of
+    * length L: the dirty name is L − maxEdit chars (each derivation
+    * round deletes exactly one), its depth-d variants are L − maxEdit −
+    * d chars and survive [[buildFuzzyPairs]]'s keep-filter bounds
+    * [cLo − maxEdit, cHi] iff d ≤ L − cLo, contributing
+    * C(L − maxEdit, d) keys. An EXACT upper bound on the exploded
+    * post-filter row count (duplicate variants of repeated characters
+    * dedup inside the explode, so the true count can only be lower) —
+    * the quantity the dv broadcast gate must size, since the record
+    * count under-counts it by up to L²/2× on variable-length corpora. */
+  private[graft] def survivingDirtyVariantsCol(cleanName: org.apache.spark.sql.Column,
+      cLo: Int, maxEdit: Int): org.apache.spark.sql.Column = {
+    val big = length(cleanName).cast("double")
+    val dl = big - lit(maxEdit.toDouble)
+    (0 to maxEdit).map { d =>
+      val fact = (1 to d).product.toDouble
+      val comb = (0 until d).map(i => dl - lit(i.toDouble))
+        .foldLeft(lit(1.0))(_ * _) / lit(fact)
+      when(big - lit(cLo.toDouble) >= lit(d.toDouble) &&
+          dl - lit(d.toDouble) >= lit(0.0),
+        greatest(comb, lit(0.0))).otherwise(lit(0.0))
+    }.reduce(_ + _)
   }
 
   private def posHashSql(idExpr: String): String =

@@ -677,6 +677,29 @@ class DedupSpec extends SparkSpec {
     assert(expected.values.exists(_ > 0L) && expected.values.exists(_ == 0L))
   }
 
+  test("substring decontam broadcast gate: shuffle fallback is output-identical") {
+    // the eval split is hash-defined (~2% of the corpus), so its gram
+    // count grows with corpus size — past the byte gate the screen must
+    // fall back to a shuffled semi-join with IDENTICAL output (string-
+    // exact both ways). Force the fallback with a zero budget and pin
+    // both the parity and the plan shape.
+    val broadcastPath = Dedup.decontamSubstr(spark, sfDir)
+    val fallbackPath = Dedup.decontamSubstrImpl(spark, sfDir, 0L)
+    val a = broadcastPath.collect().map(_.toSeq).toSeq
+    val b = fallbackPath.collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // gate evidence at the LOGICAL level: past the budget the plan must
+    // carry no forced-broadcast hint (AQE may still pick a broadcast at
+    // TEST scale from true runtime sizes — that's the point of leaving
+    // the decision to it); under the budget the hint must be there
+    val bPlan = fallbackPath.queryExecution.optimizedPlan.toString
+    assert(!bPlan.contains("strategy=broadcast"),
+      "zero budget must not force-broadcast the eval grams")
+    val aPlan = broadcastPath.queryExecution.optimizedPlan.toString
+    assert(aPlan.contains("strategy=broadcast"),
+      "under-budget eval grams must carry the broadcast hint")
+  }
+
   test("dup coverage edge cases: exact-k, sub-k, and split-island docs") {
     import spark.implicits._
     val k = Dedup.CoverageK

@@ -122,6 +122,33 @@ class FuzzyMatchSpec extends SparkSpec {
     }
   }
 
+  test("dv broadcast gate estimator bounds the post-filter variant count") {
+    // the record count under-counts the exploded dv table by up to
+    // ~L²/2× on variable-length corpora — the gate must size the
+    // POST-length-filter variant count instead. The estimator is exact
+    // on distinct-char names and an upper bound when repeated chars
+    // dedup inside the explode.
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val names = Seq("ab", "abcdefgh", "abcdefghijklmnop", "aabbaabb")
+    val maxEdit = 2
+    val cLo = names.map(_.length).min
+    val cHi = names.map(_.length).max
+    names.foreach { name =>
+      val est = Seq(name).toDF("c_name")
+        .select(FuzzyMatch.survivingDirtyVariantsCol(col("c_name"), cLo, maxEdit).as("e"))
+        .head().getDouble(0)
+      val dirty = name.drop(maxEdit) // same length as the derived dirty name
+      val arr = graft.functions.CharDeletionHashes.packed(
+        UTF8String.fromString(dirty), maxEdit)
+      val lens = (0 until arr.numElements()).map(i => (arr.getLong(i) >>> 48).toInt)
+      val actual = lens.count(l => l >= cLo - maxEdit && l <= cHi)
+      assert(est >= actual.toDouble, s"$name: est $est < actual $actual")
+      if (name.distinct == name)
+        assert(est == actual.toDouble, s"$name: estimator must be exact")
+    }
+  }
+
   test("deletion-hash neighborhood cap fails fast on hostile long inputs") {
     // the function is SQL-registered and callable on arbitrary strings:
     // before the Long-math guard, n ≳ 65k at depth 2 / n ≳ 1.8k at depth
