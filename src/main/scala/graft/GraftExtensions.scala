@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletionHashes, CharDeletions, HeavyHitters, HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletionHashes, CharDeletions, HeavyHitters, HtmlExtract, HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, TopKByScore, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -76,5 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_bloom_contains",
       "bloom-filter probe; false = proof of absence",
       BloomOps.containsBuilder)
+    inject("graft_html_text",
+      "main text of an HTML page (boilerplate-dropped blocks joined by \\n)",
+      HtmlExtract.textBuilder)
+    inject("graft_html_block_stats",
+      "HTML block census [n_blocks, n_kept, n_dropped_link, n_dropped_short]",
+      HtmlExtract.statsBuilder)
   }
 }
