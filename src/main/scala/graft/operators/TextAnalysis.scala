@@ -528,6 +528,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `txt_kn3_score`: interpolated Kneser-Ney TRIGRAM fluency scoring —
+    * [[knScore]] extended one order (the standard pretraining fluency
+    * filter is a 5-gram KN; order 3 captures most of the bigram→n-gram
+    * gap). Recursion (Chen & Goodman 1999, continuation counts at the
+    * lower orders, all derived from the ONE trigram type table so
+    * document-initial bigrams never skew the lower orders):
+    *
+    *   p(w₃|w₁w₂) = (c₃−d)/c₁₂ + (d·N₁₊(w₁w₂·)/c₁₂) · p(w₃|w₂)
+    *   p(w₃|w₂)   = (ĉ(w₂w₃)−d)/ĉ(w₂·) + (d·N̂₁₊(w₂·)/ĉ(w₂·)) · p(w₃)
+    *   p(w₃)      = N̂₁₊(·w₃) / |mid types|
+    *
+    * where ĉ(w₂w₃) = N₁₊(·w₂w₃) (distinct w₁ preceding the bigram) is
+    * the continuation count. c₃ ≥ 1 and ĉ ≥ 1 keep both discounted
+    * numerators positive without a max. Same no-transcendental
+    * discipline as [[knScore]]: every op is +,−,×,/ over exact counts
+    * in a FIXED association order, so the doubles are engine-identical
+    * and the per-doc mean goes through the fixed-point floor.
+    *
+    * Scale shape: one trigram explode feeds the (w₁,w₂,w₃) type table;
+    * every other aggregate is a rollup of that table — c₁₂/N₁₊(w₁w₂·)
+    * by (w₁,w₂), the continuation table by (w₂,w₃), its context rollup
+    * by w₂, the unigram continuation by w₃ (all bounded by trigram
+    * TYPES, ≪ corpus mass and Heaps-sublinear in it), and the type
+    * total is a broadcast 1-row aggregate. p is a function of the TYPE
+    * alone, so all interpolation joins run between type tables and the
+    * token stream (the side that scales with corpus mass) is joined
+    * exactly ONCE, on the finished per-type score. */
+  def kn3Score(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val docs = Tables.table(spark, dir, "documents")
+    // explicit-width exchange before the ~len× explode (the
+    // dupCoverageOf discipline): AQE sizes stage coalescing on the tiny
+    // PRE-explode bytes and would fold trigram generation to one task
+    val np = spark.sessionState.conf.numShufflePartitions
+    val tg = docs.select(col("doc_id"), col("text"))
+      .repartition(np, col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(3)))
+          .as("trigram"))
+      .withColumn("w1", split(col("trigram"), " ").getItem(0))
+      .withColumn("w2", split(col("trigram"), " ").getItem(1))
+      .withColumn("w3", split(col("trigram"), " ").getItem(2))
+      .drop("trigram")
+    // the type table feeds FIVE rollups + the scoring join; without the
+    // checkpoint each rollup re-runs the explode+aggregate subtree
+    // (ReuseExchange does not fire across differently-aliased branches)
+    val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .localCheckpoint()
+    val c12 = c3.groupBy("w1", "w2")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("n12f"))
+    val mid = c3.groupBy("w2", "w3").agg(count(lit(1)).as("cm"))
+      .localCheckpoint()
+    val mctx = mid.groupBy("w2")
+      .agg(sum("cm").as("cmt"), count(lit(1)).as("nmf"))
+    val uni = mid.groupBy("w3").agg(count(lit(1)).as("cu"))
+    val mt = mid.agg(count(lit(1)).as("mt"))
+    val ptype = c3
+      .join(c12, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(mctx, Seq("w2"))
+      .join(uni, Seq("w3"))
+      .crossJoin(broadcast(mt))
+      .select(col("w1"), col("w2"), col("w3"),
+        ((col("c3").cast("double") - lit(KnDiscount))
+            / col("c12").cast("double")
+          + ((lit(KnDiscount) * col("n12f").cast("double"))
+              / col("c12").cast("double"))
+            * ((col("cm").cast("double") - lit(KnDiscount))
+                / col("cmt").cast("double")
+              + ((lit(KnDiscount) * col("nmf").cast("double"))
+                  / col("cmt").cast("double"))
+                * (col("cu").cast("double") / col("mt").cast("double"))))
+          .as("p"))
+    val p = tg.join(ptype, Seq("w1", "w2", "w3")).select(col("doc_id"), col("p"))
+    p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(floor(col("p") * lit(LmScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("s").cast("double") / lit(LmScale.toDouble) / col("n_trigrams"))
+          .as("kn3_score"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction: the top-[[TfidfTopK]] most
     * characteristic terms per document, weight = tf × (N+1)/(df+1).
     * The idf is the RATIONAL form, not ln((N+1)/(df+1)): a monotone
@@ -1704,6 +1788,41 @@ object TextAnalysis {
          |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
          |         / $LmScale / COUNT(*) AS kn_score
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_kn3_score" ->
+      s"""WITH tg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         |           i -> t[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(t)-2),
+         |           i -> t[i+1])) AS w2,
+         |         unnest(list_transform(generate_series(1, len(t)-2),
+         |           i -> t[i+2])) AS w3
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12, COUNT(*) AS n12f
+         |        FROM c3 GROUP BY 1, 2),
+         |mid AS (SELECT w2, w3, COUNT(*) AS cm FROM c3 GROUP BY 1, 2),
+         |mctx AS (SELECT w2, CAST(SUM(cm) AS BIGINT) AS cmt, COUNT(*) AS nmf
+         |         FROM mid GROUP BY 1),
+         |uni AS (SELECT w3, COUNT(*) AS cu FROM mid GROUP BY 1),
+         |mt AS (SELECT COUNT(*) AS mt FROM mid),
+         |p AS (
+         |  SELECT tg.doc_id,
+         |         (CAST(c3.c3 AS DOUBLE) - $KnDiscount) / CAST(c12.c12 AS DOUBLE)
+         |           + (($KnDiscount * CAST(c12.n12f AS DOUBLE))
+         |               / CAST(c12.c12 AS DOUBLE))
+         |             * ((CAST(mid.cm AS DOUBLE) - $KnDiscount)
+         |                 / CAST(mctx.cmt AS DOUBLE)
+         |               + (($KnDiscount * CAST(mctx.nmf AS DOUBLE))
+         |                   / CAST(mctx.cmt AS DOUBLE))
+         |                 * (CAST(uni.cu AS DOUBLE) / CAST(mt.mt AS DOUBLE))) AS p
+         |  FROM tg JOIN c3 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+         |          JOIN mid USING (w2, w3) JOIN mctx USING (w2)
+         |          JOIN uni USING (w3) CROSS JOIN mt)
+         |SELECT doc_id, COUNT(*) AS n_trigrams,
+         |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |         / $LmScale / COUNT(*) AS kn3_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_bm25" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (
@@ -1803,6 +1922,7 @@ object TextAnalysis {
     "txt_tfidf"       -> tfidf,
     "txt_lm_score"    -> lmScore,
     "txt_kn_score"    -> knScore,
+    "txt_kn3_score"   -> kn3Score,
     "txt_quality_by_source" -> qualityBySource,
     "txt_pii_profile" -> piiProfile,
     "txt_bm25"        -> bm25,

@@ -677,6 +677,51 @@ class TextAnalysisSpec extends SparkSpec {
       logs.getAs[Long]("n_phones") == 0)
   }
 
+  test("kn3 score matches a brute-force trigram Kneser-Ney replay") {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1).toList))
+    val tgs = docs.flatMap { case (id, ts) =>
+      ts.sliding(3).collect { case List(a, b, c) => (id, a, b, c) }
+    }
+    val c3 = tgs.groupBy(t => (t._2, t._3, t._4)).map { case (k, g) =>
+      k -> g.length.toLong
+    }
+    val c12 = c3.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> m.values.sum }
+    val n12f = c3.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> m.size.toLong }
+    // continuation counts: distinct w1 per (w2, w3), all lower orders
+    // derived from the trigram type table
+    val cm = c3.keys.toSeq.groupBy(k => (k._2, k._3))
+      .map { case (k, g) => k -> g.size.toLong }
+    val cmt = cm.groupBy(_._1._1).map { case (w2, m) => w2 -> m.values.sum }
+    val nmf = cm.groupBy(_._1._1).map { case (w2, m) => w2 -> m.size.toLong }
+    val cu = cm.keys.toSeq.groupBy(_._2).map { case (w3, g) => w3 -> g.size.toLong }
+    val mt = cm.size.toLong
+    val d = TextAnalysis.KnDiscount
+    val expected = tgs.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, a, b, c) =>
+        val p = (c3((a, b, c)).toDouble - d) / c12((a, b)).toDouble +
+          ((d * n12f((a, b)).toDouble) / c12((a, b)).toDouble) *
+            ((cm((b, c)).toDouble - d) / cmt(b).toDouble +
+              ((d * nmf(b).toDouble) / cmt(b).toDouble) *
+                (cu(c).toDouble / mt.toDouble))
+        math.floor(p * 1000000000L.toDouble)
+      }.sum
+      id -> (bs.length.toLong, s / 1e9 / bs.length)
+    }
+    val rows = TextAnalysis.kn3Score(spark, sfDir).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, score) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_trigrams") == n)
+      assert(r.getAs[Double]("kn3_score") == score)
+      assert(score > 0.0 && score <= 1.0)
+    }
+  }
+
   test("kn score matches a brute-force Kneser-Ney replay") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
