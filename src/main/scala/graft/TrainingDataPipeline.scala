@@ -36,17 +36,38 @@ object TrainingDataPipeline {
       manifestPath: String,
       sigIndexPath: String)
 
+  /** Index-backed admission verdict for a NEW batch — the production
+    * form of `dd_admission`'s composed screens, one row per batch doc:
+    * exact-within-batch first-copy-wins (two identical docs in today's
+    * crawl must not both land) and the persisted-signature near-dup
+    * screen ([[Dedup.screenAgainstIndex]] — corpus signatures are
+    * read, never recomputed; corpus text is fetched only for candidate
+    * docs). `admitted` = batch-canonical AND corpus-novel. Batch-sized
+    * work against a 100-TB standing corpus. */
+  def admissionVerdict(spark: SparkSession, batch: DataFrame,
+      corpusDocs: DataFrame, sigIndexPath: String): DataFrame = {
+    val hashed = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val firstInBatch = hashed.groupBy("h").agg(min("doc_id").as("first_batch_id"))
+    val screen = Dedup.screenAgainstIndex(spark, batch, corpusDocs, sigIndexPath)
+    hashed.join(firstInBatch, Seq("h"))
+      .join(screen, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("doc_id") > col("first_batch_id")).as("exact_dup_in_batch"),
+        col("first_batch_id"),
+        col("n_corpus_matches"), col("max_jaccard"), col("novel"),
+        (col("novel") && col("doc_id") === col("first_batch_id"))
+          .as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** Ingest gate for a NEW batch against an already-curated corpus:
-    * screen (doc_id, text) rows through the persisted MinHash
-    * signature index a [[run]] wrote ([[Dedup.screenAgainstIndex]] —
-    * corpus signatures are read, never recomputed; corpus text is
-    * fetched only for candidate docs), and admit only novel documents.
-    * The daily-crawl entry point: batch-sized work against a 100-TB
-    * standing corpus. */
+    * admit exactly the [[admissionVerdict]]-clear documents. The
+    * daily-crawl entry point. */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
       corpusDocs: DataFrame, sigIndexPath: String): DataFrame = {
-    val screen = Dedup.screenAgainstIndex(spark, batch, corpusDocs, sigIndexPath)
-    batch.join(screen.where(col("novel")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val verdict = admissionVerdict(spark, batch, corpusDocs, sigIndexPath)
+    batch.join(verdict.where(col("admitted")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
   }
 
   /** Full curation run over `<srcDir>/documents.parquet`; writes the

@@ -663,6 +663,27 @@ object Dedup {
     * subset of the full pair set the gate already checks). */
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val pairs = incrementalNearPairs(spark, dir)
+    val matches = pairs.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"), max(col("jaccard")).as("max_jaccard"))
+    Tables.table(spark, dir, "documents").where(isBatch)
+      .select(col("doc_id"))
+      .join(matches, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        col("max_jaccard"),
+        (coalesce(col("n_corpus_matches"), lit(0L)) === 0L).as("novel"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-boundary near-dup pairs (batch_id, corpus_id, jaccard ≥
+    * [[JaccardThreshold]]) for the hash-split incremental contract —
+    * the shared kernel of [[minhashIncremental]] and [[admission]]:
+    * banded-bucket candidates (batch buckets ⋈ corpus buckets, never
+    * corpus²), exact Jaccard verify on candidate docs only. */
+  private[graft] def incrementalNearPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
     val buckets = minhashBuckets(spark, dir)
     val cand = buckets.where(isBatch)
       .select(col("doc_id").as("batch_id"), col("band"), col("sig"))
@@ -674,7 +695,7 @@ object Dedup {
       .unionAll(cand.select(col("corpus_id").as("doc_id"))).distinct()
     val shS = shingleSetsWithSize(spark, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
-    val pairs = shS.where(isBatch)
+    shS.where(isBatch)
       .select(col("doc_id").as("batch_id"), col("n_sh").as("n_a"), col("shingle"))
       .join(shS.where(!isBatch)
           .select(col("doc_id").as("corpus_id"), col("n_sh").as("n_b"),
@@ -685,15 +706,130 @@ object Dedup {
       .withColumn("jaccard",
         col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= JaccardThreshold)
-    val matches = pairs.groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("n_corpus_matches"), max(col("jaccard")).as("max_jaccard"))
-    Tables.table(spark, dir, "documents").where(isBatch)
-      .select(col("doc_id"))
-      .join(matches, col("doc_id") === col("batch_id"), "left")
+  }
+
+  /** `dd_admission`: the unified per-batch-doc ingest verdict — the
+    * API a production intake actually calls, composing the four
+    * standing screens into ONE row per arriving document with a flag
+    * and a first-witness per screen:
+    *
+    *   - EXACT vs corpus ([[incrementalDedup]] semantics), with the
+    *     [[bloomIncrementalDedup]] shortcut: a negative bloom probe is
+    *     proof of absence, so genuinely-new rows (the overwhelming
+    *     majority) skip the corpus witness join entirely;
+    *   - EXACT within the batch: first-copy-wins (`first_batch_id`);
+    *   - NEAR-dup vs corpus ([[minhashIncremental]]'s banded screen,
+    *     exact-verified in bucket), witness = best-Jaccard corpus doc,
+    *     ties to the smaller id (one max-of-struct argmax, no window);
+    *   - VERBATIM 48-char run vs corpus (the [[dupCoverage]] substring
+    *     signal applied cross-boundary), witness = smallest corpus doc
+    *     holding any shared gram.
+    *
+    * `admitted` = all four screens clear. Parity with each standalone
+    * screen is asserted in DedupSpec; the oracle composes the
+    * components' own oracle forms.
+    *
+    * Scale shape: every screen is the standalone operator's plan — the
+    * exact screen ships one bloom + an index-sized witness join, the
+    * near screen joins persisted-index-sized signature tables, the
+    * substring screen's gram tables shuffle position-exploded grams
+    * (the 100 TB twin keys them by xxhash64 — the
+    * [[dupCoverageHashed]] precedent — and probes the persisted
+    * [[gramHashIndexOf]] index); the three verdicts meet in
+    * batch-keyed left joins. */
+  def admission(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomOps.register(spark)
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val docs = Tables.table(spark, dir, "documents")
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"),
+      isBatch.as("is_batch"))
+
+    // exact screen: bloom probe, witness join only for probe-positives
+    val u = java.util.UUID.randomUUID().toString.replace("-", "")
+    val corpusView = s"adm_corpus_$u"
+    val batchView = s"adm_batch_$u"
+    hashed.where(!col("is_batch")).select("h").createOrReplaceTempView(corpusView)
+    hashed.where(col("is_batch")).select("doc_id", "h")
+      .createOrReplaceTempView(batchView)
+    val probed = spark.sql(
+      s"""SELECT doc_id, h,
+         |       graft_bloom_contains(
+         |         (SELECT graft_bloom_agg(xxhash64(h)) FROM $corpusView),
+         |         xxhash64(h)) AS maybe
+         |FROM $batchView""".stripMargin)
+    val corpusIdx = hashed.where(!col("is_batch"))
+      .groupBy("h").agg(min("doc_id").as("exact_witness"))
+    val exact = probed.where(col("maybe"))
+      .join(corpusIdx, Seq("h"), "left")
+      .select(col("doc_id"), col("h"), col("exact_witness"))
+      .unionByName(probed.where(!col("maybe"))
+        .select(col("doc_id"), col("h"),
+          lit(null).cast("long").as("exact_witness")))
+    val firstInBatch = hashed.where(col("is_batch"))
+      .groupBy("h").agg(min("doc_id").as("first_batch_id"))
+    val exactFlags = exact.join(firstInBatch, Seq("h"))
       .select(col("doc_id"),
-        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
-        col("max_jaccard"),
-        (coalesce(col("n_corpus_matches"), lit(0L)) === 0L).as("novel"))
+        col("exact_witness").isNotNull.as("exact_dup_corpus"),
+        col("exact_witness"),
+        (col("doc_id") > col("first_batch_id")).as("exact_dup_in_batch"),
+        col("first_batch_id"))
+
+    // near screen: shared kernel + one struct argmax for the witness
+    val near = incrementalNearPairs(spark, dir)
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("near_matches"),
+        max(col("jaccard")).as("max_jaccard"),
+        max(struct(col("jaccard"), (-col("corpus_id")).as("nid"))).as("mx"))
+      .select(col("doc_id"), col("near_matches"), col("max_jaccard"),
+        (-col("mx.nid")).as("near_witness"))
+
+    // substring screen: cross-boundary verbatim CoverageK-char runs
+    val k = CoverageK
+    val np = spark.sessionState.conf.numShufflePartitions
+    val grams = docs
+      .select(col("doc_id"), isBatch.as("is_batch"), col("text"))
+      .where(length(col("text")) >= k)
+      .repartition(np, col("doc_id"))
+      .select(col("doc_id"), col("is_batch"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("is_batch"),
+        col("text").substr(col("pos"), lit(k)).as("gram"))
+    // the BATCH side is the small one (a day's crawl vs the standing
+    // corpus): its distinct gram set broadcast-prunes the corpus gram
+    // stream map-side, so only matching corpus grams ever shuffle —
+    // gated on the batch char mass exactly like decontamSubstr, with
+    // the same shuffled-semi-join fallback past the budget
+    val batchGrams = grams.where(col("is_batch"))
+    val batchGramSet = batchGrams.select("gram").distinct()
+    val batchCharBound = docs
+      .where(isBatch)
+      .agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
+      .head().getLong(0)
+    val probeSet =
+      if (batchCharBound * 96L <= DecontamMaxBroadcastGramBytes)
+        broadcast(batchGramSet)
+      else batchGramSet
+    val corpusHits = grams.where(!col("is_batch"))
+      .join(probeSet, Seq("gram"), "left_semi")
+      .groupBy("gram").agg(min("doc_id").as("gw"))
+    val substr = batchGrams.select("doc_id", "gram")
+      .join(corpusHits, Seq("gram"))
+      .groupBy("doc_id").agg(min("gw").as("substr_witness"))
+
+    exactFlags
+      .join(near, Seq("doc_id"), "left")
+      .join(substr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("exact_dup_corpus"), col("exact_witness"),
+        col("exact_dup_in_batch"), col("first_batch_id"),
+        coalesce(col("near_matches"), lit(0L)).as("near_matches"),
+        col("max_jaccard"), col("near_witness"),
+        col("substr_witness").isNotNull.as("substr_hit"),
+        col("substr_witness"),
+        (!col("exact_dup_corpus") && !col("exact_dup_in_batch") &&
+          coalesce(col("near_matches"), lit(0L)) === 0L &&
+          col("substr_witness").isNull).as("admitted"))
       .orderBy("doc_id")
   }
 
@@ -1492,6 +1628,70 @@ object Dedup {
          |FROM batch LEFT JOIN m ON doc_id = batch_id
          |ORDER BY doc_id""".stripMargin
     },
+    "dd_admission" -> {
+      val h = Curation.portableHashSql("doc_id")
+      s"""WITH d AS (SELECT doc_id, text, sha256(text) AS h,
+         |                  (($h) % 10 = 0) AS is_batch
+         |           FROM documents),
+         |cx AS (SELECT h, MIN(doc_id) AS exact_witness FROM d
+         |       WHERE NOT is_batch GROUP BY 1),
+         |fb AS (SELECT h, MIN(doc_id) AS first_batch_id FROM d
+         |       WHERE is_batch GROUP BY 1),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           generate_series(1, len(t)-2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |ash AS (SELECT doc_id, shingle FROM sh WHERE ($h) % 10 = 0),
+         |bsh AS (SELECT doc_id, shingle FROM sh WHERE ($h) % 10 <> 0),
+         |inter AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+         |                 COUNT(*) AS inter
+         |          FROM ash a JOIN bsh b USING (shingle) GROUP BY 1, 2),
+         |p AS (SELECT batch_id, corpus_id,
+         |             inter*1.0/(sa.n_sh + sb.n_sh - inter) AS jaccard
+         |      FROM inter JOIN sizes sa ON batch_id = sa.doc_id
+         |                 JOIN sizes sb ON corpus_id = sb.doc_id
+         |      WHERE inter*1.0/(sa.n_sh + sb.n_sh - inter) >= $JaccardThreshold),
+         |nm AS (SELECT batch_id, COUNT(*) AS near_matches,
+         |              MAX(jaccard) AS max_jaccard
+         |       FROM p GROUP BY 1),
+         |nw AS (SELECT p.batch_id, MIN(p.corpus_id) AS near_witness
+         |       FROM p JOIN nm ON p.batch_id = nm.batch_id
+         |                     AND p.jaccard = nm.max_jaccard
+         |       GROUP BY 1),
+         |g AS (SELECT doc_id, is_batch,
+         |             substring(text, gs.g::INT, $CoverageK) AS gram
+         |      FROM d, LATERAL unnest(generate_series(1,
+         |             length(text) - ${CoverageK - 1})) AS gs(g)
+         |      WHERE length(text) >= $CoverageK),
+         |cg AS (SELECT gram, MIN(doc_id) AS gw FROM g
+         |       WHERE NOT is_batch GROUP BY 1),
+         |sb AS (SELECT g.doc_id, MIN(cg.gw) AS substr_witness
+         |       FROM g JOIN cg USING (gram) WHERE g.is_batch GROUP BY 1)
+         |SELECT b.doc_id,
+         |       cx.exact_witness IS NOT NULL AS exact_dup_corpus,
+         |       cx.exact_witness,
+         |       b.doc_id > fb.first_batch_id AS exact_dup_in_batch,
+         |       fb.first_batch_id,
+         |       CAST(COALESCE(nm.near_matches, 0) AS BIGINT) AS near_matches,
+         |       nm.max_jaccard,
+         |       nw.near_witness,
+         |       sb.substr_witness IS NOT NULL AS substr_hit,
+         |       sb.substr_witness,
+         |       (cx.exact_witness IS NULL AND b.doc_id = fb.first_batch_id
+         |        AND COALESCE(nm.near_matches, 0) = 0
+         |        AND sb.substr_witness IS NULL) AS admitted
+         |FROM d b
+         |LEFT JOIN cx USING (h)
+         |JOIN fb USING (h)
+         |LEFT JOIN nm ON b.doc_id = nm.batch_id
+         |LEFT JOIN nw ON b.doc_id = nw.batch_id
+         |LEFT JOIN sb ON b.doc_id = sb.doc_id
+         |WHERE b.is_batch
+         |ORDER BY b.doc_id""".stripMargin
+    },
     "dd_decontam" -> decontamOracle,
     "dd_contam_report" ->
       s"""WITH dec AS (SELECT * FROM ($decontamOracle))
@@ -1595,5 +1795,6 @@ object Dedup {
     "dd_decontam"      -> decontam,
     "dd_contam_report" -> contamReport,
     "dd_incremental"   -> incrementalDedup,
-    "dd_bloom"         -> bloomIncrementalDedup)
+    "dd_bloom"         -> bloomIncrementalDedup,
+    "dd_admission"     -> admission)
 }

@@ -700,6 +700,69 @@ class DedupSpec extends SparkSpec {
       "under-budget eval grams must carry the broadcast hint")
   }
 
+  test("admission verdict: parity with every standalone screen") {
+    val adm = Dedup.admission(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // exact screens: dd_incremental / dd_bloom
+    Dedup.incrementalDedup(spark, sfDir).collect().foreach { r =>
+      val a = adm(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("kept") ==
+        (!a.getAs[Boolean]("exact_dup_corpus") &&
+          !a.getAs[Boolean]("exact_dup_in_batch")))
+    }
+    Dedup.bloomIncrementalDedup(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Boolean]("is_new") ==
+        !adm(r.getAs[Long]("doc_id")).getAs[Boolean]("exact_dup_corpus"))
+    }
+    // near screen: dd_minhash_incremental
+    Dedup.minhashIncremental(spark, sfDir).collect().foreach { r =>
+      val a = adm(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_corpus_matches") == a.getAs[Long]("near_matches"))
+      assert(Option(r.getAs[java.lang.Double]("max_jaccard")) ==
+        Option(a.getAs[java.lang.Double]("max_jaccard")))
+      assert(r.getAs[Boolean]("novel") == (a.getAs[Long]("near_matches") == 0L))
+    }
+    // substring screen + witnesses: brute-force cross-boundary scan
+    val k = Dedup.CoverageK
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        (Curation.portableHash(col("doc_id")) % 10 === 0).as("is_batch"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    def grams(t: String): Seq[String] =
+      if (t.length >= k) (0 to t.length - k).map(p => t.substring(p, p + k))
+      else Seq.empty
+    val corpusWitness = docs.filterNot(_._3)
+      .flatMap { case (id, t, _) => grams(t).map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).min }
+    docs.filter(_._3).foreach { case (id, t, _) =>
+      val ws = grams(t).flatMap(corpusWitness.get)
+      val a = adm(id)
+      assert(a.getAs[Boolean]("substr_hit") == ws.nonEmpty, s"doc $id")
+      assert(Option(a.getAs[java.lang.Long]("substr_witness"))
+        .map(_.longValue) == (if (ws.isEmpty) None else Some(ws.min)), s"doc $id")
+    }
+    // exact witnesses + the composed verdict
+    val textToMinCorpus = docs.filterNot(_._3).groupBy(_._2)
+      .map { case (t, v) => t -> v.map(_._1).min }
+    val firstInBatch = docs.filter(_._3).groupBy(_._2)
+      .map { case (t, v) => t -> v.map(_._1).min }
+    docs.filter(_._3).foreach { case (id, t, _) =>
+      val a = adm(id)
+      assert(Option(a.getAs[java.lang.Long]("exact_witness"))
+        .map(_.longValue) == textToMinCorpus.get(t), s"doc $id")
+      assert(a.getAs[Long]("first_batch_id") == firstInBatch(t))
+      assert(a.getAs[Boolean]("admitted") ==
+        (!a.getAs[Boolean]("exact_dup_corpus") &&
+          !a.getAs[Boolean]("exact_dup_in_batch") &&
+          a.getAs[Long]("near_matches") == 0L &&
+          !a.getAs[Boolean]("substr_hit")), s"doc $id")
+    }
+    // both admitted outcomes occur on this corpus
+    val verdicts = adm.values.map(_.getAs[Boolean]("admitted")).toSet
+    assert(verdicts == Set(true, false))
+  }
+
   test("dup coverage edge cases: exact-k, sub-k, and split-island docs") {
     import spark.implicits._
     val k = Dedup.CoverageK

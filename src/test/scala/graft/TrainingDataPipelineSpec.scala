@@ -62,16 +62,29 @@ class TrainingDataPipelineSpec extends SparkSpec {
     // one genuinely novel document (must be admitted)
     val srcRow = corpus.orderBy("doc_id").head()
     val srcId = srcRow.getLong(0)
+    val novelText = "completely unprecedented prose about cerulean walrus " +
+      "accordions orbiting a bespoke marzipan observatory nobody indexed"
     val batch = Seq(
       (900000001L, srcRow.getString(1)),
-      (900000002L, "completely unprecedented prose about cerulean walrus " +
-        "accordions orbiting a bespoke marzipan observatory nobody indexed"))
+      (900000002L, novelText),
+      (900000003L, novelText)) // exact in-batch copy: only the first lands
       .toDF("doc_id", "text")
     val screen = graft.operators.Dedup
       .screenAgainstIndex(spark, batch, corpus, r.sigIndexPath)
       .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
     assert(screen(900000001L) == false, "planted duplicate not caught")
     assert(screen(900000002L) == true, "novel doc wrongly flagged")
+    assert(screen(900000003L) == true, "corpus screen is batch-vs-corpus only")
+    // the composed verdict: corpus dup rejected, in-batch dup rejected
+    // with the first copy as witness, one admitted survivor
+    val verdict = TrainingDataPipeline
+      .admissionVerdict(spark, batch, corpus, r.sigIndexPath)
+      .collect().map(v => v.getAs[Long]("doc_id") -> v).toMap
+    assert(!verdict(900000001L).getAs[Boolean]("admitted"))
+    assert(verdict(900000002L).getAs[Boolean]("admitted"))
+    assert(!verdict(900000003L).getAs[Boolean]("admitted"))
+    assert(verdict(900000003L).getAs[Boolean]("exact_dup_in_batch"))
+    assert(verdict(900000003L).getAs[Long]("first_batch_id") == 900000002L)
     val admitted = TrainingDataPipeline
       .ingestBatch(spark, batch, corpus, r.sigIndexPath)
       .select("doc_id").collect().map(_.getLong(0)).toSet
