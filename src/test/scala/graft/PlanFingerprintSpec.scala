@@ -70,24 +70,39 @@ class PlanFingerprintSpec extends SparkSpec {
   private val shapesPath = Paths.get("src/test/resources/plan_shapes.txt")
   private val exPath = Paths.get("src/test/resources/exchange_counts.tsv")
 
-  /** The isolated-time top of the bench record: the queries where one
-    * silently added shuffle costs the most wall-clock, pinned by
-    * EXCHANGE COUNT (not just hash) so the failure names the regression
-    * class directly instead of burying it in a fingerprint diff. */
+  /** The cost-bearing top of the bench record, pinned by EXCHANGE
+    * COUNT (not just hash) so a drift failure names the regression
+    * class (added/removed shuffle or broadcast) directly instead of
+    * burying it in a fingerprint diff. Membership (round 11): every
+    * query at ≥ 1.0 s in the round-10 sweep minima at sf0.1, EVERY
+    * iterative/graph op (gr_*), and each round's new keys — 73 rows.
+    * The round-10 pagerank fix (66 → 1 exchanges) was found by hand;
+    * these pins make that class of regression self-announcing. */
   private val exchangePinned = Seq(
-    "xf_fuzzy_match2", "dd_simhash", "gr_pagerank", "gold_assortment_overlap",
-    "dd_embed_neardup", "gr_components", "gr_kcore", "dq_fd_profile",
-    "dq_table_stats", "gr_bfs_distance", "gold_price_index", "gold_order_gap",
-    "gold_inventory_turnover", "cat_external_partitioned",
-    "smp_negative_sampling", "gold_stockout", "cat_register_tables",
-    "gold_aov_monthly", "gold_segment_sales", "gold_abc_class",
-    "gold_new_vs_returning", "dd_span", "dd_chunk_dedup", "gold_rfm",
-    "dd_components_star",
-    // round-10 additions above the 1.5 s isolated line (plus their
-    // cheap siblings, pinned while fresh)
-    "gr_hits", "gr_labelprop", "dd_dup_coverage", "txt_kn_score",
-    "dq_value_skew", "gold_snaive_backtest", "gold_xyz_class",
-    "evt_trigrams")
+    "ath_category_month_pivot", "ath_revenue_by_category",
+    "ath_rolling_revenue", "ath_sales_rollup", "ath_top_customers",
+    "cat_external_partitioned", "cat_register_tables", "dd_admission",
+    "dd_chunk_dedup", "dd_components_star", "dd_cross_overlap",
+    "dd_decontam_substr", "dd_dup_coverage", "dd_embed_neardup",
+    "dd_simhash", "dd_span", "dq_business_rules", "dq_fd_profile",
+    "dq_key_profile", "dq_table_stats", "dq_value_skew", "emb_gram",
+    "emb_kcenter", "emb_label_confusion", "emb_pca",
+    "evt_attribution_linear", "evt_markov_stationary", "evt_power_curve",
+    "evt_trigrams", "gold_abc_class", "gold_aov_monthly",
+    "gold_assortment_overlap", "gold_cohort_ltv",
+    "gold_first_purchase_category", "gold_inventory_turnover",
+    "gold_manager_revenue", "gold_market_share", "gold_nation_trade",
+    "gold_new_vs_returning", "gold_order_gap", "gold_price_index",
+    "gold_price_slope", "gold_rfm", "gold_seasonality",
+    "gold_segment_sales", "gold_snaive_backtest", "gold_stockout",
+    "gold_xyz_class", "gr_assortativity", "gr_bfs_distance",
+    "gr_clustering_coeff", "gr_components", "gr_degrees", "gr_edge_jaccard",
+    "gr_hits", "gr_kcore", "gr_labelprop", "gr_modularity", "gr_pagerank",
+    "gr_support_hist", "gr_triangles", "smp_interleave",
+    "smp_negative_sampling", "smp_temperature", "snk_partitioned_parquet",
+    "src_inventory", "txt_html_extract", "txt_kn3_score", "txt_kn_score",
+    "txt_quality_by_source", "txt_quality_ensemble", "txt_tfidf",
+    "xf_fuzzy_match2")
 
   private def exchangeCounts(shape: String): (Int, Int) = {
     val ls = shape.linesIterator.map(_.trim).toSeq
@@ -104,6 +119,10 @@ class PlanFingerprintSpec extends SparkSpec {
     // from the cold state this spec creates itself — the first consumer
     // in sorted order derives, the rest read its checkpoint, every run.
     graft.operators.ArtifactCache.invalidateDir(spark, sfDir)
+    // coverage floor for the pin table (round-11 verdict ask): the 1 s+
+    // bench line plus every iterative-graph op must stay pinned
+    assert(exchangePinned.size >= 42 &&
+      exchangePinned.count(_.startsWith("gr_")) >= 13)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val shapes = names.map { n =>
       n -> PlanFingerprint.shape(SparkEntry.queries(n)(spark, sfDir))
