@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletionHashes, CharDeletions, HeavyHitters, HtmlExtract, HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, TopKByScore, WordShingles}
+import graft.functions.{ArrayDotProduct, ArrayScale, BloomOps, CharDeletionHashes, CharDeletions, HeavyHitters, HtmlExtract, HyperplaneSigs, NearestCells, RollingHash, SimHash64, SimHashWide, TokenSetHits, TopKByScore, UrlCanon, WordShingles}
 
 /** Session extension registering graft's native expressions as SQL
   * functions — the supported deployment path for custom Catalyst code:
@@ -82,5 +82,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_html_block_stats",
       "HTML block census [n_blocks, n_kept, n_dropped_link, n_dropped_short]",
       HtmlExtract.statsBuilder)
+    inject("graft_html_parsed",
+      "full HTML parse as one struct (text + block census in a single page walk)",
+      HtmlExtract.parsedBuilder)
+    inject("graft_html_links",
+      "href values of anchor opening tags in document order",
+      HtmlExtract.linksBuilder)
+    inject("graft_url_canon",
+      "canonical form of a URL (case, default port, tracking params, fragment)",
+      UrlCanon.canonBuilder)
+    inject("graft_url_host",
+      "canonical host of a URL (lowercased, default port stripped)",
+      UrlCanon.hostBuilder)
   }
 }

@@ -208,6 +208,102 @@ object HtmlExtract {
   def text(html: UTF8String): UTF8String =
     UTF8String.fromString(parse(html.toString).text)
 
+  /** Called from generated code: the FULL parse result as one struct
+    * (text, n_blocks, n_kept, n_dropped_link, n_dropped_short) — so a
+    * query needing both the text and the census runs the page scan
+    * ONCE per row (codegen subexpression elimination dedupes the
+    * struct eval across the projected fields) instead of paying the
+    * dominant per-row HTML walk twice via separate [[HtmlText]] +
+    * [[HtmlBlockStats]] calls. */
+  def parsedRow(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val p = parse(html.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(p.text), p.nBlocks, p.nKept,
+        p.nDroppedLink, p.nDroppedShort))
+  }
+
+  /** Called from generated code: href values of anchor (`<a …>`)
+    * opening tags in document order — the link-graph signal the text
+    * extraction discards. Shares the comment / script / style / title
+    * skip discipline with [[parse]]; attribute values are returned as
+    * raw bytes (double-/single-quoted or unquoted-to-whitespace; no
+    * entity decode — the contract for synthesized corpora whose hrefs
+    * carry literal `&`), and a quoted value must not contain `>` (the
+    * tag scan, like [[parse]]'s, ends at the first `>`). Anchors
+    * without an href contribute nothing. */
+  def links(html0: UTF8String): ArrayData = {
+    val html = html0.toString
+    val n = html.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (isTagNameStart(html.charAt(i + 1)) ||
+            html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!')) {
+          val closing = html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val ns = j
+          while (j < n && isTagNameChar(html.charAt(j))) j += 1
+          val name =
+            if (j > ns) html.substring(ns, j).toLowerCase(Locale.ROOT) else ""
+          var k = j
+          while (k < n && html.charAt(k) != '>') k += 1
+          val tagEnd = if (k < n) k + 1 else n
+          if (!closing &&
+              (name == "script" || name == "style" || name == "title")) {
+            val close = "</" + name
+            val m = indexOfIgnoreCase(html, close, tagEnd)
+            if (m < 0) i = n
+            else {
+              var g = m + close.length
+              while (g < n && html.charAt(g) != '>') g += 1
+              i = if (g < n) g + 1 else n
+            }
+          } else {
+            if (!closing && name == "a") {
+              // attribute scan inside [j, k): name [= value]
+              var a = j
+              while (a < k) {
+                while (a < k && isWs(html.charAt(a))) a += 1
+                val as = a
+                while (a < k && !isWs(html.charAt(a)) && html.charAt(a) != '=')
+                  a += 1
+                val attr = html.substring(as, a)
+                while (a < k && isWs(html.charAt(a))) a += 1
+                var value: String = null
+                if (a < k && html.charAt(a) == '=') {
+                  a += 1
+                  while (a < k && isWs(html.charAt(a))) a += 1
+                  if (a < k && (html.charAt(a) == '"' || html.charAt(a) == '\'')) {
+                    val q = html.charAt(a)
+                    val vs = a + 1
+                    var ve = vs
+                    while (ve < k && html.charAt(ve) != q) ve += 1
+                    value = html.substring(vs, ve)
+                    a = if (ve < k) ve + 1 else k
+                  } else {
+                    val vs = a
+                    while (a < k && !isWs(html.charAt(a))) a += 1
+                    value = html.substring(vs, a)
+                  }
+                }
+                if (attr.equalsIgnoreCase("href") && value != null)
+                  out.add(UTF8String.fromString(value))
+              }
+            }
+            i = tagEnd
+          }
+        } else i += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+
   /** Called from generated code:
     * [n_blocks, n_kept, n_dropped_link, n_dropped_short]. */
   def stats(html: UTF8String): ArrayData = {
@@ -218,10 +314,14 @@ object HtmlExtract {
 
   val textBuilder: Seq[Expression] => Expression = exprs => HtmlText(exprs.head)
   val statsBuilder: Seq[Expression] => Expression = exprs => HtmlBlockStats(exprs.head)
+  val parsedBuilder: Seq[Expression] => Expression = exprs => HtmlParsed(exprs.head)
+  val linksBuilder: Seq[Expression] => Expression = exprs => HtmlLinks(exprs.head)
 
   def register(spark: SparkSession): Unit = {
     Registration.ensure(spark, "graft_html_text", textBuilder)
     Registration.ensure(spark, "graft_html_block_stats", statsBuilder)
+    Registration.ensure(spark, "graft_html_parsed", parsedBuilder)
+    Registration.ensure(spark, "graft_html_links", linksBuilder)
   }
 
   def textCol(spark: SparkSession, html: Column): Column = {
@@ -232,6 +332,16 @@ object HtmlExtract {
   def statsCol(spark: SparkSession, html: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_html_block_stats", html)
+  }
+
+  def parsedCol(spark: SparkSession, html: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_html_parsed", html)
+  }
+
+  def linksCol(spark: SparkSession, html: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_html_links", html)
   }
 }
 
@@ -274,5 +384,59 @@ case class HtmlBlockStats(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HtmlExtract.stats($c)")
 
   override protected def withNewChildInternal(newChild: Expression): HtmlBlockStats =
+    copy(child = newChild)
+}
+
+/** Full parse of an HTML page under the [[HtmlExtract]] contract, as
+  * one struct — text + census in a single page walk (see
+  * [[HtmlExtract.parsedRow]]). */
+case class HtmlParsed(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DataTypes.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_parsed requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = HtmlParsed.schema
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlExtract.parsedRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlExtract.parsedRow($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlParsed =
+    copy(child = newChild)
+}
+
+object HtmlParsed {
+  val schema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("text", DataTypes.StringType, nullable = false)
+      .add("n_blocks", DataTypes.LongType, nullable = false)
+      .add("n_kept", DataTypes.LongType, nullable = false)
+      .add("n_dropped_link", DataTypes.LongType, nullable = false)
+      .add("n_dropped_short", DataTypes.LongType, nullable = false)
+}
+
+/** href values of anchor opening tags in document order (see
+  * [[HtmlExtract.links]]) — the host link-graph signal. */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DataTypes.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_links requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType =
+    ArrayType(DataTypes.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlExtract.links(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlExtract.links($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
     copy(child = newChild)
 }

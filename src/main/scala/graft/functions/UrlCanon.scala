@@ -16,9 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * canonical URL is orders of magnitude cheaper than discovering the
   * same equivalence later by content shingling.
   *
-  * Canonicalization contract (shared verbatim with the oracle
-  * synthesis arithmetic in `graft.operators.Html` and the planted
-  * specs):
+  * Canonicalization contract (shared verbatim with the variant
+  * synthesis arithmetic + DuckDB oracles in `graft.operators.Url`
+  * and the planted cases in UrlSpec):
   *   - scheme and host lowercase;
   *   - default port stripped (`:80` for http, `:443` for https; other
   *     ports kept);

@@ -723,11 +723,20 @@ object Dedup {
     *     ties to the smaller id (one max-of-struct argmax, no window);
     *   - VERBATIM 48-char run vs corpus (the [[dupCoverage]] substring
     *     signal applied cross-boundary), witness = smallest corpus doc
-    *     holding any shared gram.
+    *     holding any shared gram;
+    *   - SEMANTIC near-dup vs corpus ([[Similarity.semanticDecontam]]'s
+    *     hyperplane-LSH + exact-cosine path on the admission split):
+    *     paraphrase-robust — reworded copies the token screens miss by
+    *     construction. Witness = best-cosine corpus embedding, ties to
+    *     the smaller id (the same max-of-struct argmax; embeddings are
+    *     1:1 with documents by id).
     *
-    * `admitted` = all four screens clear. Parity with each standalone
+    * `admitted` = all five screens clear. Parity with each standalone
     * screen is asserted in DedupSpec; the oracle composes the
-    * components' own oracle forms.
+    * components' own oracle forms (the semantic oracle is the licensed
+    * brute-force cosine of dd_decontam_sem — exact because candidates
+    * are exact-verified and banding recall is 1.0 at every verified
+    * SF, re-proven by the hash gate itself on this split).
     *
     * Scale shape: every screen is the standalone operator's plan — the
     * exact screen ships one bloom + an index-sized witness join, the
@@ -751,11 +760,16 @@ object Dedup {
     hashed.where(!col("is_batch")).select("h").createOrReplaceTempView(corpusView)
     hashed.where(col("is_batch")).select("doc_id", "h")
       .createOrReplaceTempView(batchView)
+    // COALESCE: an EMPTY corpus split aggregates to a NULL bloom and
+    // the probe returns NULL — without the fallback every batch row
+    // would fail both `where(maybe)` and `where(!maybe)` and the
+    // one-row-per-batch-doc contract silently drops to 0 rows. An
+    // absent bloom is proof of absence.
     val probed = spark.sql(
       s"""SELECT doc_id, h,
-         |       graft_bloom_contains(
+         |       COALESCE(graft_bloom_contains(
          |         (SELECT graft_bloom_agg(xxhash64(h)) FROM $corpusView),
-         |         xxhash64(h)) AS maybe
+         |         xxhash64(h)), FALSE) AS maybe
          |FROM $batchView""".stripMargin)
     val corpusIdx = hashed.where(!col("is_batch"))
       .groupBy("h").agg(min("doc_id").as("exact_witness"))
@@ -817,9 +831,41 @@ object Dedup {
       .join(corpusHits, Seq("gram"))
       .groupBy("doc_id").agg(min("gw").as("substr_witness"))
 
+    // semantic screen: the decontamSem kernel on the admission split —
+    // signatures come from the per-dir cached hyperplane index (signed
+    // ONCE per corpus, split after signing); candidates are the keyed
+    // (table, signature) equi-join of batch sigs against corpus sigs,
+    // never corpus²; only candidates pay the exact cosine rerank
+    val emb = Similarity.corpus(spark, dir)
+    val isBatchVec = Curation.portableHash(col("vec_id")) % 10 === 0
+    val vsigs = Similarity.lshSigs(spark, dir)
+    val semCand = vsigs.where(isBatchVec)
+      .select(col("vec_id").as("b_vec"), col("tbl"), col("sig"))
+      .join(vsigs.where(!isBatchVec)
+          .select(col("vec_id").as("c_vec"), col("tbl"), col("sig")),
+        Seq("tbl", "sig"))
+      .select("b_vec", "c_vec").distinct()
+    val sem = semCand
+      .join(emb.select(col("vec_id").as("b_vec"), col("embedding").as("e_b"),
+        col("nrm").as("n_b")), "b_vec")
+      .join(emb.select(col("vec_id").as("c_vec"), col("embedding").as("e_c"),
+        col("nrm").as("n_c")), "c_vec")
+      .select(col("b_vec"), col("c_vec"),
+        graft.functions.VectorFunctions.cosinePrenormed(
+          graft.functions.VectorFunctions.dot(col("e_b"), col("e_c")),
+          col("n_b"), col("n_c")).as("cosine"))
+      .where(col("cosine") >= Similarity.NearDupThreshold)
+      .groupBy(col("b_vec").as("doc_id"))
+      .agg(count(lit(1)).as("sem_matches"),
+        max(col("cosine")).as("max_sem_cos"),
+        max(struct(col("cosine"), (-col("c_vec")).as("nid"))).as("smx"))
+      .select(col("doc_id"), col("sem_matches"), col("max_sem_cos"),
+        (-col("smx.nid")).as("sem_witness"))
+
     exactFlags
       .join(near, Seq("doc_id"), "left")
       .join(substr, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("exact_dup_corpus"), col("exact_witness"),
         col("exact_dup_in_batch"), col("first_batch_id"),
@@ -827,9 +873,12 @@ object Dedup {
         col("max_jaccard"), col("near_witness"),
         col("substr_witness").isNotNull.as("substr_hit"),
         col("substr_witness"),
+        coalesce(col("sem_matches"), lit(0L)).as("sem_matches"),
+        col("max_sem_cos"), col("sem_witness"),
         (!col("exact_dup_corpus") && !col("exact_dup_in_batch") &&
           coalesce(col("near_matches"), lit(0L)) === 0L &&
-          col("substr_witness").isNull).as("admitted"))
+          col("substr_witness").isNull &&
+          coalesce(col("sem_matches"), lit(0L)) === 0L).as("admitted"))
       .orderBy("doc_id")
   }
 
@@ -1343,11 +1392,12 @@ object Dedup {
     docs.where(!col("is_batch")).select("h").createOrReplaceTempView(corpusView)
     docs.where(col("is_batch")).select("doc_id", "h")
       .createOrReplaceTempView(batchView)
+    // COALESCE against the empty-corpus NULL bloom — see [[admission]]
     val probed = spark.sql(
       s"""SELECT doc_id, h,
-         |       graft_bloom_contains(
+         |       COALESCE(graft_bloom_contains(
          |         (SELECT graft_bloom_agg(xxhash64(h)) FROM $corpusView),
-         |         xxhash64(h)) AS maybe
+         |         xxhash64(h)), FALSE) AS maybe
          |FROM $batchView""".stripMargin)
     val corpusHashes = docs.where(!col("is_batch"))
       .select(col("h")).distinct().withColumn("in_corpus", lit(true))
@@ -1669,7 +1719,26 @@ object Dedup {
          |cg AS (SELECT gram, MIN(doc_id) AS gw FROM g
          |       WHERE NOT is_batch GROUP BY 1),
          |sb AS (SELECT g.doc_id, MIN(cg.gw) AS substr_witness
-         |       FROM g JOIN cg USING (gram) WHERE g.is_batch GROUP BY 1)
+         |       FROM g JOIN cg USING (gram) WHERE g.is_batch GROUP BY 1),
+         |emb AS (SELECT vec_id,
+         |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |               (${Curation.portableHashSql("vec_id")} % 10 = 0) AS ib
+         |        FROM embeddings),
+         |sp AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+         |              list_dot_product(b.e, c.e)
+         |                / (SQRT(list_dot_product(b.e, b.e))
+         |                   * SQRT(list_dot_product(c.e, c.e))) AS cosine
+         |       FROM emb b, emb c
+         |       WHERE b.ib AND NOT c.ib),
+         |sq AS (SELECT batch_id, corpus_id, cosine FROM sp
+         |       WHERE cosine >= ${Similarity.NearDupThreshold}),
+         |sm AS (SELECT batch_id, COUNT(*) AS sem_matches,
+         |              MAX(cosine) AS max_sem_cos
+         |       FROM sq GROUP BY 1),
+         |sw AS (SELECT sq.batch_id, MIN(sq.corpus_id) AS sem_witness
+         |       FROM sq JOIN sm ON sq.batch_id = sm.batch_id
+         |                      AND sq.cosine = sm.max_sem_cos
+         |       GROUP BY 1)
          |SELECT b.doc_id,
          |       cx.exact_witness IS NOT NULL AS exact_dup_corpus,
          |       cx.exact_witness,
@@ -1680,15 +1749,21 @@ object Dedup {
          |       nw.near_witness,
          |       sb.substr_witness IS NOT NULL AS substr_hit,
          |       sb.substr_witness,
+         |       CAST(COALESCE(sm.sem_matches, 0) AS BIGINT) AS sem_matches,
+         |       sm.max_sem_cos,
+         |       sw.sem_witness,
          |       (cx.exact_witness IS NULL AND b.doc_id = fb.first_batch_id
          |        AND COALESCE(nm.near_matches, 0) = 0
-         |        AND sb.substr_witness IS NULL) AS admitted
+         |        AND sb.substr_witness IS NULL
+         |        AND COALESCE(sm.sem_matches, 0) = 0) AS admitted
          |FROM d b
          |LEFT JOIN cx USING (h)
          |JOIN fb USING (h)
          |LEFT JOIN nm ON b.doc_id = nm.batch_id
          |LEFT JOIN nw ON b.doc_id = nw.batch_id
          |LEFT JOIN sb ON b.doc_id = sb.doc_id
+         |LEFT JOIN sm ON b.doc_id = sm.batch_id
+         |LEFT JOIN sw ON b.doc_id = sw.batch_id
          |WHERE b.is_batch
          |ORDER BY b.doc_id""".stripMargin
     },

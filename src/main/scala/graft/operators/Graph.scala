@@ -132,6 +132,50 @@ object Graph {
         col("pr").as("pagerank"))
       .orderBy("node_id")
 
+  /** `gr_host_rank`: PageRank over the host→host link graph recovered
+    * from the HTML corpus — the standard crawl-quality prior
+    * (CCNet/RefinedWeb class): a host endorsed by many well-endorsed
+    * hosts outranks link farms, and the score feeds document-level
+    * sampling weights far upstream of any content signal.
+    *
+    * The pipeline is the real extraction path end-to-end: synthesized
+    * link pages ([[Html.linkPages]]) → `graft_html_links` (anchors
+    * inside scripts/comments never surface) → `graft_url_host`
+    * (case/port/tracking noise collapses) → a distinct host→host edge
+    * list (self-links dropped as navigation noise) → the general
+    * dangling-mass [[pagerankOn]] (the sink host — linked-to but
+    * hosting no pages — exercises the dangling term with real mass).
+    * The DuckDB oracle recomputes the edge list by the synthesis
+    * arithmetic and unrolls the same fixed-round PageRank, so a bug
+    * anywhere in extract → canonicalize → rank breaks the hash gate.
+    *
+    * Scale shape: link extraction + host canonicalization are one
+    * map-side codegen pass over the page scan; the edge list collapses
+    * by DISTINCT on the (src, dst) host pair (hosts ≪ pages — at crawl
+    * scale a pre-aggregation keyed on the host pair); the rank loop is
+    * [[pagerankOn]]'s host-count-sized iteration. */
+  def hostRank(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Html.linkPages(spark, dir)
+    val edges = pages
+      .select(col("src_host").as("u"),
+        explode(graft.functions.HtmlExtract.linksCol(spark, col("html")))
+          .as("href"))
+      .select(col("u"),
+        graft.functions.UrlCanon.hostCol(spark, col("href")).as("dhost"))
+      .where(col("dhost").isNotNull)
+      .where(col("dhost").rlike("^host\\d+\\.example$"))
+      .select(col("u"),
+        regexp_extract(col("dhost"), "^host(\\d+)\\.example$", 1)
+          .cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    pagerankOn(spark, edges)
+      .select(col("u").as("host_id"),
+        concat(lit("host"), col("u").cast("string"), lit(".example")).as("host"),
+        col("pr").as("pagerank"))
+      .orderBy("host_id")
+  }
+
   /** Synchronous rounds for [[labelprop]] — fixed, like
     * [[PagerankIters]], so the result is a well-defined function of
     * the input rather than a convergence race. */
@@ -501,6 +545,22 @@ object Graph {
        |  FROM nodes LEFT JOIN m$out m ON nodes.u = m.u, n, dg$out)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "gr_host_rank" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % ${Url.HostMod} AS s FROM documents),
+         |raw AS (
+         |  SELECT s AS u, (doc_id*3 + 1) % ${Url.HostMod} AS v FROM d
+         |  UNION ALL SELECT s, (doc_id*5 + 2) % ${Url.HostMod} FROM d
+         |  UNION ALL SELECT s, ${Url.HostMod} FROM d WHERE doc_id % 11 = 0),
+         |und AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+         |nodes AS (SELECT DISTINCT u
+         |          FROM (SELECT u FROM und UNION ALL SELECT v FROM und)),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+         |pr0 AS (SELECT u, CAST(1 AS DOUBLE)/nd AS pr FROM nodes, n),
+         |${(1 to PagerankIters).map(i => prRound(s"pr${i - 1}", s"pr$i"))
+             .mkString(",\n")}
+         |SELECT u AS host_id, 'host'||u||'.example' AS host, pr AS pagerank
+         |FROM pr$PagerankIters ORDER BY host_id""".stripMargin,
     "gr_pagerank" ->
       s"""WITH ${Tables.salesCte},
          |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
@@ -925,6 +985,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank"  -> pagerank,
+    "gr_host_rank" -> hostRank,
     "gr_labelprop" -> labelprop,
     "gr_hits"      -> hits,
     "gr_degrees"   -> degrees,

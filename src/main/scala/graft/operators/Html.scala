@@ -83,22 +83,69 @@ object Html {
   /** `txt_html_extract`: parse the synthesized corpus back through the
     * real extractor — per page, the block census (total / kept /
     * link-dropped / short-dropped), the extracted char count and the
-    * extracted main text. Scale shape: one map-side pass (codegen
-    * scalar kernels), the only exchange is the output ordering. */
+    * extracted main text. Scale shape: one map-side pass — the page is
+    * walked ONCE per row via the struct-returning `graft_html_parsed`
+    * kernel (text + census in one [[HtmlExtract.parse]] call; codegen
+    * subexpression elimination shares the struct eval across the
+    * projected fields), not once per output column; the only exchange
+    * is the output ordering.
+    *
+    * Corpus precondition (shared with the oracle, which measures the
+    * UNTRIMMED paragraph in code points): `documents.text` is
+    * single-space-separated prose with no tab/CR/LF and no
+    * supplementary code points — the driver's synthetic corpus
+    * satisfies it, and HtmlSpec pins the trim/length semantics on
+    * planted pages that violate it. */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
-    val stats = HtmlExtract.statsCol(spark, col("html"))
+    val p = HtmlExtract.parsedCol(spark, col("html"))
     htmlPages(spark, dir)
+      .select(col("doc_id"), p.as("p"))
       .select(col("doc_id"),
-        HtmlExtract.textCol(spark, col("html")).as("extracted_text"),
-        stats.as("st"))
-      .select(col("doc_id"),
-        col("st").getItem(0).as("n_blocks"),
-        col("st").getItem(1).as("n_kept"),
-        col("st").getItem(2).as("n_dropped_link"),
-        col("st").getItem(3).as("n_dropped_short"),
-        length(col("extracted_text")).cast("long").as("extracted_chars"),
-        col("extracted_text"))
+        col("p.n_blocks").as("n_blocks"),
+        col("p.n_kept").as("n_kept"),
+        col("p.n_dropped_link").as("n_dropped_link"),
+        col("p.n_dropped_short").as("n_dropped_short"),
+        length(col("p.text")).cast("long").as("extracted_chars"),
+        col("p.text").as("extracted_text"))
       .orderBy("doc_id")
+  }
+
+  /** The synthesized LINK-page corpus for the host graph: one page per
+    * document, hosted on `host(doc_id % Url.HostMod).example`, whose
+    * anchors point at hosts derived arithmetically from doc_id — so
+    * the host→host edge list (and with it `gr_host_rank`'s oracle) is
+    * recomputable by pure arithmetic while the Spark side must recover
+    * it through the REAL extraction path (`graft_html_links` →
+    * `graft_url_host`). The page plants the extraction contract's
+    * hazards: an anchor inside `<script>` (must not be seen), one
+    * inside a comment (ditto), a single-quoted href, an href dressed
+    * in canon-needing noise (uppercase host, `:80`, a tracking param),
+    * an href-less `<a name=…>`, and — for every 11th doc — a link to
+    * the pageless sink host `host{Url.HostMod}` (no out-edges), which
+    * makes the PageRank dangling-mass term genuinely nonzero. */
+  def linkPages(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val s = id % Url.HostMod
+    val t1 = (id * 3 + 1) % Url.HostMod
+    val t2 = (id * 5 + 2) % Url.HostMod
+    val html = concat(
+      lit("<html><head><title>Host page "), id.cast("string"),
+      lit("</title><script>var s=\"<a href=\\\"http://scripted.example/no\\\">\";" +
+        "</script></head><body>" +
+        "<!-- <a href=\"http://commented.example/no\">x</a> -->" +
+        "<nav><a href=\"HTTP://HOST"), t1.cast("string"),
+      lit(".EXAMPLE:80/p"), id.cast("string"),
+      lit("?utm_source=nav\">next</a> <a href='http://host"), t2.cast("string"),
+      lit(".example/p"), (id * 7).cast("string"),
+      lit("'>also</a> <a name=\"x\">anchorless</a></nav>"),
+      when(id % 11 === 0,
+        concat(lit("<p><a href=\"https://host"), lit(Url.HostMod).cast("string"),
+          lit(".example:443/sink\">archive</a></p>")))
+        .otherwise(lit("")),
+      lit("<p>Linkfarm page for host "), s.cast("string"),
+      lit(".</p></body></html>"))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), s.as("src_host"), html.as("html"))
   }
 
   /** Optional TrainingDataPipeline pre-stage: turn a page table

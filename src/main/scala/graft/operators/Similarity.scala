@@ -99,7 +99,7 @@ object Similarity {
   }
 
   /** Corpus with the norm precomputed once per row (never per pair). */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayDotProduct.register(spark)
     Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -145,10 +145,11 @@ object Similarity {
     * map, so the signature pass fuses into the corpus scan's
     * whole-stage-codegen span. */
   private[graft] def signatures(spark: SparkSession, df: DataFrame, idCol: String,
-      tables: Int = LshTables, bits: Int = LshBits): DataFrame =
+      tables: Int = LshTables, bits: Int = LshBits,
+      dim: Int = Dim): DataFrame =
     df.select(col(idCol).cast("long").as(idCol),
         posexplode(graft.functions.HyperplaneSigs.column(spark,
-          col("embedding"), tables, bits, Dim, PlaneSeed)))
+          col("embedding"), tables, bits, dim, PlaneSeed)))
       .select(col(idCol), col("pos").as("tbl"), col("col").as("sig"))
 
   /** Drop signature rows landing in buckets whose population exceeds
@@ -173,7 +174,7 @@ object Similarity {
     * [[semanticDecontam]], [[buildTopKLsh]]) and each references it on
     * BOTH sides of its candidate join — uncached, the per-row
     * hyperplane signing re-runs per reference. */
-  private def lshSigs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lshSigs(spark: SparkSession, dir: String): DataFrame =
     ArtifactCache.of(spark, dir, "emb_lsh_sigs") {
       val bits = lshBitsFor(corpusCount(spark, dir))
       capBuckets(signatures(spark, corpus(spark, dir), "vec_id",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -609,6 +609,103 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_trigrams"),
         (col("s").cast("double") / lit(LmScale.toDouble) / col("n_trigrams"))
           .as("kn3_score"))
+      .orderBy("doc_id")
+  }
+
+  /** `txt_kn5_score`: interpolated Kneser-Ney 5-GRAM fluency scoring —
+    * the STANDARD pretraining fluency-filter order (KenLM-class
+    * models: CCNet, RefinedWeb, Gopher all filter on a 5-gram KN
+    * perplexity). [[kn3Score]]'s recursion extended two more orders,
+    * every lower order derived from the ONE 5-gram type table by
+    * successive continuation-count rollups (so document-initial
+    * shorter grams never skew the backoff):
+    *
+    *   p(w₅|w₁..w₄) = (c₅−d)/c₁₄ + (d·N₁₊(w₁..w₄·)/c₁₄) · p(w₅|w₂w₃w₄)
+    *   p(w₅|w₂w₃w₄) = (ĉ₄−d)/ĉ₄ᶜ + (d·N̂₄(w₂w₃w₄·)/ĉ₄ᶜ) · p(w₅|w₃w₄)
+    *   p(w₅|w₃w₄)   = (ĉ₃−d)/ĉ₃ᶜ + (d·N̂₃(w₃w₄·)/ĉ₃ᶜ) · p(w₅|w₄)
+    *   p(w₅|w₄)     = (ĉ₂−d)/ĉ₂ᶜ + (d·N̂₂(w₄·)/ĉ₂ᶜ) · p(w₅)
+    *   p(w₅)        = N̂₁₊(·w₅) / |(w₄,w₅) types|
+    *
+    * where ĉₖ is the type count of the order-(k+1) table rolled up one
+    * position from the left (ĉ₄(w₂..w₅) = N₁₊(·w₂w₃w₄w₅) = distinct w₁
+    * in the 5-gram table, and so on down). All counts ≥ 1 keep every
+    * discounted numerator positive without a max. Same
+    * no-transcendental +,−,×,/ fixed-association discipline as
+    * [[knScore]]/[[kn3Score]], so the doubles are engine-identical and
+    * the per-doc mean goes through the fixed-point floor.
+    *
+    * Scale shape: ONE 5-gram explode feeds the type table; the seven
+    * lower-order tables are successive rollups of it (each bounded by
+    * the previous table's TYPES — types⁵ ≥ types⁴ ≥ … — all
+    * Heaps-sublinear in corpus mass), the bigram-type total is a
+    * broadcast 1-row aggregate, p is a function of the TYPE alone, and
+    * the token stream joins exactly ONCE on the finished per-type
+    * score. */
+  def kn5Score(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val docs = Tables.table(spark, dir, "documents")
+    // explicit-width exchange before the ~len× explode (see kn3Score)
+    val np = spark.sessionState.conf.numShufflePartitions
+    val gram = docs.select(col("doc_id"), col("text"))
+      .repartition(np, col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(5)))
+          .as("g"))
+      .withColumn("ws", split(col("g"), " "))
+    val tg = gram.select(col("doc_id") +: (0 until 5).map(i =>
+        col("ws").getItem(i).as(s"w${i + 1}")): _*)
+    // the type table feeds the rollup chain + the scoring join — the
+    // kn3Score checkpoint discipline at every re-read table
+    val c5 = tg.groupBy("w1", "w2", "w3", "w4", "w5")
+      .agg(count(lit(1)).as("c5")).localCheckpoint()
+    val c14 = c5.groupBy("w1", "w2", "w3", "w4")
+      .agg(sum("c5").as("c14"), count(lit(1)).as("n14f"))
+    val q4 = c5.groupBy("w2", "w3", "w4", "w5").agg(count(lit(1)).as("c4m"))
+      .localCheckpoint()
+    val q4ctx = q4.groupBy("w2", "w3", "w4")
+      .agg(sum("c4m").as("c4t"), count(lit(1)).as("n4f"))
+    val q3 = q4.groupBy("w3", "w4", "w5").agg(count(lit(1)).as("c3m"))
+      .localCheckpoint()
+    val q3ctx = q3.groupBy("w3", "w4")
+      .agg(sum("c3m").as("c3t"), count(lit(1)).as("n3f"))
+    val q2 = q3.groupBy("w4", "w5").agg(count(lit(1)).as("c2m"))
+      .localCheckpoint()
+    val q2ctx = q2.groupBy("w4")
+      .agg(sum("c2m").as("c2t"), count(lit(1)).as("n2f"))
+    val uni = q2.groupBy("w5").agg(count(lit(1)).as("cu"))
+    val bt = q2.agg(count(lit(1)).as("bt"))
+    val d = lit(KnDiscount)
+    def dbl(c: Column): Column = c.cast("double")
+    val ptype = c5
+      .join(c14, Seq("w1", "w2", "w3", "w4"))
+      .join(q4, Seq("w2", "w3", "w4", "w5"))
+      .join(q4ctx, Seq("w2", "w3", "w4"))
+      .join(q3, Seq("w3", "w4", "w5"))
+      .join(q3ctx, Seq("w3", "w4"))
+      .join(q2, Seq("w4", "w5"))
+      .join(q2ctx, Seq("w4"))
+      .join(uni, Seq("w5"))
+      .crossJoin(broadcast(bt))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+        ((dbl(col("c5")) - d) / dbl(col("c14"))
+          + ((d * dbl(col("n14f"))) / dbl(col("c14")))
+            * ((dbl(col("c4m")) - d) / dbl(col("c4t"))
+              + ((d * dbl(col("n4f"))) / dbl(col("c4t")))
+                * ((dbl(col("c3m")) - d) / dbl(col("c3t"))
+                  + ((d * dbl(col("n3f"))) / dbl(col("c3t")))
+                    * ((dbl(col("c2m")) - d) / dbl(col("c2t"))
+                      + ((d * dbl(col("n2f"))) / dbl(col("c2t")))
+                        * (dbl(col("cu")) / dbl(col("bt")))))))
+          .as("p"))
+    val p = tg.join(ptype, Seq("w1", "w2", "w3", "w4", "w5"))
+      .select(col("doc_id"), col("p"))
+    p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_5grams"),
+        sum(floor(col("p") * lit(LmScale.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .select(col("doc_id"), col("n_5grams"),
+        (col("s").cast("double") / lit(LmScale.toDouble) / col("n_5grams"))
+          .as("kn5_score"))
       .orderBy("doc_id")
   }
 
@@ -1823,6 +1920,71 @@ object TextAnalysis {
          |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
          |         / $LmScale / COUNT(*) AS kn3_score
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_kn5_score" ->
+      s"""WITH tg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
+         |           i -> t[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(t)-4),
+         |           i -> t[i+1])) AS w2,
+         |         unnest(list_transform(generate_series(1, len(t)-4),
+         |           i -> t[i+2])) AS w3,
+         |         unnest(list_transform(generate_series(1, len(t)-4),
+         |           i -> t[i+3])) AS w4,
+         |         unnest(list_transform(generate_series(1, len(t)-4),
+         |           i -> t[i+4])) AS w5
+         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+         |  WHERE len(t) >= 5),
+         |c5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5
+         |       FROM tg GROUP BY 1, 2, 3, 4, 5),
+         |c14 AS (SELECT w1, w2, w3, w4, CAST(SUM(c5) AS BIGINT) AS c14,
+         |               COUNT(*) AS n14f
+         |        FROM c5 GROUP BY 1, 2, 3, 4),
+         |q4 AS (SELECT w2, w3, w4, w5, COUNT(*) AS c4m
+         |       FROM c5 GROUP BY 1, 2, 3, 4),
+         |q4ctx AS (SELECT w2, w3, w4, CAST(SUM(c4m) AS BIGINT) AS c4t,
+         |                 COUNT(*) AS n4f
+         |          FROM q4 GROUP BY 1, 2, 3),
+         |q3 AS (SELECT w3, w4, w5, COUNT(*) AS c3m FROM q4 GROUP BY 1, 2, 3),
+         |q3ctx AS (SELECT w3, w4, CAST(SUM(c3m) AS BIGINT) AS c3t,
+         |                 COUNT(*) AS n3f
+         |          FROM q3 GROUP BY 1, 2),
+         |q2 AS (SELECT w4, w5, COUNT(*) AS c2m FROM q3 GROUP BY 1, 2),
+         |q2ctx AS (SELECT w4, CAST(SUM(c2m) AS BIGINT) AS c2t, COUNT(*) AS n2f
+         |          FROM q2 GROUP BY 1),
+         |uni AS (SELECT w5, COUNT(*) AS cu FROM q2 GROUP BY 1),
+         |bt AS (SELECT COUNT(*) AS bt FROM q2),
+         |p AS (
+         |  SELECT tg.doc_id,
+         |         (CAST(c5.c5 AS DOUBLE) - $KnDiscount) / CAST(c14.c14 AS DOUBLE)
+         |           + (($KnDiscount * CAST(c14.n14f AS DOUBLE))
+         |               / CAST(c14.c14 AS DOUBLE))
+         |             * ((CAST(q4.c4m AS DOUBLE) - $KnDiscount)
+         |                 / CAST(q4ctx.c4t AS DOUBLE)
+         |               + (($KnDiscount * CAST(q4ctx.n4f AS DOUBLE))
+         |                   / CAST(q4ctx.c4t AS DOUBLE))
+         |                 * ((CAST(q3.c3m AS DOUBLE) - $KnDiscount)
+         |                     / CAST(q3ctx.c3t AS DOUBLE)
+         |                   + (($KnDiscount * CAST(q3ctx.n3f AS DOUBLE))
+         |                       / CAST(q3ctx.c3t AS DOUBLE))
+         |                     * ((CAST(q2.c2m AS DOUBLE) - $KnDiscount)
+         |                         / CAST(q2ctx.c2t AS DOUBLE)
+         |                       + (($KnDiscount * CAST(q2ctx.n2f AS DOUBLE))
+         |                           / CAST(q2ctx.c2t AS DOUBLE))
+         |                         * (CAST(uni.cu AS DOUBLE)
+         |                             / CAST(bt.bt AS DOUBLE))))) AS p
+         |  FROM tg JOIN c5 USING (w1, w2, w3, w4, w5)
+         |          JOIN c14 USING (w1, w2, w3, w4)
+         |          JOIN q4 USING (w2, w3, w4, w5)
+         |          JOIN q4ctx USING (w2, w3, w4)
+         |          JOIN q3 USING (w3, w4, w5)
+         |          JOIN q3ctx USING (w3, w4)
+         |          JOIN q2 USING (w4, w5)
+         |          JOIN q2ctx USING (w4)
+         |          JOIN uni USING (w5) CROSS JOIN bt)
+         |SELECT doc_id, COUNT(*) AS n_5grams,
+         |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
+         |         / $LmScale / COUNT(*) AS kn5_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_bm25" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (
@@ -1923,6 +2085,7 @@ object TextAnalysis {
     "txt_lm_score"    -> lmScore,
     "txt_kn_score"    -> knScore,
     "txt_kn3_score"   -> kn3Score,
+    "txt_kn5_score"   -> kn5Score,
     "txt_quality_by_source" -> qualityBySource,
     "txt_pii_profile" -> piiProfile,
     "txt_bm25"        -> bm25,

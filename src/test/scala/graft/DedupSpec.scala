@@ -742,6 +742,35 @@ class DedupSpec extends SparkSpec {
       assert(Option(a.getAs[java.lang.Long]("substr_witness"))
         .map(_.longValue) == (if (ws.isEmpty) None else Some(ws.min)), s"doc $id")
     }
+    // semantic screen: brute-force cosine over the aligned embeddings
+    // (recall 1.0 license for the LSH-pruned path on THIS split)
+    def pHash(id: Long): Long =
+      ((id % Curation.HashMod) * Curation.HashMult) % Curation.HashMod
+    val embs = Tables.table(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (bEmb, cEmb) = embs.partition { case (id, _) => pHash(id) % 10 == 0 }
+    bEmb.foreach { case (bid, be) =>
+      val hits = cEmb.map { case (cid, ce) => (cid, cos(be, ce)) }
+        .filter(_._2 >= graft.operators.Similarity.NearDupThreshold)
+      val a = adm(bid)
+      assert(a.getAs[Long]("sem_matches") == hits.length.toLong, s"doc $bid")
+      if (hits.nonEmpty) {
+        val best = hits.map(_._2).max
+        assert(math.abs(a.getAs[Double]("max_sem_cos") - best) < 1e-9, s"doc $bid")
+        assert(a.getAs[Long]("sem_witness") ==
+          hits.filter(_._2 == best).map(_._1).min, s"doc $bid")
+      } else {
+        assert(a.isNullAt(a.fieldIndex("max_sem_cos")), s"doc $bid")
+        assert(a.isNullAt(a.fieldIndex("sem_witness")), s"doc $bid")
+      }
+    }
     // exact witnesses + the composed verdict
     val textToMinCorpus = docs.filterNot(_._3).groupBy(_._2)
       .map { case (t, v) => t -> v.map(_._1).min }
@@ -756,7 +785,8 @@ class DedupSpec extends SparkSpec {
         (!a.getAs[Boolean]("exact_dup_corpus") &&
           !a.getAs[Boolean]("exact_dup_in_batch") &&
           a.getAs[Long]("near_matches") == 0L &&
-          !a.getAs[Boolean]("substr_hit")), s"doc $id")
+          !a.getAs[Boolean]("substr_hit") &&
+          a.getAs[Long]("sem_matches") == 0L), s"doc $id")
     }
     // both admitted outcomes occur on this corpus
     val verdicts = adm.values.map(_.getAs[Boolean]("admitted")).toSet

@@ -123,6 +123,65 @@ class HtmlSpec extends SparkSpec {
     assert(row.getSeq[Long](1) == Seq(2L, 1L, 0L, 1L))
   }
 
+  test("planted page: link extraction contract (graft_html_links)") {
+    def links(html: String): Seq[String] = {
+      val a = HtmlExtract.links(
+        org.apache.spark.unsafe.types.UTF8String.fromString(html))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // quote styles, attribute order, uppercase attr name, document order
+    assert(links(
+      """<a href="http://a.com/1">x</a>
+        |<a class="c" href='http://a.com/2'>y</a>
+        |<A HREF=http://a.com/3>z</A>""".stripMargin) ==
+      Seq("http://a.com/1", "http://a.com/2", "http://a.com/3"))
+    // anchors inside script / style / title / comments never surface
+    assert(links(
+      """<script>var s = '<a href="http://no.com/s">';</script>
+        |<style>a:after { content: '<a href="http://no.com/c">' }</style>
+        |<title><a href="http://no.com/t">t</a></title>
+        |<!-- <a href="http://no.com/x">x</a> -->
+        |<a href="http://yes.com/1">real</a>""".stripMargin) ==
+      Seq("http://yes.com/1"))
+    // href-less anchors and closing tags contribute nothing
+    assert(links("""<a name="top">anchor</a><a>bare</a></a href="http://no.com">""")
+      == Seq())
+    assert(links("") == Seq())
+  }
+
+  test("graft_html_parsed: one-walk struct equals the text+stats pair") {
+    val pages = Seq(
+      "<p>plain body paragraph long enough</p>",
+      "<nav><a href=\"/\">All Of This Is Nav</a></nav><p>tiny</p>",
+      "<p>5 &lt; 7 &amp; more content here</p><script>x<y</script>",
+      "")
+    graft.functions.HtmlExtract.register(spark)
+    import spark.implicits._
+    pages.toDF("html")
+      .selectExpr("graft_html_text(html) AS t", "graft_html_block_stats(html) AS s",
+        "graft_html_parsed(html) AS p")
+      .collect().foreach { r =>
+        val p = r.getStruct(2)
+        assert(p.getAs[String]("text") == r.getAs[String]("t"))
+        assert(Seq(p.getAs[Long]("n_blocks"), p.getAs[Long]("n_kept"),
+          p.getAs[Long]("n_dropped_link"), p.getAs[Long]("n_dropped_short")) ==
+          r.getSeq[Long](1))
+      }
+  }
+
+  test("trim/length semantics pinned: block-edge tab/CR/LF trim, UTF-16 len") {
+    // the txt_html_extract oracle measures the UNTRIMMED paragraph in
+    // code points; the extractor trims edges and measures UTF-16 units.
+    // The corpus precondition (single-space ASCII-ish prose) keeps them
+    // equal — these planted pages document where they would diverge.
+    val p1 = parsed("<p>\t edge-trimmed body text here \r\n</p>")
+    assert(p1.text == "edge-trimmed body text here")
+    val p2 = parsed("<p>\t x \n</p>") // 1 char after trim: short-dropped
+    assert(p2.nDroppedShort == 1 && p2.nKept == 0)
+    val p3 = parsed("<p>inner\ttabs\nstay intact</p>")
+    assert(p3.text == "inner\ttabs\nstay intact")
+  }
+
   test("extractHtmlCorpus is a working TrainingDataPipeline front door") {
     // pages → documents-shaped extracted corpus on disk → a real
     // curation stage (exact dedup) consumes it unchanged

@@ -558,6 +558,39 @@ class PipelineSpec extends SparkSpec {
     assert(classes.map(_.getAs[Long]("n_frames")).sum <= frames.length)
   }
 
+  test("frame neardup: exact parity with the brute-force all-pairs scan " +
+      "(recall 1.0 AND precision 1.0 — the rows-only CI license)") {
+    val got = Multimodal.frameNearDup(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("a_doc"), r.getAs[Long]("a_frame"),
+        r.getAs[Long]("b_doc"), r.getAs[Long]("b_frame")),
+        r.getAs[Double]("cosine"))).toMap
+    // brute force over the same perceptual features
+    val feats = Multimodal.perceptualFrames(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")),
+        r.getAs[scala.collection.Seq[Double]]("embedding").toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      i <- feats.indices.iterator
+      j <- (i + 1) until feats.length
+      c = cos(feats(i)._2, feats(j)._2)
+      if c >= Multimodal.FrameNearDupCos
+    } yield ((feats(i)._1._1, feats(i)._1._2, feats(j)._1._1, feats(j)._1._2), c)).toMap
+    assert(want.nonEmpty, "the corpus plants re-encode twins")
+    assert(got.keySet == want.keySet,
+      s"LSH pair set diverged: missed=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)}")
+    got.foreach { case (k, c) => assert(math.abs(c - want(k)) < 1e-9) }
+    // every pair is a planted twin (base, base+1) at ~identical features
+    got.keys.foreach { case (ad, _, bd, _) =>
+      assert(bd == ad + 1 && bd % Multimodal.FrameTwinMod == 1)
+    }
+  }
+
   test("daily error rate: counters reconcile, rate on the integer grid") {
     val rows = DataQuality.errorRate(spark, sfDir).collect()
     val e = graft.sources.Tables.events(spark, sfDir)

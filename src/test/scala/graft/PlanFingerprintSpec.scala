@@ -77,8 +77,11 @@ class PlanFingerprintSpec extends SparkSpec {
     * query at ≥ 1.0 s in the round-10 sweep minima at sf0.1, EVERY
     * iterative/graph op (gr_*), and each round's new keys — 73 rows.
     * The round-10 pagerank fix (66 → 1 exchanges) was found by hand;
-    * these pins make that class of regression self-announcing. */
+    * these pins make that class of regression self-announcing.
+    * Round 12 adds its new keys per the membership rule. */
   private val exchangePinned = Seq(
+    "xf_url_canon", "dd_url_dedup", "gr_host_rank", "src_warc_roundtrip",
+    "mm_frame_neardup", "txt_kn5_score",
     "ath_category_month_pivot", "ath_revenue_by_category",
     "ath_rolling_revenue", "ath_sales_rollup", "ath_top_customers",
     "cat_external_partitioned", "cat_register_tables", "dd_admission",

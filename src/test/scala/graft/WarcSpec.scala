@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.operators.Warc
+
+class WarcSpec extends SparkSpec {
+
+  private def rec(id: Long, body: String): Array[Byte] =
+    Warc.frame(s"http://host${id % 13}.example/p$id", s"<urn:graft:$id>",
+      body.getBytes(UTF_8))
+
+  private def cat(parts: Array[Byte]*): Array[Byte] =
+    parts.reduce(_ ++ _)
+
+  test("frame → parse roundtrip: headers, octet length, payload bytes") {
+    val blob = cat(rec(1, "hello world"), rec(2, "héllo wörld"), rec(3, ""))
+    val (rs, corrupt) = Warc.parseRecords(blob)
+    assert(corrupt == 0)
+    assert(rs.length == 3)
+    assert(rs.map(_.headers("warc-record-id")) ==
+      Seq("<urn:graft:1>", "<urn:graft:2>", "<urn:graft:3>"))
+    assert(rs.head.headers("warc-target-uri") == "http://host1.example/p1")
+    assert(rs.head.headers.size == 4)
+    // octets, not chars: the accented payload is longer encoded
+    assert(rs(1).headers("content-length").toInt == "héllo wörld".getBytes(UTF_8).length)
+    assert(new String(rs(1).payload, UTF_8) == "héllo wörld")
+    assert(rs(2).payload.isEmpty)
+  }
+
+  test("corrupt records are counted, not fatal: neighbors still parse") {
+    // missing version line: a header block with no WARC/1.0 marker
+    val noVersion = ("WARC-Type: response\r\nContent-Length: 2\r\n\r\nxx\r\n\r\n")
+      .getBytes(UTF_8)
+    val (rs1, c1) = Warc.parseRecords(cat(rec(1, "first record"), noVersion,
+      rec(2, "second record")))
+    assert(rs1.map(_.headers("warc-record-id")) ==
+      Seq("<urn:graft:1>", "<urn:graft:2>"))
+    assert(c1 == 1)
+
+    // truncated Content-Length at the tail: declared longer than the bytes
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9999\r\n\r\nshort").getBytes(UTF_8)
+    val (rs2, c2) = Warc.parseRecords(cat(rec(1, "ok record here"), truncated))
+    assert(rs2.length == 1 && c2 == 1)
+
+    // unparseable length
+    val badLen = ("WARC/1.0\r\nContent-Length: -4\r\n\r\n").getBytes(UTF_8)
+    val (rs3, c3) = Warc.parseRecords(cat(badLen, rec(7, "after the bad one")))
+    assert(rs3.length == 1 && c3 == 1)
+    assert(rs3.head.headers("warc-record-id") == "<urn:graft:7>")
+
+    // empty / separator-only blob: nothing, no phantom corruption
+    assert(Warc.parseRecords(Array.emptyByteArray) == (Seq(), 0))
+    assert(Warc.parseRecords("\r\n\r\n".getBytes(UTF_8)) == (Seq(), 0))
+  }
+
+  test("disk roundtrip: binaryFile scan of written .warc files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_warc").toFile
+    val files = Warc.warcFiles(spark, sfDir)
+      .as[(Long, Array[Byte])].collect()
+    assert(files.length == math.ceil(500.0 / Warc.RecordsPerFile).toInt)
+    files.foreach { case (fid, blob) =>
+      Files.write(new java.io.File(dir, s"part-$fid.warc").toPath, blob)
+    }
+    val back = Warc.readWarcDir(spark, dir.getAbsolutePath)
+    assert(back.count() == 500L)
+    // spot-check one record against the source table
+    val r0 = back.where(col("record_id") === "<urn:graft:0>").collect().head
+    val t0 = graft.sources.Tables.table(spark, sfDir, "documents")
+      .where(col("doc_id") === 0L).select("text").collect().head.getString(0)
+    assert(new String(r0.getAs[Array[Byte]]("payload"), UTF_8) == t0)
+    assert(r0.getAs[Long]("content_length") == t0.getBytes(UTF_8).length.toLong)
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
