@@ -909,6 +909,20 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "smp_host_weighted" ->
+      s"""WITH ${Graph.hostRankCte},
+         |dw AS (SELECT doc_id, doc_id % ${Url.HostMod} AS host_id
+         |       FROM documents),
+         |j AS (SELECT dw.doc_id, dw.host_id, hostpr.host, hostpr.pagerank
+         |      FROM dw JOIN hostpr USING (host_id)),
+         |t AS (SELECT SUM(CAST(FLOOR(pagerank * ${Graph.PrScale})
+         |                 AS DECIMAL(38,0))) AS s
+         |      FROM j)
+         |SELECT doc_id, host_id, host, pagerank AS host_rank,
+         |       pagerank / (CAST(s AS DOUBLE) / ${Graph.PrScale}) AS weight,
+         |       (pagerank / (CAST(s AS DOUBLE) / ${Graph.PrScale}))
+         |         * ${HostSampleBudget} AS expected_picks
+         |FROM j, t ORDER BY doc_id""".stripMargin,
     "smp_interleave" ->
       s"""WITH d AS (SELECT doc_id, source,
          |             ${portableHashSql("doc_id")} AS hk
@@ -1174,7 +1188,47 @@ object Curation {
          |  AND q.doc_id IN (SELECT doc_id FROM canon)
          |ORDER BY q.doc_id""".stripMargin)
 
+  /** Sample budget `smp_host_weighted` sizes expected picks against.
+    * `final` so it is a compile-time constant: the `oracles` val is
+    * declared ABOVE this and would otherwise read 0.0 mid-init. */
+  final val HostSampleBudget = 1000.0
+
+  /** `smp_host_weighted`: host-prior sampling weights — each document's
+    * sampling weight proportional to its HOST's link-graph PageRank
+    * ([[Graph.hostRank]]): the crawl-quality prior (CCNet/RefinedWeb
+    * class) applied where it acts, upstream of content scoring — pages
+    * on well-endorsed hosts are upsampled before any per-document
+    * signal is spent on them. One row per document: host, host rank,
+    * normalized weight (rank / Σ over DOCUMENTS of their host's rank)
+    * and expected picks at a [[HostSampleBudget]]-document draw.
+    *
+    * Determinism: the normalizer sums 5k+ doubles, so it goes through
+    * the fixed-point FLOOR at [[Graph.PrScale]] into DECIMAL (the
+    * pagerank discipline) — summation order can't move the hash.
+    * Scale shape: the host table is metadata-sized → broadcast join
+    * onto the partitioned corpus; the normalizer is a broadcast 1-row
+    * aggregate; everything else is per-row arithmetic. */
+  def hostWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val hr = Graph.hostRank(spark, dir)
+      .select(col("host_id"), col("host"), col("pagerank"))
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % Url.HostMod).as("host_id"))
+    val joined = docs.join(broadcast(hr), "host_id")
+    val tot = joined.agg(
+      sum(floor(col("pagerank") * lit(Graph.PrScale))
+        .cast(DecimalType(38, 0))).as("s"))
+    val weight = col("pagerank") /
+      (col("s").cast("double") / lit(Graph.PrScale.toDouble))
+    joined.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("host_id"), col("host"),
+        col("pagerank").as("host_rank"),
+        weight.as("weight"),
+        (weight * lit(HostSampleBudget)).as("expected_picks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_host_weighted" -> hostWeighted,
     "smp_split"      -> trainValTestSplit,
     "smp_shard"      -> shardReport,
     "smp_leakage_split" -> leakageSafeSplit,

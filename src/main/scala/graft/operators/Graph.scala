@@ -544,23 +544,31 @@ object Graph {
        |               + CAST(ds AS DOUBLE)/$PrScale/nd) AS pr
        |  FROM nodes LEFT JOIN m$out m ON nodes.u = m.u, n, dg$out)""".stripMargin
 
+  /** The gr_host_rank recompute as a reusable WITH-body ending in a
+    * `hostpr(host_id, host, pagerank)` CTE — shared with the
+    * smp_host_weighted oracle in [[Curation]]. */
+  private[graft] def hostRankCte: String =
+    s"""hd AS (SELECT doc_id, doc_id % ${Url.HostMod} AS s FROM documents),
+       |raw AS (
+       |  SELECT s AS u, (doc_id*3 + 1) % ${Url.HostMod} AS v FROM hd
+       |  UNION ALL SELECT s, (doc_id*5 + 2) % ${Url.HostMod} FROM hd
+       |  UNION ALL SELECT s, ${Url.HostMod} FROM hd WHERE doc_id % 11 = 0),
+       |und AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+       |nodes AS (SELECT DISTINCT u
+       |          FROM (SELECT u FROM und UNION ALL SELECT v FROM und)),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+       |pr0 AS (SELECT u, CAST(1 AS DOUBLE)/nd AS pr FROM nodes, n),
+       |${(1 to PagerankIters).map(i => prRound(s"pr${i - 1}", s"pr$i"))
+           .mkString(",\n")},
+       |hostpr AS (SELECT u AS host_id, 'host'||u||'.example' AS host,
+       |                  pr AS pagerank
+       |           FROM pr$PagerankIters)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "gr_host_rank" ->
-      s"""WITH d AS (SELECT doc_id, doc_id % ${Url.HostMod} AS s FROM documents),
-         |raw AS (
-         |  SELECT s AS u, (doc_id*3 + 1) % ${Url.HostMod} AS v FROM d
-         |  UNION ALL SELECT s, (doc_id*5 + 2) % ${Url.HostMod} FROM d
-         |  UNION ALL SELECT s, ${Url.HostMod} FROM d WHERE doc_id % 11 = 0),
-         |und AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
-         |deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
-         |nodes AS (SELECT DISTINCT u
-         |          FROM (SELECT u FROM und UNION ALL SELECT v FROM und)),
-         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
-         |pr0 AS (SELECT u, CAST(1 AS DOUBLE)/nd AS pr FROM nodes, n),
-         |${(1 to PagerankIters).map(i => prRound(s"pr${i - 1}", s"pr$i"))
-             .mkString(",\n")}
-         |SELECT u AS host_id, 'host'||u||'.example' AS host, pr AS pagerank
-         |FROM pr$PagerankIters ORDER BY host_id""".stripMargin,
+      s"""WITH $hostRankCte
+         |SELECT host_id, host, pagerank FROM hostpr ORDER BY host_id""".stripMargin,
     "gr_pagerank" ->
       s"""WITH ${Tables.salesCte},
          |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v

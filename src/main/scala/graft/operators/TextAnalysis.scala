@@ -709,6 +709,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher rule thresholds: a doc is repetition-flagged when the top
+    * 2-/3-/4-gram occupies more than this fraction of its characters
+    * (Rae et al. 2021, table A1 rows 1–3). Exactly representable. */
+  val TopgramThresholds: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+
+  /** `txt_topgram_share`: the Gopher/MassiveText TOP-n-gram character
+    * occupancy rules — per document, the single most frequent 2-, 3-
+    * and 4-gram and the fraction of the document's characters its
+    * occurrences account for (count × gram length / doc length), with
+    * the composite repetition flag at the published thresholds
+    * ([[TopgramThresholds]]). Only grams occurring ≥ 2 times count —
+    * the rule measures REPETITION, and on a short document a
+    * once-occurring 4-gram's characters alone could trip the published
+    * threshold (Gopher applies these after a min-length screen; the
+    * count-≥-2 floor makes the rule length-safe instead). Complements
+    * [[repRatio]] (which measures how many DISTINCT n-grams repeat): a
+    * crawler loop that stamps one slogan hundreds of times barely
+    * moves the distinct-dup ratio but pins the top-gram share — this
+    * is the rule that catches it. Ties break to the lexicographically
+    * smallest gram (one min-of-(−count, gram) struct argmax per
+    * order — no window, so a mega-doc can't funnel one task).
+    *
+    * Scale shape: per order, one n-gram explode → one (doc, gram)
+    * partial-aggregating groupBy → one doc-keyed argmax; the three
+    * orders' outputs and the doc-length table join co-partitioned on
+    * doc_id. Docs shorter than n tokens carry share 0 and a NULL gram
+    * (nothing repeats in them by construction). */
+  def topgramShare(spark: SparkSession, dir: String): DataFrame =
+    topgramShareOf(spark, Tables.table(spark, dir, "documents"))
+
+  /** [[topgramShare]] over an arbitrary (doc_id, text) relation — the
+    * seam the planted-corpus spec drives. */
+  private[graft] def topgramShareOf(spark: SparkSession,
+      docsIn: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(spark)
+    val docs = docsIn
+      .select(col("doc_id"), length(col("text")).as("doc_chars"), col("text"))
+    def top(n: Int): DataFrame =
+      docs.select(col("doc_id"),
+          explode(call_function("graft_word_ngrams", col("text"), lit(n)))
+            .as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2) // repetition only; a unique gram never flags
+        .groupBy("doc_id")
+        .agg(min(struct((-col("c")).as("nc"), col("gram"))).as("m"))
+        .select(col("doc_id"), (-col("m.nc")).as(s"c$n"),
+          col("m.gram").as(s"top${n}_gram"))
+    val joined = docs.select("doc_id", "doc_chars")
+      .join(top(2), Seq("doc_id"), "left")
+      .join(top(3), Seq("doc_id"), "left")
+      .join(top(4), Seq("doc_id"), "left")
+    def frac(n: Int) =
+      coalesce(col(s"c$n").cast("double") * length(col(s"top${n}_gram"))
+        / col("doc_chars").cast("double"), lit(0.0)).as(s"top${n}_frac")
+    joined
+      .select(col("doc_id"), col("top2_gram"), frac(2),
+        col("top3_gram"), frac(3), col("top4_gram"), frac(4))
+      .withColumn("flagged",
+        col("top2_frac") > TopgramThresholds(2) ||
+          col("top3_frac") > TopgramThresholds(3) ||
+          col("top4_frac") > TopgramThresholds(4))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF keyword extraction: the top-[[TfidfTopK]] most
     * characteristic terms per document, weight = tf × (N+1)/(df+1).
     * The idf is the RATIONAL form, not ln((N+1)/(df+1)): a monotone
@@ -1985,6 +2049,42 @@ object TextAnalysis {
          |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
          |         / $LmScale / COUNT(*) AS kn5_score
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_topgram_share" -> {
+      def per(n: Int): String = {
+        val parts = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
+        s"""g$n AS (SELECT doc_id,
+           |  unnest(list_transform(generate_series(1, len(t)-${n - 1}),
+           |    i -> $parts)) AS gram
+           |  FROM dt WHERE len(t) >= $n),
+           |c$n AS (SELECT doc_id, gram, COUNT(*) AS c FROM g$n
+           |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |m$n AS (SELECT doc_id, MAX(c) AS mc FROM c$n GROUP BY 1),
+           |t$n AS (SELECT c$n.doc_id, MIN(c$n.gram) AS top${n}_gram,
+           |               MIN(m$n.mc) AS cv$n
+           |        FROM c$n JOIN m$n ON c$n.doc_id = m$n.doc_id
+           |                          AND c$n.c = m$n.mc
+           |        GROUP BY 1)""".stripMargin
+      }
+      def frac(n: Int): String =
+        s"COALESCE(CAST(cv$n AS DOUBLE) * length(top${n}_gram) " +
+          s"/ CAST(doc_chars AS DOUBLE), 0.0)"
+      s"""WITH dt AS (SELECT doc_id, length(text) AS doc_chars,
+         |                   string_split(text,' ') AS t
+         |            FROM documents),
+         |${per(2)},
+         |${per(3)},
+         |${per(4)}
+         |SELECT dt.doc_id, top2_gram, ${frac(2)} AS top2_frac,
+         |       top3_gram, ${frac(3)} AS top3_frac,
+         |       top4_gram, ${frac(4)} AS top4_frac,
+         |       (${frac(2)} > ${TopgramThresholds(2)}
+         |        OR ${frac(3)} > ${TopgramThresholds(3)}
+         |        OR ${frac(4)} > ${TopgramThresholds(4)}) AS flagged
+         |FROM dt LEFT JOIN t2 ON dt.doc_id = t2.doc_id
+         |        LEFT JOIN t3 ON dt.doc_id = t3.doc_id
+         |        LEFT JOIN t4 ON dt.doc_id = t4.doc_id
+         |ORDER BY dt.doc_id""".stripMargin
+    },
     "txt_bm25" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (
@@ -2086,6 +2186,7 @@ object TextAnalysis {
     "txt_kn_score"    -> knScore,
     "txt_kn3_score"   -> kn3Score,
     "txt_kn5_score"   -> kn5Score,
+    "txt_topgram_share" -> topgramShare,
     "txt_quality_by_source" -> qualityBySource,
     "txt_pii_profile" -> piiProfile,
     "txt_bm25"        -> bm25,

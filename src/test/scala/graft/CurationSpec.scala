@@ -679,4 +679,27 @@ class CurationSpec extends SparkSpec {
     // the plan spends exactly the budget whenever anything is capped
     if (rows.exists(_._4)) assert(rows.map(_._3).sum == budget)
   }
+
+  test("host-weighted sampling: weights normalize, follow the host prior") {
+    val rows = Curation.hostWeighted(spark, sfDir).collect()
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs.toInt)
+    // the normalizer goes through the fixed-point FLOOR (truncation
+    // biases it low by < 1e-7 per doc), so the sum sits just above 1
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(wsum >= 1.0 - 1e-9 && wsum < 1.0 + 1e-4, s"weights sum to $wsum")
+    val psum = rows.map(_.getAs[Double]("expected_picks")).sum
+    assert(math.abs(psum - Curation.HostSampleBudget) < 0.2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("weight") > 0.0)
+      assert(r.getAs[Long]("host_id") ==
+        r.getAs[Long]("doc_id") % graft.operators.Url.HostMod)
+    }
+    // same host => identical weight (the prior acts at host granularity)
+    rows.groupBy(_.getAs[Long]("host_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Double]("weight")).distinct.length == 1)
+    }
+    // the prior is non-degenerate: hosts genuinely differ
+    assert(rows.map(_.getAs[Double]("weight")).distinct.length > 1)
+  }
 }

@@ -756,4 +756,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(score > 0.0 && score <= 1.0)
     }
   }
+
+  test("topgram share: slogan-stamping, ties, and sub-n docs (planted)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),          // "x y" x3 of 11 chars -> 9/11, flagged
+      (2L, "a b c a b c"),          // tie at 2 between "a b"/"b c" -> min "a b"
+      (3L, "one"),                  // no 2-grams at all -> zeros, NULL grams
+      (4L, "the quick brown fox jumps over the lazy dog again") // clean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topgramShareOf(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("top2_gram") == "x y")
+    assert(out(1L).getAs[Double]("top2_frac") == 9.0 / 11.0)
+    assert(out(1L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[String]("top2_gram") == "a b")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("top2_gram")))
+    assert(out(3L).getAs[Double]("top2_frac") == 0.0 &&
+      !out(3L).getAs[Boolean]("flagged"))
+    // the clean doc repeats only "the": top-2-gram share stays small
+    assert(!out(4L).getAs[Boolean]("flagged"))
+  }
 }
