@@ -103,6 +103,13 @@ object TrainingDataPipeline {
     val repetitionPass = TextAnalysis.stripRepeats(spark, srcDir)
       .where(col("removed_fraction") <= MaxRemovedFrac).select("doc_id")
 
+    // stage 4b — Gopher top-gram occupancy: a document whose single
+    // most repeated 2/3/4-gram occupies more than the published
+    // character share is a slogan-stamping crawler loop — the failure
+    // mode the distinct-dup budget above barely registers
+    val topgramPass = TextAnalysis.topgramShare(spark, srcDir)
+      .where(!col("flagged")).select("doc_id")
+
     // stage 5 — benchmark decontamination, both granularities: any
     // eval-set word-8-gram overlap OR verbatim 48-char run disqualifies
     // (each screen excludes the eval docs themselves; the char screen
@@ -118,6 +125,7 @@ object TrainingDataPipeline {
       "quality"       -> qualityPass,
       "lang"          -> langPass,
       "repetition"    -> repetitionPass,
+      "topgram"       -> topgramPass,
       "decontam"      -> decontamPass,
       "decontam_substr" -> decontamSubstrPass)
 
@@ -147,6 +155,10 @@ object TrainingDataPipeline {
     // copy per dup cluster, so a surviving doc with high coverage is
     // the kept witness of duplicated content — downstream mixing
     // down-weights it (soft dedup) instead of losing the content
+    // host_weight rides along with dup_ratio as a second WEIGHTING
+    // signal: the host link-graph prior (smp_host_weighted) — pages on
+    // well-endorsed hosts get upsampled by downstream mixing, the
+    // CCNet/RefinedWeb crawl-quality move
     val manifest = frontier
       .join(docs, Seq("doc_id"))
       .join(TextAnalysis.quality(spark, srcDir)
@@ -155,8 +167,10 @@ object TrainingDataPipeline {
         .select("doc_id", "fold"), Seq("doc_id"))
       .join(Dedup.dupCoverage(spark, srcDir)
         .select("doc_id", "dup_ratio"), Seq("doc_id"))
+      .join(Curation.hostWeighted(spark, srcDir)
+        .select(col("doc_id"), col("weight").as("host_weight")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("quality_score"), col("fold"),
-        col("dup_ratio"),
+        col("dup_ratio"), col("host_weight"),
         Curation.portableHash(col("doc_id")).as("shuffle_key"))
       .orderBy("shuffle_key", "doc_id")
     val path = s"$lakeBase/curated/manifest"

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.UrlCanon
+import graft.operators.Warc
+
+/** Streaming twins of the crawl-side ingest surfaces added with the
+  * URL/WARC operators: the frontier URL screen and the WARC record
+  * extractor, both STATELESS per-row transforms (append mode, no
+  * watermark, no state store) — the shapes a live crawler actually
+  * feeds, screened a micro-batch after discovery instead of at the
+  * nightly batch.
+  */
+object CrawlStreams {
+
+  /** Shared frontier screen — the stream and batch sides of the URL
+    * admission contract (one builder; the parity spec pins it): each
+    * arriving raw URL is canonicalized (`graft_url_canon` — the
+    * codegen kernel, so the screen fuses into the scan), non-URLs
+    * come out `valid=false` (counted, never dropped, never fatal),
+    * and a stream-static LEFT join against the standing canonical-URL
+    * set marks spellings of already-crawled pages `known=true` — the
+    * orders-of-magnitude-cheaper pre-content dedup applied at the
+    * frontier, before a byte of the page is fetched.
+    *
+    * `knownCanon` is the STATIC side (one `canon_url` column — in
+    * production the persisted frontier index); Spark broadcast-joins
+    * it per micro-batch. */
+  private[graft] def urlScreen(urls: DataFrame,
+      knownCanon: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    urls
+      .select(col("value").as("url"),
+        UrlCanon.canonCol(spark, col("value")).as("canon_url"),
+        UrlCanon.hostCol(spark, col("value")).as("canon_host"))
+      .join(knownCanon.select(col("canon_url"), lit(true).as("known0")),
+        Seq("canon_url"), "left")
+      .select(col("url"), col("canon_url"), col("canon_host"),
+        col("canon_url").isNotNull.as("valid"),
+        coalesce(col("known0"), lit(false)).as("known"))
+  }
+
+  /** Streaming frontier URL screen over a `value`-typed feed. */
+  def urlFrontierStream(urls: DataFrame, knownCanon: DataFrame): DataFrame =
+    urlScreen(urls, knownCanon)
+
+  /** Shared WARC record extraction — one row per WELL-FORMED record of
+    * each arriving file blob (the [[Warc.parseRecords]] tolerant
+    * contract: malformed records are counted in `file_corrupt`, echoed
+    * on every record row of the file, and never fail the stream), a
+    * per-file stateless flatMap. In production the stream is
+    * `readStream.format("binaryFile")` over the crawler's landing
+    * dir — one task per arriving file, zero state. */
+  private[graft] def warcRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, blob) =>
+        val (recs, corrupt) = Warc.parseRecords(blob)
+        recs.iterator.map { r =>
+          (p, r.headers.getOrElse("warc-target-uri", ""),
+            r.headers.getOrElse("warc-record-id", ""),
+            r.payload.length.toLong, corrupt.toLong)
+        }
+      }
+      .toDF("path", "target_uri", "record_id", "payload_bytes",
+        "file_corrupt")
+  }
+
+  /** Streaming WARC record extractor over a (path, content) feed. */
+  def warcRecordStream(files: DataFrame): DataFrame =
+    warcRecords(files)
+}

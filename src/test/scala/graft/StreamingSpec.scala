@@ -737,4 +737,70 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("streaming frontier URL screen matches the batch screen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing frontier = the corpus's canonical URL set
+    val known = graft.operators.Url.urlDedup(spark, sfDir)
+      .select("canon_url").localCheckpoint()
+    // arriving spellings: tracking-dressed variants of KNOWN pages
+    // (must collapse to known=true), a genuinely new URL, and garbage
+    val urls = Seq(
+      "HTTP://HOST0.EXAMPLE:80/p0?b=2&a=0#frag",          // known via canon
+      "http://host1.example/p1/?utm_source=x&a=1&b=2",    // known via canon
+      "https://brand-new.example/path?z=1",               // novel
+      "not a url at all")                                 // invalid
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("url"), Option(r.getAs[String]("canon_url")),
+        Option(r.getAs[String]("canon_host")), r.getAs[Boolean]("valid"),
+        r.getAs[Boolean]("known"))).toSet
+    val batch = norm(graft.streaming.CrawlStreams.urlFrontierStream(
+      urls.toDF("value"), known))
+    assert(batch.count(_._5) == 2, "the dressed spellings collapse to known")
+    assert(batch.exists(t => !t._4), "garbage screens as invalid, not fatal")
+    assert(batch.exists(t => t._4 && !t._5), "the novel URL passes the screen")
+    val input = MemoryStream[String]
+    val q = graft.streaming.CrawlStreams.urlFrontierStream(
+      input.toDF().toDF("value"), known)
+      .writeStream.format("memory").queryName("url_screen_out")
+      .outputMode("append").start()
+    val (a, b) = urls.splitAt(2)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    val streamed = norm(spark.table("url_screen_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
+
+  test("streaming WARC record extraction matches the batch parser") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.charset.StandardCharsets.UTF_8
+    def rec(id: Long, body: String): Array[Byte] =
+      graft.operators.Warc.frame(s"http://host${id % 13}.example/p$id",
+        s"<urn:graft:$id>", body.getBytes(UTF_8))
+    val clean = rec(1, "first doc") ++ rec(2, "second doc")
+    val dirty = rec(3, "good record") ++
+      "WARC/1.0\r\nContent-Length: 9999\r\n\r\noops".getBytes(UTF_8)
+    val files = Seq(("f1.warc", clean), ("f2.warc", dirty))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[String]("record_id"),
+        r.getAs[Long]("payload_bytes"), r.getAs[Long]("file_corrupt"))).toSet
+    val batch = norm(graft.streaming.CrawlStreams.warcRecords(
+      files.toDF("path", "content")))
+    assert(batch.size == 3)
+    assert(batch.filter(_._1 == "f2.warc").forall(_._4 == 1L),
+      "the truncated record is counted on its file, not fatal")
+    val input = MemoryStream[(String, Array[Byte])]
+    val q = graft.streaming.CrawlStreams.warcRecordStream(
+      input.toDF().toDF("path", "content"))
+      .writeStream.format("memory").queryName("warc_records_out")
+      .outputMode("append").start()
+    input.addData(files.head); q.processAllAvailable()
+    input.addData(files(1)); q.processAllAvailable()
+    val streamed = norm(spark.table("warc_records_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
 }

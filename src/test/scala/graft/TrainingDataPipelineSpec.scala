@@ -49,6 +49,17 @@ class TrainingDataPipelineSpec extends SparkSpec {
       .where(!col("contaminated")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     m.foreach(r => assert(charClean.contains(r.getAs[Long]("doc_id"))))
+    // no survivor trips the Gopher top-gram occupancy rule
+    val tg = graft.operators.TextAnalysis.topgramShare(spark, sfDir)
+      .where(!col("flagged")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    m.foreach(r => assert(tg.contains(r.getAs[Long]("doc_id"))))
+    // ...and the host-prior weighting signal matches the standalone op
+    val hw = graft.operators.Curation.hostWeighted(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    m.foreach { r =>
+      assert(r.getAs[Double]("host_weight") == hw(r.getAs[Long]("doc_id")))
+    }
   }
 
   test("second batch ingests against the first run's persisted signatures, no recompute") {
