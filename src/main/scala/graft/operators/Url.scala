@@ -96,6 +96,39 @@ object Url {
         min("doc_id").as("first_doc_id"))
       .orderBy("canon_url")
 
+  /** The standing canonical-URL FRONTIER set of a corpus dir — the
+    * static side of the streaming frontier screen
+    * ([[graft.streaming.CrawlStreams.urlFrontierStream]]) and the
+    * index a production crawler persists ([[saveFrontier]]) so
+    * tomorrow's discovered URLs never re-canonicalize today's corpus.
+    * Session-cached ([[ArtifactCache]]), one distinct canonical string
+    * per crawled page. */
+  private[graft] def frontier(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "url_frontier")(
+      urlVariants(spark, dir)
+        .select(UrlCanon.canonCol(spark, col("url")).as("canon_url"))
+        .where(col("canon_url").isNotNull)
+        .distinct())
+
+  /** Persist the frontier set next to the corpus — the save half of
+    * the save/load index contract ([[graft.operators.Dedup.saveMinhashIndex]]
+    * precedent). */
+  def saveFrontier(spark: SparkSession, dir: String, path: String): Unit =
+    frontier(spark, dir).orderBy("canon_url")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted frontier and prime the session cache for `dir`,
+    * so every consumer (the streaming screen, [[urlDedup]] callers)
+    * reads it without re-canonicalizing the corpus. Invalidate the dir
+    * and re-derive after any in-place corpus rewrite. Returns the
+    * frontier. */
+  def loadFrontier(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val f = spark.read.parquet(path).select("canon_url").localCheckpoint()
+    ArtifactCache.put(spark, dir, "url_frontier", f)
+    f
+  }
+
   /** Shared oracle CTE: variants + expected canon, all by arithmetic. */
   private val variantCte: String =
     s"""b AS (SELECT doc_id, doc_id % $HostMod AS h, doc_id % $PathMod AS p,

@@ -741,9 +741,9 @@ class StreamingSpec extends SparkSpec {
   test("streaming frontier URL screen matches the batch screen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // standing frontier = the corpus's canonical URL set
-    val known = graft.operators.Url.urlDedup(spark, sfDir)
-      .select("canon_url").localCheckpoint()
+    // standing frontier = the corpus's canonical URL set (the cached
+    // index the production screen reads)
+    val known = graft.operators.Url.frontier(spark, sfDir)
     // arriving spellings: tracking-dressed variants of KNOWN pages
     // (must collapse to known=true), a genuinely new URL, and garbage
     val urls = Seq(

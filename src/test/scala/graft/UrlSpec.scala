@@ -91,4 +91,23 @@ class UrlSpec extends SparkSpec {
         assert(r.getAs[Long]("n_urls") == 4 && r.getAs[Long]("n_docs") == 1)
       }
   }
+
+  test("frontier index: save/load roundtrip primes the cache, no recompute") {
+    import graft.operators.{ArtifactCache, Url}
+    val path = java.nio.file.Files.createTempDirectory("graft_frontier")
+      .toString + "/frontier"
+    val derived = Url.frontier(spark, sfDir).collect()
+      .map(_.getString(0)).sorted
+    Url.saveFrontier(spark, sfDir, path)
+    // simulate a restarted driver: drop the session cache, then LOAD
+    ArtifactCache.invalidate(spark, sfDir, "url_frontier")
+    val loaded = Url.loadFrontier(spark, sfDir, path)
+    // the loaded table IS the cache entry now — a consumer reads it
+    // without re-canonicalizing the corpus (reference equality proves
+    // no re-derivation can occur)
+    assert(Url.frontier(spark, sfDir) eq loaded)
+    assert(loaded.collect().map(_.getString(0)).sorted.sameElements(derived))
+    // restore the derived artifact for suites that run after this one
+    ArtifactCache.invalidate(spark, sfDir, "url_frontier")
+  }
 }
