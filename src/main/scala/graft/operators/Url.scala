@@ -129,6 +129,36 @@ object Url {
     f
   }
 
+  /** `dd_url_incremental`: the frontier screen as a keyed batch
+    * contract — arriving URLs (the hash-split batch, the
+    * [[Dedup.incrementalDedup]] convention) screened against the
+    * standing corpus frontier: one row per arriving spelling with its
+    * canonical form, validity, and whether the canonical page is
+    * already crawled. The decision a crawl scheduler makes per
+    * discovered link, before any fetch.
+    *
+    * Scale shape: canonicalization is map-side codegen; the screen is
+    * ONE join keyed on the collapsed canonical string against the
+    * frontier set (persisted in production — [[saveFrontier]]); no
+    * text, no content pass. */
+  def urlIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val v = urlVariants(spark, dir)
+      .select(col("doc_id"), col("variant"), col("url"),
+        UrlCanon.canonCol(spark, col("url")).as("canon_url"),
+        isBatch.as("is_batch"))
+    val corpusFrontier = v.where(!col("is_batch"))
+      .where(col("canon_url").isNotNull)
+      .select("canon_url").distinct()
+      .withColumn("known0", lit(true))
+    v.where(col("is_batch"))
+      .join(corpusFrontier, Seq("canon_url"), "left")
+      .select(col("doc_id"), col("variant"), col("url"), col("canon_url"),
+        col("canon_url").isNotNull.as("valid"),
+        coalesce(col("known0"), lit(false)).as("known"))
+      .orderBy("doc_id", "variant")
+  }
+
   /** Shared oracle CTE: variants + expected canon, all by arithmetic. */
   private val variantCte: String =
     s"""b AS (SELECT doc_id, doc_id % $HostMod AS h, doc_id % $PathMod AS p,
@@ -166,9 +196,22 @@ object Url {
          |       COUNT(DISTINCT doc_id) AS n_docs,
          |       MIN(doc_id) AS first_doc_id
          |FROM v WHERE canon_url IS NOT NULL
-         |GROUP BY 1 ORDER BY canon_url""".stripMargin)
+         |GROUP BY 1 ORDER BY canon_url""".stripMargin,
+    "dd_url_incremental" -> {
+      val h = Curation.portableHashSql("doc_id")
+      s"""WITH $variantCte,
+         |cf AS (SELECT DISTINCT canon_url FROM v
+         |       WHERE NOT (($h) % 10 = 0) AND canon_url IS NOT NULL)
+         |SELECT v.doc_id, v.variant, v.url, v.canon_url,
+         |       v.canon_url IS NOT NULL AS valid,
+         |       cf.canon_url IS NOT NULL AS known
+         |FROM v LEFT JOIN cf ON v.canon_url = cf.canon_url
+         |WHERE ($h) % 10 = 0
+         |ORDER BY v.doc_id, v.variant""".stripMargin
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "xf_url_canon" -> urlCanon,
-    "dd_url_dedup" -> urlDedup)
+    "dd_url_dedup" -> urlDedup,
+    "dd_url_incremental" -> urlIncremental)
 }
