@@ -56,6 +56,32 @@ object Bench {
   private def loadAvg: Double =
     readFirstLine("/proc/loadavg").map(_.split(" ")(0).toDouble).getOrElse(-1.0)
 
+  /** Effective cores actually deliverable to this JVM right now: total
+    * work done by `availableProcessors` spin threads over ~300 ms,
+    * normalized by one calibrated single-thread slice. Nominal CPU
+    * count lies on shared/throttled hosts (round 12 measured ~20/32,
+    * with the sweep sustaining ~3) — this probe puts the truth in the
+    * artifact so a uniform cross-round slowdown is attributable to the
+    * HOST without forensic replays. */
+  private def effectiveCores(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def spin(ms: Long): Long = {
+      val end = System.nanoTime() + ms * 1000000L
+      var x = 0L
+      while (System.nanoTime() < end) x += 1
+      x
+    }
+    val single = spin(300)
+    if (single <= 0) return -1.0
+    val counts = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => { counts.addAndGet(spin(300)); () })
+      t.setDaemon(true); t
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    counts.get().toDouble / single.toDouble
+  }
+
   /** (busy, total) jiffies from /proc/stat's aggregate cpu line. */
   private def cpuJiffies: (Long, Long) =
     readFirstLine("/proc/stat") match {
@@ -146,6 +172,7 @@ object Bench {
       "sum_max" -> sumMax.toString, "rel_spread" -> relSpread.toString))
     val host = obj(Seq(
       "cpus" -> Runtime.getRuntime.availableProcessors().toString,
+      "effective_cores" -> effectiveCores().toString,
       "sweep_wall_sec" -> sweepTelemetry.map(_._1).mkString("[", ",", "]"),
       "loadavg_pre" -> sweepTelemetry.map(_._2).mkString("[", ",", "]"),
       "loadavg_post" -> sweepTelemetry.map(_._3).mkString("[", ",", "]"),
