@@ -19,7 +19,8 @@ object SparkEntry {
       Similarity.queries ++ Events.queries ++ Multimodal.queries ++
       AsOfJoin.queries ++ IntervalJoin.queries ++ Curation.queries ++
       Clustering.queries ++ Compaction.queries ++ FuzzyMatch.queries ++
-      Graph.queries ++ Html.queries ++ Url.queries ++ Warc.queries
+      Graph.queries ++ Html.queries ++ Url.queries ++ Warc.queries ++
+      Robots.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       Similarity.oracles ++ Events.oracles ++ Multimodal.oracles ++
       AsOfJoin.oracles ++ IntervalJoin.oracles ++ Curation.oracles ++
       Clustering.oracles ++ Compaction.oracles ++ FuzzyMatch.oracles ++
-      Graph.oracles ++ Html.oracles ++ Url.oracles ++ Warc.oracles
+      Graph.oracles ++ Html.oracles ++ Url.oracles ++ Warc.oracles ++
+      Robots.oracles
 }

@@ -159,8 +159,10 @@ object Url {
       .orderBy("doc_id", "variant")
   }
 
-  /** Shared oracle CTE: variants + expected canon, all by arithmetic. */
-  private val variantCte: String =
+  /** Shared oracle CTE: variants + expected canon, all by arithmetic.
+    * Ends in a `v(doc_id, variant, url, canon_url, canon_host)` CTE;
+    * also composed by the [[Robots]] oracle. */
+  private[graft] val variantCteSql: String =
     s"""b AS (SELECT doc_id, doc_id % $HostMod AS h, doc_id % $PathMod AS p,
        |             doc_id % $ParamMod AS a,
        |             unnest(generate_series(0, ${UrlVariants - 1})) AS variant
@@ -187,11 +189,11 @@ object Url {
 
   val oracles: Map[String, String] = Map(
     "xf_url_canon" ->
-      s"""WITH $variantCte
+      s"""WITH $variantCteSql
          |SELECT doc_id, variant, url, canon_url, canon_host
          |FROM v ORDER BY doc_id, variant""".stripMargin,
     "dd_url_dedup" ->
-      s"""WITH $variantCte
+      s"""WITH $variantCteSql
          |SELECT canon_url, COUNT(*) AS n_urls,
          |       COUNT(DISTINCT doc_id) AS n_docs,
          |       MIN(doc_id) AS first_doc_id
@@ -199,7 +201,7 @@ object Url {
          |GROUP BY 1 ORDER BY canon_url""".stripMargin,
     "dd_url_incremental" -> {
       val h = Curation.portableHashSql("doc_id")
-      s"""WITH $variantCte,
+      s"""WITH $variantCteSql,
          |cf AS (SELECT DISTINCT canon_url FROM v
          |       WHERE NOT (($h) % 10 = 0) AND canon_url IS NOT NULL)
          |SELECT v.doc_id, v.variant, v.url, v.canon_url,
