@@ -155,7 +155,88 @@ object Robots {
       .orderBy("doc_id", "variant")
   }
 
+  /** `xf_crawl_funnel`: the composed crawl-admission funnel over the
+    * arriving batch (hash-split convention) — one row per stage with
+    * the URL count entering the next fetch queue:
+    *
+    *   0 discovered → 1 valid (canonicalizable) → 2 robots-allowed →
+    *   3 novel (canonical form not already in the corpus frontier) →
+    *   4 frontier-distinct (one fetch per canonical page)
+    *
+    * The ops-dashboard rollup of the whole pre-fetch stack
+    * ([[graft.functions.UrlCanon]] → [[robotsScreen]] semantics →
+    * [[Url.frontier]] membership → URL dedup): where discovered links
+    * actually go, and how much fetch budget each screen saves. Every
+    * stage is the standalone operator's plan collapsed to a count —
+    * map-side screens, one keyed anti-join, one distinct; output is
+    * 5 metadata rows. */
+  def crawlFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
+    val v = Url.urlVariants(spark, dir)
+      .select(col("doc_id"), isBatch.as("is_batch"), col("url"),
+        UrlCanon.canonCol(spark, col("url")).as("canon_url"),
+        UrlCanon.hostCol(spark, col("url")).as("canon_host"))
+    val batch = v.where(col("is_batch"))
+    val valid = batch.where(col("canon_url").isNotNull)
+      .withColumn("path",
+        regexp_replace(col("canon_url"), "^[a-z]+://[^/]+", ""))
+      .withColumn("host_id",
+        regexp_extract(col("canon_host"), "^host(\\d+)\\.example$", 1)
+          .cast("long"))
+    val allowed = valid
+      .join(broadcast(rulesTable(spark)), Seq("host_id"), "left")
+      .where(!exists(col("disallow"), p => col("path").startsWith(p)))
+    val corpusFrontier = v.where(!col("is_batch"))
+      .where(col("canon_url").isNotNull).select("canon_url").distinct()
+    val novel = allowed.join(corpusFrontier, Seq("canon_url"), "left_anti")
+    val stages: Seq[(Int, String, Long)] = Seq(
+      (0, "discovered", batch.count()),
+      (1, "valid", valid.count()),
+      (2, "robots_allowed", allowed.count()),
+      (3, "novel", novel.count()),
+      (4, "frontier_distinct", novel.select("canon_url").distinct().count()))
+    stages.toDF("stage", "name", "n_urls").orderBy("stage")
+  }
+
   val oracles: Map[String, String] = Map(
+    "xf_crawl_funnel" -> {
+      val h = Curation.portableHashSql("doc_id")
+      // batch split + per-stage arithmetic: valid = variants 0..4;
+      // robots-allowed drops v0..v3 of hosts where str(p) startswith
+      // str(h) unless the h%3=0 override allows all (v4's '/' always
+      // passes); novel removes canon forms present in the corpus split
+      // (the shared https root collides across docs on the same host)
+      s"""WITH ${Url.variantCteSql},
+         |fb AS (SELECT doc_id, variant, url, canon_url,
+         |             doc_id % ${Url.HostMod} AS h,
+         |             CASE WHEN variant <= 3
+         |                    THEN '/p'||(doc_id % ${Url.PathMod})
+         |                         ||'?a='||(doc_id % ${Url.ParamMod})||'&b=2'
+         |                  WHEN variant = 4 THEN '/' END AS path,
+         |             (($h) % 10 = 0) AS is_batch
+         |      FROM v),
+         |valid AS (SELECT * FROM fb WHERE is_batch AND canon_url IS NOT NULL),
+         |allowed AS (
+         |  SELECT * FROM valid
+         |  WHERE h % 3 = 0 OR NOT (starts_with(path, '/private')
+         |                          OR starts_with(path, '/p'||h))),
+         |cf AS (SELECT DISTINCT canon_url FROM fb
+         |       WHERE NOT is_batch AND canon_url IS NOT NULL),
+         |novel AS (SELECT a.* FROM allowed a LEFT JOIN cf
+         |          ON a.canon_url = cf.canon_url
+         |          WHERE cf.canon_url IS NULL)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage, 'discovered' AS name,
+         |         (SELECT COUNT(*) FROM fb WHERE is_batch) AS n_urls
+         |  UNION ALL SELECT 1, 'valid', (SELECT COUNT(*) FROM valid)
+         |  UNION ALL SELECT 2, 'robots_allowed',
+         |            (SELECT COUNT(*) FROM allowed)
+         |  UNION ALL SELECT 3, 'novel', (SELECT COUNT(*) FROM novel)
+         |  UNION ALL SELECT 4, 'frontier_distinct',
+         |            (SELECT COUNT(DISTINCT canon_url) FROM novel)
+         |) ORDER BY stage""".stripMargin
+    },
     "xf_robots_screen" -> {
       // verdicts recomputed from the synthesis arithmetic: hosts
       // h%3=0 carry the graftbot allow-all override (no delay), other
@@ -179,5 +260,6 @@ object Robots {
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "xf_robots_screen" -> robotsScreen)
+    "xf_robots_screen" -> robotsScreen,
+    "xf_crawl_funnel"  -> crawlFunnel)
 }

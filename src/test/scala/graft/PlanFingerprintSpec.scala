@@ -83,6 +83,7 @@ class PlanFingerprintSpec extends SparkSpec {
     "xf_url_canon", "dd_url_dedup", "gr_host_rank", "src_warc_roundtrip",
     "mm_frame_neardup", "txt_kn5_score", "smp_host_weighted",
     "txt_topgram_share", "dd_url_incremental", "xf_robots_screen",
+    "xf_crawl_funnel",
     "ath_category_month_pivot", "ath_revenue_by_category",
     "ath_rolling_revenue", "ath_sales_rollup", "ath_top_customers",
     "cat_external_partitioned", "cat_register_tables", "dd_admission",
