@@ -81,7 +81,10 @@ object Robots {
               if (open && value.nonEmpty) dis = dis :+ value
             case "crawl-delay" =>
               inAgents = false
-              if (open && value.forall(_.isDigit) && value.nonEmpty)
+              // ≤18 digits: inside Long range — an adversarial 20-digit
+              // value parses as "no delay" instead of throwing in-task
+              if (open && value.nonEmpty && value.length <= 18 &&
+                  value.forall(_.isDigit))
                 delay = Some(value.toLong)
             case _ => inAgents = false // unknown directive: skip
           }
@@ -171,7 +174,6 @@ object Robots {
     * map-side screens, one keyed anti-join, one distinct; output is
     * 5 metadata rows. */
   def crawlFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
     val v = Url.urlVariants(spark, dir)
       .select(col("doc_id"), isBatch.as("is_batch"), col("url"),
@@ -190,13 +192,19 @@ object Robots {
     val corpusFrontier = v.where(!col("is_batch"))
       .where(col("canon_url").isNotNull).select("canon_url").distinct()
     val novel = allowed.join(corpusFrontier, Seq("canon_url"), "left_anti")
-    val stages: Seq[(Int, String, Long)] = Seq(
-      (0, "discovered", batch.count()),
-      (1, "valid", valid.count()),
-      (2, "robots_allowed", allowed.count()),
-      (3, "novel", novel.count()),
-      (4, "frontier_distinct", novel.select("canon_url").distinct().count()))
-    stages.toDF("stage", "name", "n_urls").orderBy("stage")
+    // one LAZY union of five 1-row aggregates — construction stays
+    // plan-only (Explain/fingerprinting never executes the funnel),
+    // and the action is a single job instead of five
+    val stages: Seq[(Int, String, DataFrame)] = Seq(
+      (0, "discovered", batch),
+      (1, "valid", valid),
+      (2, "robots_allowed", allowed),
+      (3, "novel", novel),
+      (4, "frontier_distinct", novel.select("canon_url").distinct()))
+    stages.map { case (i, name, df) =>
+      df.agg(count(lit(1)).as("n_urls"))
+        .select(lit(i).as("stage"), lit(name).as("name"), col("n_urls"))
+    }.reduce(_.unionAll(_)).orderBy("stage")
   }
 
   val oracles: Map[String, String] = Map(

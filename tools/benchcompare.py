@@ -6,57 +6,85 @@ Usage: python3 tools/benchcompare.py <current.json> <baseline.json> [...]
 Baselines may be full bench_history/rN.json files (with a "queries"
 map) OR truncated driver BENCH_rN.json artifacts (with a "tail"
 fragment) — per-query pairs are salvaged from whatever is present.
-For each query the BEST previously recorded value across all given
-baselines is the anchor; the current value is min(sweep-min, clamped
-isolated). Violations (> 2x the anchor) exit 1.
+Salvaged keys are intersected with the current run's query set, so
+telemetry pairs in a tail fragment (rel_spread, effective_cores, ...)
+never enter the baseline map. For each query the BEST previously
+recorded value across all given baselines is the anchor; the current
+value is min(sweep-min, clamped isolated). Violations (> 2x the
+host-normalized anchor) exit 1.
+
+Host normalization: artifacts that record host.effective_cores (the
+measured idle-core capacity during the sweep) have their 2x band
+scaled by the capacity ratio — a sweep taken on a host delivering
+19/32 cores is allowed 32/19 more wall time per query than one taken
+at full capacity. The factor is clamped to >=1 so a FASTER current
+host never loosens the gate below raw 2x, and capped at 4x so a
+wildly-contended artifact can't amnesty a real regression.
 
 Sweep TOTALS are deliberately not compared (BASELINE.md: totals are
 contention-bound on this host; only per-query minima adjudicate).
 """
 import sys, json, re
 
+NORM_CAP = 4.0
 
-def load_queries(path):
+
+def load_artifact(path):
+    """Returns (queries: {k: sec}, effective_cores or None)."""
     d = json.load(open(path))
+    ec = None
+    host = d.get("host")
+    if isinstance(host, dict):
+        ec = host.get("effective_cores")
     if "queries" in d and isinstance(d["queries"], dict):
         q = dict(d["queries"])
         iso = d.get("isolated") or {}
         for k, v in iso.items():
             if k in q:
                 q[k] = min(q[k], v)
-        return q
+        return q, ec
     # truncated driver artifact: salvage "name":seconds pairs
     frag = d.get("tail", "")
     return {k: float(v)
-            for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.]+)', frag)}
+            for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.]+)', frag)}, ec
 
 
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
         sys.exit(2)
-    cur = load_queries(sys.argv[1])
-    base = {}
+    cur, cur_ec = load_artifact(sys.argv[1])
+    base = {}  # key -> (sec, effective_cores or None)
     for p in sys.argv[2:]:
-        for k, v in load_queries(p).items():
-            if k not in base or v < base[k]:
-                base[k] = v
+        q, ec = load_artifact(p)
+        for k, v in q.items():
+            # telemetry guard: only keys the current run also timed
+            if k not in cur:
+                continue
+            if k not in base or v < base[k][0]:
+                base[k] = (v, ec)
     new = sorted(set(cur) - set(base))
     violations = []
-    for k, prev in sorted(base.items()):
-        if k in cur and cur[k] > 2 * prev:
-            violations.append((k, prev, cur[k]))
+    for k, (prev, ec) in sorted(base.items()):
+        norm = 1.0
+        if ec and cur_ec:
+            norm = min(NORM_CAP, max(1.0, ec / cur_ec))
+        if cur[k] > 2 * prev * norm:
+            violations.append((k, prev, cur[k], norm))
     print(f"baseline queries: {len(base)}  current: {len(cur)}  "
           f"new (set own baseline): {len(new)}")
+    if cur_ec:
+        print(f"current host effective_cores: {cur_ec:.1f}")
     for k in new:
         print(f"  NEW  {k}: {cur[k]:.2f}s")
     if violations:
-        print(f"\n{len(violations)} queries over 2x of best prior:")
-        for k, prev, now in violations:
+        print(f"\n{len(violations)} queries over the host-normalized 2x band:")
+        for k, prev, now, norm in violations:
             print(f"  OVER {k}: {now:.2f}s vs best prior {prev:.2f}s "
-                  f"({now/prev:.1f}x) -> adjudicate with BenchOne")
+                  f"({now/prev:.1f}x, band 2x*{norm:.2f}) "
+                  f"-> adjudicate with BenchOne")
         sys.exit(1)
-    print("all within the 2x band")
+    print("all within the host-normalized 2x band")
 
 
 if __name__ == "__main__":
