@@ -237,7 +237,119 @@ object Warc {
       .orderBy("doc_id")
   }
 
+  /** The synthesized crawl-container set for the EXTRACTION pipeline:
+    * WARC files whose payloads are the boilerplate-dressed HTML pages
+    * of [[Html.htmlPages]] — what a crawler actually lands, vs the
+    * clean-text payloads of [[warcFiles]]. Same grouping/framing
+    * contract. */
+  private[graft] def warcHtmlFiles(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Html.htmlPages(spark, dir)
+      .select(col("doc_id"), col("html"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / RecordsPerFile)
+      .mapGroups { (fid, it) =>
+        val recs = it.toArray.sortBy(_._1)
+        val bos = new ByteArrayOutputStream()
+        recs.foreach { case (id, html) =>
+          bos.write(frame(
+            s"http://host${id % Url.HostMod}.example/p$id",
+            s"<urn:graft:$id>", html.getBytes(UTF_8)))
+        }
+        (fid, bos.toByteArray)
+      }
+      .toDF("file_id", "blob")
+  }
+
+  /** `xf_warc_extract`: the crawl bronze→silver front door REPLAYED ON
+    * CRAWL CONTAINERS — [[warcHtmlFiles]] (WARC files holding
+    * boilerplate-dressed HTML) parsed back by the real record parser
+    * ([[parseRecords]]) and each payload pushed through the real
+    * extractor (`graft_html_parsed`): per document, the fetched URI
+    * and the extraction census + main text a curation pipeline would
+    * ingest. Composes `src_warc_roundtrip`'s framing with
+    * `txt_html_extract`'s extraction in ONE pipeline, so the oracle is
+    * the html-extract oracle arithmetic plus the URI arithmetic —
+    * a bug in framing, record parsing, payload byte-accounting OR
+    * extraction breaks the hash gate.
+    *
+    * Scale shape: record parsing and extraction are per-file / per-row
+    * executor work (in production: `binaryFile` scan → flatMap →
+    * map-side extract, zero shuffle before the documents-shaped sink);
+    * here the only shuffles are the synthesis doc→file grouping and
+    * the output ordering. Parity with [[Html.htmlExtract]] on the
+    * shared columns is asserted in WarcSpec. */
+  def warcExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = warcHtmlFiles(spark, dir)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, blob) =>
+        parseRecords(blob)._1.iterator.flatMap { r =>
+          val rid = r.headers.getOrElse("warc-record-id", "")
+          if (rid.startsWith("<urn:graft:") && rid.endsWith(">"))
+            Some((rid.substring(11, rid.length - 1).toLong,
+              r.headers.getOrElse("warc-target-uri", ""),
+              new String(r.payload, UTF_8)))
+          else None
+        }
+      }
+      .toDF("doc_id", "target_uri", "html")
+    val p = graft.functions.HtmlExtract.parsedCol(spark, col("html"))
+    payloads
+      .select(col("doc_id"), col("target_uri"), p.as("p"))
+      .select(col("doc_id"), col("target_uri"),
+        col("p.n_blocks").as("n_blocks"),
+        col("p.n_kept").as("n_kept"),
+        col("p.n_dropped_link").as("n_dropped_link"),
+        col("p.n_dropped_short").as("n_dropped_short"),
+        length(col("p.text")).cast("long").as("extracted_chars"),
+        col("p.text").as("extracted_text"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "xf_warc_extract" -> {
+      // the txt_html_extract oracle arithmetic + the WARC target-URI
+      // arithmetic (Html.synthPage census over documents.text; URI from
+      // the framing contract)
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w,
+         |             unnest(generate_series(0, (len(w)-1)//${Html.ParaWords}))
+         |               AS ci
+         |      FROM d),
+         |c AS (SELECT doc_id, ci,
+         |             array_to_string(w[ci*${Html.ParaWords}+1 :
+         |               ci*${Html.ParaWords}+${Html.ParaWords}], ' ') AS para
+         |      FROM p),
+         |k AS (SELECT doc_id,
+         |             CAST(COUNT(*) FILTER (WHERE length(para) >= 1) AS BIGINT)
+         |               AS n_paras,
+         |             CAST(COUNT(*) FILTER (WHERE length(para) >=
+         |               ${graft.functions.HtmlExtract.MinBlockChars}) AS BIGINT)
+         |               AS n_long,
+         |             string_agg(CASE WHEN length(para) >=
+         |                 ${graft.functions.HtmlExtract.MinBlockChars} THEN para
+         |               END, chr(10) ORDER BY ci) AS body
+         |      FROM c GROUP BY doc_id),
+         |e AS (SELECT doc_id, n_paras, n_long,
+         |             CASE WHEN body IS NULL
+         |                  THEN 'id & <' || CAST(doc_id AS VARCHAR) || '> "x'''
+         |                  ELSE body || chr(10) || 'id & <' ||
+         |                       CAST(doc_id AS VARCHAR) || '> "x'''
+         |             END AS extracted_text
+         |      FROM k)
+         |SELECT doc_id,
+         |       'http://host'||(doc_id % ${Url.HostMod})||'.example/p'||doc_id
+         |         AS target_uri,
+         |       n_paras + 4 AS n_blocks,
+         |       n_long + 1 AS n_kept,
+         |       CAST(2 AS BIGINT) AS n_dropped_link,
+         |       n_paras - n_long + 1 AS n_dropped_short,
+         |       length(extracted_text) AS extracted_chars,
+         |       extracted_text
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
     "src_warc_roundtrip" ->
       s"""SELECT doc_id,
          |       'http://host'||(doc_id % ${Url.HostMod})||'.example/p'||doc_id
@@ -248,5 +360,6 @@ object Warc {
          |FROM documents ORDER BY doc_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src_warc_roundtrip" -> warcRoundtrip)
+    "src_warc_roundtrip" -> warcRoundtrip,
+    "xf_warc_extract"    -> warcExtract)
 }

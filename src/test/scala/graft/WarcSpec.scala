@@ -75,5 +75,32 @@ class WarcSpec extends SparkSpec {
     assert(r0.getAs[Long]("content_length") == t0.getBytes(UTF_8).length.toLong)
   }
 
+  test("warc extract parity: the composed pipeline equals html-extract") {
+    // the WARC hop must be transparent: parsing payloads back out of
+    // the containers and extracting equals extracting the pages
+    // directly, column for column
+    val viaWarc = Warc.warcExtract(spark, sfDir).drop("target_uri")
+    val direct = graft.operators.Html.htmlExtract(spark, sfDir)
+    assert(viaWarc.columns.toSeq == direct.columns.toSeq)
+    assert(viaWarc.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("warc extract: a corrupt container record drops only its page") {
+    import spark.implicits._
+    // re-frame two pages, garble the first record's length header
+    val pages = graft.operators.Html.htmlPages(spark, sfDir)
+      .as[(Long, String, String, String)].collect().take(2)
+    val good = pages.map { case (id, _, _, html) =>
+      Warc.frame(s"http://host${id % 13}.example/p$id",
+        s"<urn:graft:$id>", html.getBytes(UTF_8))
+    }
+    val garbled = ("WARC/1.0\r\nWARC-Record-ID: <urn:graft:999>\r\n" +
+      "Content-Length: 99999999\r\n\r\nshort").getBytes(UTF_8)
+    val (rs, corrupt) = Warc.parseRecords(cat(garbled, good(0), good(1)))
+    assert(corrupt == 1)
+    assert(rs.map(_.headers("warc-record-id")) ==
+      pages.map(p => s"<urn:graft:${p._1}>").toSeq)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
