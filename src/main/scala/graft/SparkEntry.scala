@@ -20,7 +20,7 @@ object SparkEntry {
       AsOfJoin.queries ++ IntervalJoin.queries ++ Curation.queries ++
       Clustering.queries ++ Compaction.queries ++ FuzzyMatch.queries ++
       Graph.queries ++ Html.queries ++ Url.queries ++ Warc.queries ++
-      Robots.queries ++ Sitemap.queries
+      Robots.queries ++ Sitemap.queries ++ CrawlBudget.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
       AsOfJoin.oracles ++ IntervalJoin.oracles ++ Curation.oracles ++
       Clustering.oracles ++ Compaction.oracles ++ FuzzyMatch.oracles ++
       Graph.oracles ++ Html.oracles ++ Url.oracles ++ Warc.oracles ++
-      Robots.oracles ++ Sitemap.oracles
+      Robots.oracles ++ Sitemap.oracles ++ CrawlBudget.oracles
 }

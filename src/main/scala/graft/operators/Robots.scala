@@ -173,7 +173,11 @@ object Robots {
     * stage is the standalone operator's plan collapsed to a count —
     * map-side screens, one keyed anti-join, one distinct; output is
     * 5 metadata rows. */
-  def crawlFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's four stage frames (batch, valid, allowed, novel) —
+    * shared by [[crawlFunnel]]'s counts and [[CrawlBudget]]'s per-host
+    * demand. All lazy. */
+  private[graft] def funnelFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
     val v = Url.urlVariants(spark, dir)
       .select(col("doc_id"), isBatch.as("is_batch"), col("url"),
@@ -192,6 +196,11 @@ object Robots {
     val corpusFrontier = v.where(!col("is_batch"))
       .where(col("canon_url").isNotNull).select("canon_url").distinct()
     val novel = allowed.join(corpusFrontier, Seq("canon_url"), "left_anti")
+    (batch, valid, allowed, novel)
+  }
+
+  def crawlFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (batch, valid, allowed, novel) = funnelFrames(spark, dir)
     // one LAZY union of five 1-row aggregates — construction stays
     // plan-only (Explain/fingerprinting never executes the funnel),
     // and the action is a single job instead of five

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{CrawlBudget, Robots, Url}
+import org.apache.spark.sql.functions._
+
+class CrawlBudgetSpec extends SparkSpec {
+
+  private lazy val rows = CrawlBudget.crawlBudget(spark, sfDir).collect()
+
+  test("shares sum exactly to the budget (largest-remainder invariant)") {
+    val demandTot = rows.map(_.getAs[Long]("demand")).sum
+    assert(rows.map(_.getAs[Long]("share")).sum == demandTot / 2)
+  }
+
+  test("sequential replay: share/quota/binding from the driver recompute") {
+    val budget = rows.map(_.getAs[Long]("demand")).sum / 2
+    val pointsTot = rows.map(_.getAs[Long]("points")).sum
+    val share0 = rows.map(r => r.getAs[Long]("host_id") ->
+      budget * r.getAs[Long]("points") / pointsTot).toMap
+    val remPts = rows.map(r => r.getAs[Long]("host_id") ->
+      budget * r.getAs[Long]("points") % pointsTot).toMap
+    val rem = budget - share0.values.sum
+    val bonus = rows.map(_.getAs[Long]("host_id"))
+      .sortBy(h => (-remPts(h), h)).take(rem.toInt).toSet
+    rows.foreach { r =>
+      val h = r.getAs[Long]("host_id")
+      val share = share0(h) + (if (bonus(h)) 1L else 0L)
+      assert(r.getAs[Long]("share") == share, s"host $h share")
+      val quota = Seq(r.getAs[Long]("demand"), r.getAs[Long]("capacity"),
+        share).min
+      assert(r.getAs[Long]("quota") == quota, s"host $h quota")
+      val binding =
+        if (quota == r.getAs[Long]("demand")) "demand"
+        else if (quota == r.getAs[Long]("capacity")) "robots"
+        else "rank"
+      assert(r.getAs[String]("binding") == binding, s"host $h binding")
+    }
+  }
+
+  test("demand equals the funnel novel frame rolled up by host") {
+    val novel = Robots.funnelFrames(spark, sfDir)._4
+      .groupBy("host_id").count().collect()
+      .map(r => r.getAs[Long]("host_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val h = r.getAs[Long]("host_id")
+      assert(r.getAs[Long]("demand") == novel.getOrElse(h, 0L), s"host $h")
+    }
+    // the pageless sink host has rank points but zero demand → quota 0
+    val sink = rows.find(_.getAs[Long]("host_id") == Url.HostMod)
+    assert(sink.exists(r => r.getAs[Long]("demand") == 0L &&
+      r.getAs[Long]("quota") == 0L && r.getAs[String]("binding") == "demand"))
+  }
+
+  test("capacity honors the robots crawl delays") {
+    val delays = Robots.rulesTable(spark)
+      .select(col("host_id"), col("crawl_delay")).collect()
+      .map(r => r.getAs[Long]("host_id") ->
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(1L)).toMap
+    rows.foreach { r =>
+      val h = r.getAs[Long]("host_id")
+      assert(r.getAs[Long]("capacity") ==
+        CrawlBudget.FetchWindow / delays.getOrElse(h, 1L), s"host $h")
+    }
+  }
+}
