@@ -729,9 +729,16 @@ object Dedup {
     *     paraphrase-robust — reworded copies the token screens miss by
     *     construction. Witness = best-cosine corpus embedding, ties to
     *     the smaller id (the same max-of-struct argmax; embeddings are
-    *     1:1 with documents by id).
+    *     1:1 with documents by id);
+    *   - URL frontier vs corpus ([[Url.urlIncremental]]'s screen on
+    *     the document's own arriving spelling — variant
+    *     `doc_id % UrlVariants` of the [[Url.urlVariants]] synthesis):
+    *     a doc whose canonical URL is already in the corpus frontier
+    *     is a re-crawl, rejected before any content signal; docs with
+    *     no valid URL (`url_valid=false`) pass this screen and fall
+    *     through to the content screens.
     *
-    * `admitted` = all five screens clear. Parity with each standalone
+    * `admitted` = all six screens clear. Parity with each standalone
     * screen is asserted in DedupSpec; the oracle composes the
     * components' own oracle forms (the semantic oracle is the licensed
     * brute-force cosine of dd_decontam_sem — exact because candidates
@@ -862,10 +869,29 @@ object Dedup {
       .select(col("doc_id"), col("sem_matches"), col("max_sem_cos"),
         (-col("smx.nid")).as("sem_witness"))
 
+    // URL screen: the frontier verdict on the doc's own arriving
+    // spelling — canonicalization is map-side codegen, the screen ONE
+    // join keyed on the collapsed canonical string against the
+    // corpus docs' own canonical URLs (one per crawled page)
+    val av = Url.urlVariants(spark, dir)
+      .where(col("variant") === (col("doc_id") % Url.UrlVariants))
+      .select(col("doc_id"), col("url"),
+        graft.functions.UrlCanon.canonCol(spark, col("url")).as("canon_url"),
+        isBatch.as("is_batch"))
+    val urlFrontier = av.where(!col("is_batch"))
+      .where(col("canon_url").isNotNull)
+      .select("canon_url").distinct().withColumn("uk", lit(true))
+    val urlScreen = av.where(col("is_batch"))
+      .join(urlFrontier, Seq("canon_url"), "left")
+      .select(col("doc_id"), col("canon_url"),
+        col("canon_url").isNotNull.as("url_valid"),
+        coalesce(col("uk"), lit(false)).as("url_known"))
+
     exactFlags
       .join(near, Seq("doc_id"), "left")
       .join(substr, Seq("doc_id"), "left")
       .join(sem, Seq("doc_id"), "left")
+      .join(urlScreen, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("exact_dup_corpus"), col("exact_witness"),
         col("exact_dup_in_batch"), col("first_batch_id"),
@@ -875,10 +901,14 @@ object Dedup {
         col("substr_witness"),
         coalesce(col("sem_matches"), lit(0L)).as("sem_matches"),
         col("max_sem_cos"), col("sem_witness"),
+        col("canon_url"),
+        coalesce(col("url_valid"), lit(false)).as("url_valid"),
+        coalesce(col("url_known"), lit(false)).as("url_known"),
         (!col("exact_dup_corpus") && !col("exact_dup_in_batch") &&
           coalesce(col("near_matches"), lit(0L)) === 0L &&
           col("substr_witness").isNull &&
-          coalesce(col("sem_matches"), lit(0L)) === 0L).as("admitted"))
+          coalesce(col("sem_matches"), lit(0L)) === 0L &&
+          !coalesce(col("url_known"), lit(false))).as("admitted"))
       .orderBy("doc_id")
   }
 
@@ -1738,7 +1768,17 @@ object Dedup {
          |sw AS (SELECT sq.batch_id, MIN(sq.corpus_id) AS sem_witness
          |       FROM sq JOIN sm ON sq.batch_id = sm.batch_id
          |                      AND sq.cosine = sm.max_sem_cos
-         |       GROUP BY 1)
+         |       GROUP BY 1),
+         |${Url.variantCteSql},
+         |av AS (SELECT doc_id, url, canon_url FROM v
+         |       WHERE variant = doc_id % ${Url.UrlVariants}),
+         |uf AS (SELECT DISTINCT canon_url FROM av
+         |       WHERE NOT (($h) % 10 = 0) AND canon_url IS NOT NULL),
+         |us AS (SELECT av.doc_id, av.canon_url,
+         |              av.canon_url IS NOT NULL AS url_valid,
+         |              uf.canon_url IS NOT NULL AS url_known
+         |       FROM av LEFT JOIN uf ON av.canon_url = uf.canon_url
+         |       WHERE ($h) % 10 = 0)
          |SELECT b.doc_id,
          |       cx.exact_witness IS NOT NULL AS exact_dup_corpus,
          |       cx.exact_witness,
@@ -1752,10 +1792,14 @@ object Dedup {
          |       CAST(COALESCE(sm.sem_matches, 0) AS BIGINT) AS sem_matches,
          |       sm.max_sem_cos,
          |       sw.sem_witness,
+         |       us.canon_url,
+         |       COALESCE(us.url_valid, FALSE) AS url_valid,
+         |       COALESCE(us.url_known, FALSE) AS url_known,
          |       (cx.exact_witness IS NULL AND b.doc_id = fb.first_batch_id
          |        AND COALESCE(nm.near_matches, 0) = 0
          |        AND sb.substr_witness IS NULL
-         |        AND COALESCE(sm.sem_matches, 0) = 0) AS admitted
+         |        AND COALESCE(sm.sem_matches, 0) = 0
+         |        AND NOT COALESCE(us.url_known, FALSE)) AS admitted
          |FROM d b
          |LEFT JOIN cx USING (h)
          |JOIN fb USING (h)
@@ -1764,6 +1808,7 @@ object Dedup {
          |LEFT JOIN sb ON b.doc_id = sb.doc_id
          |LEFT JOIN sm ON b.doc_id = sm.batch_id
          |LEFT JOIN sw ON b.doc_id = sw.batch_id
+         |LEFT JOIN us ON b.doc_id = us.doc_id
          |WHERE b.is_batch
          |ORDER BY b.doc_id""".stripMargin
     },

@@ -776,6 +776,28 @@ class DedupSpec extends SparkSpec {
       .map { case (t, v) => t -> v.map(_._1).min }
     val firstInBatch = docs.filter(_._3).groupBy(_._2)
       .map { case (t, v) => t -> v.map(_._1).min }
+    // URL screen: frontier replay on each doc's own arriving spelling
+    val arriving = graft.operators.Url.urlVariants(spark, sfDir)
+      .where(col("variant") === (col("doc_id") % graft.operators.Url.UrlVariants))
+      .select(col("doc_id"),
+        graft.functions.UrlCanon.canonCol(spark, col("url")).as("canon_url"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("canon_url"))))
+    val batchIds = docs.filter(_._3).map(_._1).toSet
+    val urlFrontier = arriving.collect {
+      case (id, Some(c)) if !batchIds(id) => c
+    }.toSet
+    arriving.filter(t => batchIds(t._1)).foreach { case (id, canon) =>
+      val a = adm(id)
+      assert(Option(a.getAs[String]("canon_url")) == canon, s"doc $id")
+      assert(a.getAs[Boolean]("url_valid") == canon.isDefined, s"doc $id")
+      assert(a.getAs[Boolean]("url_known") ==
+        canon.exists(urlFrontier.contains), s"doc $id")
+    }
+    // both url_known outcomes occur (re-crawls AND novel pages)
+    assert(adm.values.exists(_.getAs[Boolean]("url_known")))
+    assert(adm.values.exists(r => r.getAs[Boolean]("url_valid") &&
+      !r.getAs[Boolean]("url_known")))
     docs.filter(_._3).foreach { case (id, t, _) =>
       val a = adm(id)
       assert(Option(a.getAs[java.lang.Long]("exact_witness"))
@@ -786,7 +808,8 @@ class DedupSpec extends SparkSpec {
           !a.getAs[Boolean]("exact_dup_in_batch") &&
           a.getAs[Long]("near_matches") == 0L &&
           !a.getAs[Boolean]("substr_hit") &&
-          a.getAs[Long]("sem_matches") == 0L), s"doc $id")
+          a.getAs[Long]("sem_matches") == 0L &&
+          !a.getAs[Boolean]("url_known")), s"doc $id")
     }
     // both admitted outcomes occur on this corpus
     val verdicts = adm.values.map(_.getAs[Boolean]("admitted")).toSet
