@@ -128,6 +128,17 @@ object Robots {
       .toDF("host_id", "disallow", "crawl_delay")
   }
 
+  /** The rules table keyed by canonical HOST STRING — the static side
+    * of the streaming robots screen
+    * ([[graft.streaming.CrawlStreams.robotsScreenStream]]): arbitrary
+    * arriving URLs join on `graft_url_host` output, not the synthetic
+    * host index. */
+  private[graft] def rulesByHost(spark: SparkSession): DataFrame =
+    rulesTable(spark).select(
+      concat(lit("host"), col("host_id").cast("string"), lit(".example"))
+        .as("host"),
+      col("disallow"), col("crawl_delay"))
+
   /** `xf_robots_screen`: every synthesized URL variant against its
     * host's robots rules — canonical host + path, the allow/deny
     * verdict for [[Agent]] (prefix match over the canonical

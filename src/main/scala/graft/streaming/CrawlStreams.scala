@@ -72,4 +72,42 @@ object CrawlStreams {
   /** Streaming WARC record extractor over a (path, content) feed. */
   def warcRecordStream(files: DataFrame): DataFrame =
     warcRecords(files)
+
+  /** Shared robots compliance screen — the stream and batch sides of
+    * the fetch-time verdict (one builder; the parity spec pins it):
+    * each arriving raw URL is canonicalized, its canonical path
+    * prefix-tested against the host's Disallow set from the HOST-sized
+    * `rules` table (host, disallow, crawl_delay) — stream-static
+    * broadcast, a stateless map-side verdict per micro-batch, the
+    * [[graft.operators.Robots.robotsScreen]] semantics a batch behind
+    * discovery instead of a night behind it. A host absent from the
+    * rules table is allow-all with no delay (no robots.txt = no
+    * restrictions); non-URLs come out `valid=false, allowed=false`
+    * (counted, never dropped, never fatal). */
+  private[graft] def robotsScreen(urls: DataFrame,
+      rules: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    urls
+      .select(col("value").as("url"),
+        UrlCanon.canonCol(spark, col("value")).as("canon_url"),
+        UrlCanon.hostCol(spark, col("value")).as("canon_host"))
+      .withColumn("path",
+        when(col("canon_url").isNotNull,
+          regexp_replace(col("canon_url"), "^[a-z]+://[^/]+", "")))
+      .join(broadcast(rules.select(col("host").as("canon_host"),
+        col("disallow"), col("crawl_delay"))), Seq("canon_host"), "left")
+      .select(col("url"), col("canon_url"), col("canon_host"), col("path"),
+        col("canon_url").isNotNull.as("valid"),
+        when(col("canon_url").isNull, lit(false))
+          .otherwise(!exists(
+            coalesce(col("disallow"), array().cast("array<string>")),
+            p => col("path").startsWith(p)))
+          .as("allowed"),
+        col("crawl_delay"))
+  }
+
+  /** Streaming robots compliance screen over a `value`-typed URL feed
+    * against a static (host, disallow, crawl_delay) rules table. */
+  def robotsScreenStream(urls: DataFrame, rules: DataFrame): DataFrame =
+    robotsScreen(urls, rules)
 }

@@ -773,6 +773,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming robots screen matches the batch screen and the parser") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rules = graft.operators.Robots.rulesByHost(spark).localCheckpoint()
+    // planted spellings: a disallowed path (host1 denies /p1 prefixes),
+    // an allowed path on the same host, a disallowed-path spelling on
+    // an override host (host3 carries the graftbot allow-all), a
+    // canon-needing dressing, an unknown host, and garbage
+    val urls = Seq(
+      "http://host1.example/p1x?z=1",            // denied: /p1 prefix
+      "http://host1.example/q5",                 // allowed, delay 2
+      "http://host3.example/private/x",          // override host: allowed
+      "HTTP://HOST1.EXAMPLE:80/other?utm_source=x", // dressed, allowed
+      "https://unknown.example/x",               // no robots: allow-all
+      "not a url")                               // invalid, not fatal
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("url"), Option(r.getAs[String]("canon_url")),
+        r.getAs[Boolean]("valid"), r.getAs[Boolean]("allowed"),
+        Option(r.getAs[java.lang.Long]("crawl_delay")).map(_.longValue)))
+      .toSet
+    val batch = norm(graft.streaming.CrawlStreams.robotsScreenStream(
+      urls.toDF("value"), rules))
+    val byUrl = batch.map(t => t._1 -> t).toMap
+    assert(byUrl("http://host1.example/p1x?z=1")._4 == false)
+    assert(byUrl("http://host1.example/q5") ==
+      ("http://host1.example/q5", Some("http://host1.example/q5"),
+        true, true, Some(2L)))
+    assert(byUrl("http://host3.example/private/x")._4 == true,
+      "the graftbot override allows everything on host3")
+    assert(byUrl("http://host3.example/private/x")._5.isEmpty)
+    assert(byUrl("HTTP://HOST1.EXAMPLE:80/other?utm_source=x") ==
+      ("HTTP://HOST1.EXAMPLE:80/other?utm_source=x",
+        Some("http://host1.example/other"), true, true, Some(2L)))
+    assert(byUrl("https://unknown.example/x")._4 == true)
+    assert(byUrl("https://unknown.example/x")._5.isEmpty)
+    assert(byUrl("not a url") == ("not a url", None, false, false, None))
+    // verdicts agree with the real parser applied directly
+    val r1 = graft.operators.Robots.parse(graft.operators.Robots.robotsTxt(1))
+    assert(r1.disallow.exists("/p1x?z=1".startsWith) &&
+      r1.crawlDelay.contains(2L))
+    val input = MemoryStream[String]
+    val q = graft.streaming.CrawlStreams.robotsScreenStream(
+      input.toDF().toDF("value"), rules)
+      .writeStream.format("memory").queryName("robots_screen_out")
+      .outputMode("append").start()
+    val (a, b) = urls.splitAt(3)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    val streamed = norm(spark.table("robots_screen_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming WARC record extraction matches the batch parser") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
