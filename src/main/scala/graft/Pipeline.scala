@@ -117,4 +117,37 @@ object Pipeline {
 
     RunResult(silver, goldPaths, dqPassed, analytics)
   }
+
+  /** The reference DAG's operational contract
+    * (dags/etl_retail_pipeline.py:15-23 — `retries: 1`,
+    * `retry_delay`, `catchup=False`) as a library combinator:
+    * re-execute a failed attempt up to `retries` times, sleeping
+    * `retryDelayMs` between attempts (`sleep` injectable so tests
+    * don't wait out the delay). Re-execution is safe BECAUSE [[run]]
+    * is idempotent — a rerun into the same lake leaves byte-identical
+    * gold and catalog state (pinned in PipelineRunSpec). Non-fatal
+    * errors only; the last failure is rethrown once retries are
+    * exhausted. */
+  def withRetries[T](retries: Int, retryDelayMs: Long = 0L,
+      sleep: Long => Unit = Thread.sleep)(attempt: Int => T): T = {
+    var n = 0
+    var last: Throwable = null
+    while (n <= retries) {
+      try return attempt(n)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          last = e; n += 1
+          if (n <= retries && retryDelayMs > 0) sleep(retryDelayMs)
+      }
+    }
+    throw last
+  }
+
+  /** [[run]] under the DAG's retry policy. */
+  def runWithRetries(spark: SparkSession, srcDir: String, lakeBase: String,
+      loadDate: String = "d20260101", retries: Int = 1,
+      retryDelayMs: Long = 300000L,
+      sleep: Long => Unit = Thread.sleep): RunResult =
+    withRetries(retries, retryDelayMs, sleep)(_ =>
+      run(spark, srcDir, lakeBase, loadDate))
 }

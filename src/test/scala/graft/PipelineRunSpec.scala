@@ -49,7 +49,50 @@ class PipelineRunSpec extends SparkSpec {
         name -> (df.count(), h)
       }
     val first = goldHashes(Pipeline.run(spark, sfDir, lake))
+    def catalogState(): Map[String, Long] =
+      Seq("daily_sales_summary", "top_customers", "product_performance",
+        "store_performance").map(n => n -> spark.table(n).count()).toMap
+    val firstCat = catalogState()
     val second = goldHashes(Pipeline.run(spark, sfDir, lake))
     assert(second == first, "second run changed gold content")
+    assert(catalogState() == firstCat, "second run changed catalog state")
+  }
+
+  test("retry policy: transient failure recovers, exhaustion rethrows") {
+    // the DAG's retries:1 + retry_delay contract — a task that fails
+    // once succeeds on the retry, with the delay honored between
+    var slept = List.empty[Long]
+    var calls = 0
+    val out = Pipeline.withRetries(retries = 1, retryDelayMs = 300000L,
+      sleep = ms => slept ::= ms) { attempt =>
+      calls += 1
+      if (attempt == 0) sys.error("transient extract failure")
+      "ok"
+    }
+    assert(out == "ok" && calls == 2 && slept == List(300000L))
+    // retries exhausted: the LAST failure surfaces
+    val e = intercept[RuntimeException] {
+      Pipeline.withRetries(retries = 1, sleep = _ => ()) { attempt =>
+        sys.error(s"persistent failure $attempt")
+      }
+    }
+    assert(e.getMessage == "persistent failure 1")
+    // a retried RUN still lands the idempotent result (attempt 0 dies
+    // mid-flight AFTER writing bronze — the rerun must recover cleanly)
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake3").toString
+    var attempts = 0
+    val r = Pipeline.withRetries(retries = 1, sleep = _ => ()) { attempt =>
+      attempts += 1
+      if (attempt == 0) {
+        // simulate dying between bronze and silver: partial lake state
+        graft.sources.CsvSource.write(
+          graft.sources.Tables.stores(spark, sfDir),
+          graft.sinks.ParquetSink.layerPath(lake, "bronze", "stores"))
+        sys.error("executor lost")
+      }
+      Pipeline.run(spark, sfDir, lake)
+    }
+    assert(attempts == 2 && r.dqPassed)
+    assert(r.goldTables.keySet.size == 4)
   }
 }
