@@ -154,25 +154,109 @@ object Graph {
     * by DISTINCT on the (src, dst) host pair (hosts ≪ pages — at crawl
     * scale a pre-aggregation keyed on the host pair); the rank loop is
     * [[pagerankOn]]'s host-count-sized iteration. */
-  def hostRank(spark: SparkSession, dir: String): DataFrame = {
-    val pages = Html.linkPages(spark, dir)
-    val edges = pages
-      .select(col("src_host").as("u"),
-        explode(graft.functions.HtmlExtract.linksCol(spark, col("html")))
-          .as("href"))
-      .select(col("u"),
-        graft.functions.UrlCanon.hostCol(spark, col("href")).as("dhost"))
-      .where(col("dhost").isNotNull)
-      .where(col("dhost").rlike("^host\\d+\\.example$"))
-      .select(col("u"),
-        regexp_extract(col("dhost"), "^host(\\d+)\\.example$", 1)
-          .cast("long").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-    pagerankOn(spark, edges)
+  /** The host→host link edge list recovered through the REAL
+    * extraction path (anchor lexer → host canonicalizer) — the
+    * session-cached artifact [[hostRank]] and [[hostTrust]] both rank
+    * over (a production crawler materializes it once per snapshot). */
+  private[graft] def hostEdges(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "gr_host_edges") {
+      Html.linkPages(spark, dir)
+        .select(col("src_host").as("u"),
+          explode(graft.functions.HtmlExtract.linksCol(spark, col("html")))
+            .as("href"))
+        .select(col("u"),
+          graft.functions.UrlCanon.hostCol(spark, col("href")).as("dhost"))
+        .where(col("dhost").isNotNull)
+        .where(col("dhost").rlike("^host\\d+\\.example$"))
+        .select(col("u"),
+          regexp_extract(col("dhost"), "^host(\\d+)\\.example$", 1)
+            .cast("long").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+  def hostRank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOn(spark, hostEdges(spark, dir))
       .select(col("u").as("host_id"),
         concat(lit("host"), col("u").cast("string"), lit(".example")).as("host"),
         col("pr").as("pagerank"))
+      .orderBy("host_id")
+
+  /** Biased (seed-teleport) PageRank — TrustRank (Gyöngyi, Garcia-
+    * Molina & Pedersen, VLDB 2004) — over an arbitrary directed
+    * `(u, v)` edge relation: identical propagation, damping and
+    * fixed-point discipline to [[pagerankOn]], but BOTH the teleport
+    * and the dangling-mass redistribution land on the SEED
+    * distribution (1/|S| per seed, 0 elsewhere) instead of uniformly,
+    * so trust flows only along links reachable from the vetted
+    * whitelist — link farms that loop among themselves collect
+    * PageRank but no trust. Same per-round plan: one edges⋈scores
+    * join + one destination-keyed partial agg + a 1-row dangling
+    * aggregate; the seed vector is a nodes-sized checkpointed frame
+    * joined per round. */
+  def trustrankOn(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      iters: Int = PagerankIters): DataFrame = {
+    val zeroDec = lit(0).cast(DecimalType(38, 0))
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = e.select("u").unionAll(e.select(col("v").as("u")))
+      .distinct().localCheckpoint()
+    val sd = seeds.select(col("u").cast("long").as("u")).distinct()
+      .withColumn("is_seed", lit(true))
+    val ns = sd.agg(count(lit(1)).cast("double").as("ns"))
+    val sv = nodes.join(broadcast(sd), Seq("u"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("u"),
+        when(coalesce(col("is_seed"), lit(false)), lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("sv"))
+      .localCheckpoint()
+    var tr = sv.select(col("u"), col("sv").as("pr"))
+    (1 to iters).foreach { _ =>
+      val msgs = e
+        .join(tr, "u").join(deg, "u")
+        .select(col("v").as("u"),
+          floor((col("pr") / col("deg")) * lit(PrScale))
+            .cast(DecimalType(38, 0)).as("c"))
+        .groupBy("u").agg(sum("c").as("s"))
+      val dangling = tr.join(deg, Seq("u"), "left_anti")
+        .agg(coalesce(sum(floor(col("pr") * lit(PrScale))
+          .cast(DecimalType(38, 0))), zeroDec).as("ds"))
+      tr = sv.join(msgs, Seq("u"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("u"),
+          (lit(0.15) * col("sv") + lit(0.85) *
+            (coalesce(col("s"), zeroDec).cast("double") / lit(PrScale)
+              + col("ds").cast("double") / lit(PrScale) * col("sv"))).as("pr"))
+        .localCheckpoint()
+    }
+    tr
+  }
+
+  /** `gr_host_trust`: TrustRank + spam mass over the host link graph —
+    * the crawl-side spam screen beside [[hostRank]]'s quality prior.
+    * Seeds are the arithmetically-vetted whitelist (every 3rd host —
+    * the same hosts whose robots carry the agent override, a defensible
+    * "manually reviewed" set); output per host: the trust score, the
+    * unbiased PageRank, and SPAM MASS `(pr − trust)/pr` — the fraction
+    * of a host's rank not backed by trusted endorsement (Gyöngyi et
+    * al. §5; ≈1 flags rank built by farms, ≤0 the seeds themselves).
+    * Both ranks share one cached edge artifact; the oracle unrolls
+    * both fixed-round recursions and recomputes spam mass in the same
+    * two IEEE ops. */
+  def hostTrust(spark: SparkSession, dir: String): DataFrame = {
+    val edges = hostEdges(spark, dir)
+    val seeds = spark.range(Url.HostMod).select(col("id").as("u"))
+      .where(col("u") % 3 === 0)
+    trustrankOn(spark, edges, seeds)
+      .select(col("u").as("host_id"), col("pr").as("trust"))
+      .join(pagerankOn(spark, edges)
+        .select(col("u").as("host_id"), col("pr").as("pagerank")), "host_id")
+      .select(col("host_id"),
+        concat(lit("host"), col("host_id").cast("string"), lit(".example"))
+          .as("host"),
+        col("trust"), col("pagerank"),
+        ((col("pagerank") - col("trust")) / col("pagerank")).as("spam_mass"))
       .orderBy("host_id")
   }
 
@@ -544,6 +628,27 @@ object Graph {
        |               + CAST(ds AS DOUBLE)/$PrScale/nd) AS pr
        |  FROM nodes LEFT JOIN m$out m ON nodes.u = m.u, n, dg$out)""".stripMargin
 
+  /** [[prRound]]'s TrustRank twin: teleport and dangling mass land on
+    * the seed vector `sv(u, sv)` instead of 1/nd. CTE names prefixed
+    * `tr` so both recursions coexist in one WITH body. */
+  private def trRound(prev: String, out: String): String =
+    s"""m$out AS (
+       |  SELECT e.v AS u,
+       |         SUM(CAST(FLOOR((p.pr/d.deg) * $PrScale) AS DECIMAL(38,0))) AS s
+       |  FROM und e JOIN $prev p ON e.u = p.u JOIN deg d ON e.u = d.u
+       |  GROUP BY 1),
+       |dg$out AS (
+       |  SELECT COALESCE(SUM(CAST(FLOOR(p.pr * $PrScale) AS DECIMAL(38,0))),
+       |                  CAST(0 AS DECIMAL(38,0))) AS ds
+       |  FROM $prev p LEFT JOIN deg d ON p.u = d.u WHERE d.u IS NULL),
+       |$out AS (
+       |  SELECT nodes.u, CAST(0.15 AS DOUBLE) * sv.sv
+       |            + CAST(0.85 AS DOUBLE) *
+       |              (CAST(COALESCE(m.s, 0) AS DOUBLE)/$PrScale
+       |               + CAST(ds AS DOUBLE)/$PrScale * sv.sv) AS pr
+       |  FROM nodes LEFT JOIN m$out m ON nodes.u = m.u
+       |       JOIN sv ON nodes.u = sv.u, dg$out)""".stripMargin
+
   /** The gr_host_rank recompute as a reusable WITH-body ending in a
     * `hostpr(host_id, host, pagerank)` CTE — shared with the
     * smp_host_weighted oracle in [[Curation]]. */
@@ -569,6 +674,21 @@ object Graph {
     "gr_host_rank" ->
       s"""WITH $hostRankCte
          |SELECT host_id, host, pagerank FROM hostpr ORDER BY host_id""".stripMargin,
+    "gr_host_trust" ->
+      s"""WITH $hostRankCte,
+         |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes
+         |       WHERE u % 3 = 0),
+         |sv AS (SELECT nodes.u,
+         |              CASE WHEN nodes.u % 3 = 0 THEN CAST(1 AS DOUBLE)/ns.ns
+         |                   ELSE CAST(0 AS DOUBLE) END AS sv
+         |       FROM nodes, ns),
+         |tr0 AS (SELECT u, sv AS pr FROM sv),
+         |${(1 to PagerankIters).map(i => trRound(s"tr${i - 1}", s"tr$i"))
+             .mkString(",\n")}
+         |SELECT hp.host_id, hp.host, t.pr AS trust, hp.pagerank,
+         |       (hp.pagerank - t.pr) / hp.pagerank AS spam_mass
+         |FROM hostpr hp JOIN tr$PagerankIters t ON hp.host_id = t.u
+         |ORDER BY host_id""".stripMargin,
     "gr_pagerank" ->
       s"""WITH ${Tables.salesCte},
          |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
@@ -994,6 +1114,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr_pagerank"  -> pagerank,
     "gr_host_rank" -> hostRank,
+    "gr_host_trust" -> hostTrust,
     "gr_labelprop" -> labelprop,
     "gr_hits"      -> hits,
     "gr_degrees"   -> degrees,

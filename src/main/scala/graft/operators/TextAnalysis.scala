@@ -442,6 +442,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** `txt_ccnet_bucket`: CCNet-style per-language fluency bucketing
+    * (Wenzek et al. 2020 §4.3) — within each language, documents sort
+    * by [[lmScore]]'s fluency DESCENDING (doc_id tiebreak) and split
+    * into exact terciles: `head` (the most fluent third CCNet keeps
+    * unconditionally), `middle`, `tail` (the third it drops or
+    * down-samples). A GLOBAL fluency cutoff would silently gut
+    * low-resource languages whose n-gram statistics run thinner — the
+    * same failure mode `txt_quality_by_source` guards per source;
+    * this is the per-LANGUAGE version on the LM signal, and the
+    * standard pre-mixing partition of a multilingual crawl.
+    *
+    * Docs with fewer than two tokens carry no bigram score and are
+    * not bucketable (excluded, as in [[lmScore]]).
+    *
+    * Scale shape: the LM scoring is [[lmScore]]'s type-table plan; the
+    * within-language rank is [[SkewUtils.groupRank]] (range-partitioned
+    * prefix scan — one mega-language never funnels one window task);
+    * bucket arithmetic is an all-integer `((rank−1)·3) DIV n` on a
+    * broadcast language-catalog count join. */
+  def ccnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(spark, dir).select(col("doc_id"), col("lm_score"))
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "lang"),
+        "doc_id")
+    val ranked = SkewUtils.groupRank(scored, "lang",
+      Seq(col("lm_score").desc, col("doc_id").asc), "rn")
+    val nl = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(nl), "lang")
+      .withColumn("bucket_idx",
+        expr("((CAST(rn AS BIGINT) - 1) * 3) DIV n_lang").cast("int"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket_idx"),
+        when(col("bucket_idx") === 0, "head")
+          .when(col("bucket_idx") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** `txt_quality_by_source`: per-source quality calibration — exact
     * quartiles (the value at rank ⌈q·n⌉ ascending, doc_id tiebreak) of
     * [[quality]]'s score within each source. A GLOBAL quality cutoff
@@ -1591,6 +1627,36 @@ object TextAnalysis {
        |         >= 0.5 AS passed
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** The txt_lm_score recompute as a reusable WITH-body ending in an
+    * `lm(doc_id, n_bigrams, lm_score)` CTE — shared with the
+    * txt_ccnet_bucket oracle. Declared ABOVE `oracles` (object-init
+    * order: a val referenced before its declaration reads null
+    * mid-init). */
+  private val lmScoreCte: String =
+    s"""bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+       |           i -> t[i] || ' ' || t[i+1])) AS bigram,
+       |         unnest(list_transform(generate_series(1, len(t)-1),
+       |           i -> t[i])) AS ctx
+       |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+       |c1 AS (SELECT token, COUNT(*) AS c1
+       |       FROM (SELECT unnest(string_split(text,' ')) AS token
+       |             FROM documents) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v FROM c1),
+       |p AS (
+       |  SELECT bg.doc_id,
+       |         (CAST(c2.c2 AS DOUBLE) + 1.0)
+       |           / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)) AS p
+       |  FROM bg JOIN c2 USING (bigram)
+       |          JOIN c1 ON c1.token = bg.ctx CROSS JOIN v),
+       |lm AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |         CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
+       |           / $LmScale / COUNT(*) AS lm_score
+       |  FROM p GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
@@ -1903,28 +1969,22 @@ object TextAnalysis {
          |SELECT doc_id, term, tf, df, weight, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin,
     "txt_lm_score" ->
-      s"""WITH bg AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-         |           i -> t[i] || ' ' || t[i+1])) AS bigram,
-         |         unnest(list_transform(generate_series(1, len(t)-1),
-         |           i -> t[i])) AS ctx
-         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-         |  WHERE len(t) >= 2),
-         |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
-         |c1 AS (SELECT token, COUNT(*) AS c1
-         |       FROM (SELECT unnest(string_split(text,' ')) AS token
-         |             FROM documents) GROUP BY 1),
-         |v AS (SELECT COUNT(*) AS v FROM c1),
-         |p AS (
-         |  SELECT bg.doc_id,
-         |         (CAST(c2.c2 AS DOUBLE) + 1.0)
-         |           / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)) AS p
-         |  FROM bg JOIN c2 USING (bigram)
-         |          JOIN c1 ON c1.token = bg.ctx CROSS JOIN v)
-         |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |       CAST(SUM(CAST(FLOOR(p*$LmScale) AS DECIMAL(38,0))) AS DOUBLE)
-         |         / $LmScale / COUNT(*) AS lm_score
-         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCte
+         |SELECT doc_id, n_bigrams, lm_score FROM lm ORDER BY doc_id""".stripMargin,
+    "txt_ccnet_bucket" ->
+      s"""WITH $lmScoreCte,
+         |sc AS (SELECT lm.doc_id, d.lang, lm.lm_score
+         |       FROM lm JOIN documents d USING (doc_id)),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY lm_score DESC, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY lang) AS n_lang
+         |      FROM sc)
+         |SELECT doc_id, lang, lm_score,
+         |       CAST(((rn - 1) * 3) // n_lang AS INT) AS bucket_idx,
+         |       CASE ((rn - 1) * 3) // n_lang WHEN 0 THEN 'head'
+         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
     "txt_kn_score" ->
       s"""WITH bg AS (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
@@ -2183,6 +2243,7 @@ object TextAnalysis {
     "txt_fingerprint" -> fingerprint,
     "txt_tfidf"       -> tfidf,
     "txt_lm_score"    -> lmScore,
+    "txt_ccnet_bucket" -> ccnetBucket,
     "txt_kn_score"    -> knScore,
     "txt_kn3_score"   -> kn3Score,
     "txt_kn5_score"   -> kn5Score,

@@ -356,4 +356,66 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(hub.values.sum - 1.0) < 1e-6)
     assert(math.abs(auth.values.sum - 1.0) < 1e-6)
   }
+
+  test("trustrank matches a brute-force synchronous replay; farms get none") {
+    import spark.implicits._
+    // seed 0 → 1 → 2; a spam farm {10, 11} loops among itself and
+    // links INTO 1 (rank it can build; trust it cannot receive), and
+    // 2 → 3 where 3 is a sink (dangling mass back to the seed vector)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 10L), (10L, 1L)).toDF("u", "v")
+    val seeds = Seq(0L).toDF("u")
+    val got = Graph.trustrankOn(spark, edges, seeds).collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Double]("pr")).toMap
+    // driver replay with the same fixed-point discipline
+    val scale = Graph.PrScale
+    val out = Map(0L -> Seq(1L), 1L -> Seq(2L), 2L -> Seq(3L),
+      10L -> Seq(11L, 1L), 11L -> Seq(10L))
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L)
+    val sv = nodes.map(u => u -> (if (u == 0L) 1.0 else 0.0)).toMap
+    var tr = sv
+    (1 to Graph.PagerankIters).foreach { _ =>
+      val cur = tr
+      val msgs = nodes.map { u =>
+        u -> out.toSeq.flatMap { case (s, ds) =>
+          if (ds.contains(u))
+            Some(math.floor(cur(s) / ds.length * scale).toLong)
+          else None
+        }.sum
+      }.toMap
+      val ds = nodes.filter(u => !out.contains(u))
+        .map(u => math.floor(cur(u) * scale).toLong).sum
+      tr = nodes.map { u =>
+        u -> (0.15 * sv(u) + 0.85 *
+          (msgs(u).toDouble / scale + ds.toDouble / scale * sv(u)))
+      }.toMap
+    }
+    nodes.foreach(u => assert(got(u) == tr(u), s"node $u"))
+    // the farm is unreachable from the seed: zero trust
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+    // trust actually flowed down the seed chain
+    assert(got(1L) > 0.0 && got(2L) > 0.0 && got(3L) > 0.0)
+  }
+
+  test("host trust: spam mass separates endorsed hosts from unendorsed") {
+    val rows = Graph.hostTrust(spark, sfDir).collect()
+    val pr = Graph.hostRank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("host_id") -> r.getAs[Double]("pagerank")).toMap
+    rows.foreach { r =>
+      val h = r.getAs[Long]("host_id")
+      assert(r.getAs[Double]("pagerank") == pr(h), s"host $h pr drift")
+      val sm = r.getAs[Double]("spam_mass")
+      assert(sm == (pr(h) - r.getAs[Double]("trust")) / pr(h), s"host $h")
+      assert(sm <= 1.0, s"host $h spam mass > 1")
+    }
+    // trust is a distribution over reachable hosts: total ≈ 1 modulo
+    // fixed-point floor drops
+    val tsum = rows.map(_.getAs[Double]("trust")).sum
+    assert(tsum > 0.95 && tsum <= 1.0 + 1e-9)
+    // seeds keep spam mass below the unendorsed extreme
+    val seedSm = rows.filter(_.getAs[Long]("host_id") % 3 == 0)
+      .map(_.getAs[Double]("spam_mass"))
+    val maxSm = rows.map(_.getAs[Double]("spam_mass")).max
+    assert(seedSm.max < maxSm)
+  }
 }

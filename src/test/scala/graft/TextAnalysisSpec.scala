@@ -777,4 +777,31 @@ class TextAnalysisSpec extends SparkSpec {
     // the clean doc repeats only "the": top-2-gram share stays small
     assert(!out(4L).getAs[Boolean]("flagged"))
   }
+
+  test("ccnet buckets: exact per-language terciles ordered by fluency") {
+    val rows = TextAnalysis.ccnetBucket(spark, sfDir).collect()
+    // covers exactly the scored (≥2-token) docs
+    assert(rows.length == TextAnalysis.lmScore(spark, sfDir).count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getAs[Int]("bucket_idx"))
+        .map { case (b, v) => b -> v.length }
+      // terciles partition the language; sizes differ by at most 1
+      assert(sizes.keySet.subsetOf(Set(0, 1, 2)), lang)
+      assert(sizes.values.sum == rs.length, lang)
+      if (rs.length >= 3)
+        assert(sizes.values.max - sizes.values.min <= 1, lang)
+      // fluency ordering: every head score >= every tail score
+      val byB = (b: Int) => rs.filter(_.getAs[Int]("bucket_idx") == b)
+        .map(_.getAs[Double]("lm_score"))
+      if (byB(0).nonEmpty && byB(2).nonEmpty)
+        assert(byB(0).min >= byB(2).max, lang)
+      // label mapping
+      rs.foreach { r =>
+        val expect = r.getAs[Int]("bucket_idx") match {
+          case 0 => "head"; case 1 => "middle"; case _ => "tail"
+        }
+        assert(r.getAs[String]("bucket") == expect)
+      }
+    }
+  }
 }
