@@ -30,12 +30,20 @@ NORM_CAP = 4.0
 
 
 def load_artifact(path):
-    """Returns (queries: {k: sec}, effective_cores or None)."""
+    """Returns (queries: {k: sec}, effective_cores or None).
+
+    Artifacts predating the in-artifact spin probe (the truncated
+    BENCH_rN driver tails) carry no host.effective_cores; they record
+    nominal "cpus" and were taken on the full-capacity host (r10/r11
+    prose + SURVEY §7), so nominal capacity is the honest assumed
+    baseline for them."""
     d = json.load(open(path))
     ec = None
     host = d.get("host")
     if isinstance(host, dict):
         ec = host.get("effective_cores")
+    if ec is None:
+        ec = d.get("cpus")
     if "queries" in d and isinstance(d["queries"], dict):
         q = dict(d["queries"])
         iso = d.get("isolated") or {}
