@@ -53,12 +53,18 @@ object CrawlBudget {
       .groupBy("host_id").agg(count(lit(1)).as("demand"))
     val delays = Robots.rulesTable(spark)
       .select(col("host_id"), col("crawl_delay"))
+    // LAZY lineage cut: every downstream branch (tot, rp self-join,
+    // rem, the final join) would otherwise re-run the funnel demand
+    // rollup — the only corpus-sized work here — once each; the
+    // checkpoint is the HOST-catalog frame, materialized once at
+    // first action (construction stays plan-only)
     val base = pr
       .join(demand, Seq("host_id"), "left")
       .join(broadcast(delays), Seq("host_id"), "left")
       .select(col("host_id"), col("host"), col("points"),
         coalesce(col("demand"), lit(0L)).as("demand"),
         expr(s"$FetchWindow DIV coalesce(crawl_delay, 1)").as("capacity"))
+      .localCheckpoint(false)
     val tot = base.agg(sum("points").as("points_tot"),
       sum("demand").as("demand_tot"))
     val sh = base.crossJoin(broadcast(tot))

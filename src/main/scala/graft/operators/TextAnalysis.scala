@@ -462,9 +462,15 @@ object TextAnalysis {
     * bucket arithmetic is an all-integer `((rank−1)·3) DIV n` on a
     * broadcast language-catalog count join. */
   def ccnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    // LAZY lineage cut: groupRank's two prefix scans + the catalog
+    // count each re-derive their input, and re-running the LM type-
+    // table joins three times is the whole query cost; the checkpoint
+    // is a 3-column doc-catalog frame, materialized once at first
+    // action (not at construction — Explain stays plan-only)
     val scored = lmScore(spark, dir).select(col("doc_id"), col("lm_score"))
       .join(Tables.table(spark, dir, "documents").select("doc_id", "lang"),
         "doc_id")
+      .localCheckpoint(false)
     val ranked = SkewUtils.groupRank(scored, "lang",
       Seq(col("lm_score").desc, col("doc_id").asc), "rn")
     val nl = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))

@@ -78,8 +78,10 @@ class PlanFingerprintSpec extends SparkSpec {
     * iterative/graph op (gr_*), and each round's new keys — 73 rows.
     * The round-10 pagerank fix (66 → 1 exchanges) was found by hand;
     * these pins make that class of regression self-announcing.
-    * Round 12 adds its new keys per the membership rule. */
+    * Rounds 12 and 13 add their new keys per the membership rule. */
   private val exchangePinned = Seq(
+    "xf_warc_extract", "xf_sitemap", "smp_crawl_budget", "gr_host_trust",
+    "txt_ccnet_bucket",
     "xf_url_canon", "dd_url_dedup", "gr_host_rank", "src_warc_roundtrip",
     "mm_frame_neardup", "txt_kn5_score", "smp_host_weighted",
     "txt_topgram_share", "dd_url_incremental", "xf_robots_screen",
