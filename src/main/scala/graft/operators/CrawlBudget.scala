@@ -49,7 +49,7 @@ object CrawlBudget {
     val pr = Graph.hostRank(spark, dir)
       .select(col("host_id"), col("host"),
         floor(col("pagerank") * lit(1e9)).cast("long").as("points"))
-    val demand = Robots.funnelFrames(spark, dir)._4
+    val demand = Robots.admittedNovel(spark, dir)
       .groupBy("host_id").agg(count(lit(1)).as("demand"))
     val delays = Robots.rulesTable(spark)
       .select(col("host_id"), col("crawl_delay"))
@@ -94,16 +94,20 @@ object CrawlBudget {
       .orderBy("host_id")
   }
 
-  val oracles: Map[String, String] = Map(
-    "smp_crawl_budget" -> {
-      val h = Curation.portableHashSql("doc_id")
-      s"""WITH ${Graph.hostRankCte},
-         |${Url.variantCteSql},
+  /** The whole budget recompute as a WITH-body: ends in
+    * `novel` (the admitted-novel URL rows, h = host) and
+    * `alloc(host_id, host, points, demand, capacity, share, quota,
+    * binding)`. Shared by the smp_crawl_budget and xf_fetch_schedule
+    * oracles. Declared above `oracles` (object-init order). */
+  private val budgetCte: String = {
+    val h = Curation.portableHashSql("doc_id")
+    s"""${Graph.hostRankCte},
+       |${Url.variantCteSql},
          |fb AS (SELECT doc_id, variant, url, canon_url,
          |             doc_id % ${Url.HostMod} AS h,
          |             CASE WHEN variant <= 3
-         |                    THEN '/p'||(doc_id % ${Url.PathMod})
-         |                         ||'?a='||(doc_id % ${Url.ParamMod})||'&b=2'
+         |                    THEN '/p'||(doc_id % ${Url.PathMod}) ||
+         |                         '?a='||(doc_id % ${Url.ParamMod})||'&b=2'
          |                  WHEN variant = 4 THEN '/' END AS path,
          |             (($h) % 10 = 0) AS is_batch
          |      FROM v),
@@ -144,17 +148,74 @@ object CrawlBudget {
          |fin AS (SELECT s.host_id, s.host, s.points, s.demand, s.capacity,
          |               s.share0 + CASE WHEN ix.idx <= re.rem
          |                 THEN CAST(1 AS BIGINT) ELSE 0 END AS share
-         |        FROM sh s JOIN ix ON s.host_id = ix.host_id, re)
-         |SELECT host_id, host, points, demand, capacity, share,
-         |       LEAST(demand, capacity, share) AS quota,
-         |       CASE WHEN LEAST(demand, capacity, share) = demand
-         |              THEN 'demand'
-         |            WHEN LEAST(demand, capacity, share) = capacity
-         |              THEN 'robots'
-         |            ELSE 'rank' END AS binding
-         |FROM fin ORDER BY host_id""".stripMargin
-    })
+         |        FROM sh s JOIN ix ON s.host_id = ix.host_id, re),
+         |alloc AS (
+         |  SELECT host_id, host, points, demand, capacity, share,
+         |         LEAST(demand, capacity, share) AS quota,
+         |         CASE WHEN LEAST(demand, capacity, share) = demand
+         |                THEN 'demand'
+         |              WHEN LEAST(demand, capacity, share) = capacity
+         |                THEN 'robots'
+         |              ELSE 'rank' END AS binding
+         |  FROM fin)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "smp_crawl_budget" ->
+      s"""WITH $budgetCte
+         |SELECT * FROM alloc ORDER BY host_id""".stripMargin,
+    "xf_fetch_schedule" ->
+      s"""WITH $budgetCte,
+         |dn AS (SELECT DISTINCT h AS host_id, canon_url FROM novel),
+         |rk AS (SELECT host_id, canon_url,
+         |              ROW_NUMBER() OVER (PARTITION BY host_id
+         |                ORDER BY canon_url) AS slot
+         |       FROM dn),
+         |dl AS (SELECT host_id,
+         |              CAST(CASE WHEN host_id >= ${Url.HostMod}
+         |                     OR host_id % 3 = 0 THEN 1
+         |                   ELSE 1 + host_id % 5 END AS BIGINT) AS delay
+         |       FROM alloc)
+         |SELECT rk.host_id, CAST(rk.slot AS INT) AS slot, rk.canon_url,
+         |       dl.delay, (rk.slot - 1) * dl.delay AS fetch_offset_s
+         |FROM rk JOIN alloc USING (host_id) JOIN dl ON rk.host_id = dl.host_id
+         |WHERE rk.slot <= alloc.quota
+         |ORDER BY host_id, slot""".stripMargin)
+
+  /** `xf_fetch_schedule`: the budget EMITTED as a politeness-spaced
+    * fetch plan — the scheduler output a fetcher fleet actually
+    * consumes. Per host, the admitted-novel canonical pages
+    * (frontier-distinct) in deterministic order (canonical URL asc —
+    * unique within a host) fill the host's [[crawlBudget]] quota, the
+    * k-th fetch offset `(k−1)·crawl_delay` seconds into the window;
+    * `quota ≤ capacity = FetchWindow DIV delay` guarantees every
+    * offset lands inside the window (asserted in CI). All-integer.
+    *
+    * Scale shape: the per-host slot rank is [[SkewUtils.groupRank]]
+    * (a mega-host never funnels one window task); quotas and delays
+    * are host-catalog broadcasts; the distinct + rank inherit the
+    * funnel's canonical-keyed shuffle. */
+  def fetchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val dn = Robots.admittedNovel(spark, dir)
+      .select(col("host_id"), col("canon_url")).distinct()
+    val ranked = SkewUtils.groupRank(dn, "host_id",
+      Seq(col("canon_url").asc), "slot")
+    val quotas = crawlBudget(spark, dir).select(col("host_id"), col("quota"))
+    val delays = Robots.rulesTable(spark)
+      .select(col("host_id"), coalesce(col("crawl_delay"), lit(1L)).as("delay"))
+    ranked
+      .join(broadcast(quotas), "host_id")
+      .where(col("slot") <= col("quota"))
+      .join(broadcast(delays), Seq("host_id"), "left")
+      .select(col("host_id"), col("slot").cast("int").as("slot"),
+        col("canon_url"),
+        coalesce(col("delay"), lit(1L)).as("delay"),
+        ((col("slot").cast("long") - 1L) * coalesce(col("delay"), lit(1L)))
+          .as("fetch_offset_s"))
+      .orderBy("host_id", "slot")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "smp_crawl_budget" -> crawlBudget)
+    "smp_crawl_budget"  -> crawlBudget,
+    "xf_fetch_schedule" -> fetchSchedule)
 }

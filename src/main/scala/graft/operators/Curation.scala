@@ -598,6 +598,72 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Epoch cap for [[repeatPlan]] — the ~4-epoch knee past which
+    * repeated data stops buying loss (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"). `final val` literals:
+    * inlined, immune to object-init order. */
+  final val MaxEpochs = 4L
+
+  /** Token budget for [[repeatPlan]] as a multiple of the unique
+    * corpus — 2× forces genuine repetition decisions. */
+  final val RepeatFactor = 2L
+
+  /** `smp_repeat_plan`: data-constrained epoch allocation — when the
+    * training token budget EXCEEDS the deduped corpus
+    * ([[RepeatFactor]]× here), which sources get repeated, and how
+    * many whole epochs each? Greedy by source quality: sources rank by
+    * mean [[TextAnalysis.quality]] score (ties by name); each in rank
+    * order takes up to [[MaxEpochs]] whole epochs of its own tokens
+    * against the budget net of all better-ranked FULL wants
+    * (`epochs_s = min(cap, max(0, B − W_{s−1}) DIV n_s)`): the source
+    * the budget line lands in gets a partial epoch count, everything
+    * ranked below it gets zero, and the boundary remainder is reported
+    * unallocated rather than smeared as sub-epoch grants across the
+    * low-quality tail. The repetition-side
+    * complement of [[mixPlan]] (which LEVELS DOWN when the budget is
+    * smaller than the corpus; this allocates REPEATS when it is
+    * larger).
+    *
+    * ALL-INTEGER allocation: the ordering statistic is the one IEEE
+    * division `qsum/1e6/n_docs` of an order-independent fixed-point
+    * sum; wants/prefix/epochs are exact integers, so the plan is
+    * bit-portable and oracle-checkable.
+    *
+    * Scale shape: the corpus collapses to the source catalog in one
+    * partial-aggregating groupBy (quality scoring is txt_quality's
+    * per-row pass); the prefix-want self-join and the 1-row budget
+    * broadcast run on catalog-sized metadata. */
+  def repeatPlan(spark: SparkSession, dir: String): DataFrame = {
+    val st = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(floor(col("quality_score") * lit(1e6)).cast("long")).as("qsum"))
+      .withColumn("avg_quality",
+        col("qsum").cast("double") / lit(1e6) / col("n_docs"))
+    val o = st.select(col("source").as("s2"), col("avg_quality").as("a2"),
+      (col("n_tokens") * lit(MaxEpochs)).as("w2"))
+    val pre = st
+      .join(o, col("a2") > col("avg_quality") ||
+        (col("a2") === col("avg_quality") && col("s2") < col("source")), "left")
+      .groupBy("source", "n_tokens", "n_docs", "avg_quality")
+      .agg(coalesce(sum(col("w2")), lit(0L)).as("prev_want"),
+        (count(col("s2")) + 1).cast("int").as("q_rank"))
+    val tot = st.agg((sum(col("n_tokens")) * lit(RepeatFactor)).as("budget"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("avail", greatest(col("budget") - col("prev_want"), lit(0L)))
+      .withColumn("epochs",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(least(lit(MaxEpochs), expr("avail DIV n_tokens"))))
+      .select(col("source"), col("q_rank"), col("avg_quality"),
+        col("n_tokens"), col("epochs"),
+        (col("epochs") * col("n_tokens")).as("tokens_used"))
+      .orderBy("q_rank")
+  }
+
   /** `smp_interleave`: deterministic round-robin source interleave —
     * a global training order that cycles sources (doc i of src0, doc i
     * of src1, …) with each source's own stream hash-shuffled. The
@@ -1150,6 +1216,35 @@ object Curation {
          |SELECT bucket, CAST(pack_idx AS INT) AS pack_idx,
          |       CAST(pack_pos AS INT) AS pack_pos, doc_id, n_tokens
          |FROM state ORDER BY bucket, pack_idx, pack_pos""".stripMargin,
+    "smp_repeat_plan" ->
+      s"""WITH q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")})),
+         |st AS (SELECT d.source,
+         |              CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+         |              CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(SUM(CAST(FLOOR(q.quality_score * 1e6) AS BIGINT))
+         |                AS BIGINT) AS qsum
+         |       FROM q JOIN documents d USING (doc_id) GROUP BY 1),
+         |sa AS (SELECT *, CAST(qsum AS DOUBLE) / 1e6 / n_docs AS avg_quality
+         |       FROM st),
+         |pre AS (SELECT a.source, a.n_tokens, a.n_docs, a.avg_quality,
+         |               CAST(COALESCE(SUM(b.n_tokens * $MaxEpochs), 0)
+         |                 AS BIGINT) AS prev_want,
+         |               CAST(1 + COUNT(b.source) AS INT) AS q_rank
+         |        FROM sa a LEFT JOIN sa b
+         |          ON b.avg_quality > a.avg_quality
+         |             OR (b.avg_quality = a.avg_quality AND b.source < a.source)
+         |        GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT CAST(SUM(n_tokens) * $RepeatFactor AS BIGINT) AS budget
+         |        FROM st),
+         |fin AS (SELECT p.*, GREATEST(budget - prev_want, 0) AS avail
+         |        FROM pre p, tot),
+         |ep AS (SELECT *, CASE WHEN n_tokens = 0 THEN 0
+         |              ELSE LEAST($MaxEpochs, avail // n_tokens) END AS epochs
+         |       FROM fin)
+         |SELECT source, q_rank, avg_quality, n_tokens,
+         |       CAST(epochs AS BIGINT) AS epochs,
+         |       CAST(epochs * n_tokens AS BIGINT) AS tokens_used
+         |FROM ep ORDER BY q_rank""".stripMargin,
     "smp_curriculum" ->
       s"""WITH q AS (SELECT * FROM (${TextAnalysis.oracles("txt_quality")}))
          |SELECT doc_id, CAST(FLOOR(quality_score * 10.0) AS INT) AS q_bucket,
@@ -1242,6 +1337,7 @@ object Curation {
     "smp_zorder"     -> zorderKey,
     "smp_dsir"       -> dsirResample,
     "smp_curriculum" -> curriculum,
+    "smp_repeat_plan" -> repeatPlan,
     "smp_temperature" -> temperatureSample,
     "smp_mix_plan"    -> mixPlan,
     "smp_interleave"  -> interleave,

@@ -210,6 +210,15 @@ object Robots {
     (batch, valid, allowed, novel)
   }
 
+  /** The admitted-novel frame as a session-cached ARTIFACT — the
+    * post-screen URL set every scheduler-side consumer reads
+    * ([[CrawlBudget.crawlBudget]] demand, [[CrawlBudget.fetchSchedule]]
+    * slots): derived once per corpus per session, one scan per reuse
+    * (the [[Url.frontier]] contract). [[crawlFunnel]] itself stays on
+    * the LAZY frames so Explain never executes it. */
+  private[graft] def admittedNovel(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "crawl_novel")(funnelFrames(spark, dir)._4)
+
   def crawlFunnel(spark: SparkSession, dir: String): DataFrame = {
     val (batch, valid, allowed, novel) = funnelFrames(spark, dir)
     // one LAZY union of five 1-row aggregates — construction stays

@@ -51,6 +51,34 @@ class CrawlBudgetSpec extends SparkSpec {
       r.getAs[Long]("quota") == 0L && r.getAs[String]("binding") == "demand"))
   }
 
+  test("fetch schedule: fills quotas in canon order inside the window") {
+    val sched = CrawlBudget.fetchSchedule(spark, sfDir).collect()
+    val quota = rows.map(r => r.getAs[Long]("host_id") ->
+      r.getAs[Long]("quota")).toMap
+    val novel = Robots.funnelFrames(spark, sfDir)._4
+      .select(col("host_id"), col("canon_url")).distinct().collect()
+      .groupBy(_.getAs[Long]("host_id"))
+      .map { case (h, v) => h -> v.map(_.getAs[String]("canon_url")).sorted }
+    sched.groupBy(_.getAs[Long]("host_id")).foreach { case (h, rs) =>
+      // exactly min(quota, frontier-distinct novel) slots, 1..n
+      val expect = math.min(quota(h), novel.getOrElse(h, Array.empty).length)
+      assert(rs.length == expect, s"host $h slots")
+      val bySlot = rs.sortBy(_.getAs[Int]("slot"))
+      assert(bySlot.map(_.getAs[Int]("slot")).toSeq == (1 to rs.length))
+      // canon order and politeness spacing
+      assert(bySlot.map(_.getAs[String]("canon_url")).toSeq ==
+        novel(h).take(rs.length).toSeq, s"host $h order")
+      bySlot.foreach { r =>
+        assert(r.getAs[Long]("fetch_offset_s") ==
+          (r.getAs[Int]("slot") - 1).toLong * r.getAs[Long]("delay"))
+        assert(r.getAs[Long]("fetch_offset_s") < CrawlBudget.FetchWindow,
+          s"host $h offset past the window")
+      }
+    }
+    // hosts with zero quota emit nothing
+    assert(!sched.exists(r => quota(r.getAs[Long]("host_id")) == 0L))
+  }
+
   test("capacity honors the robots crawl delays") {
     val delays = Robots.rulesTable(spark)
       .select(col("host_id"), col("crawl_delay")).collect()

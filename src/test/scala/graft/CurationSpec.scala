@@ -702,4 +702,35 @@ class CurationSpec extends SparkSpec {
     // the prior is non-degenerate: hosts genuinely differ
     assert(rows.map(_.getAs[Double]("weight")).distinct.length > 1)
   }
+
+  test("repeat plan replays the sequential quality-greedy allocation") {
+    val rows = Curation.repeatPlan(spark, sfDir).collect()
+    // quality-rank order is total and 1..n
+    assert(rows.map(_.getAs[Int]("q_rank")).toSeq ==
+      (1 to rows.length))
+    val sorted = rows.sortBy(_.getAs[Int]("q_rank"))
+    // ranks follow (avg_quality desc, source asc)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      val (qa, qb) = (a.getAs[Double]("avg_quality"), b.getAs[Double]("avg_quality"))
+      assert(qa > qb || (qa == qb &&
+        a.getAs[String]("source") < b.getAs[String]("source")))
+    }
+    // replay the prefix-want rule: epochs_s = min(cap, max(0, B−W_{s−1})
+    // DIV n_s), W = cumulative FULL wants of better-ranked sources (the
+    // boundary source's remainder stays unallocated — no sub-epoch
+    // smearing over the low-quality tail)
+    val budget = rows.map(_.getAs[Long]("n_tokens")).sum * Curation.RepeatFactor
+    var prevWant = 0L
+    sorted.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val avail = math.max(budget - prevWant, 0L)
+      val want = math.min(Curation.MaxEpochs, if (n == 0) 0L else avail / n)
+      assert(r.getAs[Long]("epochs") == want, r.getAs[String]("source"))
+      assert(r.getAs[Long]("tokens_used") == want * n)
+      prevWant += Curation.MaxEpochs * n
+    }
+    // the 2x budget actually forces differentiated repetition
+    assert(rows.map(_.getAs[Long]("epochs")).distinct.length > 1)
+    assert(rows.map(_.getAs[Long]("tokens_used")).sum <= budget)
+  }
 }

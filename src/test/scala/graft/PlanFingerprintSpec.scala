@@ -81,7 +81,7 @@ class PlanFingerprintSpec extends SparkSpec {
     * Rounds 12 and 13 add their new keys per the membership rule. */
   private val exchangePinned = Seq(
     "xf_warc_extract", "xf_sitemap", "smp_crawl_budget", "gr_host_trust",
-    "txt_ccnet_bucket",
+    "txt_ccnet_bucket", "xf_fetch_schedule", "smp_repeat_plan",
     "xf_url_canon", "dd_url_dedup", "gr_host_rank", "src_warc_roundtrip",
     "mm_frame_neardup", "txt_kn5_score", "smp_host_weighted",
     "txt_topgram_share", "dd_url_incremental", "xf_robots_screen",
