@@ -110,4 +110,43 @@ object CrawlStreams {
     * against a static (host, disallow, crawl_delay) rules table. */
   def robotsScreenStream(urls: DataFrame, rules: DataFrame): DataFrame =
     robotsScreen(urls, rules)
+
+  /** Shared sitemap ingestion — the stream and batch sides of the
+    * discovery feed (one builder; the parity spec pins it): each
+    * arriving (host_id, xml) sitemap body runs the real tolerant
+    * parser ([[graft.operators.Sitemap.parse]] — comments stripped,
+    * entities decoded, loc-less/unterminated entries counted per body
+    * and echoed on every row, never fatal), entries canonicalize
+    * map-side, and a stream-static LEFT join against the standing
+    * canonical frontier marks already-crawled pages. Stateless per
+    * row — the sitemap refresh a crawler ingests a micro-batch after
+    * fetch instead of at the nightly batch. */
+  private[graft] def sitemapEntries(sitemaps: DataFrame,
+      knownCanon: DataFrame): DataFrame = {
+    val spark = sitemaps.sparkSession
+    import spark.implicits._
+    sitemaps.select(col("host_id"), col("xml"))
+      .as[(Long, String)]
+      .flatMap { case (h, xml) =>
+        val (es, corrupt) = graft.operators.Sitemap.parse(xml)
+        es.iterator.zipWithIndex.map { case (e, i) =>
+          (h, i, e.loc, e.lastmod.orNull, e.priority.orNull, corrupt.toLong)
+        }
+      }
+      .toDF("host_id", "seq", "loc", "lastmod_s", "priority", "body_corrupt")
+      .select(col("host_id"), col("seq"), col("loc"),
+        UrlCanon.canonCol(spark, col("loc")).as("canon_url"),
+        col("lastmod_s"), col("priority"), col("body_corrupt"))
+      .join(knownCanon.select(col("canon_url"), lit(true).as("known0")),
+        Seq("canon_url"), "left")
+      .select(col("host_id"), col("seq"), col("loc"), col("canon_url"),
+        col("lastmod_s"), col("priority"), col("body_corrupt"),
+        col("canon_url").isNotNull.as("valid"),
+        coalesce(col("known0"), lit(false)).as("known"))
+  }
+
+  /** Streaming sitemap ingestion over a (host_id, xml) feed against a
+    * static canonical-frontier set. */
+  def sitemapStream(sitemaps: DataFrame, knownCanon: DataFrame): DataFrame =
+    sitemapEntries(sitemaps, knownCanon)
 }

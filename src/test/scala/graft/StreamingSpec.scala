@@ -826,6 +826,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sitemap ingestion matches the batch parse + screen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val known = graft.operators.Url.frontier(spark, sfDir)
+    // the synthesized bodies for three hosts, plus a corrupt-heavy body
+    val feeds = Seq(0L, 1L, 5L)
+      .map(h => (h, graft.operators.Sitemap.sitemapTxt(h))) :+
+      (99L, "<urlset><url><loc>http://host0.example/p0?a=0&b=2</loc></url>" +
+        "<url><lastmod>x</lastmod></url><url><loc>broken")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("host_id"), r.getAs[Int]("seq"),
+        r.getAs[String]("loc"), Option(r.getAs[String]("canon_url")),
+        r.getAs[Long]("body_corrupt"), r.getAs[Boolean]("valid"),
+        r.getAs[Boolean]("known"))).toSet
+    val batch = norm(graft.streaming.CrawlStreams.sitemapEntries(
+      feeds.toDF("host_id", "xml"), known))
+    // host 99's surviving entry: corrupt census 2, the good loc kept
+    val h99 = batch.filter(_._1 == 99L)
+    assert(h99.size == 1 && h99.head._5 == 2L && h99.head._6)
+    // host 5 plants the garbage loc: valid=false surfaces, not fatal
+    assert(batch.exists(t => t._1 == 5L && !t._6))
+    // per-host row counts match the batch parser directly
+    Seq(0L, 1L, 5L).foreach { h =>
+      val es = graft.operators.Sitemap.parse(
+        graft.operators.Sitemap.sitemapTxt(h))._1
+      assert(batch.count(_._1 == h) == es.length, s"host $h")
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CrawlStreams.sitemapStream(
+      input.toDF().toDF("host_id", "xml"), known)
+      .writeStream.format("memory").queryName("sitemap_out")
+      .outputMode("append").start()
+    val (a, b) = feeds.splitAt(2)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    val streamed = norm(spark.table("sitemap_out"))
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming WARC record extraction matches the batch parser") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
