@@ -130,6 +130,9 @@ object Pipeline {
     * exhausted. */
   def withRetries[T](retries: Int, retryDelayMs: Long = 0L,
       sleep: Long => Unit = Thread.sleep)(attempt: Int => T): T = {
+    // retries < 0 would skip the attempt entirely and `throw last`
+    // with last == null — an opaque NPE instead of a real error
+    require(retries >= 0, s"retries must be >= 0, got $retries")
     var n = 0
     var last: Throwable = null
     while (n <= retries) {

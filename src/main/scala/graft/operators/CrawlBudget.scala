@@ -35,9 +35,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the only corpus-sized work is the funnel's own plan
   * collapsed to a host-keyed partial-aggregating count; rank points,
-  * delays and the allocation run on the HOST CATALOG (a ≤3-row-per-
-  * host self-join for the remainder order, two 1-row broadcast
-  * aggregates) — metadata-sized at any corpus scale.
+  * delays and the allocation run on the HOST CATALOG. The largest-
+  * remainder order is [[SkewUtils.prefixSum]]'s exact range-partitioned
+  * global rank over `(rem_pts DESC, host_id ASC)` — O(H log H) at a
+  * real crawl's 10⁶–10⁸ hosts, where the naive inequality self-join
+  * (a broadcast nested loop Spark would otherwise plan) is O(H²).
+  * The two totals are 1-row broadcast aggregates; quota/delay joins
+  * downstream are plain equi-joins (AQE broadcasts them when the
+  * catalog is small, shuffles when it is not).
   */
 object CrawlBudget {
 
@@ -60,7 +65,7 @@ object CrawlBudget {
     // first action (construction stays plan-only)
     val base = pr
       .join(demand, Seq("host_id"), "left")
-      .join(broadcast(delays), Seq("host_id"), "left")
+      .join(delays, Seq("host_id"), "left")
       .select(col("host_id"), col("host"), col("points"),
         coalesce(col("demand"), lit(0L)).as("demand"),
         expr(s"$FetchWindow DIV coalesce(crawl_delay, 1)").as("capacity"))
@@ -71,15 +76,14 @@ object CrawlBudget {
       .withColumn("budget", expr("demand_tot DIV 2"))
       .withColumn("share0", expr("budget * points DIV points_tot"))
       .withColumn("rem_pts", expr("(budget * points) % points_tot"))
-    // largest-remainder order via a host-catalog-sized self-join (the
-    // mixPlan idx pattern — no global window)
-    val rp = sh.select(col("host_id"), col("rem_pts"))
-    val idx = rp
-      .join(rp.select(col("host_id").as("h2"), col("rem_pts").as("r2")),
-        col("r2") > col("rem_pts") ||
-          (col("r2") === col("rem_pts") && col("h2") < col("host_id")),
-        "left")
-      .groupBy("host_id").agg((count(col("h2")) + 1).as("idx"))
+    // largest-remainder order: exact 1-based global rank under
+    // (rem_pts DESC, host_id ASC) via the range-partitioned prefix
+    // sum — identical tie order to the oracle's strictly-before count,
+    // never an O(H²) inequality self-join over the host catalog
+    val idx = SkewUtils.prefixSum(
+      sh.select(col("host_id"), col("rem_pts")),
+      Seq(col("rem_pts").desc, col("host_id").asc), lit(1L), "idx")
+      .select(col("host_id"), col("idx"))
     val rem = sh.agg((max("budget") - sum("share0")).as("rem"))
     sh.join(idx, Seq("host_id"))
       .crossJoin(broadcast(rem))
@@ -193,8 +197,10 @@ object CrawlBudget {
     *
     * Scale shape: the per-host slot rank is [[SkewUtils.groupRank]]
     * (a mega-host never funnels one window task); quotas and delays
-    * are host-catalog broadcasts; the distinct + rank inherit the
-    * funnel's canonical-keyed shuffle. */
+    * join on host_id as PLAIN equi-joins — at 10⁸ hosts the catalog is
+    * multi-GB and must never be a forced broadcast (AQE still
+    * broadcasts it when it measures small); the distinct + rank
+    * inherit the funnel's canonical-keyed shuffle. */
   def fetchSchedule(spark: SparkSession, dir: String): DataFrame = {
     val dn = Robots.admittedNovel(spark, dir)
       .select(col("host_id"), col("canon_url")).distinct()
@@ -204,9 +210,9 @@ object CrawlBudget {
     val delays = Robots.rulesTable(spark)
       .select(col("host_id"), coalesce(col("crawl_delay"), lit(1L)).as("delay"))
     ranked
-      .join(broadcast(quotas), "host_id")
+      .join(quotas, "host_id")
       .where(col("slot") <= col("quota"))
-      .join(broadcast(delays), Seq("host_id"), "left")
+      .join(delays, Seq("host_id"), "left")
       .select(col("host_id"), col("slot").cast("int").as("slot"),
         col("canon_url"),
         coalesce(col("delay"), lit(1L)).as("delay"),

@@ -202,7 +202,12 @@ object Graph {
     val deg = e.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
     val nodes = e.select("u").unionAll(e.select(col("v").as("u")))
       .distinct().localCheckpoint()
+    // seeds are clipped to the graph's node set BEFORE |S| is counted:
+    // a whitelist entry with no edges would otherwise inflate ns and
+    // leave the teleport vector summing < 1 — silently diverging from
+    // any oracle that derives its seed count from the graph itself
     val sd = seeds.select(col("u").cast("long").as("u")).distinct()
+      .join(nodes, Seq("u"), "left_semi")
       .withColumn("is_seed", lit(true))
     val ns = sd.agg(count(lit(1)).cast("double").as("ns"))
     val sv = nodes.join(broadcast(sd), Seq("u"), "left")

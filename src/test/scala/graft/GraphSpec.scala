@@ -397,6 +397,21 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) > 0.0 && got(2L) > 0.0 && got(3L) > 0.0)
   }
 
+  test("trustrank clips out-of-graph seeds: teleport mass still sums to 1") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("u", "v")
+    // seed 99 has no edges at all — it must not dilute |S|: with the
+    // clip, seeds = {0} and the teleport vector sums to 1; without it
+    // ns = 2 and every trust score silently halves
+    val seeds = Seq(0L, 99L).toDF("u")
+    val got = Graph.trustrankOn(spark, edges, seeds).collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Double]("pr")).toMap
+    val solo = Graph.trustrankOn(spark, edges, Seq(0L).toDF("u")).collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Double]("pr")).toMap
+    assert(got == solo)
+    assert(!got.contains(99L))
+  }
+
   test("host trust: spam mass separates endorsed hosts from unendorsed") {
     val rows = Graph.hostTrust(spark, sfDir).collect()
     val pr = Graph.hostRank(spark, sfDir).collect()

@@ -77,6 +77,12 @@ class PipelineRunSpec extends SparkSpec {
       }
     }
     assert(e.getMessage == "persistent failure 1")
+    // retries < 0 is a caller bug: fail loudly up front, never an
+    // opaque NPE from `throw last` with no attempt ever run
+    val bad = intercept[IllegalArgumentException] {
+      Pipeline.withRetries(retries = -1, sleep = _ => ())(_ => "never")
+    }
+    assert(bad.getMessage.contains("retries must be >= 0"))
     // a retried RUN still lands the idempotent result (attempt 0 dies
     // mid-flight AFTER writing bronze — the rerun must recover cleanly)
     val lake = java.nio.file.Files.createTempDirectory("graft_lake3").toString

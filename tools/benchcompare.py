@@ -30,20 +30,20 @@ NORM_CAP = 4.0
 
 
 def load_artifact(path):
-    """Returns (queries: {k: sec}, effective_cores or None).
+    """Returns (queries: {k: sec}, MEASURED effective_cores or None).
 
-    Artifacts predating the in-artifact spin probe (the truncated
-    BENCH_rN driver tails) carry no host.effective_cores; they record
-    nominal "cpus" and were taken on the full-capacity host (r10/r11
-    prose + SURVEY §7), so nominal capacity is the honest assumed
-    baseline for them."""
+    Only a measured host.effective_cores (the in-artifact spin probe)
+    counts: nominal "cpus" is a different unit (configured thread
+    count, not delivered capacity), and mixing the two — e.g. a
+    baseline at measured 19-of-32 cores vs a current artifact carrying
+    only cpus=8 — would manufacture a bogus up-to-4x normalization
+    that amnesties a real regression. Artifacts without the probe get
+    norm 1.0 (the raw 2x band)."""
     d = json.load(open(path))
     ec = None
     host = d.get("host")
     if isinstance(host, dict):
         ec = host.get("effective_cores")
-    if ec is None:
-        ec = d.get("cpus")
     if "queries" in d and isinstance(d["queries"], dict):
         q = dict(d["queries"])
         iso = d.get("isolated") or {}
