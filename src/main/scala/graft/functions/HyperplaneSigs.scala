@@ -15,9 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Replaces a typed `Dataset.flatMap` signature pass: no row-object
   * deserialization, no encoder, and the whole-stage codegen span over
   * the corpus scan stays unbroken — at 100 TB the signature stage is a
-  * pure projection fused into the scan. The planes are deterministic
-  * (`java.util.Random(seed)` Gaussians, fill order fixed), so
-  * signatures are reproducible on any cluster.
+  * pure projection fused into the scan. The planes are Rademacher (±1)
+  * components from the portable quadratic hash of the plane coordinate
+  * (see [[planes]]) — sign-LSH only needs a symmetric component
+  * distribution (this is SimHash over the embedding, Charikar 2002),
+  * and pure integer arithmetic means ANY engine (the DuckDB oracle
+  * included) can regenerate the planes exactly, which `java.util.
+  * Random` Gaussians never allowed.
   */
 case class HyperplaneSigs(child: Expression, numTables: Int, numBits: Int,
     dim: Int, seed: Long) extends UnaryExpression {
@@ -53,14 +57,47 @@ object HyperplaneSigs {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long),
       Array[Array[Array[Double]]]]()
 
-  /** Deterministic Gaussian planes. Fill order is exactly
-    * `Array.fill(nT, nB, dim)(rnd.nextGaussian())` — table-major — so
-    * signatures never change across versions or JVMs. */
+  /** Portable-hash mixing constants: [[HashMod]] = 2³¹ keeps every
+    * intermediate product under 2⁶³ (h·[[HashMult]] ≤ (2³¹−1)·(2³²/φ)
+    * < 2⁶³; h² ≤ (2³¹−1)² ≈ 2⁶²), so the identical integer sequence
+    * runs overflow-free as Scala Longs, ANSI-mode Spark BIGINTs and
+    * DuckDB BIGINTs. The squaring step is the nonlinearity: a purely
+    * multiplicative chain is linear in the coordinate index and its
+    * thresholded signs would form a structured rotation sequence, not
+    * plane components. */
+  val HashMod = 2147483648L
+  val HashMult = 2654435761L
+  val MixAdd = 99991L
+
+  /** The ±1 plane component at flat coordinate `idx` — the single
+    * arithmetic definition both engines share ([[planeSignSql]] is the
+    * same expression as SQL text). */
+  def planeSign(idx: Long): Double = {
+    val h1 = ((idx % HashMod) * HashMult) % HashMod
+    val h2 = (h1 * h1 + MixAdd) % HashMod
+    val h3 = (h2 * HashMult) % HashMod
+    if (h3 < HashMod / 2) 1.0 else -1.0
+  }
+
+  /** [[planeSign]] as a SQL expression over an integer column/expr:
+    * substitute the flat-coordinate expression for `idx`. */
+  def planeSignSql(idx: String): String = {
+    val m = HashMod; val a = HashMult; val c = MixAdd
+    val h1 = s"((($idx) % $m) * $a) % $m"
+    val h2 = s"(($h1) * ($h1) + $c) % $m"
+    val h3 = s"(($h2) * $a) % $m"
+    s"(CASE WHEN ($h3) < ${m / 2} THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+  }
+
+  /** Deterministic Rademacher planes: component (t, b, d) is
+    * [[planeSign]] of the flat coordinate `((t·nB + b)·dim + d) + seed`
+    * — a pure integer function, identical on any JVM and replayable by
+    * the DuckDB oracle. */
   def planes(nT: Int, nB: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
-    cache.computeIfAbsent((nT, nB, dim, seed), _ => {
-      val rnd = new java.util.Random(seed)
-      Array.fill(nT, nB, dim)(rnd.nextGaussian())
-    })
+    cache.computeIfAbsent((nT, nB, dim, seed), _ =>
+      Array.tabulate(nT, nB, dim) { (t, b, d) =>
+        planeSign((t.toLong * nB + b) * dim + d + seed)
+      })
 
   /** Called from generated code. */
   def sigs(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {

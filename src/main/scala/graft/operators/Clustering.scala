@@ -220,19 +220,25 @@ object Clustering {
 
   // ---- DuckDB oracles ----------------------------------------------------
 
-  private def assignSql(cent: String, out: String): String =
+  /** One Lloyd assignment round as a WITH fragment (`src` is the
+    * (vec_id, e) relation being assigned — the corpus for
+    * [[kmeansCte]], a training sample for [[Similarity]]'s IVF/PQ
+    * replays). Shared across every deterministic-k-means oracle so the
+    * fixed-point discipline stays in ONE place. */
+  private[operators] def assignSql(cent: String, out: String,
+      src: String = "c"): String =
     s"""${out}_d AS (
-       |  SELECT c.vec_id, c.e, t.cell,
-       |         list_dot_product(c.e, c.e) - 2*list_dot_product(c.e, t.c)
+       |  SELECT s.vec_id, s.e, t.cell,
+       |         list_dot_product(s.e, s.e) - 2*list_dot_product(s.e, t.c)
        |           + list_dot_product(t.c, t.c) AS d2
-       |  FROM c, $cent t),
+       |  FROM $src s, $cent t),
        |$out AS (
        |  SELECT vec_id, e, cell, d2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |                                 ORDER BY d2, cell) AS rn
        |    FROM ${out}_d) WHERE rn = 1)""".stripMargin
 
-  private def updateSql(asg: String, prev: String, out: String): String =
+  private[operators] def updateSql(asg: String, prev: String, out: String): String =
     s"""${out}_m AS (
        |  SELECT cell, i,
        |         CAST(SUM(CAST(FLOOR(e[i]*${Similarity.CentroidScale}) AS DECIMAL(28,0))) AS DOUBLE)

@@ -58,14 +58,18 @@ object Similarity {
   val LshMaxBits = 28
   val LshMaxTables = 512
 
-  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
-
   /** Signature bit width for a corpus of n vectors: smallest width whose
     * expected bucket population is ≤ [[LshTargetBucketPop]], floored at
-    * the small-n default. */
-  def lshBitsFor(n: Long): Int =
-    math.min(LshMaxBits, math.max(LshBits,
-      math.ceil(log2(math.max(n, 1L).toDouble / LshTargetBucketPop)).toInt))
+    * the small-n default. ALL-INTEGER (`⌈log₂(n/target)⌉` = smallest b
+    * with `target·2^b ≥ n`) — a libm `log` here would make the derived
+    * width, and with it every signature, engine-dependent at exact
+    * power-of-two populations; the integer form replays in the
+    * `ann_topk_lsh` oracle verbatim. */
+  def lshBitsFor(n: Long): Int = {
+    var b = LshBits
+    while (b < LshMaxBits && (LshTargetBucketPop << b) < n) b += 1
+    b
+  }
 
   /** Table count preserving threshold-pair recall at a given bit width:
     * each extra bit multiplies the per-table miss odds by 1/p, so tables
@@ -343,12 +347,30 @@ object Similarity {
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
-  /** Fit the IVF coarse quantizer (MLlib k-means, fixed seed) on a
-    * deterministic sample of the corpus and return the codebook. Keyed
-    * by dir ALONE (one book per corpus — mirroring `Clustering.kmBooks`):
-    * a book primed by [[loadIvfCodebook]] always wins over a refit, even
-    * if its cell count differs from today's derived `ivfCellsFor(n)`,
-    * so a persisted book can never be silently ignored. Query paths read
+  /** Deterministic quantizer-training sample: every row whose portable
+    * id hash lands in the 1-in-`max(1, n/target)` bucket — replayable
+    * arithmetic (the exact rows are a function of vec_id alone), unlike
+    * Bernoulli `df.sample`, whose row set depends on Spark's sampler
+    * internals and can never be reproduced by an oracle. At 100 TB the
+    * quantizer trains on ~`target` rows, never the corpus. */
+  private def trainSample(c: DataFrame, n: Long, target: Long): DataFrame = {
+    val mod = math.max(1L, n / target)
+    c.where(Curation.portableHash(col("vec_id")) % mod === 0)
+  }
+
+  /** Fit the IVF coarse quantizer on the deterministic sample and
+    * return the codebook — [[Clustering.fit]]'s fixed-point Lloyd
+    * (hash-ordered seeds, [[Clustering.KmeansIters]] rounds, decimal
+    * centroid means), so the book is a pure arithmetic function of the
+    * corpus and the `ann_topk_ivf` oracle can REPLAY the training
+    * instead of requiring recall 1.0. Book order = seed vec_id order
+    * (what [[Clustering.fit]] returns), so a centroid's ARRAY INDEX —
+    * the cell id [[graft.functions.NearestCells]] emits — is
+    * deterministic too. Keyed by dir ALONE (one book per corpus —
+    * mirroring `Clustering.kmBooks`): a book primed by
+    * [[loadIvfCodebook]] always wins over a refit, even if its cell
+    * count differs from today's derived `ivfCellsFor(n)`, so a
+    * persisted book can never be silently ignored. Query paths read
     * the cell count back off the book (`centroids.size`), never off the
     * derivation, keeping probe math consistent with whatever book is in
     * force. */
@@ -356,16 +378,12 @@ object Similarity {
       cells: Int = IvfCells): Seq[Seq[Double]] =
     codebooks.computeIfAbsent(dir, _ => {
       val c = corpus(spark, dir)
-      val n = c.count()
+      val n = corpusCount(spark, dir)
       val target = math.max(IvfTrainTarget, IvfTrainPerCell * cells)
-      val fraction = math.min(1.0, target.toDouble / math.max(n, 1L))
-      val trainDf = c.sample(withReplacement = false, fraction, seed = 7L)
-        .select(org.apache.spark.ml.functions.array_to_vector(col("embedding"))
-          .as("features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(cells).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
-        .fit(trainDf)
-        .clusterCenters.map(_.toArray.toSeq).toSeq
+      val smp = trainSample(
+        c.select(col("vec_id"), col("embedding").as("e")), n, target)
+      Clustering.fit(spark, smp, Clustering.seedCentroids(smp, cells))
+        .map(_._2)
     })
 
   /** IVF search: corpus partitioned by nearest-centroid cell, queries
@@ -440,26 +458,28 @@ object Similarity {
   private val pqBooks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
 
-  /** Train-once PQ codebooks (one 16-centroid k-means per 8-dim
-    * subspace, fit on the deterministic sample, cached per corpus dir —
-    * the same persist-don't-refit discipline as [[ivfCodebook]]). */
+  /** Train-once PQ codebooks (one [[PqCodesK]]-centroid k-means per
+    * [[PqSubDim]]-dim subspace, fit on the deterministic hash sample,
+    * cached per corpus dir — the same persist-don't-refit discipline as
+    * [[ivfCodebook]]). Each subspace book comes from the SAME
+    * [[Clustering.fit]] fixed-point Lloyd as the IVF coarse book
+    * (hash-ordered seeds over the sliced sample, fixed rounds, decimal
+    * means), so the `ann_topk_pq` oracle replays all [[PqSubspaces]]
+    * trainings arithmetically. */
   def pqCodebooks(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
     pqBooks.computeIfAbsent(dir, _ => {
       val c = corpus(spark, dir)
-      val n = c.count()
-      val fraction = math.min(1.0, IvfTrainTarget.toDouble / math.max(n, 1L))
-      val sample = c.sample(withReplacement = false, fraction, seed = 7L)
-        .select(col("embedding")).cache()
-      val books = (0 until PqSubspaces).map { m =>
-        val sub = sample.select(
-          org.apache.spark.ml.functions.array_to_vector(
-            slice(col("embedding"), m * PqSubDim + 1, PqSubDim)).as("features"))
-        new org.apache.spark.ml.clustering.KMeans()
-          .setK(PqCodesK).setSeed(42L + m).setMaxIter(10).setFeaturesCol("features")
-          .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+      val n = corpusCount(spark, dir)
+      // lineage cut: 16 subspace fits × 2 rounds each re-read this frame
+      val smp = trainSample(
+        c.select(col("vec_id"), col("embedding")), n, IvfTrainTarget)
+        .localCheckpoint(true)
+      (0 until PqSubspaces).map { m =>
+        val sub = smp.select(col("vec_id"),
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("e"))
+        Clustering.fit(spark, sub, Clustering.seedCentroids(sub, PqCodesK))
+          .map(_._2)
       }
-      sample.unpersist()
-      books
     })
 
   /** Persist the PQ sub-codebooks (same contract as [[saveIvfCodebook]]):
@@ -754,9 +774,10 @@ object Similarity {
     * greedy rerank runs per QUERY GROUP in `mapGroups` with state
     * bounded by pool×dim CONSTANTS (pool² dot products per query —
     * never corpus-sized). Deterministic: candidates sorted
-    * (cosine DESC, id), argmax ties break by (score DESC, id ASC).
-    * Rows-only (greedy iterated argmax — the emb_kcenter precedent);
-    * the spec replays the recursion on the driver. */
+    * (cosine DESC, id), argmax ties break by (score DESC, id ASC) —
+    * which is why [[mmrRerankSql]] can unroll the K selection rounds
+    * and hash-match the greedy exactly; the spec additionally replays
+    * the recursion on the driver. */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.TopKByScore.register(spark)
@@ -958,8 +979,10 @@ object Similarity {
     * count of perfectly-served queries. The ops gate run after (re)
     * building an index and before routing traffic to it — the
     * continuous-monitoring twin of the one-off recall assertions in
-    * CI. Approximate inputs ⇒ no ANSI oracle (rows-only); the spec
-    * pins it to the brute-force recalls.
+    * CI. Oracled since every approximate input is itself replayable:
+    * [[annRecallReportSql]] composes the exact scan and all three
+    * index replays; the spec additionally pins it to the brute-force
+    * recalls.
     *
     * Scale shape: every side is a top-k RESULT (|queries|·k rows —
     * metadata, not corpus); the hit join is keyed on (query, neighbor)
@@ -1310,7 +1333,346 @@ object Similarity {
       .orderBy("sel_idx")
   }
 
+  // ---- ANN oracle SQL ------------------------------------------------------
+
+  /** Brute-force exact top-k — the oracle for `ann_topk_exact` AND (under
+    * the measured-recall-1.0 license, SURVEY §6, asserted per SF in
+    * SimilaritySpec) for `ann_topk_lsh`. Declared above `oracles`
+    * (object-init order). */
+  private val annTopKExactSql: String =
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id % $QueryModulus = 0),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(c.e, q.qe)
+       |           / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  /** Shared exact-rerank tail: candidates (query_id, vec_id) → exact
+    * cosine → per-query top-[[TopK]] with the (cosine DESC, neighbor_id)
+    * tie order [[graft.functions.TopKByScore]] implements. */
+  private def rerankTailSql(candRel: String): String =
+    s"""q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id % $QueryModulus = 0),
+       |scored AS (
+       |  SELECT $candRel.query_id, $candRel.vec_id AS neighbor_id,
+       |         list_dot_product(v.e, q.qe)
+       |           / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+       |  FROM $candRel JOIN c v ON $candRel.vec_id = v.vec_id
+       |            JOIN q ON $candRel.query_id = q.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  /** The hyperplane-LSH index REPLAYED arithmetically: derived bit
+    * width (the integer [[lshBitsFor]] form), table count (the Scala
+    * [[lshTablesFor]] values embedded as a bits-keyed CASE — no
+    * transcendental replay), the Rademacher plane matrix from
+    * [[graft.functions.HyperplaneSigs.planeSignSql]]'s integer hash,
+    * per-(vec, table) sign-bit signatures with the expression's exact
+    * sequential dot (`list_reduce` left fold; (0+x)==x), the
+    * [[LshBucketCap]] mega-bucket drop, bucket-join candidates, exact
+    * rerank. Like the IVF/PQ replays, the oracle checks the
+    * APPROXIMATION's own contract — no recall condition attaches. */
+  private val annTopKLshSql: String = {
+    val tablesCase = (LshBits to LshMaxBits)
+      .map(b => s"WHEN $b THEN ${lshTablesFor(b)}").mkString(" ")
+    val flatIdx = s"(CAST(t AS BIGINT) * bits + b) * $Dim + d + $PlaneSeed"
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |bb AS (SELECT COALESCE(MIN(CASE WHEN ($LshTargetBucketPop << s.s) >= nn.n
+       |                THEN s.s END), $LshMaxBits) AS bits
+       |       FROM nn, (SELECT unnest(generate_series($LshBits, $LshMaxBits)) AS s) s),
+       |tt AS (SELECT bits, CASE bits $tablesCase END AS tables FROM bb),
+       |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM embeddings),
+       |tb AS (SELECT g1.t, g2.b, tt.bits FROM tt,
+       |         (SELECT unnest(generate_series(0, ${LshMaxTables - 1})) AS t) g1,
+       |         (SELECT unnest(generate_series(0, ${LshMaxBits - 1})) AS b) g2
+       |       WHERE g1.t < tt.tables AND g2.b < tt.bits),
+       |plc AS (SELECT t, b, d,
+       |               ${graft.functions.HyperplaneSigs.planeSignSql(flatIdx)} AS comp
+       |        FROM (SELECT t, b, bits, unnest(generate_series(0, ${Dim - 1})) AS d
+       |              FROM tb)),
+       |pl AS (SELECT t, b, list(comp ORDER BY d) AS p FROM plc GROUP BY 1, 2),
+       |rawsig AS (
+       |  SELECT v.vec_id, pl.t AS tbl,
+       |         CAST(SUM(CASE WHEN list_reduce(list_transform(generate_series(1, $Dim),
+       |                  i -> v.e[i] * pl.p[i]), (a2, b2) -> a2 + b2) > 0
+       |             THEN (1 << pl.b) ELSE 0 END) AS INT) AS sig
+       |  FROM c v, pl GROUP BY 1, 2),
+       |pop AS (SELECT tbl, sig, COUNT(*) AS pop FROM rawsig GROUP BY 1, 2),
+       |csig AS (SELECT r0.vec_id, r0.tbl, r0.sig FROM rawsig r0
+       |         JOIN pop USING (tbl, sig) WHERE pop.pop <= $LshBucketCap),
+       |qsig AS (SELECT vec_id AS query_id, tbl, sig FROM csig
+       |         WHERE vec_id % $QueryModulus = 0),
+       |cand AS (SELECT DISTINCT qs.query_id, s.vec_id
+       |         FROM csig s JOIN qsig qs USING (tbl, sig)
+       |         WHERE s.vec_id <> qs.query_id),
+       |${rerankTailSql("cand")}""".stripMargin
+  }
+
+  /** [[graft.functions.NearestCells]]' distance loop replayed with the
+    * IDENTICAL IEEE operation sequence: t = e[i]−c[i]; s += t·t, left to
+    * right. `list_reduce` is a sequential left fold and (0.0 + x) == x
+    * exactly, so the fold equals the expression's running sum bit for
+    * bit — the dot-product identity the TRAINING replay uses would round
+    * differently and could flip a near-tie cell assignment. */
+  private def nearestD2Sql(eRef: String, cRef: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($eRef)), " +
+      s"i -> ($eRef[i] - $cRef[i]) * ($eRef[i] - $cRef[i])), (a, b) -> a + b)"
+
+  /** The IVF coarse-quantizer training REPLAYED arithmetically: the
+    * deterministic hash sample, hash-ordered seeds re-indexed 0..k−1 in
+    * seed-vec_id order (the codebook's array order, so the replay's cell
+    * ids equal [[graft.functions.NearestCells]]' array indices), then the
+    * unrolled [[Clustering.KmeansIters]]-round fixed-point Lloyd chain.
+    * Ends in `ivcent2(cell, c)` — the book in force — plus `kk(k, smod)`
+    * and the corpus CTE `c`. */
+  private val ivfTrainCte: String = {
+    val h = Curation.portableHashSql("vec_id")
+    val kSql = s"LEAST($IvfMaxCells, GREATEST($IvfCells, n // $IvfTargetCellPop))"
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |kk AS (SELECT CAST($kSql AS BIGINT) AS k,
+       |              CAST(GREATEST(1, n // GREATEST($IvfTrainTarget,
+       |                $IvfTrainPerCell * ($kSql))) AS BIGINT) AS smod
+       |       FROM nn),
+       |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM embeddings),
+       |ivsmp AS (SELECT vec_id, e FROM c
+       |          WHERE ($h) % (SELECT smod FROM kk) = 0),
+       |ivsd AS (SELECT vec_id, e FROM (
+       |           SELECT vec_id, e,
+       |                  ROW_NUMBER() OVER (ORDER BY $h, vec_id) AS rn
+       |           FROM ivsmp)
+       |         WHERE rn <= (SELECT k FROM kk)),
+       |ivcent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+       |            FROM ivsd),
+       |${Clustering.assignSql("ivcent0", "iva1", "ivsmp")},
+       |${Clustering.updateSql("iva1", "ivcent0", "ivcent1")},
+       |${Clustering.assignSql("ivcent1", "iva2", "ivsmp")},
+       |${Clustering.updateSql("iva2", "ivcent1", "ivcent2")}""".stripMargin
+  }
+
+  /** Full replay of the IVF search: train (above), multi-assign the
+    * corpus to its [[IvfAssign]] nearest cells, probe the derived cell
+    * count per query, exact-rerank candidates. Because the oracle
+    * replays the APPROXIMATION itself, no recall requirement attaches —
+    * the hash gate checks the operator's actual contract. */
+  private val annTopKIvfSql: String =
+    s"""WITH $ivfTrainCte,
+       |ivcd AS (SELECT v.vec_id, t.cell, ${nearestD2Sql("v.e", "t.c")} AS d2
+       |         FROM c v, ivcent2 t),
+       |casg AS (SELECT vec_id, cell FROM (
+       |           SELECT vec_id, cell,
+       |                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |           FROM ivcd)
+       |         WHERE rn <= $IvfAssign),
+       |pp AS (SELECT GREATEST($IvfProbes,
+       |                CAST(CEIL($IvfProbes * SQRT(k / ${IvfCells}.0)) AS BIGINT)) AS probes
+       |       FROM kk),
+       |qasg AS (SELECT vec_id AS query_id, cell FROM (
+       |           SELECT vec_id, cell,
+       |                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |           FROM ivcd WHERE vec_id % $QueryModulus = 0)
+       |         WHERE rn <= (SELECT probes FROM pp)),
+       |cand AS (SELECT DISTINCT qa.query_id, a.vec_id
+       |         FROM casg a JOIN qasg qa USING (cell)
+       |         WHERE a.vec_id <> qa.query_id),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id % $QueryModulus = 0),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |         list_dot_product(v.e, q.qe)
+       |           / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+       |  FROM cand JOIN c v ON cand.vec_id = v.vec_id
+       |            JOIN q ON cand.query_id = q.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  /** Full replay of the PQ search: all [[PqSubspaces]] sub-codebook
+    * trainings unrolled (each the same fixed-point Lloyd over the
+    * sliced hash sample), every corpus vector encoded to its nearest
+    * sub-centroid per subspace and reconstructed, compressed-domain
+    * cosine prunes to [[PqRerank]] candidates, exact rerank after. */
+  private val annTopKPqSql: String = {
+    val h = Curation.portableHashSql("vec_id")
+    val perSub = (0 until PqSubspaces).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""pqs$m AS (SELECT vec_id, e[$lo:$hi] AS e FROM pqsmp),
+         |pqsd$m AS (SELECT vec_id, e FROM (
+         |             SELECT vec_id, e,
+         |                    ROW_NUMBER() OVER (ORDER BY $h, vec_id) AS rn
+         |             FROM pqs$m)
+         |           WHERE rn <= $PqCodesK),
+         |pqc${m}z AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+         |             FROM pqsd$m),
+         |${Clustering.assignSql(s"pqc${m}z", s"pqa${m}x", s"pqs$m")},
+         |${Clustering.updateSql(s"pqa${m}x", s"pqc${m}z", s"pqc${m}o")},
+         |${Clustering.assignSql(s"pqc${m}o", s"pqa${m}y", s"pqs$m")},
+         |${Clustering.updateSql(s"pqa${m}y", s"pqc${m}o", s"pqc${m}f")},
+         |enc$m AS (SELECT vec_id, $m AS m, c FROM (
+         |            SELECT v.vec_id, t.c,
+         |                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                     ORDER BY ${nearestD2Sql(s"v.e[$lo:$hi]", "t.c")}, t.cell) AS rn
+         |            FROM c v, pqc${m}f t)
+         |          WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val encUnion = (0 until PqSubspaces).map(m => s"SELECT * FROM enc$m")
+      .mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM embeddings),
+       |pqsmp AS (SELECT vec_id, e FROM c
+       |          WHERE ($h) % (SELECT CAST(GREATEST(1, n // $IvfTrainTarget) AS BIGINT)
+       |                        FROM nn) = 0),
+       |$perSub,
+       |recon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rec
+       |          FROM ($encUnion) GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id % $QueryModulus = 0),
+       |ap AS (SELECT q.query_id, rc.vec_id,
+       |              list_dot_product(rc.rec, q.qe)
+       |                / (SQRT(list_dot_product(rc.rec, rc.rec))
+       |                   * SQRT(list_dot_product(q.qe, q.qe))) AS approx
+       |       FROM recon rc, q WHERE rc.vec_id <> q.query_id),
+       |cnd AS (SELECT query_id, vec_id FROM (
+       |          SELECT query_id, vec_id,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                   ORDER BY approx DESC, vec_id) AS rn
+       |          FROM ap)
+       |        WHERE rn <= $PqRerank),
+       |scored AS (
+       |  SELECT cnd.query_id, cnd.vec_id AS neighbor_id,
+       |         list_dot_product(v.e, q.qe)
+       |           / (SQRT(list_dot_product(v.e, v.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
+       |  FROM cnd JOIN c v ON cnd.vec_id = v.vec_id
+       |           JOIN q ON cnd.query_id = q.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** The MMR greedy rerank REPLAYED: the top-[[MmrPool]] pool per
+    * query, then [[MmrK]] unrolled selection rounds — each an anti-join
+    * of the pool against the selected set, the max-similarity-to-
+    * selected term via the sequential-dot `list_reduce` (identical IEEE
+    * sequence to the mapGroups loop), and the argmax with the (score
+    * DESC, neighbor_id ASC) tie rule. Greedy-iterated-argmax stops
+    * being "no practical ANSI form" once K is a small constant. */
+  private val mmrRerankSql: String = {
+    // every round's CTE is MATERIALIZED: the selection chain references
+    // earlier rounds multiply, and DuckDB's default inlining would
+    // re-evaluate the whole recursion exponentially (observed: minutes
+    // at sf0.1 vs seconds materialized). Pairwise candidate sims are
+    // computed ONCE (pool²·dim) in `pp`, with the mapGroups loop's
+    // exact IEEE sequence, and every round joins that table.
+    val rounds = (2 to MmrK).map { k =>
+      val selu = (1 until k).map(j => s"SELECT * FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""selu$k AS MATERIALIZED ($selu),
+         |ms$k AS MATERIALIZED (
+         |  SELECT pp.query_id, pp.i AS neighbor_id, MAX(pp.sim) AS maxsel
+         |  FROM pp JOIN selu$k s
+         |    ON pp.query_id = s.query_id AND pp.j = s.neighbor_id
+         |  GROUP BY 1, 2),
+         |s$k AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, cosine FROM (
+         |    SELECT p.query_id, p.neighbor_id, p.cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |             ORDER BY $MmrLambda * p.cosine
+         |               - ${1.0 - MmrLambda} * ms.maxsel DESC,
+         |               p.neighbor_id) AS rn
+         |    FROM pool p
+         |    JOIN ms$k ms ON p.query_id = ms.query_id
+         |                AND p.neighbor_id = ms.neighbor_id
+         |    LEFT JOIN selu$k sl ON p.query_id = sl.query_id
+         |                       AND p.neighbor_id = sl.neighbor_id
+         |    WHERE sl.neighbor_id IS NULL)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(k =>
+      s"SELECT query_id, $k AS mmr_rank, neighbor_id, cosine FROM s$k")
+      .mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |cn AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM c),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM cn
+       |      WHERE vec_id % $QueryModulus = 0),
+       |pool AS MATERIALIZED (SELECT query_id, neighbor_id, cosine, e, nrm FROM (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |         list_dot_product(v.e, q.qe) / (v.nrm * q.qn) AS cosine,
+       |         v.e, v.nrm,
+       |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |           ORDER BY list_dot_product(v.e, q.qe) / (v.nrm * q.qn) DESC,
+       |                    v.vec_id) AS rn
+       |  FROM cn v, q WHERE v.vec_id <> q.query_id)
+       |  WHERE rn <= $MmrPool),
+       |pp AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+       |         list_reduce(list_transform(generate_series(1, $Dim),
+       |           ix -> a.e[ix] * b.e[ix]), (a2, b2) -> a2 + b2)
+       |           / (a.nrm * b.nrm) AS sim
+       |  FROM pool a JOIN pool b ON a.query_id = b.query_id
+       |                         AND a.neighbor_id <> b.neighbor_id),
+       |s1 AS MATERIALIZED (SELECT query_id, neighbor_id, cosine FROM (
+       |        SELECT query_id, neighbor_id, cosine,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, neighbor_id) AS rn FROM pool)
+       |       WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, neighbor_id, cosine
+       |FROM ($out) ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
+  /** The recall report REPLAYED: the exact scan and all three index
+    * replays inlined as SCOPED subqueries (each keeps its own WITH
+    * namespace), then the per-query hit counts and the report's exact
+    * arithmetic — mean recall is ONE division of two integer sums,
+    * min recall a min over single divisions of small integers, so
+    * every emitted double is a single IEEE op on exact integers. */
+  private val annRecallReportSql: String = {
+    def hits(rel: String) =
+      s"""(SELECT e.query_id, COUNT(*) AS k,
+         |        SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS found
+         | FROM ex e LEFT JOIN $rel a
+         |   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         | GROUP BY 1)""".stripMargin
+    def report(name: String, rel: String) =
+      s"""SELECT '$name' AS method, COUNT(*) AS n_queries,
+         |       CAST(SUM(found) AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+         |         AS mean_recall,
+         |       MIN(CAST(found AS DOUBLE) / CAST(k AS DOUBLE)) AS min_recall,
+         |       CAST(SUM(CASE WHEN found = k THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_perfect
+         |FROM ${hits(rel)}""".stripMargin
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($annTopKExactSql)),
+       |xlsh AS (SELECT query_id, neighbor_id FROM ($annTopKLshSql)),
+       |xivf AS (SELECT query_id, neighbor_id FROM ($annTopKIvfSql)),
+       |xpq AS (SELECT query_id, neighbor_id FROM ($annTopKPqSql))
+       |SELECT * FROM (
+       |${report("lsh", "xlsh")}
+       |UNION ALL
+       |${report("ivf", "xivf")}
+       |UNION ALL
+       |${report("pq", "xpq")})
+       |ORDER BY method""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_mmr_rerank" -> mmrRerankSql,
+    "ann_recall_report" -> annRecallReportSql,
+    "ann_topk_exact" -> annTopKExactSql,
+    "ann_topk_lsh" -> annTopKLshSql,
+    "ann_topk_ivf" -> annTopKIvfSql,
+    "ann_topk_pq" -> annTopKPqSql,
     "ann_range" ->
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),
@@ -1591,19 +1953,6 @@ object Similarity {
          |SELECT vec_id, d2.label, dist2,
          |       dist2 > CAST($OutlierRatio AS DOUBLE) * mean_d2 AS is_outlier
          |FROM d2 JOIN m USING (label) ORDER BY vec_id""".stripMargin,
-    "ann_topk_exact" ->
-      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |           FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id % $QueryModulus = 0),
-         |scored AS (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id,
-         |         list_dot_product(c.e, q.qe)
-         |           / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.qe, q.qe))) AS cosine
-         |  FROM c, q WHERE c.vec_id <> q.query_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
-         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
-         |FROM r WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
     // LSH-candidate near-dup is exact-reranked; recall at sf0.01 is 1.0
     // (verified against the all-pairs oracle), so the exact oracle applies.
     "dd_embed_neardup" ->

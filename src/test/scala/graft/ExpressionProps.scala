@@ -112,13 +112,26 @@ object ExpressionProps extends Properties("graft.functions") {
         got == expected
     }
 
-  property("hyperplaneSigs planes are deterministic across calls") =
+  property("hyperplaneSigs planes replay the portable quadratic hash") =
     Prop.forAll(Gen.choose(1, 4), Gen.choose(1, 4), Gen.choose(0L, 99L)) {
       (nT, nB, seed) =>
         val a = HyperplaneSigs.planes(nT, nB, 8, seed)
-        val rnd = new java.util.Random(seed)
-        val b = Array.fill(nT, nB, 8)(rnd.nextGaussian())
-        a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq
+        // independent replay of the arithmetic definition (the same
+        // integer sequence the DuckDB oracle runs via planeSignSql)
+        val m = HyperplaneSigs.HashMod
+        val b = Array.tabulate(nT, nB, 8) { (t, bb, d) =>
+          val idx = (t.toLong * nB + bb) * 8 + d + seed
+          val h1 = ((idx % m) * HyperplaneSigs.HashMult) % m
+          val h2 = (h1 * h1 + HyperplaneSigs.MixAdd) % m
+          val h3 = (h2 * HyperplaneSigs.HashMult) % m
+          if (h3 < m / 2) 1.0 else -1.0
+        }
+        val eq = a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq
+        // components are ±1 only, and over a larger matrix BOTH signs
+        // occur (a constant-sign hash would silently break LSH)
+        val big = HyperplaneSigs.planes(8, 8, 64, seed).flatten.flatten
+        eq && big.forall(x => x == 1.0 || x == -1.0) &&
+          big.exists(_ == 1.0) && big.exists(_ == -1.0)
     }
 
   property("nearestCells equals stable sort-by-distance take-n") =
