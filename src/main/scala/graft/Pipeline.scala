@@ -73,8 +73,13 @@ object Pipeline {
       name -> path
     }.toMap
 
+    // THIS run's snapshot only: with dynamic partition overwrite the
+    // lake accumulates one load_date partition per daily tick, and a
+    // run's DQ/gold read their own partition (pruned at the directory
+    // level), never a mix of loads
     def silverTable(name: String): DataFrame =
-      spark.read.parquet(silver(name)).drop("load_date")
+      spark.read.parquet(silver(name))
+        .where(col("load_date") === loadDate).drop("load_date")
 
     // 3. quality gate on the silver layer: single-pass rule checks plus
     //    referential integrity (orphan FK rows via broadcast anti-joins)
@@ -145,6 +150,55 @@ object Pipeline {
     }
     throw last
   }
+
+  /** The load-date partition tag for an execution date (the reference's
+    * `dYYYYMMDD` convention). */
+  def loadDateTag(execDate: java.time.LocalDate): String =
+    "d" + execDate.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+
+  /** Load dates already landed in the lake's silver layer — read from
+    * the `load_date=` partition directories of the silver sales table
+    * (metadata-only: a directory listing, no data scan). */
+  def loadedDates(spark: SparkSession, lakeBase: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      ParquetSink.layerPath(lakeBase, "silver", "sales"))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("load_date="))
+      .map(_.stripPrefix("load_date="))
+      .toSet
+  }
+
+  /** The DAG's scheduling-calendar contract
+    * (dags/etl_retail_pipeline.py:97-98 — `schedule_interval='@daily'`,
+    * `catchup=False`) as a pure decision: which load dates does the run
+    * triggered on `today` process, given the lake's current state?
+    *
+    * `@daily` closes one interval per day and a run executes for the
+    * interval that JUST CLOSED — yesterday. `catchup=False` means a
+    * scheduler that was down never backfills the missed intervals: the
+    * manifest is always exactly ONE date, yesterday's, no matter how
+    * many days are absent from the lake. Re-processing a date already
+    * landed is safe — [[run]] is idempotent (byte-identical gold +
+    * catalog state, pinned in PipelineRunSpec) — so the manifest only
+    * REPORTS rerun-ness, it never skips the date. */
+  final case class ManifestEntry(loadDate: String, alreadyLoaded: Boolean)
+  def runManifest(spark: SparkSession, lakeBase: String,
+      today: java.time.LocalDate): Seq[ManifestEntry] = {
+    val tag = loadDateTag(today.minusDays(1))
+    Seq(ManifestEntry(tag, loadedDates(spark, lakeBase).contains(tag)))
+  }
+
+  /** [[run]] for the dates [[runManifest]] selects — the daily
+    * scheduled tick as one call. Returns the manifest with each entry's
+    * run result. */
+  def runScheduled(spark: SparkSession, srcDir: String, lakeBase: String,
+      today: java.time.LocalDate): Seq[(ManifestEntry, RunResult)] =
+    runManifest(spark, lakeBase, today).map { e =>
+      e -> run(spark, srcDir, lakeBase, e.loadDate)
+    }
 
   /** [[run]] under the DAG's retry policy. */
   def runWithRetries(spark: SparkSession, srcDir: String, lakeBase: String,

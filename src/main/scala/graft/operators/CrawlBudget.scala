@@ -164,10 +164,50 @@ object CrawlBudget {
          |  FROM fin)""".stripMargin
   }
 
+  /** `smp_recrawl_plan`: the freshness loop folded into the budget —
+    * per host: how many of its sitemap-advertised pages are STALE
+    * ([[Sitemap.staleness]]: lastmod newer than our last fetch), how
+    * much politeness capacity the NOVEL quota left unused this window
+    * (`slack = capacity − quota`), and the refresh quota
+    * `least(refresh_demand, slack)` — recrawl rides the window's spare
+    * capacity, never starves discovery (the production convention:
+    * freshness is a background consumer of crawl budget). All-integer
+    * on the host catalog; the staleness rollup is one host-keyed
+    * partial-aggregating count. */
+  def recrawlPlan(spark: SparkSession, dir: String): DataFrame = {
+    val rdem = Sitemap.staleness(spark, dir)
+      .where(col("stale"))
+      .groupBy("host_id").agg(count(lit(1)).as("refresh_demand"))
+    crawlBudget(spark, dir)
+      .select(col("host_id"), col("host"), col("capacity"), col("quota"))
+      .join(rdem, Seq("host_id"), "left")
+      .select(col("host_id"), col("host"),
+        coalesce(col("refresh_demand"), lit(0L)).as("refresh_demand"),
+        (col("capacity") - col("quota")).as("slack"),
+        least(coalesce(col("refresh_demand"), lit(0L)),
+          col("capacity") - col("quota")).as("refresh_quota"))
+      .orderBy("host_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "smp_crawl_budget" ->
       s"""WITH $budgetCte
          |SELECT * FROM alloc ORDER BY host_id""".stripMargin,
+    "smp_recrawl_plan" ->
+      s"""WITH $budgetCte,
+         |${Sitemap.sitemapCteSql},
+         |${Sitemap.lastCrawlCteSql},
+         |rdem AS (SELECT a.h AS host_id, COUNT(*) AS refresh_demand
+         |         FROM alle a JOIN pages p ON a.canon_url = p.canon_url
+         |         WHERE a.lastmod > p.last_crawl
+         |         GROUP BY 1)
+         |SELECT al.host_id, al.host,
+         |       COALESCE(rdem.refresh_demand, 0) AS refresh_demand,
+         |       al.capacity - al.quota AS slack,
+         |       LEAST(COALESCE(rdem.refresh_demand, 0),
+         |             al.capacity - al.quota) AS refresh_quota
+         |FROM alloc al LEFT JOIN rdem ON al.host_id = rdem.host_id
+         |ORDER BY al.host_id""".stripMargin,
     "xf_fetch_schedule" ->
       s"""WITH $budgetCte,
          |dn AS (SELECT DISTINCT h AS host_id, canon_url FROM novel),
@@ -223,5 +263,6 @@ object CrawlBudget {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_crawl_budget"  -> crawlBudget,
-    "xf_fetch_schedule" -> fetchSchedule)
+    "xf_fetch_schedule" -> fetchSchedule,
+    "smp_recrawl_plan"  -> recrawlPlan)
 }

@@ -975,6 +975,25 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "smp_trust_weighted" ->
+      s"""WITH ${Graph.hostTrustCte},
+         |dw AS (SELECT doc_id, doc_id % ${Url.HostMod} AS host_id
+         |       FROM documents),
+         |j AS (SELECT dw.doc_id, ht.host_id, ht.host, ht.pagerank,
+         |             ht.spam_mass,
+         |             ht.pagerank * LEAST(CAST(1 AS DOUBLE),
+         |               GREATEST(CAST(0 AS DOUBLE),
+         |                 CAST(1 AS DOUBLE) - ht.spam_mass)) AS prior
+         |      FROM dw JOIN ht USING (host_id)),
+         |t AS (SELECT SUM(CAST(FLOOR(prior * ${Graph.PrScale})
+         |                 AS DECIMAL(38,0))) AS s
+         |      FROM j)
+         |SELECT doc_id, host_id, host, pagerank AS host_rank, spam_mass,
+         |       spam_mass > $SpamMassDemote AS demoted, prior,
+         |       prior / (CAST(s AS DOUBLE) / ${Graph.PrScale}) AS weight,
+         |       (prior / (CAST(s AS DOUBLE) / ${Graph.PrScale}))
+         |         * $HostSampleBudget AS expected_picks
+         |FROM j, t ORDER BY doc_id""".stripMargin,
     "smp_host_weighted" ->
       s"""WITH ${Graph.hostRankCte},
          |dw AS (SELECT doc_id, doc_id % ${Url.HostMod} AS host_id
@@ -1288,6 +1307,51 @@ object Curation {
     * declared ABOVE this and would otherwise read 0.0 mid-init. */
   final val HostSampleBudget = 1000.0
 
+  /** Spam-mass level above which `smp_trust_weighted` flags a host
+    * demoted (Gyöngyi et al. §6 threshold the ops report reads).
+    * `final` compile-time constant (init-order rule, as above). */
+  final val SpamMassDemote = 0.5
+
+  /** `smp_trust_weighted`: quality×trust 2-D sampling weights — the
+    * host-prior sampler ([[hostWeighted]]) composed with the spam
+    * screen ([[Graph.hostTrust]]): each document's prior is its host's
+    * PageRank DAMPED by endorsement, `pagerank · clamp(1 − spam_mass,
+    * 0, 1)` — a high-rank host whose rank is farm-built (spam mass ≈ 1)
+    * contributes ~nothing, a fully-endorsed host keeps its whole rank
+    * (for seeds spam mass goes ≤ 0 and the clamp caps the factor at 1,
+    * so trust can never EXCEED rank as a prior). One row per document:
+    * rank, spam mass, the demotion flag at [[SpamMassDemote]], the
+    * composed prior, the normalized weight and expected picks at the
+    * [[HostSampleBudget]] draw.
+    *
+    * Determinism: the two ranks share one fixed-round recursion
+    * artifact; the normalizer is the fixed-point FLOOR-to-DECIMAL sum
+    * (the [[hostWeighted]] discipline). Scale shape: host catalog
+    * broadcast onto the partitioned corpus, 1-row broadcast
+    * normalizer, per-row arithmetic. */
+  def trustWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val ht = Graph.hostTrust(spark, dir)
+      .select(col("host_id"), col("host"), col("pagerank"), col("spam_mass"),
+        (col("pagerank") * least(lit(1.0),
+          greatest(lit(0.0), lit(1.0) - col("spam_mass")))).as("prior"))
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % Url.HostMod).as("host_id"))
+    val joined = docs.join(broadcast(ht), "host_id")
+    val tot = joined.agg(
+      sum(floor(col("prior") * lit(Graph.PrScale))
+        .cast(DecimalType(38, 0))).as("s"))
+    val weight = col("prior") /
+      (col("s").cast("double") / lit(Graph.PrScale.toDouble))
+    joined.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("host_id"), col("host"),
+        col("pagerank").as("host_rank"), col("spam_mass"),
+        (col("spam_mass") > lit(SpamMassDemote)).as("demoted"),
+        col("prior"),
+        weight.as("weight"),
+        (weight * lit(HostSampleBudget)).as("expected_picks"))
+      .orderBy("doc_id")
+  }
+
   /** `smp_host_weighted`: host-prior sampling weights — each document's
     * sampling weight proportional to its HOST's link-graph PageRank
     * ([[Graph.hostRank]]): the crawl-quality prior (CCNet/RefinedWeb
@@ -1324,6 +1388,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_host_weighted" -> hostWeighted,
+    "smp_trust_weighted" -> trustWeighted,
     "smp_split"      -> trainValTestSplit,
     "smp_shard"      -> shardReport,
     "smp_leakage_split" -> leakageSafeSplit,

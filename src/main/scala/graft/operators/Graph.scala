@@ -675,25 +675,32 @@ object Graph {
        |                  pr AS pagerank
        |           FROM pr$PagerankIters)""".stripMargin
 
+  /** The gr_host_trust recompute as a reusable WITH-body ending in an
+    * `ht(host_id, host, trust, pagerank, spam_mass)` CTE — shared with
+    * the smp_trust_weighted oracle in [[Curation]]. */
+  private[graft] def hostTrustCte: String =
+    s"""$hostRankCte,
+       |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes
+       |       WHERE u % 3 = 0),
+       |sv AS (SELECT nodes.u,
+       |              CASE WHEN nodes.u % 3 = 0 THEN CAST(1 AS DOUBLE)/ns.ns
+       |                   ELSE CAST(0 AS DOUBLE) END AS sv
+       |       FROM nodes, ns),
+       |tr0 AS (SELECT u, sv AS pr FROM sv),
+       |${(1 to PagerankIters).map(i => trRound(s"tr${i - 1}", s"tr$i"))
+           .mkString(",\n")},
+       |ht AS (SELECT hp.host_id, hp.host, t.pr AS trust, hp.pagerank,
+       |              (hp.pagerank - t.pr) / hp.pagerank AS spam_mass
+       |       FROM hostpr hp JOIN tr$PagerankIters t ON hp.host_id = t.u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "gr_host_rank" ->
       s"""WITH $hostRankCte
          |SELECT host_id, host, pagerank FROM hostpr ORDER BY host_id""".stripMargin,
     "gr_host_trust" ->
-      s"""WITH $hostRankCte,
-         |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes
-         |       WHERE u % 3 = 0),
-         |sv AS (SELECT nodes.u,
-         |              CASE WHEN nodes.u % 3 = 0 THEN CAST(1 AS DOUBLE)/ns.ns
-         |                   ELSE CAST(0 AS DOUBLE) END AS sv
-         |       FROM nodes, ns),
-         |tr0 AS (SELECT u, sv AS pr FROM sv),
-         |${(1 to PagerankIters).map(i => trRound(s"tr${i - 1}", s"tr$i"))
-             .mkString(",\n")}
-         |SELECT hp.host_id, hp.host, t.pr AS trust, hp.pagerank,
-         |       (hp.pagerank - t.pr) / hp.pagerank AS spam_mass
-         |FROM hostpr hp JOIN tr$PagerankIters t ON hp.host_id = t.u
-         |ORDER BY host_id""".stripMargin,
+      s"""WITH $hostTrustCte
+         |SELECT host_id, host, trust, pagerank, spam_mass
+         |FROM ht ORDER BY host_id""".stripMargin,
     "gr_pagerank" ->
       s"""WITH ${Tables.salesCte},
          |e AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v

@@ -154,7 +154,13 @@ object Sitemap {
     * the parsed freshness date and priority hint, and whether the
     * canonical page is already crawled. The discovery feed a frontier
     * scheduler merges, dressed spellings already collapsed. */
-  def sitemapScreen(spark: SparkSession, dir: String): DataFrame = {
+  def sitemapScreen(spark: SparkSession, dir: String): DataFrame =
+    screenCore(spark, dir).orderBy("host_id", "seq")
+
+  /** [[sitemapScreen]] without the output ordering — the shared core
+    * [[recrawl]] composes (an inner ORDER BY would cost a pointless
+    * range exchange mid-plan). */
+  private def screenCore(spark: SparkSession, dir: String): DataFrame = {
     val e = entries(spark)
       .select(col("host_id"), col("seq"), col("loc"),
         graft.functions.UrlCanon.canonCol(spark, col("loc")).as("canon_url"),
@@ -164,41 +170,130 @@ object Sitemap {
       .select(col("host_id"), col("seq"), col("loc"), col("canon_url"),
         col("lastmod"), col("priority"),
         coalesce(col("known0"), lit(false)).as("known"))
-      .orderBy("host_id", "seq")
   }
+
+  /** Every crawled page's last-fetch date, derived arithmetically from
+    * the corpus (first arriving doc_id per canonical page — the
+    * [[Url.urlDedup]] `first_doc_id` — mapped onto the same January
+    * 2024 calendar the sitemap lastmods use): the crawl-ledger column a
+    * production frontier stores per page, synthesized so the oracle
+    * recomputes it. Shared by [[recrawl]] and
+    * [[CrawlBudget.recrawlPlan]]. */
+  private[operators] def lastCrawl(spark: SparkSession, dir: String): DataFrame =
+    Url.urlVariants(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.UrlCanon.canonCol(spark, col("url")).as("canon_url"))
+      .where(col("canon_url").isNotNull)
+      .groupBy("canon_url")
+      .agg(min("doc_id").as("first_doc_id"))
+      .select(col("canon_url"),
+        date_add(to_date(lit("2024-01-01")),
+          (col("first_doc_id") % 28).cast("int")).as("last_crawl"))
+
+  /** SQL twin of [[lastCrawl]] (needs [[Url.variantCteSql]]'s `v` in
+    * scope). */
+  private[operators] val lastCrawlCteSql: String =
+    """pages AS (SELECT canon_url,
+      |                 DATE '2024-01-01' + CAST(MIN(doc_id) % 28 AS INT)
+      |                   AS last_crawl
+      |          FROM v WHERE canon_url IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** The KNOWN sitemap pages with their staleness verdict — shared by
+    * [[recrawl]] (page grain) and [[CrawlBudget.recrawlPlan]] (host
+    * rollup): sitemap `lastmod` vs the frontier's [[lastCrawl]] date;
+    * `stale` = the host advertises a modification NEWER than our copy. */
+  private[operators] def staleness(spark: SparkSession, dir: String): DataFrame =
+    screenCore(spark, dir)
+      .where(col("known"))
+      .join(lastCrawl(spark, dir), "canon_url")
+      .select(col("host_id"), col("canon_url"), col("lastmod"),
+        col("last_crawl"), col("priority"),
+        (col("lastmod") > col("last_crawl")).as("stale"))
+
+  /** `xf_recrawl`: the sitemap-lastmod recrawl screen — the freshness
+    * loop on top of the discovery stack: per KNOWN (already crawled)
+    * sitemap page, its advertised `lastmod` against the frontier's
+    * last-fetch date, the staleness verdict, and — for stale pages —
+    * the per-host refresh order (sitemap priority desc, canonical URL
+    * as the unique tiebreaker), NULL for fresh pages. The queue a
+    * recrawl scheduler drains before re-discovering anything.
+    *
+    * Scale shape: the staleness frame is sitemap-(host-catalog)-sized;
+    * its one corpus-sized input is the frontier's canonical-keyed
+    * first-arrival aggregate ([[lastCrawl]] — persisted alongside the
+    * frontier in production); the refresh order is
+    * [[SkewUtils.groupRank]], never a host-keyed window funnel. */
+  def recrawl(spark: SparkSession, dir: String): DataFrame = {
+    val st = staleness(spark, dir)
+    val ranked = SkewUtils.groupRank(st.where(col("stale"))
+        .select(col("host_id"), col("canon_url"), col("priority")),
+      "host_id", Seq(col("priority").desc, col("canon_url").asc),
+      "refresh_rank")
+      .select(col("host_id"), col("canon_url"), col("refresh_rank"))
+    st.join(ranked, Seq("host_id", "canon_url"), "left")
+      .select(col("host_id"), col("canon_url"), col("lastmod"),
+        col("last_crawl"), col("priority"), col("stale"),
+        col("refresh_rank"))
+      .orderBy("host_id", "canon_url")
+  }
+
+  /** The synthesized-sitemap arithmetic as a reusable WITH body ending
+    * in `alle(h, seq, loc, canon_url, lastmod, priority)` — shared by
+    * the xf_sitemap, xf_recrawl and smp_recrawl_plan oracles. Declared
+    * above `oracles` (object-init order). */
+  private[operators] val sitemapCteSql: String =
+    s"""hosts AS (SELECT unnest(generate_series(0, ${Url.HostMod - 1})) AS h),
+       |g AS (SELECT h, unnest(generate_series(0, 2 + h % 3)) AS k FROM hosts),
+       |good AS (SELECT h, CAST(k AS INT) AS seq, h*31 + k AS q FROM g),
+       |ge AS (SELECT h, seq,
+       |         CASE seq % 3
+       |           WHEN 0 THEN 'http://host'||h||'.example/p'||(q%97) ||
+       |                       '?a='||(q%7)||'&b=2'
+       |           WHEN 1 THEN 'HTTP://HOST'||h||'.EXAMPLE:80/p'||(q%97) ||
+       |                       '?a='||(q%7)||'&b=2#frag'
+       |           ELSE 'http://host'||h||'.example/p'||(q%97) ||
+       |                '?utm_source=sm&a='||(q%7)||'&b=2' END AS loc,
+       |         'http://host'||h||'.example/p'||(q%97) ||
+       |           '?a='||(q%7)||'&b=2' AS canon_url,
+       |         DATE '2024-01-01' + CAST(q % 28 AS INT) AS lastmod,
+       |         '0.'||(5 + q % 5) AS priority
+       |       FROM good),
+       |bad AS (SELECT h, CAST(3 + h % 3 AS INT) AS seq,
+       |               'not a url '||h AS loc,
+       |               CAST(NULL AS VARCHAR) AS canon_url,
+       |               DATE '2024-02-01' AS lastmod,
+       |               '0.1' AS priority
+       |        FROM hosts WHERE h % 5 = 0),
+       |alle AS (SELECT * FROM ge UNION ALL SELECT * FROM bad)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "xf_sitemap" ->
       s"""WITH ${Url.variantCteSql},
          |cf AS (SELECT DISTINCT canon_url FROM v WHERE canon_url IS NOT NULL),
-         |hosts AS (SELECT unnest(generate_series(0, ${Url.HostMod - 1})) AS h),
-         |g AS (SELECT h, unnest(generate_series(0, 2 + h % 3)) AS k FROM hosts),
-         |good AS (SELECT h, CAST(k AS INT) AS seq, h*31 + k AS q FROM g),
-         |ge AS (SELECT h, seq,
-         |         CASE seq % 3
-         |           WHEN 0 THEN 'http://host'||h||'.example/p'||(q%97)
-         |                       ||'?a='||(q%7)||'&b=2'
-         |           WHEN 1 THEN 'HTTP://HOST'||h||'.EXAMPLE:80/p'||(q%97)
-         |                       ||'?a='||(q%7)||'&b=2#frag'
-         |           ELSE 'http://host'||h||'.example/p'||(q%97)
-         |                ||'?utm_source=sm&a='||(q%7)||'&b=2' END AS loc,
-         |         'http://host'||h||'.example/p'||(q%97)
-         |           ||'?a='||(q%7)||'&b=2' AS canon_url,
-         |         DATE '2024-01-01' + CAST(q % 28 AS INT) AS lastmod,
-         |         '0.'||(5 + q % 5) AS priority
-         |       FROM good),
-         |bad AS (SELECT h, CAST(3 + h % 3 AS INT) AS seq,
-         |               'not a url '||h AS loc,
-         |               CAST(NULL AS VARCHAR) AS canon_url,
-         |               DATE '2024-02-01' AS lastmod,
-         |               '0.1' AS priority
-         |        FROM hosts WHERE h % 5 = 0),
-         |alle AS (SELECT * FROM ge UNION ALL SELECT * FROM bad)
+         |$sitemapCteSql
          |SELECT a.h AS host_id, a.seq, a.loc, a.canon_url, a.lastmod,
          |       a.priority, cf.canon_url IS NOT NULL AS known
          |FROM alle a LEFT JOIN cf ON a.canon_url = cf.canon_url
-         |ORDER BY host_id, seq""".stripMargin)
+         |ORDER BY host_id, seq""".stripMargin,
+    "xf_recrawl" ->
+      s"""WITH ${Url.variantCteSql},
+         |$sitemapCteSql,
+         |$lastCrawlCteSql,
+         |st AS (SELECT a.h AS host_id, a.canon_url, a.lastmod, p.last_crawl,
+         |              a.priority, a.lastmod > p.last_crawl AS stale
+         |       FROM alle a JOIN pages p ON a.canon_url = p.canon_url),
+         |rk AS (SELECT host_id, canon_url,
+         |              ROW_NUMBER() OVER (PARTITION BY host_id
+         |                ORDER BY priority DESC, canon_url) AS refresh_rank
+         |       FROM st WHERE stale)
+         |SELECT st.host_id, st.canon_url, st.lastmod, st.last_crawl,
+         |       st.priority, st.stale,
+         |       CAST(rk.refresh_rank AS BIGINT) AS refresh_rank
+         |FROM st LEFT JOIN rk ON st.host_id = rk.host_id
+         |                    AND st.canon_url = rk.canon_url
+         |ORDER BY st.host_id, st.canon_url""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "xf_sitemap" -> sitemapScreen)
+    "xf_sitemap" -> sitemapScreen,
+    "xf_recrawl" -> recrawl)
 }

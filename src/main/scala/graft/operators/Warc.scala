@@ -237,6 +237,64 @@ object Warc {
       .orderBy("doc_id")
   }
 
+  // per-process work dir (the Ingest.tmp convention: concurrent
+  // drivers must not overwrite each other's staging output)
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_work_${ProcessHandle.current.pid}/$name"
+
+  /** Production WARC WRITER sink — the write half of [[readWarcDir]]:
+    * frame the corpus into [[RecordsPerFile]]-record containers and
+    * write one `.warc` file per group under `path`, executor-side
+    * Hadoop-FS binary writes (payload bytes never touch the driver; one
+    * task per container — the shape an exporter feeding a crawl-corpus
+    * exchange actually runs). File naming is deterministic
+    * (`part-<file_id>%05d.warc`), so a re-run overwrites byte-identical
+    * files — idempotent like every sink here. */
+  def writeWarcDir(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    warcFiles(spark, dir).as[(Long, Array[Byte])]
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new org.apache.hadoop.fs.Path(path)
+        val fs = base.getFileSystem(conf)
+        it.foreach { case (fid, blob) =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, f"part-$fid%05d.warc"), true)
+          try out.write(blob) finally out.close()
+        }
+      }
+  }
+
+  /** `snk_warc_dir`: the writer sink driven end-to-end — write the
+    * corpus as a `.warc` directory ([[writeWarcDir]]), scan it back
+    * with the production reader ([[readWarcDir]]'s binaryFile +
+    * tolerant parse), and verify every record octet-exactly against
+    * the source table: recovered doc id, target URI, parsed content
+    * length, byte-exact payload, and the deterministic file placement
+    * (`file_ok`: the record came back from the container its doc_id
+    * group wrote). */
+  def warcSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("warc_sink")
+    writeWarcDir(spark, dir, path)
+    val parsed = readWarcDir(spark, path)
+      .where(col("record_id").startsWith("<urn:graft:"))
+      .select(
+        expr("CAST(substring(record_id, 12, length(record_id) - 12) AS BIGINT)")
+          .as("doc_id"),
+        col("target_uri"), col("content_length"),
+        col("payload").cast("string").as("payload_s"), col("path"))
+    parsed
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "text"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("target_uri"), col("content_length"),
+        (col("payload_s") === col("text")).as("payload_match"),
+        col("path").endsWith(
+          concat(lit("part-"),
+            lpad((col("doc_id") / lit(RecordsPerFile)).cast("long").cast("string"),
+              5, "0"), lit(".warc"))).as("file_ok"))
+      .orderBy("doc_id")
+  }
+
   /** The synthesized crawl-container set for the EXTRACTION pipeline:
     * WARC files whose payloads are the boilerplate-dressed HTML pages
     * of [[Html.htmlPages]] — what a crawler actually lands, vs the
@@ -357,9 +415,18 @@ object Warc {
          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
          |       CAST($HeaderCount AS BIGINT) AS n_headers,
          |       TRUE AS payload_match
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "snk_warc_dir" ->
+      s"""SELECT doc_id,
+         |       'http://host'||(doc_id % ${Url.HostMod})||'.example/p'||doc_id
+         |         AS target_uri,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         |       TRUE AS payload_match,
+         |       TRUE AS file_ok
          |FROM documents ORDER BY doc_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_warc_roundtrip" -> warcRoundtrip,
-    "xf_warc_extract"    -> warcExtract)
+    "xf_warc_extract"    -> warcExtract,
+    "snk_warc_dir"       -> warcSinkRoundtrip)
 }

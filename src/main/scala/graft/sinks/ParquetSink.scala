@@ -15,10 +15,16 @@ import org.apache.spark.sql.DataFrame
 object ParquetSink {
 
   /** Silver-layer write: snappy parquet partitioned by the given columns
-    * (the reference partitions by ingestion date, transform.py:47-49). */
+    * (the reference partitions by ingestion date, transform.py:47-49).
+    * DYNAMIC partition overwrite: a run replaces only the partitions it
+    * writes — yesterday's `load_date=` stays when today's run lands, and
+    * a RERUN of the same date still replaces its own partition cleanly
+    * (the idempotence the retry/calendar contracts ride on). Static
+    * overwrite would truncate the whole table on every daily tick. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .partitionBy(partitionCols: _*)
       .parquet(path)

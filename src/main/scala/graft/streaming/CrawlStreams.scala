@@ -149,4 +149,52 @@ object CrawlStreams {
     * static canonical-frontier set. */
   def sitemapStream(sitemaps: DataFrame, knownCanon: DataFrame): DataFrame =
     sitemapEntries(sitemaps, knownCanon)
+
+  /** Streaming politeness-spaced fetch scheduler — the
+    * [[graft.operators.CrawlBudget.fetchSchedule]] plan emitted a
+    * micro-batch behind discovery instead of at the window boundary:
+    * each arriving admitted-novel (host_id, canon_url) gets the host's
+    * NEXT slot and the politeness offset `(slot−1)·delay`, and is
+    * emitted only while the host's window quota lasts. Quota and delay
+    * are stream-static broadcast joins against the HOST-catalog plan
+    * tables (in production: the persisted [[graft.operators.CrawlBudget
+    * .crawlBudget]] output and the robots rules).
+    *
+    * State is ONE long per host (slots issued — O(hosts), bounded by
+    * the catalog, the reactivation-detector discipline); within a
+    * micro-batch a host's arrivals are slotted in canonical-URL order
+    * (deterministic under Spark's unordered group iterator), across
+    * batches in arrival order — so a feed that respects per-host
+    * canonical order replays the batch plan bit for bit (the parity
+    * spec pins it). Over-quota arrivals still advance the counter
+    * (they were SEEN this window — exactly the batch rank semantics,
+    * where rank counts every admitted-novel URL and the quota filter
+    * comes after). */
+  def fetchScheduleStream(urls: DataFrame, quotas: DataFrame,
+      delays: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    urls.select(col("host_id").cast("long").as("host_id"), col("canon_url"))
+      .join(broadcast(quotas.select(col("host_id").cast("long").as("host_id"),
+        col("quota").cast("long").as("quota"))), "host_id")
+      .join(broadcast(delays.select(col("host_id").cast("long").as("host_id"),
+        coalesce(col("delay"), lit(1L)).as("delay"))), Seq("host_id"), "left")
+      .select(col("host_id"), col("canon_url"), col("quota"),
+        coalesce(col("delay"), lit(1L)).as("delay"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Int, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (h, it, state) =>
+        val used = state.getOption.getOrElse(0L)
+        val rows = it.toVector.sortBy(_._2)
+        state.update(used + rows.length)
+        rows.iterator.zipWithIndex.collect {
+          case ((_, c, q, d), i) if used + i + 1 <= q =>
+            val slot = used + i + 1
+            (h, slot.toInt, c, d, (slot - 1L) * d)
+        }
+      }
+      .toDF("host_id", "slot", "canon_url", "delay", "fetch_offset_s")
+  }
 }

@@ -703,6 +703,35 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("weight")).distinct.length > 1)
   }
 
+  test("trust-weighted sampling: spam damps the prior, seeds keep full rank") {
+    val rows = Curation.trustWeighted(spark, sfDir).collect()
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs.toInt)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(wsum >= 1.0 - 1e-9 && wsum < 1.0 + 1e-4, s"weights sum to $wsum")
+    val trust = graft.operators.Graph.hostTrust(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("host_id") ->
+        (r.getAs[Double]("pagerank"), r.getAs[Double]("spam_mass"))).toMap
+    rows.foreach { r =>
+      val h = r.getAs[Long]("host_id")
+      val (pr, sm) = trust(h)
+      // the composed prior is exactly pagerank · clamp(1 − spam_mass)
+      val factor = math.min(1.0, math.max(0.0, 1.0 - sm))
+      assert(r.getAs[Double]("prior") == pr * factor, s"host $h prior")
+      assert(r.getAs[Boolean]("demoted") == (sm > Curation.SpamMassDemote))
+      // never upweighted above the raw rank prior
+      assert(r.getAs[Double]("prior") <= pr + 1e-15, s"host $h cap")
+    }
+    // the screen bites: some host's prior sits strictly below its rank
+    assert(rows.exists(r =>
+      r.getAs[Double]("prior") < trust(r.getAs[Long]("host_id"))._1))
+    // seeds (u % 3 == 0, spam mass <= 0) keep their full rank as prior
+    rows.filter(r => trust(r.getAs[Long]("host_id"))._2 <= 0.0).foreach { r =>
+      assert(r.getAs[Double]("prior") ==
+        trust(r.getAs[Long]("host_id"))._1, s"seed host ${r.getAs[Long]("host_id")}")
+    }
+  }
+
   test("repeat plan replays the sequential quality-greedy allocation") {
     val rows = Curation.repeatPlan(spark, sfDir).collect()
     // quality-rank order is total and 1..n

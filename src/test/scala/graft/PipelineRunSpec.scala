@@ -58,6 +58,30 @@ class PipelineRunSpec extends SparkSpec {
     assert(catalogState() == firstCat, "second run changed catalog state")
   }
 
+  test("scheduling calendar: @daily processes yesterday only, catchup=False never backfills") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake_cal").toString
+    val d0 = java.time.LocalDate.of(2026, 1, 2)
+    // fresh lake: the manifest is exactly yesterday, not yet loaded
+    val m0 = Pipeline.runManifest(spark, lake, d0)
+    assert(m0 == Seq(Pipeline.ManifestEntry("d20260101", alreadyLoaded = false)))
+    val r0 = Pipeline.runScheduled(spark, sfDir, lake, d0)
+    assert(r0.map(_._1) == m0 && r0.head._2.dqPassed)
+    assert(Pipeline.loadedDates(spark, lake) == Set("d20260101"))
+    // scheduler down for 3 days, back on Jan 6: the manifest is ONLY
+    // Jan 5 — the missed Jan 2/3/4 intervals are never backfilled
+    val m1 = Pipeline.runManifest(spark, lake, d0.plusDays(4))
+    assert(m1 == Seq(Pipeline.ManifestEntry("d20260105", alreadyLoaded = false)))
+    Pipeline.runScheduled(spark, sfDir, lake, d0.plusDays(4))
+    assert(Pipeline.loadedDates(spark, lake) == Set("d20260101", "d20260105"),
+      "no backfill dates appeared")
+    // the same tick re-fired: the manifest flags the rerun, and the
+    // re-run leaves the loaded-date state unchanged (idempotence)
+    val m2 = Pipeline.runManifest(spark, lake, d0.plusDays(4))
+    assert(m2 == Seq(Pipeline.ManifestEntry("d20260105", alreadyLoaded = true)))
+    Pipeline.runScheduled(spark, sfDir, lake, d0.plusDays(4))
+    assert(Pipeline.loadedDates(spark, lake) == Set("d20260101", "d20260105"))
+  }
+
   test("retry policy: transient failure recovers, exhaustion rethrows") {
     // the DAG's retries:1 + retry_delay contract — a task that fails
     // once succeeds on the retry, with the delay honored between

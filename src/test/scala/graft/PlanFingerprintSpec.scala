@@ -80,6 +80,7 @@ class PlanFingerprintSpec extends SparkSpec {
     * these pins make that class of regression self-announcing.
     * Rounds 12 and 13 add their new keys per the membership rule. */
   private val exchangePinned = Seq(
+    "xf_recrawl", "smp_recrawl_plan", "snk_warc_dir", "smp_trust_weighted",
     "xf_warc_extract", "xf_sitemap", "smp_crawl_budget", "gr_host_trust",
     "txt_ccnet_bucket", "xf_fetch_schedule", "smp_repeat_plan",
     "xf_url_canon", "dd_url_dedup", "gr_host_rank", "src_warc_roundtrip",

@@ -866,6 +866,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming fetch scheduler replays the batch plan bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val quotas = graft.operators.CrawlBudget.crawlBudget(spark, sfDir)
+      .select(col("host_id"), col("quota")).localCheckpoint()
+    val delays = graft.operators.Robots.rulesTable(spark)
+      .select(col("host_id"), col("crawl_delay").as("delay"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("host_id"), r.getAs[Int]("slot"),
+        r.getAs[String]("canon_url"), r.getAs[Long]("delay"),
+        r.getAs[Long]("fetch_offset_s"))).toSet
+    val batch = norm(graft.operators.CrawlBudget.fetchSchedule(spark, sfDir))
+    assert(batch.nonEmpty)
+    // the admitted-novel feed in per-host canonical order (what an
+    // ordered frontier drain emits); ANY batch split of that order
+    // must land every URL in the same slot the window plan gave it
+    val feed = graft.operators.Robots.admittedNovel(spark, sfDir)
+      .select(col("host_id"), col("canon_url")).distinct()
+      .orderBy("host_id", "canon_url")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CrawlStreams.fetchScheduleStream(
+      input.toDF().toDF("host_id", "canon_url"), quotas, delays)
+      .writeStream.format("memory").queryName("fetch_schedule_out")
+      .outputMode("append").start()
+    val (a, b) = feed.splitAt(feed.length / 2)
+    input.addData(a); q.processAllAvailable()
+    input.addData(b); q.processAllAvailable()
+    val streamed = norm(spark.table("fetch_schedule_out"))
+    q.stop()
+    assert(streamed == batch)
+    // over-quota arrivals were seen but not emitted: per host the
+    // emitted slot count is exactly min(arrivals, quota)
+    val qByHost = quotas.collect()
+      .map(r => r.getAs[Long]("host_id") -> r.getAs[Long]("quota")).toMap
+    feed.groupBy(_._1).foreach { case (h, g) =>
+      assert(streamed.count(_._1 == h) ==
+        math.min(g.length.toLong, qByHost(h)), s"host $h")
+    }
+  }
+
   test("streaming WARC record extraction matches the batch parser") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
