@@ -1221,11 +1221,12 @@ object Similarity {
 
   /** `emb_pca`: per-vector projection onto the top principal axis —
     * the 1-D view behind spectral filtering (outlier tails), corpus
-    * drift tracking and SVD-init. Rows-only (no SQL oracle: the power
-    * iteration has no practical ANSI form — it would be a 40-round
-    * recursive CTE over matrix state); PcaSpec asserts the
-    * eigen-residual, run-to-run determinism and projection parity with
-    * a driver-side dot product instead.
+    * drift tracking and SVD-init. Oracled by FULL REPLAY
+    * ([[embPcaSql]]): the Gram is already exact fixed-point arithmetic
+    * and the power iteration is a fixed [[PcaIters]]-round recursion,
+    * so the SQL unrolls it round for round; PcaSpec additionally
+    * asserts the eigen-residual, run-to-run determinism and projection
+    * parity with a driver-side dot product.
     *
     * Scale shape: after the [[gramMatrix]] pass, the axis is a d-double
     * in-plan literal and the projection is one map-side native-codegen
@@ -1293,11 +1294,11 @@ object Similarity {
     * precedent). Deterministic: the seed is the smallest vec_id, all
     * ties break by vec_id.
     *
-    * No SQL oracle: the selection is an iterated argmax (each round's
-    * predicate depends on the previous round's winner) — the emb_pca
-    * precedent; SimilaritySpec instead replays the greedy recursion on
-    * the driver and asserts the identical selection sequence, and the
-    * driver gate keeps a rows-only check. */
+    * Oracled by FULL REPLAY ([[embKcenterSql]]): the selection is an
+    * iterated argmax, but with [[KCenterK]] a fixed constant the SQL
+    * unrolls every round over the carried frontier; SimilaritySpec
+    * additionally replays the greedy recursion on the driver and
+    * asserts the identical selection sequence. */
   def kcenterSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
@@ -1666,7 +1667,98 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  /** emb_gram's oracle — also the matrix source of the emb_pca replay.
+    * Declared above `oracles` (object-init order). */
+  private val embGramSql: String =
+    """WITH c AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |p AS (SELECT e, unnest(generate_series(1, len(e))) AS i FROM c),
+      |pp AS (SELECT e, i, unnest(generate_series(i, len(e))) AS j FROM p)
+      |SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j, COUNT(*) AS n,
+      |       CAST(SUM(CAST(FLOOR(e[i]*10000)*FLOOR(e[j]*10000)
+      |                     AS DECIMAL(38,0))) AS DOUBLE)/100000000 AS gram
+      |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The PCA power iteration REPLAYED: the exact fixed-point Gram
+    * (scoped [[embGramSql]] subquery — bit-identical to what the driver
+    * collected), v₀ = e₁, then [[PcaIters]] unrolled rounds — each a
+    * 64-row matvec whose inner sum is the driver loop's sequential
+    * `list_reduce` fold, max-abs normalized — every round MATERIALIZED
+    * (the CTE chain is [[PcaIters]] deep; default inlining would
+    * re-evaluate it combinatorially), then the final L2 normalize and
+    * the per-vector projection via `list_dot_product` (= the codegen
+    * dot). Iterated matrix recursion stops being "no practical ANSI
+    * form" once the round count is a fixed constant. */
+  private val embPcaSql: String = {
+    val matvec =
+      s"""SELECT m.i AS i,
+         |       list_reduce(list_transform(generate_series(1, $Dim),
+         |         j -> m.row[j] * pv.v[j]), (a2, b2) -> a2 + b2) AS s"""
+        .stripMargin
+    val rounds = (1 to PcaIters).map { k =>
+      s"""pv$k AS MATERIALIZED (
+         |  SELECT list(CASE WHEN mx > 0 THEN s / mx ELSE s END ORDER BY i) AS v
+         |  FROM (SELECT i, s, MAX(ABS(s)) OVER () AS mx
+         |        FROM ($matvec FROM m, pv${k - 1} pv)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gm AS (SELECT i, j, gram FROM ($embGramSql)),
+       |mf AS (SELECT i, j, gram FROM gm
+       |       UNION ALL SELECT j, i, gram FROM gm WHERE i <> j),
+       |m AS MATERIALIZED (SELECT i, list(gram ORDER BY j) AS row
+       |                   FROM mf GROUP BY i),
+       |pv0 AS (SELECT list_transform(generate_series(1, $Dim),
+       |          x -> CASE WHEN x = 1 THEN CAST(1 AS DOUBLE)
+       |               ELSE CAST(0 AS DOUBLE) END) AS v),
+       |$rounds,
+       |ax AS (SELECT list_transform(v, x -> x / SQRT(
+       |         list_reduce(list_transform(v, y -> y * y),
+       |           (a2, b2) -> a2 + b2))) AS a
+       |       FROM pv$PcaIters),
+       |ce AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |       FROM embeddings)
+       |SELECT ce.vec_id, list_dot_product(ce.e, ax.a) AS pc1
+       |FROM ce, ax ORDER BY ce.vec_id""".stripMargin
+  }
+
+  /** The greedy k-center selection REPLAYED: [[KCenterK]] unrolled
+    * rounds over a carried min-distance frontier — each round folds the
+    * previous winner's distance into `d2` with the exact Spark
+    * expression tree (`(nrm² + c.nrm²) − 2·dot`, floored at 0) and
+    * takes the farthest row with the (d2 DESC, vec_id ASC) tie rule.
+    * Every round MATERIALIZED (the frontier chain is K deep). */
+  private val embKcenterSql: String = {
+    val rounds = (2 to KCenterK).map { r =>
+      s"""kf$r AS MATERIALIZED (
+         |  SELECT f.vec_id, f.e, f.nrm,
+         |         LEAST(f.d2, GREATEST(f.nrm * f.nrm + c.nrm * c.nrm
+         |           - 2 * list_dot_product(f.e, c.e),
+         |           CAST(0 AS DOUBLE))) AS d2
+         |  FROM kf${r - 1} f, kc${r - 1} c WHERE f.vec_id <> c.cid),
+         |kc$r AS MATERIALIZED (
+         |  SELECT vec_id AS cid, e, nrm, d2 FROM kf$r
+         |  ORDER BY d2 DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to KCenterK).map(r =>
+      s"SELECT $r AS sel_idx, cid AS vec_id, SQRT(d2) AS cover_radius FROM kc$r")
+      .mkString(" UNION ALL ")
+    s"""WITH c0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |            FROM embeddings),
+       |cn AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM c0),
+       |kc1 AS MATERIALIZED (SELECT vec_id AS cid, e, nrm FROM cn
+       |        WHERE vec_id = (SELECT MIN(vec_id) FROM cn)),
+       |kf1 AS MATERIALIZED (SELECT vec_id, e, nrm,
+       |        CAST('infinity' AS DOUBLE) AS d2 FROM cn),
+       |$rounds
+       |SELECT CAST(sel_idx AS INT) AS sel_idx, vec_id, cover_radius FROM (
+       |  SELECT 1 AS sel_idx, cid AS vec_id, CAST(NULL AS DOUBLE) AS cover_radius
+       |  FROM kc1
+       |  UNION ALL $out)
+       |ORDER BY sel_idx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_kcenter" -> embKcenterSql,
+    "emb_pca" -> embPcaSql,
     "emb_mmr_rerank" -> mmrRerankSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_topk_exact" -> annTopKExactSql,
@@ -1686,15 +1778,7 @@ object Similarity {
          |        / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.qe, q.qe)))
          |      >= $RangeThreshold
          |ORDER BY query_id, neighbor_id""".stripMargin,
-    "emb_gram" ->
-      """WITH c AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings),
-        |p AS (SELECT e, unnest(generate_series(1, len(e))) AS i FROM c),
-        |pp AS (SELECT e, i, unnest(generate_series(i, len(e))) AS j FROM p)
-        |SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j, COUNT(*) AS n,
-        |       CAST(SUM(CAST(FLOOR(e[i]*10000)*FLOOR(e[j]*10000)
-        |                     AS DECIMAL(38,0))) AS DOUBLE)/100000000 AS gram
-        |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "emb_gram" -> embGramSql,
     "emb_quantize" ->
       """WITH c AS (SELECT vec_id,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
