@@ -474,12 +474,22 @@ object Similarity {
       val smp = trainSample(
         c.select(col("vec_id"), col("embedding")), n, IvfTrainTarget)
         .localCheckpoint(true)
-      (0 until PqSubspaces).map { m =>
-        val sub = smp.select(col("vec_id"),
-          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("e"))
-        Clustering.fit(spark, sub, Clustering.seedCentroids(sub, PqCodesK))
-          .map(_._2)
-      }
+      // the 16 subspace fits are independent chains of tiny jobs —
+      // submit them concurrently (Spark's scheduler interleaves jobs
+      // from multiple threads) instead of paying 16 × per-job latency
+      // sequentially; results are positionally ordered, so the books
+      // are byte-identical to the sequential build
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence((0 until PqSubspaces).map { m =>
+        Future {
+          val sub = smp.select(col("vec_id"),
+            slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("e"))
+          Clustering.fit(spark, sub, Clustering.seedCentroids(sub, PqCodesK))
+            .map(_._2)
+        }
+      }.toSeq), Duration.Inf)
     })
 
   /** Persist the PQ sub-codebooks (same contract as [[saveIvfCodebook]]):
