@@ -693,7 +693,36 @@ object Graph {
        |              (hp.pagerank - t.pr) / hp.pagerank AS spam_mass
        |       FROM hostpr hp JOIN tr$PagerankIters t ON hp.host_id = t.u)""".stripMargin
 
+  /** The k-core peel REPLAYED: [[KCoreMaxRounds]] unrolled rounds of
+    * (degree ≥ k filter + both-endpoint edge keep) over the bipartite
+    * customer↔product edge set. The Scala loop stops early at the
+    * fixpoint, but peeling is ABSORBING — once fixed, further rounds
+    * reproduce the same edge set — so unrolling the full budget is
+    * exactly the loop's result (including the all-peeled-empty and
+    * budget-exhausted cases). Rounds MATERIALIZED (the chain is
+    * [[KCoreMaxRounds]] deep). */
+  private val kcoreSql: String = {
+    val rounds = (1 to KCoreMaxRounds).map { r =>
+      s"""kp$r AS MATERIALIZED (
+         |  SELECT u FROM (SELECT u, COUNT(*) AS c FROM ke${r - 1} GROUP BY 1)
+         |  WHERE c >= $KCoreK),
+         |ke$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM ke${r - 1} e
+         |  JOIN kp$r a ON e.u = a.u JOIN kp$r b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Tables.salesCte},
+       |kb AS (SELECT DISTINCT customer_id*2 AS u, product_id*2 + 1 AS v
+       |       FROM sales),
+       |ke0 AS (SELECT u, v FROM kb UNION ALL SELECT v, u FROM kb),
+       |$rounds
+       |SELECT u AS node_id,
+       |       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'product' END AS kind,
+       |       COUNT(*) AS core_degree
+       |FROM ke$KCoreMaxRounds GROUP BY 1 ORDER BY node_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "gr_kcore" -> kcoreSql,
     "gr_host_rank" ->
       s"""WITH $hostRankCte
          |SELECT host_id, host, pagerank FROM hostpr ORDER BY host_id""".stripMargin,
@@ -1025,14 +1054,17 @@ object Graph {
           .as("assortativity"))
   }
 
-  /** Core order for [[kcore]]. */
-  val KCoreK = 3L
+  /** Core order for [[kcore]]. `final` (inlined constant): the
+    * `oracles` val above references it mid-init (the r12 object-init
+    * lesson). */
+  final val KCoreK = 3L
   /** Peel-round budget: real interaction graphs shed their shell in a
     * handful of rounds (each round removes every node currently below
     * k, not one at a time); adversarial path-like graphs could need
     * more, so the budget is asserted reached-fixpoint in GraphSpec
-    * rather than silently trusted. */
-  val KCoreMaxRounds = 20
+    * rather than silently trusted. `final` (inlined) for the same
+    * init-order reason. */
+  final val KCoreMaxRounds = 20
 
   /** `gr_kcore`: the k-core of the co-purchase graph — the maximal
     * subgraph where every node keeps ≥ k neighbors, the standard dense-
