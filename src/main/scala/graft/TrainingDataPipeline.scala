@@ -94,6 +94,15 @@ object TrainingDataPipeline {
     // component inside the ensemble
     val qualityPass = TextAnalysis.qualityEnsemble(spark, srcDir)
       .where(col("keep")).select("doc_id")
+    // stage 3b — TRAINED quality filter beside the blend: the logistic
+    // classifier distilled from the ensemble labels (txt_quality_lr).
+    // In this bootstrap the ensemble supplies the labels, so the gate
+    // mostly agrees with stage 3 — the point is the SEAM: a deployment
+    // retrains on reference-corpus labels and this stage diverges from
+    // the blend without touching the DAG
+    val qualityLrPass = TextAnalysis.qualityLr(spark, srcDir)
+      .where(col("keep_lr")).select("doc_id")
+
     val langPass = TextAnalysis.langId(spark, srcDir)
       .where(col("pred_lang") === "en").select("doc_id")
 
@@ -123,6 +132,7 @@ object TrainingDataPipeline {
       "exact_dedup"   -> exactCanonical,
       "near_dup"      -> nearCanonical,
       "quality"       -> qualityPass,
+      "quality_lr"    -> qualityLrPass,
       "lang"          -> langPass,
       "repetition"    -> repetitionPass,
       "topgram"       -> topgramPass,

@@ -1,14 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DataTypes, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash of a document as a single native expression: distinct
-  * space-tokens hashed with xxHash64 (same algorithm/seed as Spark's
-  * `xxhash64`), one bit-vote pass, sign per bit.
+/** 64-bit SimHash of a document as a single native expression:
+  * distinct space-tokens, one bit-vote pass with the PORTABLE
+  * rolling-hash × quadratic-mix family ([[SimHashWide.vote]] — this is
+  * exactly lane 0 of [[SimHashWide]], kept bit-for-bit identical so
+  * the two expressions interoperate), sign per bit. Pure bounded
+  * integer arithmetic: a DuckDB oracle replays every bit.
   *
   * Replaces an explode + 64-aggregate formulation: per-row projection,
   * no shuffle at all for signature computation — at 100 TB the simhash
@@ -34,7 +37,6 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   private val Space = UTF8String.fromString(" ")
-  private val Seed = 42L // Spark's xxhash64 default seed
 
   /** Called from generated code. */
   def hash(text: UTF8String): Long = {
@@ -45,10 +47,10 @@ object SimHash64 {
     while (i < words.length) {
       val w = words(i)
       if (seen.add(w)) {
-        val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, Seed)
+        val base = RollingHash.hash(w)
         var j = 0
         while (j < 64) {
-          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          votes(j) += SimHashWide.vote(base, j)
           j += 1
         }
       }

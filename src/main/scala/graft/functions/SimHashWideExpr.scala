@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, LongType}
@@ -13,15 +13,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * saturates the 8-block candidate index near n ≈ 1M documents
   * (256 bucket values per 8-bit block).
   *
-  * Lane ℓ votes with `xxhash64(word, seed = 42 + ℓ)`, so lane 0 IS the
-  * [[SimHash64]] signature bit-for-bit (same tokens, same seed) and the
-  * lanes are pairwise independent. Width = 64·lanes bits; with the
-  * block count held at 8 (the d+1 = 8 pigeonhole for Hamming ≤ 7),
-  * block keys widen to 8·lanes bits, keeping expected bucket
-  * population n/2^(8·lanes) flat as the corpus grows — the
-  * `width ≈ blocks · log₂(n/targetPop)` rule (SURVEY §5; Manku et al.,
-  * WWW'07, the web-scale regime where the Hamming budget is absolute
-  * and the signature grows to keep the index sparse).
+  * Bit j of the width-`64·lanes` signature votes with the PORTABLE
+  * hash family ([[vote]]): the word's polynomial rolling hash
+  * ([[RollingHash]] — the oracled txt_fingerprint arithmetic) mixed
+  * with the bit coordinate through the [[HyperplaneSigs]] quadratic
+  * integer chain. Pure bounded integer arithmetic end to end, so ANY
+  * engine (the DuckDB oracle included) regenerates every signature
+  * bit exactly — which the former per-word xxhash64 never allowed
+  * (r14 VERDICT #1: dd_simhash was rows-only for exactly that
+  * reason). Lane 0 IS the [[SimHash64]] signature bit-for-bit (same
+  * tokens, same coordinates) and lanes are decorrelated by the
+  * quadratic mix. Width = 64·lanes bits; with the block count held at
+  * 8 (the d+1 = 8 pigeonhole for Hamming ≤ 7), block keys widen to
+  * 8·lanes bits, keeping expected bucket population n/2^(8·lanes)
+  * flat as the corpus grows — the `width ≈ blocks · log₂(n/targetPop)`
+  * rule (SURVEY §5; Manku et al., WWW'07, the web-scale regime where
+  * the Hamming budget is absolute and the signature grows to keep the
+  * index sparse).
   *
   * Like [[SimHash64]] this is a pure per-row projection (one vote pass
   * over distinct tokens, all lanes in one loop) — no shuffle; at 100 TB
@@ -56,30 +64,41 @@ case class SimHashWide(left: Expression, right: Expression) extends BinaryExpres
 
 object SimHashWide {
   private val Space = UTF8String.fromString(" ")
-  private val Seed = 42L // lane 0 = Spark's xxhash64 default seed = SimHash64
+
+  /** Flat-coordinate stride per word: bit j of a word's vote stream
+    * sits at `base·1024 + j`, and 1024 = 64 bits × the max 16 lanes —
+    * coordinates of distinct (word, bit) pairs never collide. With
+    * base < 10⁹+7 the product stays < 2⁴⁰, far inside the
+    * [[HyperplaneSigs.HashMod]] chain's overflow-free envelope. */
+  val BitStride = 1024L
+
+  /** Portable ±1 vote for bit `j` of a word with rolling-hash `base`
+    * — the [[HyperplaneSigs.planeSign]] quadratic-integer chain on the
+    * flat coordinate, returned as an Int vote. The single arithmetic
+    * definition the DuckDB oracle unrolls as SQL. */
+  def vote(base: Long, j: Int): Int = {
+    val m = HyperplaneSigs.HashMod
+    val idx = base * BitStride + j
+    val h1 = ((idx % m) * HyperplaneSigs.HashMult) % m
+    val h2 = (h1 * h1 + HyperplaneSigs.MixAdd) % m
+    val h3 = (h2 * HyperplaneSigs.HashMult) % m
+    if (h3 < m / 2) 1 else -1
+  }
 
   /** Called from generated code. One pass over distinct tokens; per
-    * token, one xxhash64 per lane (seeds 42, 43, …). */
+    * token, one rolling hash + `64·lanes` quadratic bit mixes. */
   def hash(text: UTF8String, lanes: Int): ArrayData = {
     val words = text.split(Space, -1)
     val seen = new java.util.HashSet[UTF8String](words.length * 2)
-    val votes = new Array[Int](64 * lanes)
+    val bits = 64 * lanes
+    val votes = new Array[Int](bits)
     var i = 0
     while (i < words.length) {
       val w = words(i)
       if (seen.add(w)) {
-        var lane = 0
-        while (lane < lanes) {
-          val h = XXH64.hashUnsafeBytes(
-            w.getBaseObject, w.getBaseOffset, w.numBytes, Seed + lane)
-          val base = lane * 64
-          var j = 0
-          while (j < 64) {
-            votes(base + j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-            j += 1
-          }
-          lane += 1
-        }
+        val base = RollingHash.hash(w)
+        var j = 0
+        while (j < bits) { votes(j) += vote(base, j); j += 1 }
       }
       i += 1
     }

@@ -199,7 +199,77 @@ object CrawlBudget {
       .orderBy("host_id")
   }
 
+  /** `xf_refresh_schedule`: the recrawl plan EMITTED as a
+    * politeness-spaced refresh plan — the freshness dual of
+    * [[fetchSchedule]], completing the loop: [[recrawlPlan]] allocates
+    * each host's refresh quota out of the window's SLACK capacity, and
+    * this emits the concrete fetch slots the fetcher fleet consumes.
+    * Per host, the stale known pages in the recrawl queue's own order
+    * ([[Sitemap.recrawl]]'s `refresh_rank`: sitemap priority desc,
+    * canonical URL as the unique tiebreaker) fill the host's
+    * `refresh_quota`; the k-th refresh fetch is offset
+    * `(quota + k − 1)·crawl_delay` seconds into the window — refresh
+    * slots start AFTER the novel quota's last slot, so the two
+    * schedules interleave politely on the same host connection.
+    * `quota + refresh_quota ≤ capacity = FetchWindow DIV delay`
+    * (refresh_quota ≤ slack by construction) guarantees every offset
+    * lands inside the window (asserted in CI). All-integer.
+    *
+    * Scale shape: the per-host slot rank is [[SkewUtils.groupRank]]
+    * over the (sitemap-sized) stale set; quotas and delays join on
+    * host_id as plain equi-joins — the [[fetchSchedule]] discipline. */
+  def refreshSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val stale = Sitemap.staleness(spark, dir)
+      .where(col("stale"))
+      .select(col("host_id"), col("canon_url"), col("priority"))
+    val ranked = SkewUtils.groupRank(stale, "host_id",
+      Seq(col("priority").desc, col("canon_url").asc), "slot")
+    val quotas = recrawlPlan(spark, dir)
+      .select(col("host_id"), col("refresh_quota"))
+      .join(crawlBudget(spark, dir).select(col("host_id"), col("quota")),
+        "host_id")
+    val delays = Robots.rulesTable(spark)
+      .select(col("host_id"), coalesce(col("crawl_delay"), lit(1L)).as("delay"))
+    ranked
+      .join(quotas, "host_id")
+      .where(col("slot") <= col("refresh_quota"))
+      .join(delays, Seq("host_id"), "left")
+      .select(col("host_id"), col("slot").cast("int").as("slot"),
+        col("canon_url"),
+        coalesce(col("delay"), lit(1L)).as("delay"),
+        ((col("quota") + col("slot").cast("long") - 1L)
+          * coalesce(col("delay"), lit(1L))).as("fetch_offset_s"))
+      .orderBy("host_id", "slot")
+  }
+
   val oracles: Map[String, String] = Map(
+    "xf_refresh_schedule" ->
+      s"""WITH $budgetCte,
+         |${Sitemap.sitemapCteSql},
+         |${Sitemap.lastCrawlCteSql},
+         |st AS (SELECT a.h AS host_id, a.canon_url, a.priority
+         |       FROM alle a JOIN pages p ON a.canon_url = p.canon_url
+         |       WHERE a.lastmod > p.last_crawl),
+         |rk AS (SELECT host_id, canon_url,
+         |              ROW_NUMBER() OVER (PARTITION BY host_id
+         |                ORDER BY priority DESC, canon_url) AS slot
+         |       FROM st),
+         |rdem AS (SELECT host_id, CAST(COUNT(*) AS BIGINT) AS refresh_demand
+         |         FROM st GROUP BY 1),
+         |rq AS (SELECT al.host_id, al.quota,
+         |              LEAST(COALESCE(rdem.refresh_demand, 0),
+         |                    al.capacity - al.quota) AS refresh_quota
+         |       FROM alloc al LEFT JOIN rdem ON al.host_id = rdem.host_id),
+         |dl AS (SELECT host_id,
+         |              CAST(CASE WHEN host_id >= ${Url.HostMod}
+         |                     OR host_id % 3 = 0 THEN 1
+         |                   ELSE 1 + host_id % 5 END AS BIGINT) AS delay
+         |       FROM alloc)
+         |SELECT rk.host_id, CAST(rk.slot AS INT) AS slot, rk.canon_url,
+         |       dl.delay, (rq.quota + rk.slot - 1) * dl.delay AS fetch_offset_s
+         |FROM rk JOIN rq USING (host_id) JOIN dl ON rk.host_id = dl.host_id
+         |WHERE rk.slot <= rq.refresh_quota
+         |ORDER BY host_id, slot""".stripMargin,
     "smp_crawl_budget" ->
       s"""WITH $budgetCte
          |SELECT * FROM alloc ORDER BY host_id""".stripMargin,
@@ -272,7 +342,8 @@ object CrawlBudget {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "smp_crawl_budget"  -> crawlBudget,
-    "xf_fetch_schedule" -> fetchSchedule,
-    "smp_recrawl_plan"  -> recrawlPlan)
+    "smp_crawl_budget"    -> crawlBudget,
+    "xf_fetch_schedule"   -> fetchSchedule,
+    "smp_recrawl_plan"    -> recrawlPlan,
+    "xf_refresh_schedule" -> refreshSchedule)
 }

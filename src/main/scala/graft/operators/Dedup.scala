@@ -558,10 +558,17 @@ object Dedup {
       .groupBy("gh").agg(min("doc_id").as("corpus_id"))
   }
 
-  /** MinHash signatures: 64 permutations h_i = xxhash64(i, xxhash64(shingle)),
-    * banded 16×4; near-dup candidates share a band signature; candidates
-    * are then exact-verified (so precision is 1; with 16×4 banding at
-    * j≥0.8 the recall loss is < 1e-4 — the planted dups are ≥0.96). */
+  /** MinHash signatures: 64 permutations over the PORTABLE hash family
+    * (r15, the REPLAY-ORACLE move): permutation i of a shingle is the
+    * quadratic-integer chain ([[permHashCol]]) on the shingle's
+    * polynomial rolling hash — bounded integer arithmetic end to end,
+    * so the DuckDB oracle regenerates every band signature exactly
+    * (which per-shingle xxhash64 never allowed; this is what unblocks
+    * dd_lsh_calibration). Banded 16×4; near-dup candidates share a
+    * band signature; candidates are then exact-verified (so precision
+    * is 1; with 16×4 banding at j≥0.8 the recall loss is < 1e-4 — the
+    * planted dups are ≥0.96; recall 1.0 re-proven at every verified SF
+    * by the standing license spec after the family swap). */
   /** MinHash banding geometry: 64 permutations in 16 bands of 4 —
     * shared by the batch bucket table and the streaming per-row
     * signature (graft.streaming.DocumentStreams), which MUST agree
@@ -569,6 +576,56 @@ object Dedup {
     * buckets. */
   val MinhashPerms = 64
   val MinhashBands = 16
+
+  /** Portable MinHash permutation value i of a shingle with rolling
+    * hash `hs`: the [[graft.functions.HyperplaneSigs]] quadratic chain
+    * on flat coordinate `hs·MinhashPerms + i` — distinct (shingle,
+    * perm) coordinates never collide, every intermediate stays under
+    * 2⁶³ (hs < 10⁹+7 ⇒ idx < 2³⁷). */
+  private[graft] def permHashCol(hs: Column, i: Int): Column = {
+    val m = graft.functions.HyperplaneSigs.HashMod
+    val a = graft.functions.HyperplaneSigs.HashMult
+    val c = graft.functions.HyperplaneSigs.MixAdd
+    val idx = hs * lit(MinhashPerms.toLong) + lit(i.toLong)
+    val h1 = ((idx % m) * a) % m
+    val h2 = ((h1 * h1) + c) % m
+    (h2 * a) % m
+  }
+
+  /** [[permHashCol]] as SQL text over an integer expression `hs` —
+    * valid in BOTH Spark SQL (the streaming per-row transform lambda)
+    * and DuckDB (the calibration replay oracle). */
+  private[graft] def permHashSql(hs: String, i: Int): String = {
+    val m = graft.functions.HyperplaneSigs.HashMod
+    val a = graft.functions.HyperplaneSigs.HashMult
+    val c = graft.functions.HyperplaneSigs.MixAdd
+    val idx = s"(($hs) * $MinhashPerms + $i)"
+    val h1 = s"((($idx) % $m) * $a) % $m"
+    val h2 = s"((($h1) * ($h1)) + $c) % $m"
+    s"(((($h2)) * $a) % $m)"
+  }
+
+  /** Band signature from the band's permutation minima: the left fold
+    * `s ← (s·A + mᵢ) % M` then one quadratic finalizer — order-
+    * sensitive (a plain sum would collide permuted minima), bounded
+    * (s·A + m < 2⁶³), and identical as Column arithmetic, Spark SQL
+    * text and DuckDB SQL text. */
+  private[graft] def bandSigCol(ms: Seq[Column]): Column = {
+    val m = graft.functions.HyperplaneSigs.HashMod
+    val a = graft.functions.HyperplaneSigs.HashMult
+    val c = graft.functions.HyperplaneSigs.MixAdd
+    val s = ms.reduce((acc, x) => ((acc * a) + x) % m)
+    ((((s * s) + c) % m) * a) % m
+  }
+
+  /** [[bandSigCol]] as SQL text over integer expressions. */
+  private[graft] def bandSigSql(ms: Seq[String]): String = {
+    val m = graft.functions.HyperplaneSigs.HashMod
+    val a = graft.functions.HyperplaneSigs.HashMult
+    val c = graft.functions.HyperplaneSigs.MixAdd
+    val s = ms.reduce((acc, x) => s"((($acc) * $a + ($x)) % $m)")
+    s"(((((($s) * ($s)) + $c) % $m) * $a) % $m)"
+  }
 
   /** (doc_id, band, sig) LSH bucket keys — shared by [[minhashLsh]]
     * (full-corpus pairs), [[minhashIncremental]] (batch-vs-corpus
@@ -611,18 +668,22 @@ object Dedup {
 
   private[graft] def minhashBucketsOf(spark: SparkSession,
       docs: DataFrame): DataFrame = {
+    graft.functions.RollingHash.register(spark)
     val nPerm = MinhashPerms
     val bands = MinhashBands
     val rowsPerBand = nPerm / bands
+    // one rolling hash per (doc, shingle); each permutation is then
+    // ~6 integer ops on it — cheaper than a fresh string hash per perm
     val sh = shingleSetsOf(spark, docs)
-    val h = xxhash64(col("shingle"))
+      .select(col("doc_id"),
+        call_function("graft_rolling_hash", col("shingle")).as("hs"))
     val perms: Seq[Column] =
-      (0 until nPerm).map(i => min(xxhash64(lit(i), h)).as(s"m$i"))
+      (0 until nPerm).map(i => min(permHashCol(col("hs"), i)).as(s"m$i"))
     val sigs = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
-          .as("sig")).as(s"b$b")
+        bandSigCol((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i"))).as("sig")).as(s"b$b")
     }
     sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -748,11 +809,10 @@ object Dedup {
     * Scale shape: every screen is the standalone operator's plan — the
     * exact screen ships one bloom + an index-sized witness join, the
     * near screen joins persisted-index-sized signature tables, the
-    * substring screen's gram tables shuffle position-exploded grams
-    * (the 100 TB twin keys them by xxhash64 — the
-    * [[dupCoverageHashed]] precedent — and probes the persisted
-    * [[gramHashIndexOf]] index); the three verdicts meet in
-    * batch-keyed left joins. */
+    * substring screen keys its position-exploded gram tables by
+    * xxhash64(gram) — 8-byte shuffle keys, the [[dupCoverageHashed]]
+    * shape; in production it probes the persisted [[gramHashIndexOf]]
+    * index; the verdicts meet in batch-keyed left joins. */
   def admission(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.BloomOps.register(spark)
     val isBatch = Curation.portableHash(col("doc_id")) % 10 === 0
@@ -804,7 +864,13 @@ object Dedup {
       .select(col("doc_id"), col("near_matches"), col("max_jaccard"),
         (-col("mx.nid")).as("near_witness"))
 
-    // substring screen: cross-boundary verbatim CoverageK-char runs
+    // substring screen: cross-boundary verbatim CoverageK-char runs,
+    // keyed on xxhash64(gram) end to end (the [[dupCoverageHashed]]
+    // 100 TB shape): 8-byte keys in flight instead of 48-char strings
+    // — the verdict columns carry no gram text, so the hash never
+    // surfaces; a collision can only plant a false witness at odds
+    // ~(#grams)²/2⁶⁵ (the oracle at every verified SF is the standing
+    // collision check)
     val k = CoverageK
     val np = spark.sessionState.conf.numShufflePartitions
     val grams = docs
@@ -815,27 +881,29 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("is_batch"),
-        col("text").substr(col("pos"), lit(k)).as("gram"))
+        xxhash64(col("text").substr(col("pos"), lit(k))).as("gh"))
     // the BATCH side is the small one (a day's crawl vs the standing
-    // corpus): its distinct gram set broadcast-prunes the corpus gram
-    // stream map-side, so only matching corpus grams ever shuffle —
-    // gated on the batch char mass exactly like decontamSubstr, with
-    // the same shuffled-semi-join fallback past the budget
+    // corpus): its distinct gram-hash set broadcast-prunes the corpus
+    // gram stream map-side, so only matching corpus grams ever shuffle
+    // — gated on the batch char mass exactly like decontamSubstr, with
+    // the same shuffled-semi-join fallback past the budget (hashed
+    // probe rows are ~16 B vs ~96 B strings, so the same byte budget
+    // admits 6× the batch mass)
     val batchGrams = grams.where(col("is_batch"))
-    val batchGramSet = batchGrams.select("gram").distinct()
+    val batchGramSet = batchGrams.select("gh").distinct()
     val batchCharBound = docs
       .where(isBatch)
       .agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
       .head().getLong(0)
     val probeSet =
-      if (batchCharBound * 96L <= DecontamMaxBroadcastGramBytes)
+      if (batchCharBound * 16L <= DecontamMaxBroadcastGramBytes)
         broadcast(batchGramSet)
       else batchGramSet
     val corpusHits = grams.where(!col("is_batch"))
-      .join(probeSet, Seq("gram"), "left_semi")
-      .groupBy("gram").agg(min("doc_id").as("gw"))
-    val substr = batchGrams.select("doc_id", "gram")
-      .join(corpusHits, Seq("gram"))
+      .join(probeSet, Seq("gh"), "left_semi")
+      .groupBy("gh").agg(min("doc_id").as("gw"))
+    val substr = batchGrams.select("doc_id", "gh")
+      .join(corpusHits, Seq("gh"))
       .groupBy("doc_id").agg(min("gw").as("substr_witness"))
 
     // semantic screen: the decontamSem kernel on the admission split —
@@ -928,10 +996,11 @@ object Dedup {
     * [[thresholdCurve]]; the collision side is the banded-bucket
     * candidate join of [[minhashLsh]] (df-capped by the bucket
     * population cap); both collapse to decile-keyed metadata before
-    * meeting in a ≤10-row join. No ANSI form (band signatures are
-    * xxhash64) → rows-only; DedupSpec asserts the ≥-threshold deciles
-    * collide at rate 1.0 (the standing recall license) and the
-    * theoretical column against a driver recompute. */
+    * meeting in a ≤10-row join. FULL oracle since r15 (the portable
+    * permutation family makes the band signatures replayable —
+    * [[lshCalibrationOracleSql]]); DedupSpec still asserts the
+    * ≥-threshold deciles collide at rate 1.0 (the standing recall
+    * license) and the theoretical column against a driver recompute. */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
     val r = MinhashPerms / MinhashBands
     val exact = curveDeciles(spark, dir)
@@ -1237,7 +1306,10 @@ object Dedup {
     * agree exactly on ≥1 of the 8 blocks, at ANY width), with overfull
     * buckets excluded from candidate generation ([[SimhashBucketCap]]).
     * Width grows with the corpus ([[simhashLanesFor]]) so buckets stay
-    * sparse past the 64-bit saturation point (~1M docs). */
+    * sparse past the 64-bit saturation point (~1M docs). FULL oracle
+    * since r15: signature bits come from the portable rolling-hash ×
+    * quadratic-mix family ([[graft.functions.SimHashWide.vote]]), so
+    * [[simhashOracleSql]] replays the whole pipeline in DuckDB. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val lanes = simhashLanesFor(docCount(spark, dir))
     simhashOnSigs(simhashSigs(spark, dir, lanes), SimhashBucketCap, lanes)
@@ -1441,10 +1513,156 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The [[graft.functions.SimHashWide.vote]] quadratic chain as SQL
+    * text over a `base` column: the ±1 vote for bit `j`. */
+  private def simhashVoteSql(j: Int): String = {
+    val m = graft.functions.HyperplaneSigs.HashMod
+    val a = graft.functions.HyperplaneSigs.HashMult
+    val c = graft.functions.HyperplaneSigs.MixAdd
+    val idx = s"(base*${graft.functions.SimHashWide.BitStride} + $j)"
+    val h1 = s"((($idx) % $m) * $a) % $m"
+    val h2 = s"((($h1) * ($h1)) + $c) % $m"
+    val h3 = s"(($h2) * $a) % $m"
+    s"(CASE WHEN ($h3) < ${m / 2} THEN 1 ELSE -1 END)"
+  }
+
+  /** `dd_simhash` FULL REPLAY oracle (the r14 REPLAY-ORACLE pattern):
+    * per distinct (doc, word) the portable rolling hash, 64 vote sums
+    * as wide aggregates, the signed-BIGINT signature (bit 63 via the
+    * −2⁶³ term — BIGINT can't hold +2⁶³), the 8 pigeonhole block
+    * values assembled from the SAME votes (equal to Spark's
+    * arithmetic-shift extraction), pop-capped block buckets, and the
+    * Hamming-verified candidate join. Replays the `lanes = 1` width —
+    * valid for every corpus under 16 640 docs ([[simhashLanesFor]]),
+    * which covers all verified SFs; the error() guard makes a larger
+    * corpus fail LOUDLY rather than silently diverge. */
+  private lazy val simhashOracleSql: String = {
+    val votes = (0 until 64).map(j =>
+      s"SUM(${simhashVoteSql(j)}) AS v$j").mkString(",\n    ")
+    val sigBits = (0 until 63).map(j =>
+      s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val sig = s"($sigBits) + (CASE WHEN v63 > 0 THEN ${Long.MinValue} ELSE 0 END)"
+    val blockSel = (0 until SimhashBlocks).map { b =>
+      "(" + (0 until 8).map(j =>
+        s"(CASE WHEN v${8 * b + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ") + s") AS b$b"
+    }.mkString(",\n    ")
+    val bUnion = (0 until SimhashBlocks).map(b =>
+      s"SELECT doc_id, sig, $b AS blk, b$b AS v FROM sg").mkString("\nUNION ALL\n")
+    s"""WITH chk AS (SELECT CASE WHEN (SELECT COUNT(*) FROM documents) >= 16640
+       |  THEN error('corpus too large for the lanes=1 simhash replay')
+       |  ELSE 0 END AS ok),
+       |wd AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+       |wh AS MATERIALIZED (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(generate_series(1, length(w)),
+       |             i -> CAST(unicode(substr(w,i,1)) AS BIGINT))),
+       |           (acc,c) -> (acc*31+c) % ${graft.functions.RollingHash.Mod}) AS base
+       |  FROM wd),
+       |vt AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM wh GROUP BY doc_id),
+       |sg AS MATERIALIZED (
+       |  SELECT doc_id, $sig AS sig,
+       |    $blockSel
+       |  FROM vt),
+       |blocks AS MATERIALIZED ($bUnion),
+       |mega AS (SELECT blk, v FROM blocks GROUP BY 1, 2
+       |         HAVING COUNT(*) > $SimhashBucketCap),
+       |kept AS (SELECT b.doc_id, b.sig, b.blk, b.v FROM blocks b
+       |         ANTI JOIN mega m ON b.blk = m.blk AND b.v = m.v)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM kept a JOIN kept b ON a.blk = b.blk AND a.v = b.v
+       |                       AND a.doc_id < b.doc_id, chk
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** `dd_lsh_calibration` FULL REPLAY oracle: the banding side
+    * regenerates every MinHash band signature with the portable chain
+    * ([[permHashSql]] / [[bandSigSql]] — the exact arithmetic the
+    * Spark path and the streaming twin run), the exact side is the
+    * uncapped threshold-curve pair join, and the theory column embeds
+    * the SAME driver-loop doubles the Spark plan broadcasts (identical
+    * JVM arithmetic at SQL-build time; shortest-repr literals
+    * round-trip). */
+  private lazy val lshCalibrationOracleSql: String = {
+    val rpb = MinhashPerms / MinhashBands
+    val mins = (0 until MinhashPerms).map(i =>
+      s"MIN(${permHashSql("hs", i)}) AS m$i").mkString(",\n    ")
+    val bandUnion = (0 until MinhashBands).map { b =>
+      val sig = bandSigSql((b * rpb until (b + 1) * rpb).map(i => s"m$i"))
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mins"
+    }.mkString("\nUNION ALL\n")
+    // the identical driver loop the Spark plan embeds via typedLit
+    val theo = (0 to 10).map { d =>
+      val m = math.min(1.0, (d + 0.5) / 10.0)
+      var jr = 1.0
+      (1 to rpb).foreach(_ => jr *= m)
+      var miss = 1.0
+      (1 to MinhashBands).foreach(_ => miss *= (1.0 - jr))
+      // STRING cast: a bare 16-digit decimal literal parses as DECIMAL
+      // first and the DECIMAL→DOUBLE conversion can land 1 ulp off the
+      // shortest-repr double; VARCHAR→DOUBLE is strtod (exact round-trip)
+      s"WHEN $d THEN CAST('${1.0 - miss}' AS DOUBLE)"
+    }.mkString(" ")
+    s"""WITH sh0 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           generate_series(1, len(t)-2),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ex AS MATERIALIZED (
+       |  SELECT a_id, b_id,
+       |         CAST(FLOOR(inter*1.0/(sa.n_sh + sb.n_sh - inter)*10) AS BIGINT)
+       |           AS decile
+       |  FROM inter JOIN sizes sa ON a_id = sa.doc_id
+       |             JOIN sizes sb ON b_id = sb.doc_id
+       |  WHERE inter*1.0/(sa.n_sh + sb.n_sh - inter) >= $CurveMinJaccard),
+       |shh AS MATERIALIZED (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(generate_series(1, length(shingle)),
+       |             i -> CAST(unicode(substr(shingle,i,1)) AS BIGINT))),
+       |           (acc,c) -> (acc*31+c) % ${graft.functions.RollingHash.Mod})
+       |           AS hs
+       |  FROM sh0),
+       |mins AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM shh GROUP BY doc_id),
+       |bnd AS MATERIALIZED ($bandUnion),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.sig = b.sig
+       |                                AND a.doc_id < b.doc_id),
+       |per AS (SELECT ex.decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |               CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+       |                 AS BIGINT) AS n_collide
+       |        FROM ex LEFT JOIN cand c
+       |          ON ex.a_id = c.a_id AND ex.b_id = c.b_id
+       |        GROUP BY 1)
+       |SELECT decile, CAST(decile AS DOUBLE)/10 AS jaccard_lo,
+       |       n_pairs, n_collide,
+       |       CAST(n_collide AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+       |         AS empirical_rate,
+       |       CASE decile $theo END AS theoretical_rate
+       |FROM per ORDER BY decile""".stripMargin
+  }
+
   // lazy: the source-dup oracle composes Curation.componentsCtes, which
   // itself composes Dedup.ngramPairCtes — eager init would deadlock into
   // a null during mutual object initialization
   lazy val oracles: Map[String, String] = Map(
+    "dd_simhash" -> simhashOracleSql,
+    "dd_lsh_calibration" -> lshCalibrationOracleSql,
     "dd_exact" ->
       """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
         |       MIN(doc_id) AS canonical_doc_id

@@ -757,10 +757,14 @@ object Multimodal {
     * shape of a real perceptual hash (pHash class): an 8-dim float
     * signature that is STABLE under re-encode jitter, unlike
     * [[frameDedup]]'s bit-exact fingerprints. The deterministic stub:
-    * dims are xxhash64-derived uniforms of (base doc, frame_idx) where
-    * a twin doc (doc_id ≡ 1 mod [[FrameTwinMod]]) inherits its base's
-    * features plus [[FrameJitter]] noise — so near-dup ground truth is
-    * recomputable by brute force in the spec, independent vectors are
+    * dims are PORTABLE-hash uniforms of (base doc, frame_idx, dim) —
+    * the [[graft.functions.HyperplaneSigs]] quadratic chain over the
+    * flat coordinate, centered to h₃/2³⁰ − 1 ∈ [−1,1) (r15: replaced
+    * xxhash64 so the DuckDB oracle regenerates every feature; centered
+    * so independent vectors stay near-orthogonal) — where a twin doc
+    * (doc_id ≡ 1 mod [[FrameTwinMod]]) inherits its base's features
+    * plus [[FrameJitter]] noise. Near-dup ground truth stays
+    * brute-force recomputable in the spec, independent vectors are
     * near-orthogonal, and the Spark-side plumbing (frame explode,
     * signature pass, bucket join, rerank) is the real pipeline. */
   private[graft] def perceptualFrames(spark: SparkSession,
@@ -776,15 +780,56 @@ object Multimodal {
       .as[MediaRecord]
     val twin = col("doc_id") % FrameTwinMod === 1
     val base = when(twin, col("doc_id") - 1).otherwise(col("doc_id"))
+    val m = graft.functions.HyperplaneSigs.HashMod
+    val a = graft.functions.HyperplaneSigs.HashMult
+    val c = graft.functions.HyperplaneSigs.MixAdd
     val dims = (0 until FrameFeatDim).map { j =>
-      ((xxhash64(lit(j), base, col("frame_idx")) % 1000003L).cast("double")
-        / lit(1000003.0)) +
+      val flat = (base % m) * lit(64L) + col("frame_idx") * lit(8L) + lit(j.toLong)
+      val h1 = ((flat % m) * a) % m
+      val h2 = ((h1 * h1) + c) % m
+      val h3 = (h2 * a) % m
+      // SECOND quadratic round: one round equidistributes the top BIT
+      // (all planeSign needs) but its full magnitude keeps enough
+      // coordinate correlation that ~2e-4 of random frame pairs landed
+      // above the 0.999 cosine bar (measured); the second squaring
+      // drives that under 5e-6
+      val h4 = ((h3 * h3) + c) % m
+      val h5 = (h4 * a) % m
+      // CENTERED uniform in [−1, 1): all-positive dims would crowd
+      // random pairs above the 0.999 cosine bar (8-dim positive
+      // vectors average cosine ≈ 0.75 with a fat right tail) and the
+      // near-orthogonality the twin contract rests on would vanish
+      ((h5.cast("double") / lit(1073741824.0)) - lit(1.0)) +
         when(twin, lit((j + 1) * FrameJitter)).otherwise(lit(0.0))
     }
     sampleFrames(recs, StubDecoder).toDF()
       .select((col("doc_id") * 8 + col("frame_idx")).as("fid"),
         col("doc_id"), col("frame_idx"),
         array(dims: _*).as("embedding"))
+  }
+
+  /** Frame-LSH bit width for `n` frames: smallest b ≥ 6 with
+    * [[FrameLshTargetPop]]·2ᵇ ≥ n, capped at
+    * [[Similarity.LshMaxBits]] — the integer [[Similarity.lshBitsFor]]
+    * form (r15: replaced ceil(log₂) so the oracle derives the same
+    * width with pure integer SQL; float log₂ flips at exact powers of
+    * two). */
+  private[graft] def frameLshBitsFor(n: Long): Int = {
+    var b = 6
+    while (b < Similarity.LshMaxBits && (FrameLshTargetPop << b) < n) b += 1
+    b
+  }
+
+  /** Frame-LSH table count for a bit width: smallest t with
+    * (1 − p^bits)^t ≤ [[FrameLshMissTarget]] for p = 1 − θ/π at
+    * θ = arccos([[FrameNearDupCos]]) — evaluated ONCE per bits value
+    * on the build JVM and embedded as a bits-keyed CASE in the oracle
+    * (the [[Similarity]] lshTablesFor precedent: no transcendental
+    * replay cross-engine). */
+  private[graft] def frameLshTablesFor(bits: Int): Int = {
+    val pTable = math.pow(1.0 - math.acos(FrameNearDupCos) / math.Pi, bits)
+    math.min(64, math.max(2,
+      math.ceil(math.log(FrameLshMissTarget) / math.log(1.0 - pTable)).toInt))
   }
 
   /** `mm_frame_neardup`: PERCEPTUAL frame near-dup pairs — frames
@@ -811,12 +856,15 @@ object Multimodal {
     * signature) equi-join — never frames² — and only candidates pay
     * the exact cosine rerank (precision 1).
     *
-    * No ANSI form (xxhash64 features, hyperplane signatures) →
-    * rows-only; PipelineSpec asserts exact parity against the
-    * brute-force all-pairs scan at the verified SF (recall 1.0 and
-    * precision 1.0, the SURVEY §6 license); planted twins sit at
-    * θ ≈ 4.5e-5 rad where the per-table miss is ~1.7e-4 — at 12
-    * tables, vanishing. */
+    * FULL oracle since r15: features are the portable quadratic-hash
+    * uniforms and the hyperplane signatures were always the portable
+    * Rademacher planes, so [[frameNearDupOracleSql]] replays feature
+    * synthesis, width/table derivation, signing, bucket cap, candidate
+    * join and the exact cosine rerank — the ann_topk_lsh pattern on
+    * frames. PipelineSpec still asserts exact parity against the
+    * brute-force all-pairs scan (recall 1.0 and precision 1.0, the
+    * SURVEY §6 license); planted twins sit at θ ≈ 4.5e-5 rad where the
+    * per-table miss is ~1.7e-4 — at 12 tables, vanishing. */
   def frameNearDup(spark: SparkSession, dir: String): DataFrame = {
     // feature + signature tables are session-cached artifacts (the
     // lshSigs precedent): in production the frame index is PERSISTED —
@@ -824,12 +872,8 @@ object Multimodal {
     val f = ArtifactCache.of(spark, dir, "mm_frame_feats")(
       perceptualFrames(spark, dir))
     val n = f.count()
-    val bits = math.min(Similarity.LshMaxBits, math.max(6,
-      math.ceil(math.log(math.max(n, 1L).toDouble / FrameLshTargetPop)
-        / math.log(2.0)).toInt))
-    val pTable = math.pow(1.0 - math.acos(FrameNearDupCos) / math.Pi, bits)
-    val tables = math.min(64, math.max(2,
-      math.ceil(math.log(FrameLshMissTarget) / math.log(1.0 - pTable)).toInt))
+    val bits = frameLshBitsFor(n)
+    val tables = frameLshTablesFor(bits)
     val sigs = ArtifactCache.of(spark, dir, "mm_frame_sigs")(
       Similarity.capBuckets(
         Similarity.signatures(spark, f, "fid", tables, bits,
@@ -971,7 +1015,95 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** `mm_frame_neardup` FULL REPLAY oracle — the ann_topk_lsh pattern
+    * on frames: frame synthesis from the stub decode arithmetic
+    * (frame_count = len%7+1, the oracled mm_frame_samples form),
+    * portable-hash feature uniforms + twin jitter, the integer bit
+    * derivation, the bits-keyed table-count CASE (Scala-evaluated —
+    * no transcendental replay), planeSign signatures with the
+    * expression's exact sequential dot, the bucket-population cap,
+    * bucket-join candidates, exact cosine rerank at the threshold. */
+  private lazy val frameNearDupOracleSql: String = {
+    val m = graft.functions.HyperplaneSigs.HashMod
+    val a = graft.functions.HyperplaneSigs.HashMult
+    val c = graft.functions.HyperplaneSigs.MixAdd
+    val dims = (0 until FrameFeatDim).map { j =>
+      val flat = s"((base % $m) * 64 + frame_idx * 8 + $j)"
+      val h1 = s"((($flat) % $m) * $a) % $m"
+      val h2 = s"((($h1) * ($h1)) + $c) % $m"
+      val h3 = s"(($h2) * $a) % $m"
+      val h4 = s"((($h3) * ($h3)) + $c) % $m"
+      val h5 = s"(($h4) * $a) % $m"
+      s"((CAST(($h5) AS DOUBLE) / 1073741824.0) - 1.0) + " +
+        s"(CASE WHEN twin THEN CAST(${(j + 1) * FrameJitter} AS DOUBLE) " +
+        s"ELSE 0.0 END)"
+    }.mkString(",\n      ")
+    val tablesCase = (6 to Similarity.LshMaxBits)
+      .map(b => s"WHEN $b THEN ${frameLshTablesFor(b)}").mkString(" ")
+    val flatIdx =
+      s"(CAST(t AS BIGINT) * bits + b) * $FrameFeatDim + d + ${Similarity.PlaneSeed}"
+    s"""WITH mm AS (
+       |  SELECT doc_id,
+       |         CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS frame_count
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id,
+       |         CAST(unnest(generate_series(0, frame_count - 1)) AS BIGINT)
+       |           AS frame_idx
+       |  FROM mm),
+       |fe AS MATERIALIZED (
+       |  SELECT doc_id * 8 + frame_idx AS fid, doc_id, frame_idx,
+       |         list_value(
+       |      $dims) AS e
+       |  FROM (SELECT doc_id, frame_idx, doc_id % $FrameTwinMod = 1 AS twin,
+       |               CASE WHEN doc_id % $FrameTwinMod = 1 THEN doc_id - 1
+       |                    ELSE doc_id END AS base
+       |        FROM fr)),
+       |nn AS (SELECT COUNT(*) AS n FROM fe),
+       |bb AS (SELECT COALESCE(MIN(CASE WHEN ($FrameLshTargetPop << s.s) >= nn.n
+       |                THEN s.s END), ${Similarity.LshMaxBits}) AS bits
+       |       FROM nn, (SELECT unnest(generate_series(6, ${Similarity.LshMaxBits}))
+       |                 AS s) s),
+       |tt AS (SELECT bits, CASE bits $tablesCase END AS tables FROM bb),
+       |tb AS (SELECT g1.t, g2.b, tt.bits FROM tt,
+       |         (SELECT unnest(generate_series(0, 63)) AS t) g1,
+       |         (SELECT unnest(generate_series(0, ${Similarity.LshMaxBits - 1}))
+       |          AS b) g2
+       |       WHERE g1.t < tt.tables AND g2.b < tt.bits),
+       |plc AS (SELECT t, b, d,
+       |               ${graft.functions.HyperplaneSigs.planeSignSql(flatIdx)} AS comp
+       |        FROM (SELECT t, b, bits,
+       |                     unnest(generate_series(0, ${FrameFeatDim - 1})) AS d
+       |              FROM tb)),
+       |pl AS (SELECT t, b, list(comp ORDER BY d) AS p FROM plc GROUP BY 1, 2),
+       |rawsig AS MATERIALIZED (
+       |  SELECT v.fid, pl.t AS tbl,
+       |         CAST(SUM(CASE WHEN list_reduce(list_transform(
+       |                  generate_series(1, $FrameFeatDim),
+       |                  i -> v.e[i] * pl.p[i]), (a2, b2) -> a2 + b2) > 0
+       |             THEN (1 << pl.b) ELSE 0 END) AS INT) AS sig
+       |  FROM fe v, pl GROUP BY 1, 2),
+       |pop AS (SELECT tbl, sig, COUNT(*) AS pop FROM rawsig GROUP BY 1, 2),
+       |csig AS (SELECT r0.fid, r0.tbl, r0.sig FROM rawsig r0
+       |         JOIN pop USING (tbl, sig) WHERE pop.pop <= $FrameLshBucketCap),
+       |cand AS (SELECT DISTINCT s1.fid AS a_fid, s2.fid AS b_fid
+       |         FROM csig s1 JOIN csig s2
+       |           ON s1.tbl = s2.tbl AND s1.sig = s2.sig AND s1.fid < s2.fid)
+       |SELECT fa.doc_id AS a_doc, fa.frame_idx AS a_frame,
+       |       fb.doc_id AS b_doc, fb.frame_idx AS b_frame,
+       |       list_dot_product(fa.e, fb.e)
+       |         / (SQRT(list_dot_product(fa.e, fa.e))
+       |            * SQRT(list_dot_product(fb.e, fb.e))) AS cosine
+       |FROM cand JOIN fe fa ON cand.a_fid = fa.fid
+       |          JOIN fe fb ON cand.b_fid = fb.fid
+       |WHERE list_dot_product(fa.e, fb.e)
+       |        / (SQRT(list_dot_product(fa.e, fa.e))
+       |           * SQRT(list_dot_product(fb.e, fb.e))) >= $FrameNearDupCos
+       |ORDER BY a_doc, a_frame, b_doc, b_frame""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_frame_neardup" -> frameNearDupOracleSql,
     // equivalence classes derived from doc_id arithmetic, NOT from
     // hashing: the Spark side must hash the real payload bytes into
     // exactly these classes for the hash gate to match

@@ -1151,11 +1151,12 @@ object TextAnalysis {
     * driver-side argmax (UTF-8-byte tie order) replays the cluster
     * semantics merge-for-merge. The trained table is CACHED per corpus
     * dir (the IVF codebook train-once contract): [[applyBpe]] and
-    * repeated calls never re-run the merge loop. No ANSI-SQL form (each
-    * round's pair table depends on the previous round's argmax — the
-    * emb_kcenter precedent): rows-only, with TextAnalysisSpec replaying
-    * the full greedy recursion on the driver and asserting the
-    * identical merge sequence, plus the distributed-path parity test. */
+    * repeated calls never re-run the merge loop. FULL oracle since r15
+    * ([[bpeTrainOracleSql]]): the merge recursion unrolls as
+    * [[BpeUnrollBudget]] materialized CTE rounds — pair count, byte-
+    * order argmax, fold-merge — with exhaustion absorbing and the
+    * budget guard loud; TextAnalysisSpec still replays the greedy
+    * recursion on the driver plus the distributed-path parity test. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeMergesFor(spark, dir).toDF("merge_idx", "left", "right", "pair_freq")
@@ -1386,9 +1387,12 @@ object TextAnalysis {
     * independent of K — flat whether the table holds 256 or 32k
     * merges), and each partition memoizes by DISTINCT word (the
     * partition vocabulary is Heaps-law metadata-sized, so a word
-    * occurring a million times tokenizes once). Rows-only (inherits
-    * the iterated-argmax non-SQL form of training); the spec replays
-    * train + apply on the driver and asserts per-doc equality. */
+    * occurring a million times tokenizes once). FULL oracle since r15
+    * ([[applyBpeOracleSql]]): [[tokenizeWord]]'s monotone rank pointer
+    * IS sequential rank-order application, so the unrolled training
+    * chain extended over the full vocabulary tokenizes every distinct
+    * word; the spec still replays train + apply on the driver and
+    * asserts per-doc equality. */
   def applyBpe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ranks = mergeRanks(
@@ -1436,7 +1440,13 @@ object TextAnalysis {
     * exchange after the components); the blend is one fixed IEEE
     * expression — bit-identical cross-engine, no round-off gate
     * wobble. */
-  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame =
+    ensembleCore(spark, dir).orderBy("doc_id")
+
+  /** [[qualityEnsemble]] without the output ordering — shared with
+    * [[qualityLr]]'s feature frame (an inner ORDER BY would cost a
+    * pointless range exchange mid-plan). */
+  private def ensembleCore(spark: SparkSession, dir: String): DataFrame = {
     val q = quality(spark, dir).select("doc_id", "quality_score")
     val r = repRatio(spark, dir).select("doc_id", "dup_3gram_ratio")
     val l = lexicalDiversity(spark, dir).select("doc_id", "ttr")
@@ -1448,6 +1458,108 @@ object TextAnalysis {
       .select(col("doc_id"), col("quality_score"), col("dup_3gram_ratio"),
         col("ttr"), composite.as("composite"),
         (composite >= EnsembleBar).as("keep"))
+  }
+
+  /** Full-batch GD rounds / learning rate for [[qualityLr]] — pinned
+    * so the DuckDB oracle can unroll EXACTLY this many rounds. At
+    * (24, 16.0) the trained classifier reaches ≥ 0.97 label agreement
+    * at every verified SF vs a 0.75–0.79 majority baseline (the CI
+    * gate in TextAnalysisSpec); higher rates oscillate (measured:
+    * lr 32 diverges at 16+ rounds on sf0.01). */
+  val QualityLrRounds = 24
+  val QualityLrRate = 16.0
+
+  /** Fixed-point grid for the GD sufficient statistics: each per-row
+    * gradient contribution is FLOOR'd to 1e-9 before the sum, so the
+    * aggregate is EXACT integer addition (order-free) in both engines
+    * — the [[Gold.moneySum]] discipline. DECIMAL(28,0) holds the sum
+    * to ~10¹⁹ rows at this grid; BIGINT would saturate at ~9·10⁹. */
+  private def gradSum(c: Column): Column =
+    sum(floor(c * lit(1e9)).cast(DecimalType(28, 0))).cast("double")
+
+  /** Trained (means, weights) per corpus dir — the driver-resident
+    * model artifact (4 + 3 doubles; the [[Similarity]] codebook
+    * persist/load contract applies if a restarted driver must skip
+    * retraining). */
+  private val lrModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Double])]()
+
+  /** Feature/label frame for [[qualityLr]]: the three INDEPENDENT
+    * ensemble families as features, the ensemble keep flag as the
+    * training label (heuristic distillation — the production bootstrap
+    * when no curated reference corpus exists; a deployment swaps `y`
+    * for reference-corpus membership, CCNet §4.4 / GPT-3 appendix A).
+    * Session-cached: training re-reads it [[QualityLrRounds]]+1 times. */
+  private def qualityLrFeatures(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCache.of(spark, dir, "txt_quality_lr_feats") {
+      ensembleCore(spark, dir).select(col("doc_id"),
+        col("quality_score").as("x1"),
+        (lit(1.0) - col("dup_3gram_ratio")).as("x2"),
+        col("ttr").as("x3"),
+        when(col("composite") >= EnsembleBar, 1.0).otherwise(0.0).as("y"))
+    }
+
+  /** Train the logistic filter: feature centering (one fixed-point
+    * aggregate) then [[QualityLrRounds]] full-batch GD rounds, each
+    * ONE corpus aggregate collected as 5 scalars — the driver never
+    * holds more than a gradient row ([[Similarity.pcaTopAxis]]'s
+    * iterate-on-aggregates precedent). The link is the RATIONAL
+    * sigmoid σ̃(z) = 0.5 + 0.5·z/(1+|z|): one divide and one abs, so
+    * every engine computes bit-identical probabilities — libm exp
+    * (whose last-ulp behavior differs across engines) never enters.
+    * Returns (feature means, weights [bias, w1, w2, w3]). */
+  private[graft] def qualityLrModel(spark: SparkSession,
+      dir: String): (Array[Double], Array[Double]) =
+    lrModels.computeIfAbsent(dir, _ => {
+      val f = qualityLrFeatures(spark, dir)
+      val m = f.agg(gradSum(col("x1")), gradSum(col("x2")),
+        gradSum(col("x3")), count(lit(1)).cast("double")).head()
+      val nD = m.getDouble(3)
+      val mu = Array.tabulate(3)(j => (m.getDouble(j) / 1e9) / nD)
+      val c = Array.tabulate(3)(j => col(s"x${j + 1}") - lit(mu(j)))
+      val w = Array(0.0, 0.0, 0.0, 0.0)
+      (1 to QualityLrRounds).foreach { _ =>
+        val z = ((lit(w(0)) + (lit(w(1)) * c(0))) + (lit(w(2)) * c(1))) +
+          (lit(w(3)) * c(2))
+        val p = lit(0.5) + (lit(0.5) * (z / (lit(1.0) + abs(z))))
+        val err = p - col("y")
+        val g = f.agg(gradSum(err), gradSum(err * c(0)), gradSum(err * c(1)),
+          gradSum(err * c(2)), count(lit(1)).cast("double")).head()
+        val n = g.getDouble(4)
+        (0 to 3).foreach { j =>
+          w(j) = w(j) - QualityLrRate * ((g.getDouble(j) / 1e9) / n)
+        }
+      }
+      (mu, w)
+    })
+
+  /** `txt_quality_lr`: TRAINED quality classifier — logistic
+    * regression over the [[qualityEnsemble]] features (surface
+    * quality, 1−repetition, lexical diversity), trained by
+    * [[qualityLrModel]]'s deterministic fixed-point GD; per document
+    * the features, the training label, the calibrated score and the
+    * trained keep verdict. The production upgrade over the FIXED blend
+    * (CCNet §4.4, GPT-3 appendix A deploy trained filters): the score
+    * is calibrated to the label distribution instead of hand-set
+    * coefficients, and retraining absorbs new labels without retuning.
+    *
+    * Scale shape: training is [[QualityLrRounds]]+1 corpus aggregates
+    * over the session-cached narrow feature frame (fixed-point
+    * sufficient statistics, exact at any row order); scoring is one
+    * map-side expression over the same frame. The oracle REPLAYS
+    * training: 24 GD rounds unrolled as materialized 1-row CTEs — the
+    * `emb_pca` unrolled-recursion pattern. */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val (mu, w) = qualityLrModel(spark, dir)
+    val c = Array.tabulate(3)(j => col(s"x${j + 1}") - lit(mu(j)))
+    val z = ((lit(w(0)) + (lit(w(1)) * c(0))) + (lit(w(2)) * c(1))) +
+      (lit(w(3)) * c(2))
+    val p = lit(0.5) + (lit(0.5) * (z / (lit(1.0) + abs(z))))
+    qualityLrFeatures(spark, dir)
+      .select(col("doc_id"), col("x1").as("quality_score"),
+        col("x2").as("inv_rep"), col("x3").as("ttr"),
+        (col("y") === 1.0).as("label"), p.as("lr_score"),
+        (p >= 0.5).as("keep_lr"))
       .orderBy("doc_id")
   }
 
@@ -1638,6 +1750,211 @@ object TextAnalysis {
     * txt_ccnet_bucket oracle. Declared ABOVE `oracles` (object-init
     * order: a val referenced before its declaration reads null
     * mid-init). */
+  /** The txt_quality_ensemble recompute WITHOUT the output ordering —
+    * shared by the txt_quality_ensemble oracle and (as the feature
+    * source) the txt_quality_lr training replay. Declared ABOVE
+    * `oracles` (object-init order). */
+  private val ensembleSelectSql: String =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityOracleSql)),
+       |g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+       |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3
+       |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+       |r AS (SELECT doc_id,
+       |             CASE WHEN len(g3) > 0
+       |                  THEN (len(g3) - len(list_distinct(g3)))*1.0/len(g3)
+       |                  ELSE 0.0 END AS dup_3gram_ratio
+       |      FROM g),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+       |             FROM documents) GROUP BY 1, 2),
+       |l AS (SELECT doc_id,
+       |             COUNT(*)*1.0/CAST(SUM(c) AS BIGINT) AS ttr
+       |      FROM tf GROUP BY 1),
+       |j AS (SELECT q.doc_id, quality_score, dup_3gram_ratio, ttr,
+       |             0.5*quality_score + 0.25*(1.0 - dup_3gram_ratio) + 0.25*ttr
+       |               AS composite
+       |      FROM q JOIN r ON q.doc_id = r.doc_id
+       |             JOIN l ON q.doc_id = l.doc_id)
+       |SELECT doc_id, quality_score, dup_3gram_ratio, ttr, composite,
+       |       composite >= CAST($EnsembleBar AS DOUBLE) AS keep
+       |FROM j""".stripMargin
+
+  /** BPE replay unroll budget: the most merge rounds the DuckDB binder
+    * accepts as a CTE chain (256 rounds trip its 1000-deep expression
+    * limit; 240 bind). SAFE because exhaustion is ABSORBING (the
+    * gr_kcore argument): every verified corpus exhausts its 31-word
+    * freq≥2 vocab at merge 89 — from there each round's pair table is
+    * empty, the 1-row argmax CTE is empty, and the empty cross join
+    * keeps every later round empty, so the 240-round unroll emits
+    * exactly the merges the [[BpeMerges]]=256 trainer emits. A corpus
+    * still UNEXHAUSTED at round 240 would diverge silently — the
+    * error() guard on the last round's argmax makes it fail loudly
+    * instead. */
+  private val BpeUnrollBudget = 240
+
+  /** One BPE merge round as CTEs (the REPLAY-ORACLE pattern): pair
+    * counts over the current vocab symbolization (overlap-counting,
+    * matching the trainer's sliding pass), the (freq DESC, l, r)
+    * argmax — DuckDB VARCHAR compares by UTF-8 bytes, the trainer's
+    * utf8Lt — and the merge applied as a LEFT FOLD over the symbol
+    * list: `acc.last = l ∧ x = r → replace`, which IS the trainer's
+    * left-to-right non-overlapping [[bpeMergeOnce]] (the just-merged
+    * token, not `l`, sits at acc.last, so re-merge needs a LATER
+    * round — also exactly [[tokenizeWord]]'s monotone rank pointer).
+    * `withApply` adds the all-words chain `u{k}` that tokenizes the
+    * FULL vocabulary (freq-1 words included) for the apply oracle. */
+  private def bpeRoundCtes(withApply: Boolean): String = {
+    def fold = """list_reduce(list_transform(s.syms, x -> [x]),
+                 |           (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+                 |                THEN list_append(acc[1:len(acc)-1], m.l || m.r)
+                 |                ELSE list_append(acc, x[1]) END)""".stripMargin
+    (1 to BpeUnrollBudget).map { k =>
+      val acc =
+        if (!withApply)
+          ",\n" + (if (k > 1)
+            s"a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL SELECT * FROM m$k)"
+          else "a1 AS MATERIALIZED (SELECT * FROM m1)")
+        else ""
+      val applyChain = if (withApply)
+        s""",
+           |u$k AS MATERIALIZED (
+           |  SELECT s.w, CASE WHEN m.l IS NOT NULL THEN $fold ELSE s.syms END
+           |           AS syms
+           |  FROM u${k - 1} s LEFT JOIN m$k m ON TRUE)""".stripMargin
+      else ""
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s.syms[u.i] AS l, s.syms[u.i+1] AS r,
+         |         CAST(SUM(s.freq) AS BIGINT) AS pf
+         |  FROM v${k - 1} s, UNNEST(generate_series(1, len(s.syms)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT $k AS merge_idx, l, r, pf FROM p$k
+         |  ORDER BY pf DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT $fold AS syms, s.freq
+         |  FROM v${k - 1} s, m$k m)$acc$applyChain""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Shared head: word frequencies, the trainer vocab (freq ≥
+    * [[BpeHapaxFloor]]) symbolized to codepoints, and (apply only) the
+    * full-word chain start. */
+  private def bpeHeadCtes(withApply: Boolean): String =
+    s"""wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(1, length(w)),
+       |           i -> substr(w, i, 1)) AS syms, freq
+       |  FROM wf WHERE freq >= $BpeHapaxFloor)""".stripMargin +
+      (if (withApply)
+        s""",
+           |u0 AS MATERIALIZED (
+           |  SELECT w, list_transform(generate_series(1, length(w)),
+           |           i -> substr(w, i, 1)) AS syms
+           |  FROM wf)""".stripMargin
+      else "")
+
+  /** Loud-divergence guard: the unroll only equals the K=
+    * [[BpeMerges]] trainer when training EXHAUSTS inside the budget. */
+  private def bpeGuardCte: String =
+    s"""chk AS (SELECT CASE WHEN (SELECT COUNT(*) FROM m$BpeUnrollBudget) > 0
+       |  THEN error('bpe unroll budget hit before training exhausted')
+       |  ELSE 0 END AS ok)""".stripMargin
+
+  /** `txt_bpe_train` FULL REPLAY oracle (see [[bpeRoundCtes]]). */
+  private lazy val bpeTrainOracleSql: String =
+    s"""WITH ${bpeHeadCtes(withApply = false)},
+       |${bpeRoundCtes(withApply = false)},
+       |$bpeGuardCte
+       |SELECT merge_idx, l AS "left", r AS "right", pf AS pair_freq
+       |FROM a$BpeUnrollBudget, chk ORDER BY merge_idx""".stripMargin
+
+  /** `txt_apply_bpe` FULL REPLAY oracle: the same unrolled merge
+    * schedule applied to EVERY distinct word (u-chain — sequential
+    * rank-order application, which [[tokenizeWord]]'s monotone pointer
+    * implements), then per-doc sums with multiplicity via the word
+    * join; empty words join nothing and contribute the trainer's own
+    * zeros. */
+  private lazy val applyBpeOracleSql: String =
+    s"""WITH ${bpeHeadCtes(withApply = true)},
+       |${bpeRoundCtes(withApply = true)},
+       |$bpeGuardCte,
+       |wt AS (SELECT w, CAST(length(w) AS BIGINT) AS nb,
+       |              CAST(len(syms) AS BIGINT) AS na
+       |       FROM u$BpeUnrollBudget),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |       FROM documents)
+       |SELECT d.doc_id,
+       |       COALESCE(CAST(SUM(wt.nb) AS BIGINT), 0) AS n_symbols_before,
+       |       COALESCE(CAST(SUM(wt.na) AS BIGINT), 0) AS n_tokens_after,
+       |       CAST(COALESCE(SUM(wt.na), 0) AS DOUBLE)
+       |         / CAST(GREATEST(COALESCE(SUM(wt.nb), 0), 1) AS DOUBLE)
+       |         AS compression_ratio
+       |FROM dw d LEFT JOIN wt ON d.w = wt.w, chk
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The txt_quality_lr TRAINING REPLAY: feature centering plus
+    * [[QualityLrRounds]] full-batch GD rounds unrolled as MATERIALIZED
+    * 1-row CTEs (default inlining re-evaluates a K-deep CTE chain
+    * exponentially — the emb_mmr_rerank lesson). Every float op
+    * (rational sigmoid, fixed-point FLOOR grid, the update's divide
+    * chain) is written with the exact parenthesization the Scala
+    * training loop uses, so the replayed weights are bit-identical. */
+  private val qualityLrOracleSql: String = {
+    val lr = QualityLrRate
+    def z(w: String) =
+      s"((($w.wb + ($w.w1 * fc.x1)) + ($w.w2 * fc.x2)) + ($w.w3 * fc.x3))"
+    def p(w: String) =
+      s"(0.5 + (0.5 * (${z(w)} / (1.0 + ABS(${z(w)})))))"
+    def gsum(e: String) =
+      s"CAST(SUM(CAST(FLOOR(($e)*1e9) AS DECIMAL(28,0))) AS DOUBLE)"
+    val rounds = (1 to QualityLrRounds).map { k =>
+      val pw = s"w${k - 1}"
+      val err = s"(${p(pw)} - fc.y)"
+      s"""g$k AS MATERIALIZED (SELECT
+         |  ${gsum(err)} AS gb, ${gsum(s"($err)*fc.x1")} AS g1,
+         |  ${gsum(s"($err)*fc.x2")} AS g2, ${gsum(s"($err)*fc.x3")} AS g3,
+         |  CAST(COUNT(*) AS DOUBLE) AS n FROM fc, $pw),
+         |w$k AS MATERIALIZED (SELECT
+         |  ($pw.wb - $lr * ((g$k.gb / 1e9) / g$k.n)) AS wb,
+         |  ($pw.w1 - $lr * ((g$k.g1 / 1e9) / g$k.n)) AS w1,
+         |  ($pw.w2 - $lr * ((g$k.g2 / 1e9) / g$k.n)) AS w2,
+         |  ($pw.w3 - $lr * ((g$k.g3 / 1e9) / g$k.n)) AS w3
+         |  FROM g$k, $pw)""".stripMargin
+    }.mkString(",\n")
+    val wN = s"w$QualityLrRounds"
+    s"""WITH f0 AS MATERIALIZED (
+       |  SELECT doc_id, quality_score AS x1, (1.0 - dup_3gram_ratio) AS x2,
+       |         ttr AS x3, CASE WHEN composite >= CAST($EnsembleBar AS DOUBLE)
+       |                         THEN 1.0 ELSE 0.0 END AS y
+       |  FROM ($ensembleSelectSql)),
+       |mu AS MATERIALIZED (SELECT
+       |  ((${"CAST(SUM(CAST(FLOOR((x1)*1e9) AS DECIMAL(28,0))) AS DOUBLE)"} / 1e9)
+       |     / CAST(COUNT(*) AS DOUBLE)) AS mu1,
+       |  ((CAST(SUM(CAST(FLOOR((x2)*1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9)
+       |     / CAST(COUNT(*) AS DOUBLE)) AS mu2,
+       |  ((CAST(SUM(CAST(FLOOR((x3)*1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9)
+       |     / CAST(COUNT(*) AS DOUBLE)) AS mu3
+       |  FROM f0),
+       |fc AS MATERIALIZED (
+       |  SELECT doc_id, (x1 - mu.mu1) AS x1, (x2 - mu.mu2) AS x2,
+       |         (x3 - mu.mu3) AS x3, y FROM f0, mu),
+       |w0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS wb,
+       |  CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
+       |  CAST(0 AS DOUBLE) AS w3),
+       |$rounds
+       |SELECT f0.doc_id, f0.x1 AS quality_score, f0.x2 AS inv_rep,
+       |       f0.x3 AS ttr, f0.y = 1.0 AS label,
+       |       ${p(wN).replace("fc.", "fc2.")} AS lr_score,
+       |       ${p(wN).replace("fc.", "fc2.")} >= 0.5 AS keep_lr
+       |FROM f0 JOIN fc fc2 USING (doc_id), $wN
+       |ORDER BY f0.doc_id""".stripMargin
+  }
+
   private val lmScoreCte: String =
     s"""bg AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
@@ -1769,31 +2086,11 @@ object TextAnalysis {
          |SELECT pair, COUNT(*) AS n FROM p
          |GROUP BY 1 ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
     "txt_quality_ensemble" ->
-      s"""WITH q AS (SELECT doc_id, quality_score FROM ($qualityOracleSql)),
-         |g AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
-         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3
-         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
-         |r AS (SELECT doc_id,
-         |             CASE WHEN len(g3) > 0
-         |                  THEN (len(g3) - len(list_distinct(g3)))*1.0/len(g3)
-         |                  ELSE 0.0 END AS dup_3gram_ratio
-         |      FROM g),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS c
-         |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
-         |             FROM documents) GROUP BY 1, 2),
-         |l AS (SELECT doc_id,
-         |             COUNT(*)*1.0/CAST(SUM(c) AS BIGINT) AS ttr
-         |      FROM tf GROUP BY 1),
-         |j AS (SELECT q.doc_id, quality_score, dup_3gram_ratio, ttr,
-         |             0.5*quality_score + 0.25*(1.0 - dup_3gram_ratio) + 0.25*ttr
-         |               AS composite
-         |      FROM q JOIN r ON q.doc_id = r.doc_id
-         |             JOIN l ON q.doc_id = l.doc_id)
-         |SELECT doc_id, quality_score, dup_3gram_ratio, ttr, composite,
-         |       composite >= CAST($EnsembleBar AS DOUBLE) AS keep
-         |FROM j ORDER BY doc_id""".stripMargin,
+      s"""$ensembleSelectSql
+         |ORDER BY doc_id""".stripMargin,
+    "txt_quality_lr" -> qualityLrOracleSql,
+    "txt_bpe_train" -> bpeTrainOracleSql,
+    "txt_apply_bpe" -> applyBpeOracleSql,
     "txt_freq_spectrum" ->
       """WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
@@ -2264,6 +2561,7 @@ object TextAnalysis {
     "txt_pmi_pairs"   -> pmiPairs,
     "txt_compress"    -> compressionRatio,
     "txt_quality_ensemble" -> qualityEnsemble,
+    "txt_quality_lr"  -> qualityLr,
     "txt_bpe_pairs"   -> bpePairs,
     "txt_bpe_train"   -> bpeTrain,
     "txt_apply_bpe"   -> applyBpe,

@@ -20,12 +20,15 @@ object DocumentStreams {
     * trending and cart-flag streams.
     *
     * The per-row signature MUST equal the batch path's bit-for-bit
-    * (same shingle kernel, same integer-literal permutation seeds,
-    * same band hash) — asserted by the parity spec; a drifted seed
-    * type (int vs long literal) silently empties every bucket hit. */
+    * (same shingle kernel, same portable rolling-hash × quadratic-mix
+    * permutation chain, same band fold — [[Dedup.permHashSql]] /
+    * [[Dedup.bandSigCol]] are the single shared definitions) —
+    * asserted by the parity spec; a drifted literal silently empties
+    * every bucket hit. */
   def nearDupScreenStream(docs: DataFrame, corpusBuckets: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.WordShingles.register(spark)
+    graft.functions.RollingHash.register(spark)
     val perms = Dedup.MinhashPerms
     val bands = Dedup.MinhashBands
     val rowsPerBand = perms / bands
@@ -33,17 +36,19 @@ object DocumentStreams {
       .withColumn("shs",
         call_function("graft_word_shingles", col("text"), lit(3)))
       .where(size(col("shs")) > 0)
+      // one rolling hash per shingle, shared by all 64 permutations
+      .withColumn("hss", expr("transform(shs, s -> graft_rolling_hash(s))"))
     // per-row minima: transform+array_min are CodegenFallback, but this
     // is the STREAM side — micro-batch row counts, not the 100 TB scan
     // (the batch/corpus side uses the aggregated native path)
     val mCols = (0 until perms).map(i =>
-      expr(s"array_min(transform(shs, s -> xxhash64($i, xxhash64(s))))")
+      expr(s"array_min(transform(hss, h -> ${Dedup.permHashSql("h", i)}))")
         .as(s"m$i"))
     val sigs = withSh.select((col("doc_id") +: mCols): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"m$i")): _*).as("sig")).as(s"b$b")
+        Dedup.bandSigCol((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i"))).as("sig")).as(s"b$b")
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))

@@ -79,6 +79,49 @@ class CrawlBudgetSpec extends SparkSpec {
     assert(!sched.exists(r => quota(r.getAs[Long]("host_id")) == 0L))
   }
 
+  test("refresh schedule: queue order, quota fill, offsets after the novel slots") {
+    val sched = CrawlBudget.refreshSchedule(spark, sfDir).collect()
+    val plan = CrawlBudget.recrawlPlan(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("host_id") -> r.getAs[Long]("refresh_quota")).toMap
+    val quota = rows.map(r => r.getAs[Long]("host_id") ->
+      r.getAs[Long]("quota")).toMap
+    val capacity = rows.map(r => r.getAs[Long]("host_id") ->
+      r.getAs[Long]("capacity")).toMap
+    // the recrawl queue (stale known pages, priority desc / canon asc)
+    val queue = graft.operators.Sitemap.recrawl(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("stale"))
+      .groupBy(_.getAs[Long]("host_id"))
+      .map { case (h, v) =>
+        h -> v.sortBy(_.getAs[Long]("refresh_rank"))
+          .map(_.getAs[String]("canon_url")).toSeq }
+    sched.groupBy(_.getAs[Long]("host_id")).foreach { case (h, rs) =>
+      val expect = math.min(plan(h), queue.getOrElse(h, Seq.empty).length.toLong)
+      assert(rs.length.toLong == expect, s"host $h slots")
+      val bySlot = rs.sortBy(_.getAs[Int]("slot"))
+      assert(bySlot.map(_.getAs[Int]("slot")).toSeq == (1 to rs.length))
+      assert(bySlot.map(_.getAs[String]("canon_url")).toSeq ==
+        queue(h).take(rs.length), s"host $h queue order")
+      bySlot.foreach { r =>
+        // refresh slots ride AFTER the novel quota's slots...
+        assert(r.getAs[Long]("fetch_offset_s") ==
+          (quota(h) + r.getAs[Int]("slot") - 1) * r.getAs[Long]("delay"))
+        // ...and still land inside the window: quota+refresh ≤ capacity
+        assert(r.getAs[Long]("fetch_offset_s") < CrawlBudget.FetchWindow,
+          s"host $h refresh offset past the window")
+      }
+      assert(quota(h) + plan(h) <= capacity(h), s"host $h capacity overrun")
+    }
+    // hosts with zero refresh quota emit nothing
+    assert(!sched.exists(r => plan(r.getAs[Long]("host_id")) == 0L))
+    // non-vacuous at sf0.1 (sf0.001's three known pages are all fresh —
+    // the SitemapSpec CRT note): stale pages exist there, so the
+    // freshness loop actually emits slots, all inside the window
+    val big = CrawlBudget.refreshSchedule(spark, "/root/testdata/sf0.1").collect()
+    assert(big.nonEmpty)
+    big.foreach(r => assert(r.getAs[Long]("fetch_offset_s") <
+      CrawlBudget.FetchWindow))
+  }
+
   test("capacity honors the robots crawl delays") {
     val delays = Robots.rulesTable(spark)
       .select(col("host_id"), col("crawl_delay")).collect()

