@@ -166,9 +166,17 @@ object Warc {
   /** The synthesized WARC file set: (file_id, blob). One shuffle (the
     * doc→file grouping); framing is per-group executor work — payload
     * bytes never reach the driver. */
-  def warcFiles(spark: SparkSession, dir: String): DataFrame = {
+  def warcFiles(spark: SparkSession, dir: String): DataFrame =
+    warcFilesOf(Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** [[warcFiles]] over an arbitrary (doc_id, text) frame — shared by
+    * the corpus sink and the streaming landing sink's per-micro-batch
+    * framing (identical [[frame]] bytes per record by construction). */
+  private[graft] def warcFilesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.table(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .groupByKey(_._1 / RecordsPerFile)
@@ -250,20 +258,42 @@ object Warc {
     * exchange actually runs). File naming is deterministic
     * (`part-<file_id>%05d.warc`), so a re-run overwrites byte-identical
     * files — idempotent like every sink here. */
-  def writeWarcDir(spark: SparkSession, dir: String, path: String): Unit = {
+  def writeWarcDir(spark: SparkSession, dir: String, path: String): Unit =
+    writeWarcContainers(warcFiles(spark, dir), path, f => f"part-$f%05d.warc")
+
+  /** Executor-side container landing shared by the corpus sink and the
+    * streaming micro-batch sink: one Hadoop-FS binary write per
+    * container, payload bytes never on the driver. */
+  private def writeWarcContainers(files: DataFrame, path: String,
+      name: Long => String): Unit = {
+    val spark = files.sparkSession
     import spark.implicits._
-    warcFiles(spark, dir).as[(Long, Array[Byte])]
+    files.as[(Long, Array[Byte])]
       .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val base = new org.apache.hadoop.fs.Path(path)
         val fs = base.getFileSystem(conf)
         it.foreach { case (fid, blob) =>
           val out = fs.create(
-            new org.apache.hadoop.fs.Path(base, f"part-$fid%05d.warc"), true)
+            new org.apache.hadoop.fs.Path(base, name(fid)), true)
           try out.write(blob) finally out.close()
         }
       }
   }
+
+  /** One streaming micro-batch landed as WARC containers — the
+    * foreachBatch body of the streaming landing sink
+    * ([[graft.streaming.CrawlStreams.warcLandingSink]]): the arriving
+    * documents framed with the batch writer's exact [[frame]] bytes
+    * and grouped by the SAME doc_id DIV [[RecordsPerFile]] rule, one
+    * file per (micro-batch, group) — `part-<batch>%05d-<fid>%05d.warc`
+    * — because a group's records may arrive across batches and a
+    * landing sink must never rewrite a landed container (append-only
+    * crawl-exchange discipline; re-running the SAME batch id is
+    * idempotent byte-for-byte). */
+  def writeWarcBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    writeWarcContainers(warcFilesOf(batch), path,
+      f => f"part-$batchId%05d-$f%05d.warc")
 
   /** `snk_warc_dir`: the writer sink driven end-to-end — write the
     * corpus as a `.warc` directory ([[writeWarcDir]]), scan it back

@@ -197,4 +197,24 @@ object CrawlStreams {
       }
       .toDF("host_id", "slot", "canon_url", "delay", "fetch_offset_s")
   }
+
+  /** Streaming WARC landing sink — the write half of the crawl loop a
+    * micro-batch behind the fetcher ([[Warc.writeWarcBatch]] as a
+    * foreachBatch sink): each arriving (doc_id, text) micro-batch is
+    * framed with the batch writer's exact record bytes and landed as
+    * `part-<batch>-<group>.warc` containers via executor-side FS
+    * writes. Parity with [[Warc.writeWarcDir]] is per RECORD (octet-
+    * exact payload/URI/id through the production reader) rather than
+    * per file — a group's 16 records may arrive across batches, and a
+    * landing sink never rewrites a landed container (append-only
+    * crawl-exchange discipline; checkpoint + deterministic batch
+    * naming make replayed batches byte-identical). */
+  def warcLandingSink(docs: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        Warc.writeWarcBatch(batch, id, path))
+      .start()
 }

@@ -33,6 +33,64 @@ class StreamingSinkSpec extends SparkSpec {
     assert(out.count() <= batch)
   }
 
+  test("streaming WARC landing sink: per-record batch parity, batch-indexed " +
+      "files, planted corruption loses only itself") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_warc_stream").toString
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b0, b1) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CrawlStreams.warcLandingSink(
+      input.toDF().toDF("doc_id", "text"), s"$base/out", s"$base/chk")
+    input.addData(b0); q.processAllAvailable()
+    input.addData(b1); q.processAllAvailable()
+    q.stop()
+    // per-record parity with the batch writer through the production
+    // reader: every source doc comes back octet-exact, once
+    val landed = graft.operators.Warc.readWarcDir(spark, s"$base/out")
+      .where(col("record_id").startsWith("<urn:graft:"))
+      .collect()
+    assert(landed.length == docs.length)
+    val byId = landed.map { r =>
+      val id = r.getAs[String]("record_id")
+        .stripPrefix("<urn:graft:").stripSuffix(">").toLong
+      id -> (new String(r.getAs[Array[Byte]]("payload"), UTF_8),
+        r.getAs[String]("target_uri"), r.getAs[String]("path"))
+    }.toMap
+    assert(byId.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val (payload, uri, path) = byId(id)
+      assert(payload == text, s"doc $id payload drifted")
+      assert(uri == s"http://host${id % graft.operators.Url.HostMod}.example/p$id")
+      // batch-indexed file naming: batch 0 holds the first half
+      val batch = if (b0.exists(_._1 == id)) 0 else 1
+      assert(path.contains(f"part-$batch%05d-"), s"doc $id in $path")
+    }
+    // planted corruption: a truncated landed container loses only its
+    // own records on re-read (the tolerant-parse contract). Staged in
+    // a FRESH directory: the session-wide file-status cache pins the
+    // first-listing size per path, so an in-place rewrite under the
+    // original path reads past EOF instead of seeing the short file.
+    val files = new java.io.File(s"$base/out").listFiles()
+      .filter(_.getName.endsWith(".warc")).sortBy(_.getName)
+    val victim = files.head
+    val lost = landed.count(_.getAs[String]("path").endsWith(victim.getName))
+    val out2 = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/out2"))
+    files.foreach(f => java.nio.file.Files.copy(f.toPath,
+      out2.resolve(f.getName)))
+    java.nio.file.Files.write(out2.resolve(victim.getName),
+      "WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort".getBytes(UTF_8))
+    val after = graft.operators.Warc.readWarcDir(spark, s"$base/out2")
+      .where(col("record_id").startsWith("<urn:graft:")).count()
+    assert(after == docs.length - lost && lost > 0)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
