@@ -47,10 +47,11 @@ object SimHash64 {
     while (i < words.length) {
       val w = words(i)
       if (seen.add(w)) {
-        val base = RollingHash.hash(w)
+        // the shared lane-0 sign bits (memoized per distinct word)
+        val sb = SimHashWide.signBits(w, 1)(0)
         var j = 0
         while (j < 64) {
-          votes(j) += SimHashWide.vote(base, j)
+          votes(j) += (if ((sb & (1L << j)) != 0L) 1 else -1)
           j += 1
         }
       }

@@ -85,8 +85,39 @@ object SimHashWide {
     if (h3 < m / 2) 1 else -1
   }
 
+  /** Executor-wide word→sign-bits memo. A word's vote pattern is a
+    * pure function of (word, lanes), and the corpus vocabulary is
+    * Heaps-law metadata-sized (the applyBpe partition-memo argument),
+    * so each executor pays the `64·lanes` quadratic mixes once per
+    * DISTINCT word and every repeat costs 64·lanes bit-tests. Bounded:
+    * past [[MemoMax]] entries new words compute uncached (an
+    * adversarially diverse corpus degrades to the memo-free cost, never
+    * to unbounded heap). Values are packed sign bits, one long per
+    * lane. */
+  private val MemoMax = 1 << 20
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private[functions] def signBits(w: UTF8String, lanes: Int): Array[Long] = {
+    val key = w.toString
+    val cached = memo.get(key)
+    // a narrower cached entry (smaller lanes) is recomputed and
+    // replaced; a wider one is reused (lane ℓ bits are lane-count-free)
+    if (cached != null && cached.length >= lanes) return cached
+    val base = RollingHash.hash(w)
+    val bits = new Array[Long](lanes)
+    var j = 0
+    while (j < 64 * lanes) {
+      if (vote(base, j) > 0) bits(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    if (memo.size < MemoMax) memo.put(key, bits)
+    bits
+  }
+
   /** Called from generated code. One pass over distinct tokens; per
-    * token, one rolling hash + `64·lanes` quadratic bit mixes. */
+    * token, one memoized rolling hash + `64·lanes` quadratic bit
+    * mixes (bit-tests on repeats). */
   def hash(text: UTF8String, lanes: Int): ArrayData = {
     val words = text.split(Space, -1)
     val seen = new java.util.HashSet[UTF8String](words.length * 2)
@@ -96,9 +127,12 @@ object SimHashWide {
     while (i < words.length) {
       val w = words(i)
       if (seen.add(w)) {
-        val base = RollingHash.hash(w)
+        val sb = signBits(w, lanes)
         var j = 0
-        while (j < bits) { votes(j) += vote(base, j); j += 1 }
+        while (j < bits) {
+          votes(j) += (if ((sb(j >> 6) & (1L << (j & 63))) != 0L) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }

@@ -199,16 +199,23 @@ object Sitemap {
       |          FROM v WHERE canon_url IS NOT NULL GROUP BY 1)""".stripMargin
 
   /** The KNOWN sitemap pages with their staleness verdict — shared by
-    * [[recrawl]] (page grain) and [[CrawlBudget.recrawlPlan]] (host
-    * rollup): sitemap `lastmod` vs the frontier's [[lastCrawl]] date;
-    * `stale` = the host advertises a modification NEWER than our copy. */
+    * [[recrawl]] (page grain), [[CrawlBudget.recrawlPlan]] (host
+    * rollup) and [[CrawlBudget.refreshSchedule]] (slot emission):
+    * sitemap `lastmod` vs the frontier's [[lastCrawl]] date; `stale` =
+    * the host advertises a modification NEWER than our copy. A
+    * session-cached [[ArtifactCache]] artifact (r15): the frame is
+    * sitemap-sized but its [[lastCrawl]] input is a corpus-sized
+    * canonical-keyed aggregate — before the cache, the three consumers
+    * re-ran that aggregate once each (refreshSchedule derived it
+    * TWICE: directly and via recrawlPlan). */
   private[operators] def staleness(spark: SparkSession, dir: String): DataFrame =
-    screenCore(spark, dir)
-      .where(col("known"))
-      .join(lastCrawl(spark, dir), "canon_url")
-      .select(col("host_id"), col("canon_url"), col("lastmod"),
-        col("last_crawl"), col("priority"),
-        (col("lastmod") > col("last_crawl")).as("stale"))
+    ArtifactCache.of(spark, dir, "sitemap_staleness")(
+      screenCore(spark, dir)
+        .where(col("known"))
+        .join(lastCrawl(spark, dir), "canon_url")
+        .select(col("host_id"), col("canon_url"), col("lastmod"),
+          col("last_crawl"), col("priority"),
+          (col("lastmod") > col("last_crawl")).as("stale")))
 
   /** `xf_recrawl`: the sitemap-lastmod recrawl screen — the freshness
     * loop on top of the discovery stack: per KNOWN (already crawled)

@@ -1484,6 +1484,9 @@ object TextAnalysis {
   private val lrModels = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Double], Array[Double])]()
 
+  /** Drop the cached model for a corpus dir rewritten in place. */
+  def invalidateQualityLr(dir: String): Unit = lrModels.remove(dir)
+
   /** Feature/label frame for [[qualityLr]]: the three INDEPENDENT
     * ensemble families as features, the ensemble keep flag as the
     * training label (heuristic distillation — the production bootstrap
@@ -1532,6 +1535,37 @@ object TextAnalysis {
       }
       (mu, w)
     })
+
+  /** Persist the trained quality-LR model (3 means + 4 weights) — the
+    * IVF-codebook train-once contract: a restarted driver loads the
+    * 7-double artifact instead of re-running the
+    * [[QualityLrRounds]]+1 corpus aggregates. */
+  def saveQualityLrModel(spark: SparkSession, dir: String,
+      path: String): Unit = {
+    import spark.implicits._
+    val (mu, w) = qualityLrModel(spark, dir)
+    (mu.zipWithIndex.map { case (v, i) => ("mu", i, v) } ++
+      w.zipWithIndex.map { case (v, i) => ("w", i, v) }).toSeq
+      .toDF("kind", "idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted quality-LR model and prime the cache for `dir`,
+    * so [[qualityLr]] scores without ever training. Same staleness
+    * contract as the signature indexes: the model is a function of the
+    * corpus — after an in-place rewrite, retrain rather than load. */
+  def loadQualityLrModel(spark: SparkSession, dir: String,
+      path: String): (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Int]("idx"),
+        r.getAs[Double]("value")))
+    val mu = rows.filter(_._1 == "mu").sortBy(_._2).map(_._3)
+    val w = rows.filter(_._1 == "w").sortBy(_._2).map(_._3)
+    require(mu.length == 3 && w.length == 4,
+      s"malformed quality-LR model at $path: ${mu.length} means, ${w.length} weights")
+    lrModels.put(dir, (mu, w))
+    (mu, w)
+  }
 
   /** `txt_quality_lr`: TRAINED quality classifier — logistic
     * regression over the [[qualityEnsemble]] features (surface

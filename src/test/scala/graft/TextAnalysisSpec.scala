@@ -431,6 +431,16 @@ class TextAnalysisSpec extends SparkSpec {
     // entry) replays to the same weights
     val (mu, w) = TextAnalysis.qualityLrModel(spark, sfDir)
     assert(mu.length == 3 && w.length == 4 && w.forall(v => !v.isNaN))
+    // persist/load round-trip primes the cache with the identical model
+    // (the IVF-codebook train-once contract)
+    val path = java.nio.file.Files.createTempDirectory("graft_lr").toString + "/model"
+    TextAnalysis.saveQualityLrModel(spark, sfDir, path)
+    TextAnalysis.invalidateQualityLr(sfDir)
+    val (mu2, w2) = TextAnalysis.loadQualityLrModel(spark, sfDir, path)
+    assert(mu2.toSeq == mu.toSeq && w2.toSeq == w.toSeq)
+    val rows2 = TextAnalysis.qualityLr(spark, sfDir).collect()
+    assert(rows2.map(_.getAs[Double]("lr_score")).toSeq ==
+      rows.map(_.getAs[Double]("lr_score")).toSeq)
   }
 
   test("bpe pairs match a driver recompute of character-bigram counts") {
