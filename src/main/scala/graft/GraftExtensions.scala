@@ -94,5 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_url_host",
       "canonical host of a URL (lowercased, default port stripped)",
       UrlCanon.hostBuilder)
+    inject("graft_chunk_hashes",
+      "sha2-256 hex keys of content-defined chunks (gear/CDC cut rule)",
+      graft.functions.ChunkHashes.builder)
   }
 }

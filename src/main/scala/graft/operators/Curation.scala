@@ -126,9 +126,13 @@ object Curation {
     * strictly decreases until the fixpoint, so equal sum ⇔ converged).
     * Returns `(id, lbl)` for nodes that appear in edges. */
   def componentLabels(edges: DataFrame, maxIter: Int = MaxCcIterations): DataFrame = {
+    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint() // reused every round; truncates lineage
+      // reused every round; truncates lineage. Partitioned by v — the
+      // per-round join key — so rounds exchange only the node-sized
+      // label vector, never the edge table (graph-loop r15 restructure)
+      .repartition(np, col("v")).localCheckpoint()
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var sum = labelChecksum(labels)

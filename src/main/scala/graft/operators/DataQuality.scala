@@ -836,21 +836,36 @@ object DataQuality {
     fdProfileImpl(spark, dir, exact = false)
 
   private def fdProfileImpl(spark: SparkSession, dir: String,
-      exact: Boolean): DataFrame =
-    FdCatalog.map { case (name, src, lhs, rhs) =>
-      val df = if (src == "sales") Tables.sales(spark, dir)
-               else Tables.table(spark, dir, src)
-      df.groupBy(col(lhs))
-        .agg((if (exact) countDistinct(col(rhs))
-              else approx_count_distinct(col(rhs))).as("k"))
-        .agg(count(lit(1)).as("n_keys"),
-          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violations"),
-          max(col("k")).as("max_variants"))
+      exact: Boolean): DataFrame = {
+    def kd(rhs: String): Column =
+      (if (exact) countDistinct(col(rhs))
+       else approx_count_distinct(col(rhs))).as(s"k_$rhs")
+    def rollup(name: String, grouped: DataFrame, rhs: String): DataFrame =
+      grouped.agg(count(lit(1)).as("n_keys"),
+          sum(when(col(s"k_$rhs") > 1, 1L).otherwise(0L)).as("n_violations"),
+          max(col(s"k_$rhs")).as("max_variants"))
         .select(lit(name).as("fd"), col("n_keys"), col("n_violations"),
           col("max_variants"),
           (col("n_violations").cast("double") / col("n_keys").cast("double"))
             .as("violation_rate"))
-    }.reduce(_ unionAll _).orderBy("fd")
+    // r15: FDs sharing (source, lhs) fold into ONE grouped aggregate
+    // with a distinct-count per rhs (one pass over the source instead
+    // of one per dependency — both sales FDs key on transaction_id, so
+    // the fact⋈orders join runs once, not twice). Per-FD rollups read
+    // the shared checkpointed key table; values are unchanged (each
+    // countDistinct is the same per-key statistic as before).
+    FdCatalog.groupBy { case (_, src, lhs, _) => (src, lhs) }.toSeq
+      .sortBy(_._2.head._1)
+      .flatMap { case ((src, lhs), fds) =>
+        val df = if (src == "sales") Tables.sales(spark, dir)
+                 else Tables.table(spark, dir, src)
+        val ks = fds.map(_._4).distinct.map(kd)
+        val grouped = df.groupBy(col(lhs)).agg(ks.head, ks.tail: _*)
+        val shared =
+          if (fds.size > 1) grouped.localCheckpoint(false) else grouped
+        fds.map { case (name, _, _, rhs) => rollup(name, shared, rhs) }
+      }.reduce(_ unionAll _).orderBy("fd")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_fd_profile"     -> fdProfile,

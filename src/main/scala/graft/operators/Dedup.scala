@@ -288,23 +288,16 @@ object Dedup {
     * chunk strings (hash-before-shuffle, as [[exact]]). */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("t", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("t")
-    val gram = concat_ws(" ",
-      lag(col("tok"), 3).over(w), lag(col("tok"), 2).over(w),
-      lag(col("tok"), 1).over(w))
-    val cut = (col("t") >= ChunkGram) &&
-      (RollingHash.rollingHash(spark, gram) % ChunkMask === 0)
-    val bounds = toks
-      .withColumn("chunk_idx", sum(cut.cast("long")).over(w))
-      .groupBy("doc_id", "chunk_idx")
-      .agg(min(col("t")).as("t_min"), max(col("t")).as("t_max"))
-    val chunks = bounds.join(docs, Seq("doc_id"))
-      .select(col("doc_id"),
-        sha2(array_join(slice(split(col("text"), " "),
-          col("t_min") + 1, col("t_max") - col("t_min") + 1), " "), 256)
-          .as("k"))
+    // r15: the chunk keys are a pure function of the document, so they
+    // come from ONE codegen map pass ([[graft.functions.ChunkHashes]] —
+    // identical cut rule and sha2 keys, ChunkDedupSpec pins equality
+    // with the former posexplode+window+bounds-join derivation). The
+    // old plan shuffled the token stream through a doc-keyed window and
+    // re-joined the document row per chunk; now only 64-hex chunk keys
+    // ever leave the scan.
+    val chunks = docs.select(col("doc_id"),
+      explode(graft.functions.ChunkHashes.chunkHashesCol(spark,
+        col("text"), ChunkGram, ChunkMask)).as("k"))
     val occ = chunks.groupBy("k").agg(count(lit(1)).as("n_occ"))
     chunks.join(occ, Seq("k"))
       .groupBy("doc_id")

@@ -80,29 +80,44 @@ object Graph {
   def pagerankOn(spark: SparkSession, edges: DataFrame,
       iters: Int = PagerankIters): DataFrame = {
     val zeroDec = lit(0).cast(DecimalType(38, 0))
+    val np = spark.sessionState.conf.numShufflePartitions
     val e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")).localCheckpoint()
-    val deg = e.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val nodes = e.select("u").unionAll(e.select(col("v").as("u")))
-      .distinct().localCheckpoint()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    // ROUND-INVARIANT precomputation (r15, guide §2.4): the old loop
+    // re-joined `deg` onto the edges and re-exchanged the EDGE table
+    // every round. `ed` attaches the out-degree once and checkpoints
+    // HASH-PARTITIONED BY u (localCheckpoint preserves partitioning in
+    // the LogicalRDD), so each round's edges⋈scores join exchanges only
+    // the nodes-sized score vector — the cluster analog is the bucketed
+    // edge table SURVEY §5 documents. Same rows, same arithmetic.
+    val ed = e.join(deg, "u").repartition(np, col("u")).localCheckpoint()
+    // nodes with the dangling flag attached ONCE (sinks = no out-edge):
+    // the per-round dangling mass is then a filter+agg over the score
+    // vector instead of an anti-join against deg — identical row set.
+    val base = e.select("u").unionAll(e.select(col("v").as("u")))
+      .distinct()
+      .join(deg.select(col("u"), lit(true).as("has_out")), Seq("u"), "left")
+      .select(col("u"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .repartition(np, col("u")).localCheckpoint()
     // 1-row node-count normalizer, broadcast into every round — the
     // ath_product_analysis shape, never a driver collect
-    val n = nodes.agg(count(lit(1)).cast("double").as("nd"))
-    var pr = nodes.crossJoin(broadcast(n))
-      .select(col("u"), (lit(1.0) / col("nd")).as("pr"))
+    val n = base.agg(count(lit(1)).cast("double").as("nd"))
+    var pr = base.crossJoin(broadcast(n))
+      .select(col("u"), col("has_out"), (lit(1.0) / col("nd")).as("pr"))
     (1 to iters).foreach { _ =>
-      val msgs = e
-        .join(pr, "u").join(deg, "u")
+      val msgs = ed
+        .join(pr.select("u", "pr"), "u")
         .select(col("v").as("u"),
           floor((col("pr") / col("deg")) * lit(PrScale))
             .cast(DecimalType(38, 0)).as("c"))
         .groupBy("u").agg(sum("c").as("s"))
-      val dangling = pr.join(deg, Seq("u"), "left_anti")
+      val dangling = pr.where(!col("has_out"))
         .agg(coalesce(sum(floor(col("pr") * lit(PrScale))
           .cast(DecimalType(38, 0))), zeroDec).as("ds"))
-      pr = nodes.join(msgs, Seq("u"), "left")
+      pr = base.join(msgs, Seq("u"), "left")
         .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
-        .select(col("u"),
+        .select(col("u"), col("has_out"),
           (lit(0.15) / col("nd") + lit(0.85) *
             (coalesce(col("s"), zeroDec).cast("double") / lit(PrScale)
               + col("ds").cast("double") / lit(PrScale) / col("nd"))).as("pr"))
@@ -114,7 +129,7 @@ object Graph {
         // hygiene; the checkpoint is nodes-sized.
         .localCheckpoint()
     }
-    pr
+    pr.select("u", "pr")
   }
 
   /** `gr_pagerank`: damped PageRank (d = 0.85) after [[PagerankIters]]
@@ -197,9 +212,13 @@ object Graph {
   def trustrankOn(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       iters: Int = PagerankIters): DataFrame = {
     val zeroDec = lit(0).cast(DecimalType(38, 0))
+    val np = spark.sessionState.conf.numShufflePartitions
     val e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")).localCheckpoint()
-    val deg = e.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    // round-invariant degree-attached edge table, partitioned by u once
+    // (the [[pagerankOn]] r15 restructure — see the comment there)
+    val ed = e.join(deg, "u").repartition(np, col("u")).localCheckpoint()
     val nodes = e.select("u").unionAll(e.select(col("v").as("u")))
       .distinct().localCheckpoint()
     // seeds are clipped to the graph's node set BEFORE |S| is counted:
@@ -210,32 +229,37 @@ object Graph {
       .join(nodes, Seq("u"), "left_semi")
       .withColumn("is_seed", lit(true))
     val ns = sd.agg(count(lit(1)).cast("double").as("ns"))
+    // the seed vector carries the dangling flag, so every round's sink
+    // mass is a filter+agg over the score vector (no anti-join)
     val sv = nodes.join(broadcast(sd), Seq("u"), "left")
+      .join(deg.select(col("u"), lit(true).as("has_out")), Seq("u"), "left")
       .crossJoin(broadcast(ns))
       .select(col("u"),
         when(coalesce(col("is_seed"), lit(false)), lit(1.0) / col("ns"))
-          .otherwise(lit(0.0)).as("sv"))
-      .localCheckpoint()
-    var tr = sv.select(col("u"), col("sv").as("pr"))
+          .otherwise(lit(0.0)).as("sv"),
+        coalesce(col("has_out"), lit(false)).as("has_out"))
+      .repartition(np, col("u")).localCheckpoint()
+    var tr = sv.select(col("u"), col("sv"), col("has_out"),
+      col("sv").as("pr"))
     (1 to iters).foreach { _ =>
-      val msgs = e
-        .join(tr, "u").join(deg, "u")
+      val msgs = ed
+        .join(tr.select("u", "pr"), "u")
         .select(col("v").as("u"),
           floor((col("pr") / col("deg")) * lit(PrScale))
             .cast(DecimalType(38, 0)).as("c"))
         .groupBy("u").agg(sum("c").as("s"))
-      val dangling = tr.join(deg, Seq("u"), "left_anti")
+      val dangling = tr.where(!col("has_out"))
         .agg(coalesce(sum(floor(col("pr") * lit(PrScale))
           .cast(DecimalType(38, 0))), zeroDec).as("ds"))
       tr = sv.join(msgs, Seq("u"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("u"),
+        .select(col("u"), col("sv"), col("has_out"),
           (lit(0.15) * col("sv") + lit(0.85) *
             (coalesce(col("s"), zeroDec).cast("double") / lit(PrScale)
               + col("ds").cast("double") / lit(PrScale) * col("sv"))).as("pr"))
         .localCheckpoint()
     }
-    tr
+    tr.select("u", "pr")
   }
 
   /** `gr_host_trust`: TrustRank + spam mass over the host link graph —
@@ -290,8 +314,13 @@ object Graph {
     * [[pagerankOn]]. */
   def labelpropOn(spark: SparkSession, edges: DataFrame,
       iters: Int = LabelpropIters): DataFrame = {
+    val np = spark.sessionState.conf.numShufflePartitions
+    // checkpoint hash-partitioned by v — the per-round join key — so
+    // each round exchanges only the nodes-sized label vector, never
+    // the edge table (the [[pagerankOn]] r15 restructure)
     val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).localCheckpoint()
+      col("v").cast("long").as("v"))
+      .repartition(np, col("v")).localCheckpoint()
     // und edge lists are symmetric, so every node appears as u
     val nodes = e.select("u").distinct().localCheckpoint()
     var lbl = nodes.select(col("u"), col("u").as("lbl"))
@@ -341,23 +370,31 @@ object Graph {
     * exact in both engines (the [[Gold.priceSlopeOf]] caution). */
   def hits(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val e = Tables.sales(spark, dir)
+    val np = spark.sessionState.conf.numShufflePartitions
+    val e0 = Tables.sales(spark, dir)
       .select(col("customer_id").as("u"), col("product_id").as("v"))
-      .distinct().localCheckpoint()
-    var hub = e.select("u").distinct().select(col("u"), lit(1.0).as("h"))
+      .distinct()
+    // TWO partitioned checkpoints of the edge list — by u for the
+    // hub→auth half-step, by v for auth→hub — so no half-step ever
+    // re-exchanges the edge table; only the node-sized score vector
+    // moves per round (the [[pagerankOn]] r15 restructure; on a
+    // cluster these are the two bucketed copies of the edge table)
+    val eU = e0.repartition(np, col("u")).localCheckpoint()
+    val eV = eU.repartition(np, col("v")).localCheckpoint()
+    var hub = eU.select("u").distinct().select(col("u"), lit(1.0).as("h"))
     var auth: DataFrame = null
     (1 to HitsIters).foreach { _ =>
       // checkpoint the RAW sums, not the normalized scores: the total
       // and the normalize both read them, so an un-checkpointed ar/hr
       // would run the edges⋈scores join twice per half-step
-      val ar = e.join(hub, "u").groupBy("v")
+      val ar = eU.join(hub, "u").groupBy("v")
         .agg(sum(floor(col("h") * lit(PrScale)).cast(dec)).as("ar"))
         .localCheckpoint()
       val at = ar.agg(sum("ar").as("at"))
       auth = ar.crossJoin(broadcast(at))
         .select(col("v"),
           (col("ar").cast("double") / col("at").cast("double")).as("a"))
-      val hr = e.join(auth, "v").groupBy("u")
+      val hr = eV.join(auth, "v").groupBy("u")
         .agg(sum(floor(col("a") * lit(PrScale)).cast(dec)).as("hr"))
         .localCheckpoint()
       val ht = hr.agg(sum("hr").as("ht"))
@@ -528,8 +565,13 @@ object Graph {
     * TakeOrdered. The DuckDB oracle replays the identical search as a
     * bounded recursive CTE, so the result is exact at every SF. */
   def bfsDistance(spark: SparkSession, dir: String): DataFrame = {
+    val np = spark.sessionState.conf.numShufflePartitions
     val e = coEdges(spark, dir)
+    // partitioned by the probe key once: every BFS round joins the
+    // frontier on `a`, so the edge table never re-exchanges (the
+    // [[pagerankOn]] r15 restructure)
     val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(np, col("a")).localCheckpoint()
     val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
     val seed = deg.orderBy(col("d").desc, col("a")).limit(1)
       .select(col("a").as("node"), lit(0L).as("dist"))
@@ -1133,8 +1175,14 @@ object Graph {
     kcoreOn(undirected(spark, dir), KCoreK)
 
   def kcoreOn(edges0: DataFrame, k: Long): DataFrame = {
+    val np = edges0.sparkSession.sessionState.conf.numShufflePartitions
+    // partitioned by u once: the per-round degree groupBy and the
+    // u-side survivor semi-join then reuse the partitioning instead of
+    // re-exchanging the edge table every peel (the [[pagerankOn]] r15
+    // restructure; the survivor set rides an AQE broadcast)
     var e = edges0.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).localCheckpoint()
+      col("v").cast("long").as("v"))
+      .repartition(np, col("u")).localCheckpoint()
     var nEdges = e.count()
     var rounds = 0
     var done = nEdges == 0

@@ -426,12 +426,20 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
-    val p = bg.join(c2, "bigram")
+    // r15: p(b|a) is a function of the bigram TYPE alone, so finish it
+    // on the vocabulary-sized type table and join the TOKEN STREAM once
+    // — the old plan joined the stream on bigram AND then on ctx,
+    // shuffling the corpus-sized stream twice. Same expression tree,
+    // bit-identical doubles.
+    val ptype = c2
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
       .join(c1.withColumnRenamed("token", "ctx"), "ctx")
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
+      .select(col("bigram"),
         ((col("c2").cast("double") + lit(1.0))
           / (col("c1").cast("double") + col("v").cast("double"))).as("p"))
+    val p = bg.select("doc_id", "bigram").join(ptype, "bigram")
+      .select(col("doc_id"), col("p"))
     p.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(floor(col("p") * lit(LmScale.toDouble))
@@ -552,14 +560,20 @@ object TextAnalysis {
     val ca = c2.groupBy("ctx").agg(sum("c2").as("ca"), count(lit(1)).as("n1f"))
     val n1b = c2.groupBy("nxt").agg(count(lit(1)).as("n1b"))
     val bt = c2.agg(count(lit(1)).as("bt"))
-    val p = bg.join(c2, Seq("ctx", "nxt"))
+    // r15: p is a function of the (ctx, nxt) TYPE alone — finish it on
+    // the type table and join the corpus-sized token stream ONCE (the
+    // old plan joined the stream on (ctx,nxt), then ctx, then nxt).
+    // Same expression tree, bit-identical doubles.
+    val ptype = c2
       .join(ca, "ctx").join(n1b, "nxt").crossJoin(broadcast(bt))
-      .select(col("doc_id"),
+      .select(col("ctx"), col("nxt"),
         ((col("c2").cast("double") - lit(KnDiscount))
             / col("ca").cast("double")
           + ((lit(KnDiscount) * col("n1f").cast("double"))
               / col("ca").cast("double"))
             * (col("n1b").cast("double") / col("bt").cast("double"))).as("p"))
+    val p = bg.select("doc_id", "ctx", "nxt").join(ptype, Seq("ctx", "nxt"))
+      .select(col("doc_id"), col("p"))
     p.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(floor(col("p") * lit(LmScale.toDouble))
@@ -626,22 +640,27 @@ object TextAnalysis {
       .agg(sum("cm").as("cmt"), count(lit(1)).as("nmf"))
     val uni = mid.groupBy("w3").agg(count(lit(1)).as("cu"))
     val mt = mid.agg(count(lit(1)).as("mt"))
+    // r15: bottom-up per-level evaluation (see kn5Score) — the bigram
+    // interpolation finishes on the (w2,w3) continuation table instead
+    // of riding every join at trigram-type width. Same expression tree,
+    // bit-identical doubles.
+    val p2 = mid.join(mctx, Seq("w2")).join(uni, Seq("w3"))
+      .crossJoin(broadcast(mt))
+      .select(col("w2"), col("w3"),
+        ((col("cm").cast("double") - lit(KnDiscount))
+            / col("cmt").cast("double")
+          + ((lit(KnDiscount) * col("nmf").cast("double"))
+              / col("cmt").cast("double"))
+            * (col("cu").cast("double") / col("mt").cast("double"))).as("p2"))
     val ptype = c3
       .join(c12, Seq("w1", "w2"))
-      .join(mid, Seq("w2", "w3"))
-      .join(mctx, Seq("w2"))
-      .join(uni, Seq("w3"))
-      .crossJoin(broadcast(mt))
+      .join(p2, Seq("w2", "w3"))
       .select(col("w1"), col("w2"), col("w3"),
         ((col("c3").cast("double") - lit(KnDiscount))
             / col("c12").cast("double")
           + ((lit(KnDiscount) * col("n12f").cast("double"))
               / col("c12").cast("double"))
-            * ((col("cm").cast("double") - lit(KnDiscount))
-                / col("cmt").cast("double")
-              + ((lit(KnDiscount) * col("nmf").cast("double"))
-                  / col("cmt").cast("double"))
-                * (col("cu").cast("double") / col("mt").cast("double"))))
+            * col("p2"))
           .as("p"))
     val p = tg.join(ptype, Seq("w1", "w2", "w3")).select(col("doc_id"), col("p"))
     p.groupBy("doc_id")
@@ -718,26 +737,33 @@ object TextAnalysis {
     val bt = q2.agg(count(lit(1)).as("bt"))
     val d = lit(KnDiscount)
     def dbl(c: Column): Column = c.cast("double")
-    val ptype = c5
-      .join(c14, Seq("w1", "w2", "w3", "w4"))
-      .join(q4, Seq("w2", "w3", "w4", "w5"))
-      .join(q4ctx, Seq("w2", "w3", "w4"))
-      .join(q3, Seq("w3", "w4", "w5"))
-      .join(q3ctx, Seq("w3", "w4"))
-      .join(q2, Seq("w4", "w5"))
-      .join(q2ctx, Seq("w4"))
-      .join(uni, Seq("w5"))
+    // r15: the interpolation is evaluated BOTTOM-UP, each order finished
+    // on its OWN type table — the old plan joined all eight lower-order
+    // stats onto the (largest) 5-gram table, so every interpolation join
+    // carried 5-gram-type-sized rows; now the three cheapest joins run
+    // at (w4,w5) size, two at (w3..w5), two at (w2..w5), and only the
+    // last two at full width. Bottom-up evaluation of the SAME nested
+    // expression tree — the doubles are bit-identical.
+    val p2 = q2.join(q2ctx, Seq("w4")).join(uni, Seq("w5"))
       .crossJoin(broadcast(bt))
+      .select(col("w4"), col("w5"),
+        ((dbl(col("c2m")) - d) / dbl(col("c2t"))
+          + ((d * dbl(col("n2f"))) / dbl(col("c2t")))
+            * (dbl(col("cu")) / dbl(col("bt")))).as("p2"))
+    val p3 = q3.join(q3ctx, Seq("w3", "w4")).join(p2, Seq("w4", "w5"))
+      .select(col("w3"), col("w4"), col("w5"),
+        ((dbl(col("c3m")) - d) / dbl(col("c3t"))
+          + ((d * dbl(col("n3f"))) / dbl(col("c3t"))) * col("p2")).as("p3"))
+    val p4 = q4.join(q4ctx, Seq("w2", "w3", "w4"))
+      .join(p3, Seq("w3", "w4", "w5"))
+      .select(col("w2"), col("w3"), col("w4"), col("w5"),
+        ((dbl(col("c4m")) - d) / dbl(col("c4t"))
+          + ((d * dbl(col("n4f"))) / dbl(col("c4t"))) * col("p3")).as("p4"))
+    val ptype = c5.join(c14, Seq("w1", "w2", "w3", "w4"))
+      .join(p4, Seq("w2", "w3", "w4", "w5"))
       .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
         ((dbl(col("c5")) - d) / dbl(col("c14"))
-          + ((d * dbl(col("n14f"))) / dbl(col("c14")))
-            * ((dbl(col("c4m")) - d) / dbl(col("c4t"))
-              + ((d * dbl(col("n4f"))) / dbl(col("c4t")))
-                * ((dbl(col("c3m")) - d) / dbl(col("c3t"))
-                  + ((d * dbl(col("n3f"))) / dbl(col("c3t")))
-                    * ((dbl(col("c2m")) - d) / dbl(col("c2t"))
-                      + ((d * dbl(col("n2f"))) / dbl(col("c2t")))
-                        * (dbl(col("cu")) / dbl(col("bt")))))))
+          + ((d * dbl(col("n14f"))) / dbl(col("c14"))) * col("p4"))
           .as("p"))
     val p = tg.join(ptype, Seq("w1", "w2", "w3", "w4", "w5"))
       .select(col("doc_id"), col("p"))

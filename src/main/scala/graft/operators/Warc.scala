@@ -46,8 +46,16 @@ import graft.sources.Tables
   */
 object Warc {
 
-  /** Records per synthesized WARC file. */
-  val RecordsPerFile = 16L
+  /** Records per synthesized WARC file. r15: raised 16 → 128 (guide §6
+    * file sizing): 16-record (~5 KB) containers meant 313 file
+    * creations + CRC twins + listings PER RUN at sf0.1 — file-op
+    * overhead, not framing, dominated the sink roundtrip. Every query
+    * output is invariant to this constant (doc→file placement and the
+    * `file_ok` check derive from the SAME value on both sides; oracles
+    * never reference it), and WarcSpec/StreamingSinkSpec parameterize
+    * on it. Real crawl exchanges ship ~GB containers; the production
+    * value scales with payload size, not record count. */
+  val RecordsPerFile = 128L
 
   /** Required headers on a well-formed record. */
   val HeaderCount = 4L

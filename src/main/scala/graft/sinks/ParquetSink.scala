@@ -22,7 +22,18 @@ object ParquetSink {
     * (the idempotence the retry/calendar contracts ride on). Static
     * overwrite would truncate the whole table on every daily tick. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write
+    df
+      // r15 (guide §6): REBALANCE on the partition columns before the
+      // write — AQE coalesces small outputs AND splits skewed partition
+      // values by advisoryPartitionSizeInBytes, so file count tracks
+      // DATA SIZE instead of (tasks × live partition values): locally
+      // the year-partitioned silver write dropped ~224 near-empty files
+      // to one per partition value; at 100 TB a hot date splits across
+      // many writers instead of funnelling one task. Layout-only: the
+      // hive directory structure and every read-back result are
+      // unchanged.
+      .hint("rebalance", partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
@@ -37,7 +48,11 @@ object ParquetSink {
   /** Gold-layer write: one table per directory under <base>/gold/. */
   def writeGold(df: DataFrame, base: String, table: String): String = {
     val path = layerPath(base, "gold", table)
-    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    // r15 (guide §6): keyless REBALANCE — gold aggregates are small, and
+    // writing them from every post-aggregation task produced one near-
+    // empty file per task; AQE sizes the output to the data instead.
+    df.hint("rebalance")
+      .write.mode("overwrite").option("compression", "snappy").parquet(path)
     path
   }
 }
