@@ -203,12 +203,23 @@ object Bench {
       "loadavg_pre" -> sweepTelemetry.map(_._2).mkString("[", ",", "]"),
       "loadavg_post" -> sweepTelemetry.map(_._3).mkString("[", ",", "]"),
       "cpu_busy_frac" -> sweepTelemetry.map(_._4).mkString("[", ",", "]")))
+    // cold-derivation visibility (r15 VERDICT #2): ArtifactCache-backed
+    // queries pay the corpus-sized first derivation ONCE per JVM (the
+    // train-once contract), so their per-query minima above are
+    // warm-path numbers; this map records each artifact's first-build
+    // wall seconds so the two effects are separable in the artifact.
+    // Observability only — the timing loop is untouched (the build time
+    // is already inside whichever sweep-1 query triggered it).
+    val artifactBuild = obj(
+      graft.operators.ArtifactCache.buildSeconds.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> v.toString })
 
     val full = obj(Seq(
       "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
       "queries" -> qs, "runs" -> runs, "isolated" -> iso,
       "isolated_raw" -> isoRaw, "warning" -> warning, "variance" -> variance,
-      "host" -> host, "errors" -> errs, "sf" -> ("\"" + sfDir + "\"")))
+      "host" -> host, "artifact_build_sec" -> artifactBuild,
+      "errors" -> errs, "sf" -> ("\"" + sfDir + "\"")))
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, full)
@@ -220,7 +231,7 @@ object Bench {
       "metric" -> "\"total\"", "value" -> total.toString, "unit" -> "\"sec\"",
       "queries" -> qs, "isolated" -> iso, "isolated_raw" -> isoRaw,
       "warning" -> warning, "variance" -> variance,
-      "host" -> host, "errors" -> errs,
+      "host" -> host, "artifact_build_sec" -> artifactBuild, "errors" -> errs,
       "sf" -> ("\"" + sfDir + "\""), "artifact" -> ("\"" + outPath + "\""))))
     spark.stop()
   }

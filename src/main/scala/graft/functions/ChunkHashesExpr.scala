@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * zero exchanges, zero windows, and at 100 TB the token stream never
   * leaves the scan task.
   *
-  * Semantics pinned to the original (ChunkDedupSpec asserts equality
+  * Semantics pinned to the original (ChunkHashesSpec asserts equality
   * against the window-based derivation):
   *   - tokens = split on single spaces (-1: trailing empties kept);
   *   - position t ≥ ChunkGram starts a new chunk iff the rolling hash
@@ -104,13 +104,28 @@ object ChunkHashes {
     sb.toString
   }
 
+  // gram/mask must be foldable integral literals: pattern-match and
+  // raise a clear analysis-time error instead of the ClassCastException/
+  // NPE a raw eval().asInstanceOf would throw on a column-valued, long-
+  // typed-where-int-expected, or NULL argument (ADVICE r15).
+  private def foldableLong(e: Expression, name: String): Long = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"graft_chunk_hashes: $name must be a foldable integer literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_chunk_hashes: $name must be a non-null integer literal, " +
+            s"got ${Option(other).map(_.getClass.getSimpleName).getOrElse("NULL")}")
+    }
+  }
+
   val builder: Seq[Expression] => Expression = exprs =>
     ChunkHashes(exprs.head,
-      exprs(1).eval().asInstanceOf[Int],
-      exprs(2).eval() match {
-        case l: Long => l
-        case i: Int => i.toLong
-      })
+      foldableLong(exprs(1), "gram").toInt,
+      foldableLong(exprs(2), "mask"))
 
   def register(spark: SparkSession): Unit =
     Registration.ensure(spark, "graft_chunk_hashes", builder)

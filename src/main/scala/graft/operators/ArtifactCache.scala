@@ -54,10 +54,28 @@ private[graft] object ArtifactCache {
     val hit = m.get(k)
     if (hit != null) hit
     else {
+      val t0 = System.nanoTime()
       val built = build.localCheckpoint()
+      buildSec.put(k, (System.nanoTime() - t0) / 1e9)
       val prev = m.putIfAbsent(k, built)
       if (prev != null) prev else built
     }
+  }
+
+  /** Wall seconds of each artifact's FIRST derivation this JVM (key =
+    * "dir|name"). Observability only (r15 VERDICT #2): cached-consumer
+    * bench minima are warm-path numbers by the train-once contract, and
+    * this map is what lets a reader separate the one-off corpus-sized
+    * derivation cost from the per-query cost — Bench emits it as
+    * `artifact_build_sec`. */
+  private val buildSec =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Snapshot of every first-derivation time recorded so far. */
+  def buildSeconds: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    buildSec.forEach((k, v) => b += (k -> v.doubleValue()))
+    b.result()
   }
 
   /** Prime the cache with an externally persisted artifact (the load

@@ -15,16 +15,30 @@ import graft.sources.Tables
 object DataQuality {
 
   /** One row of (table_name, row_count, column_count, duplicate_rows,
-    * null_count) per table — data_quality.py:19-26's checks. */
+    * null_count) per table — data_quality.py:19-26's checks.
+    *
+    * r16 (§2.3 shuffle keys instead of payloads): the duplicate check
+    * counts distinct FULL rows, whose two-phase plan exchanges every
+    * row of the table at full width (measured 31 MB shuffle at sf0.1,
+    * ~130 B/row on lineitem). Distinct ROWS equal distinct row HASHES
+    * while no two distinct rows collide in xxhash64 (the dd_admission
+    * hashed-gram license, re-proven by the oracle gate per verified
+    * SF), so the distinct shuffles an 8-byte key instead. Each column
+    * is prefixed by its null indicator because xxhash64 SKIPS null
+    * inputs — without the indicators, rows differing only in which
+    * column holds a value (e.g. (NULL, x) vs (x, NULL)) would hash
+    * identically, a systematic collision rather than a 2⁻⁶⁴ one. */
   def tableStats(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame =
     tables.map { t =>
       val df = Tables.table(spark, dir, t)
       val nullSum: Column = df.columns.toSeq
         .map(c => sum(col(c).isNull.cast("long")))
         .reduce(_ + _)
+      val rowHash = xxhash64(df.columns.toSeq.flatMap(c =>
+        Seq(col(c).isNull.cast("int"), col(c))): _*)
       df.agg(
           count(lit(1)).as("row_count"),
-          countDistinct(struct(df.columns.map(col).toSeq: _*)).as("distinct_rows"),
+          countDistinct(rowHash).as("distinct_rows"),
           nullSum.as("null_count"))
         .select(
           lit(t).as("table_name"),
@@ -329,8 +343,15 @@ object DataQuality {
       exact: Boolean): DataFrame =
     ProfileColumns.map { case (t, cols) =>
       val df = Tables.table(spark, dir, t)
+      // r16 (§2.3): the exact path's multi-DISTINCT Expand shuffles the
+      // raw column values; distinct counts equal distinct-HASH counts
+      // (oracle-verified per SF), so shuffle 8-byte keys. The isNotNull
+      // gate keeps countDistinct's null-skip semantics — xxhash64 of a
+      // null input degenerates to the seed, a countable value. The
+      // approx twin keeps RAW values: its HLL sketch hashes internally,
+      // and re-hashing would change the published estimates.
       val aggs = count(lit(1)).as("n_rows") +: cols.map { case (c, _) =>
-        (if (exact) countDistinct(col(c))
+        (if (exact) countDistinct(when(col(c).isNotNull, xxhash64(col(c))))
         else approx_count_distinct(col(c))).as(s"__d_$c")
       }
       val melted = cols.flatMap { case (c, _) =>
@@ -356,16 +377,22 @@ object DataQuality {
     * would need ln, which the transcendental rule bans.
     *
     * Scale shape: one map-explode pass per table (column-values
-    * unified as strings — injective per engine, so group counts equal
-    * raw-value counts and the oracle can group raw columns), a
-    * (column, value) partial agg, then a column-sized rollup; Σc² is
-    * a DECIMAL(38,0) sum so the index survives any N exactly. */
+    * unified as 8-byte xxhash64 keys — r16, §2.3: every statistic here
+    * is a function of the per-value COUNTS alone, so grouping by the
+    * value's hash shuffles fixed-width longs instead of casted strings;
+    * counts are identical while no two distinct in-column values
+    * collide, which the oracle gate — whose SQL groups the RAW columns
+    * — re-proves at every verified SF. Nulls are mapped to null BEFORE
+    * hashing, because xxhash64 of a null input degenerates to the seed,
+    * which would count the null bucket as a value), a (column, value)
+    * partial agg, then a column-sized rollup; Σc² is a DECIMAL(38,0)
+    * sum so the index survives any N exactly. */
   def valueSkew(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     ProfileColumns.map { case (t, cols) =>
       val df = Tables.table(spark, dir, t)
       val pairs = df.select(explode(map(cols.flatMap { case (c, _) =>
-          Seq(lit(c): Column, col(c).cast("string"))
+          Seq(lit(c): Column, when(col(c).isNotNull, xxhash64(col(c))))
         }: _*)).as(Seq("column_name", "v")))
         .where(col("v").isNotNull)
       pairs.groupBy("column_name", "v").agg(count(lit(1)).as("c"))

@@ -290,7 +290,7 @@ object Dedup {
     val docs = Tables.table(spark, dir, "documents").select("doc_id", "text")
     // r15: the chunk keys are a pure function of the document, so they
     // come from ONE codegen map pass ([[graft.functions.ChunkHashes]] —
-    // identical cut rule and sha2 keys, ChunkDedupSpec pins equality
+    // identical cut rule and sha2 keys, ChunkHashesSpec pins equality
     // with the former posexplode+window+bounds-join derivation). The
     // old plan shuffled the token stream through a doc-keyed window and
     // re-joined the document row per chunk; now only 64-hex chunk keys
@@ -1383,7 +1383,27 @@ object Dedup {
     val hamming = (0 until lanes).map(i =>
       bit_count(element_at(col("sim_a"), lit(i + 1))
         .bitwiseXOR(element_at(col("sim_b"), lit(i + 1))))).reduce(_ + _)
+    // PROBE-SIDE PARALLELISM: the candidate join broadcasts the b side
+    // (index-sized: ≤ 8 rows/doc of (id, sig, blk, v)), so pair
+    // generation is probe work distributed over the a side's
+    // partitions — which, undistributed, are the signature
+    // checkpoint's few scan splits; the probe stage then runs Σpop²
+    // hamming evaluations (36M at sf0.1, most of this query's task
+    // time) on a handful of tasks (measured: wall 4.4 s vs summed task
+    // time 6.9 s — one straggler). One exchange of the TINY pre-pair
+    // rows (≤ 8·|docs| × ~40 B) spreads the probe work evenly: per-row
+    // probe cost is its bucket's population, bounded by cap ≪ the
+    // per-task pair budget at any np (guide §2.5/§2.6: distribute by
+    // fine deterministic keys, never leave a fat stage on few tasks).
+    val np = sig.sparkSession.sessionState.conf.numShufflePartitions
     kept.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"), col("blk"), col("v"))
+      // keyed on a_id ALONE: all 8 block rows of a doc stay in one
+      // partition, so a pair rediscovered via several blocks collapses
+      // in the distinct's MAP-SIDE partial aggregate (keying by
+      // (a_id, blk) scattered the copies and tripled the distinct
+      // exchange); per-doc probe weight is ≤ 8·cap, far under any
+      // task's pair budget
+      .repartition(np, col("a_id"))
       .join(kept.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"), col("blk"), col("v")),
         Seq("blk", "v"))
       .where(col("a_id") < col("b_id"))

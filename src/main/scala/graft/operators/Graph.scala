@@ -386,7 +386,11 @@ object Graph {
     (1 to HitsIters).foreach { _ =>
       // checkpoint the RAW sums, not the normalized scores: the total
       // and the normalize both read them, so an un-checkpointed ar/hr
-      // would run the edges⋈scores join twice per half-step
+      // would run the edges⋈scores join twice per half-step (MEASURED
+      // r16, not assumed: the one-checkpoint variant relied on
+      // ReuseExchange to dedupe the double reference, and it does NOT
+      // fire across the broadcast-total branch — summed task time rose
+      // 23→32 s and shuffle bytes 56→85 MB at sf0.1)
       val ar = eU.join(hub, "u").groupBy("v")
         .agg(sum(floor(col("h") * lit(PrScale)).cast(dec)).as("ar"))
         .localCheckpoint()

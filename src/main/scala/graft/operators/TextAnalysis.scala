@@ -416,15 +416,25 @@ object TextAnalysis {
     * decimal sum, order-independent under any partitioning. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.WordShingles.register(spark)
+    // r16: per-word xxhash64 keys (see kn5Score — the model keys on
+    // word IDENTITY only and no output column carries text, so the
+    // count tables and the corpus-sized scoring join shuffle 8-byte
+    // keys; a bigram string maps bijectively onto its word pair —
+    // tokens cannot contain the separator — so grouping by the two
+    // word hashes is grouping by the bigram, modulo xxhash64 vocabulary
+    // collisions, which every verified SF re-disproves via the oracle)
     val bg = Tables.table(spark, dir, "documents")
       .select(col("doc_id"),
         explode(call_function("graft_word_ngrams", col("text"), lit(2)))
           .as("bigram"))
-      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
-    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .withColumn("ws", split(col("bigram"), " "))
+      .select(col("doc_id"),
+        xxhash64(col("ws").getItem(0)).as("ctx"),
+        xxhash64(col("ws").getItem(1)).as("nxt"))
+    val c2 = bg.groupBy("ctx", "nxt").agg(count(lit(1)).as("c2"))
     val c1 = Tables.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("c1"))
+      .groupBy(xxhash64(col("token")).as("ctx")).agg(count(lit(1)).as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
     // r15: p(b|a) is a function of the bigram TYPE alone, so finish it
     // on the vocabulary-sized type table and join the TOKEN STREAM once
@@ -432,13 +442,12 @@ object TextAnalysis {
     // shuffling the corpus-sized stream twice. Same expression tree,
     // bit-identical doubles.
     val ptype = c2
-      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
-      .join(c1.withColumnRenamed("token", "ctx"), "ctx")
+      .join(c1, "ctx")
       .crossJoin(broadcast(v))
-      .select(col("bigram"),
+      .select(col("ctx"), col("nxt"),
         ((col("c2").cast("double") + lit(1.0))
           / (col("c1").cast("double") + col("v").cast("double"))).as("p"))
-    val p = bg.select("doc_id", "bigram").join(ptype, "bigram")
+    val p = bg.join(ptype, Seq("ctx", "nxt"))
       .select(col("doc_id"), col("p"))
     p.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -551,11 +560,15 @@ object TextAnalysis {
   def knScore(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.WordShingles.register(spark)
     val docs = Tables.table(spark, dir, "documents")
+    // r16: per-word xxhash64 keys (see kn5Score — no downstream op or
+    // output column reads the word text)
     val bg = docs.select(col("doc_id"),
         explode(call_function("graft_word_ngrams", col("text"), lit(2)))
           .as("bigram"))
-      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
-      .withColumn("nxt", split(col("bigram"), " ").getItem(1))
+      .withColumn("ws", split(col("bigram"), " "))
+      .select(col("doc_id"),
+        xxhash64(col("ws").getItem(0)).as("ctx"),
+        xxhash64(col("ws").getItem(1)).as("nxt"))
     val c2 = bg.groupBy("ctx", "nxt").agg(count(lit(1)).as("c2"))
     val ca = c2.groupBy("ctx").agg(sum("c2").as("ca"), count(lit(1)).as("n1f"))
     val n1b = c2.groupBy("nxt").agg(count(lit(1)).as("n1b"))
@@ -618,15 +631,19 @@ object TextAnalysis {
     // dupCoverageOf discipline): AQE sizes stage coalescing on the tiny
     // PRE-explode bytes and would fold trigram generation to one task
     val np = spark.sessionState.conf.numShufflePartitions
+    // r16: per-word xxhash64 keys (see kn5Score — no downstream op or
+    // output column reads the word text, so all type tables and the
+    // scoring join shuffle 8-byte keys instead of strings)
     val tg = docs.select(col("doc_id"), col("text"))
       .repartition(np, col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("graft_word_ngrams", col("text"), lit(3)))
           .as("trigram"))
-      .withColumn("w1", split(col("trigram"), " ").getItem(0))
-      .withColumn("w2", split(col("trigram"), " ").getItem(1))
-      .withColumn("w3", split(col("trigram"), " ").getItem(2))
-      .drop("trigram")
+      .withColumn("ws", split(col("trigram"), " "))
+      .select(col("doc_id"),
+        xxhash64(col("ws").getItem(0)).as("w1"),
+        xxhash64(col("ws").getItem(1)).as("w2"),
+        xxhash64(col("ws").getItem(2)).as("w3"))
     // the type table feeds FIVE rollups + the scoring join; without the
     // checkpoint each rollup re-runs the explode+aggregate subtree
     // (ReuseExchange does not fire across differently-aliased branches)
@@ -713,8 +730,19 @@ object TextAnalysis {
         explode(call_function("graft_word_ngrams", col("text"), lit(5)))
           .as("g"))
       .withColumn("ws", split(col("g"), " "))
+    // r16 (§2.3, the dd_admission hash-before-shuffle pattern): every
+    // downstream groupBy/join keys on the WORDS, never reads their
+    // text, and no output column carries gram text — so the corpus-
+    // sized token stream and all eight type tables shuffle 8-byte
+    // xxhash64 word keys instead of strings (the dominant shuffle was
+    // five strings per stream row riding the c5 groupBy and the final
+    // scoring join). Counts and joins are identical while no two
+    // distinct corpus words collide in xxhash64 (vocabulary is
+    // Heaps-sized; the hash gate re-proves it at every verified SF),
+    // and every join still matches on ALL per-word keys, so a single-
+    // word collision cannot merge gram types by itself.
     val tg = gram.select(col("doc_id") +: (0 until 5).map(i =>
-        col("ws").getItem(i).as(s"w${i + 1}")): _*)
+        xxhash64(col("ws").getItem(i)).as(s"w${i + 1}")): _*)
     // the type table feeds the rollup chain + the scoring join — the
     // kn3Score checkpoint discipline at every re-read table
     val c5 = tg.groupBy("w1", "w2", "w3", "w4", "w5")
