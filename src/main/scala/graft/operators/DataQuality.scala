@@ -66,13 +66,22 @@ object DataQuality {
 
     val customer = Tables.table(spark, dir, "customer")
     val lineitem = Tables.table(spark, dir, "lineitem")
+    // r16 (§6 scan elimination, the nullProfile melt pattern): the two
+    // lineitem rules fold into ONE aggregate pass whose 1-row result
+    // melts into two rule rows map-side — the per-rule formulation
+    // scanned lineitem twice for two counters the same agg can carry
+    val liRules = lineitem
+      .agg(sum(col("l_partkey").isNull.cast("long")).as("nn"),
+        sum((col("l_quantity") <= 0).cast("long")).as("np"))
+      .select(explode(map(
+        lit("product_id_not_null"), col("nn"),
+        lit("quantity_positive"), col("np"))).as(Seq("check_name", "observed")))
+      .select(col("check_name"), lit("lineitem").as("table_name"),
+        (col("observed") === 0L).as("passed"), col("observed"))
     Seq(
       rule("customer_id_unique", "customer",
         customer.agg((count(lit(1)) - countDistinct(col("c_custkey"))).as("observed"))),
-      rule("product_id_not_null", "lineitem",
-        lineitem.agg(sum(col("l_partkey").isNull.cast("long")).as("observed"))),
-      rule("quantity_positive", "lineitem",
-        lineitem.agg(sum((col("l_quantity") <= 0).cast("long")).as("observed"))),
+      liRules,
       rule("revenue_non_negative", "daily_sales_summary",
         Gold.dailySalesSummary(spark, dir)
           .agg(sum((col("revenue") < 0).cast("long")).as("observed"))),

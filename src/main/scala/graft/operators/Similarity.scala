@@ -212,7 +212,16 @@ object Similarity {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val sigs = lshSigs(spark, dir)
+    // probe-side parallelism (r16, the dd_simhash fix): the candidate
+    // join broadcasts the b side, so the Σpop² bucket probes run on the
+    // a side's partitions — the signature checkpoint's few scan splits.
+    // One exchange of the narrow (id, tbl, sig) rows spreads the probe
+    // work; keying on a_id alone keeps a vec's every table row in one
+    // partition, so multi-table rediscoveries of a pair still collapse
+    // in the distinct's map-side partial aggregate.
+    val np = spark.sessionState.conf.numShufflePartitions
     val cand = sigs.select(col("vec_id").as("a_id"), col("tbl"), col("sig"))
+      .repartition(np, col("a_id"))
       .join(sigs.select(col("vec_id").as("b_id"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
       .where(col("a_id") < col("b_id"))

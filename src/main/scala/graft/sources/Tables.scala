@@ -58,6 +58,32 @@ object Tables {
         col("l_shipdate").as("sale_ts"))
   }
 
+  /** [[sales]] WITHOUT the customer key — FK-INFORMED JOIN ELIMINATION
+    * (r16, guide §2.4 "remove shuffles outright"): the lineitem⋈orders
+    * join exists only to attach `o_custkey`, and under the TPC-H
+    * referential contract (every `l_orderkey` matches exactly one
+    * `orders` row — dbgen generates lineitems BY order) an inner join
+    * that contributes no columns neither drops nor duplicates rows, so
+    * projecting customer_id away makes the join a no-op. Catalyst
+    * cannot prove that (no FK/uniqueness metadata on parquet), so the
+    * ~25 consumers that never read customer_id were each paying a scan
+    * of `orders` plus a fact-wide join — a broadcast probe locally, a
+    * full shuffle join of the fact at cluster scale. The precondition
+    * is pinned two ways: TablesSpec asserts zero orphan lineitems and
+    * unique order keys at EVERY verified SF, and every consumer's
+    * DuckDB oracle still derives sales THROUGH the join
+    * ([[salesCte]]), so the hash gate re-proves result equality per
+    * run. Queries that read customer_id keep [[sales]]. */
+  def salesLite(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("transaction_id"),
+        col("l_partkey").as("product_id"),
+        col("l_suppkey").as("store_id"),
+        col("l_quantity").cast("bigint").as("quantity"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_shipdate").as("sale_ts"))
+
   /** Reference `customers` dimension (customer ⋈ nation, broadcast). */
   def customers(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
